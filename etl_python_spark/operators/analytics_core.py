@@ -1,0 +1,607 @@
+"""Core analytics query family: aggregations, windows, rollups, pivots.
+
+Each query re-expresses one reference semantic (SURVEY.md §2.4/2.5)
+over the TESTDATA star schema.  All plans are pure Catalyst: hash
+aggregates with map-side partials, window exchanges on explicit keys,
+no Python in the data path.  Money aggregates go through DECIMAL (see
+functions.numeric) so results are bit-identical across engines and
+across shuffle orderings.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions.numeric import dsum
+from ..sources.tables import load_table
+
+
+# ---------------------------------------------------------------------------
+# A1+A3+A5+A6+A7: the Faturamento stored-procedure shape
+# (ref: scripts_sql/Faturamento.sql:1-177 — derived-table aggregate,
+#  countDistinct carteira, ratio KPIs with NULLIF, WITH ROLLUP total row
+#  labeled via IFNULL(...,'SOMA'))
+# ---------------------------------------------------------------------------
+
+def q_faturamento_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue panel per nation for one year, with a rollup 'SOMA' row.
+
+    Spark plan: broadcast-join the tiny nation dim into orders⨝customer,
+    then ``rollup`` — a single shuffle on the grouping key; the total
+    row costs nothing extra (rollup expands grouping sets in the same
+    aggregate).
+    """
+    orders = load_table(spark, sf_dir, "orders").filter(F.year("o_orderdate") == 1998)
+    customer = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+
+    fact = orders.join(
+        customer, orders.o_custkey == customer.c_custkey, "inner"
+    ).join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
+
+    agg = (
+        fact.rollup("n_name")
+        .agg(
+            F.grouping("n_name").alias("_g"),
+            dsum("o_totalprice").alias("faturamento"),
+            F.countDistinct("o_orderkey").alias("pedidos"),
+            F.countDistinct("o_custkey").alias("carteira"),
+        )
+        .select(
+            F.when(F.col("_g") == 1, F.lit("SOMA"))
+            .otherwise(F.col("n_name"))
+            .alias("vendedor"),
+            "faturamento",
+            "pedidos",
+            "carteira",
+            F.round(
+                F.col("faturamento") / F.nullif(F.col("pedidos").cast("double"), F.lit(0.0)),
+                2,
+            ).alias("ticket_medio"),
+        )
+    )
+    return agg
+
+
+ORACLE_FATURAMENTO = """
+WITH fact AS (
+  SELECT n.n_name, o.o_orderkey, o.o_custkey, o.o_totalprice
+  FROM orders o
+  JOIN customer c ON o.o_custkey = c.c_custkey
+  JOIN nation n ON c.c_nationkey = n.n_nationkey
+  WHERE year(o.o_orderdate) = 1998
+)
+SELECT
+  CASE WHEN GROUPING(n_name) = 1 THEN 'SOMA' ELSE n_name END AS vendedor,
+  ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 2) AS faturamento,
+  COUNT(DISTINCT o_orderkey) AS pedidos,
+  COUNT(DISTINCT o_custkey) AS carteira,
+  ROUND(ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 2)
+        / NULLIF(CAST(COUNT(DISTINCT o_orderkey) AS DOUBLE), 0.0), 2) AS ticket_medio
+FROM fact
+GROUP BY ROLLUP (n_name)
+"""
+
+
+# ---------------------------------------------------------------------------
+# W1: ROW_NUMBER top-N per group
+# (ref: Códigos Úteis SQL/Top 10 Faturamento Por Vendedora (6 meses).sql:13-24)
+# ---------------------------------------------------------------------------
+
+def q_top_customers_per_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-5 customers by revenue inside each nation.
+
+    Shape: aggregate first (shrinks the window input to one row per
+    customer), then a single window exchange partitioned by nation.
+    Deterministic tie-break on custkey.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+
+    per_cust = (
+        orders.join(customer, orders.o_custkey == customer.c_custkey)
+        .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
+        .groupBy("n_name", "c_custkey")
+        .agg(dsum("o_totalprice").alias("faturamento"))
+    )
+    w = Window.partitionBy("n_name").orderBy(
+        F.desc("faturamento"), F.asc("c_custkey")
+    )
+    return (
+        per_cust.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 5)
+        .select("n_name", "c_custkey", "faturamento", "rn")
+    )
+
+
+ORACLE_TOP_CUSTOMERS = """
+WITH per_cust AS (
+  SELECT n.n_name, c.c_custkey,
+         ROUND(CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 2) AS faturamento
+  FROM orders o
+  JOIN customer c ON o.o_custkey = c.c_custkey
+  JOIN nation n ON c.c_nationkey = n.n_nationkey
+  GROUP BY n.n_name, c.c_custkey
+), ranked AS (
+  SELECT n_name, c_custkey, faturamento,
+         ROW_NUMBER() OVER (PARTITION BY n_name ORDER BY faturamento DESC, c_custkey ASC) AS rn
+  FROM per_cust
+)
+SELECT n_name, c_custkey, faturamento, rn FROM ranked WHERE rn <= 5
+"""
+
+
+# ---------------------------------------------------------------------------
+# W2: LAG month-over-month   (ref: SMT_Reparos_MoM.sql:29)
+# ---------------------------------------------------------------------------
+
+def q_mom_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Monthly revenue with previous-month value and % variation."""
+    orders = load_table(spark, sf_dir, "orders")
+    monthly = (
+        orders.groupBy(
+            F.date_trunc("month", "o_orderdate").cast("date").alias("mes")
+        )
+        .agg(dsum("o_totalprice").alias("faturamento"))
+    )
+    w = Window.orderBy("mes")
+    return monthly.select(
+        "mes",
+        "faturamento",
+        F.lag("faturamento").over(w).alias("mes_anterior"),
+        F.round(
+            (F.col("faturamento") / F.nullif(F.lag("faturamento").over(w), F.lit(0.0)) - 1.0)
+            * 100.0,
+            4,
+        ).alias("var_pct"),
+    )
+
+
+ORACLE_MOM = """
+WITH monthly AS (
+  SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS mes,
+         ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 2) AS faturamento
+  FROM orders GROUP BY 1
+)
+SELECT mes, faturamento,
+       LAG(faturamento) OVER (ORDER BY mes) AS mes_anterior,
+       ROUND((faturamento / NULLIF(LAG(faturamento) OVER (ORDER BY mes), 0.0) - 1.0) * 100.0, 4) AS var_pct
+FROM monthly
+"""
+
+
+# ---------------------------------------------------------------------------
+# W3: LAG partitioned — YoY same month   (ref: SMT_Reparos_YoY.sql:29)
+# ---------------------------------------------------------------------------
+
+def q_yoy_same_month(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    monthly = (
+        orders.groupBy(
+            F.year("o_orderdate").alias("ano"), F.month("o_orderdate").alias("mes")
+        )
+        .agg(dsum("o_totalprice").alias("faturamento"))
+    )
+    w = Window.partitionBy("mes").orderBy("ano")
+    return monthly.select(
+        "ano",
+        "mes",
+        "faturamento",
+        F.lag("faturamento").over(w).alias("ano_anterior"),
+        F.round(
+            (F.col("faturamento") / F.nullif(F.lag("faturamento").over(w), F.lit(0.0)) - 1.0)
+            * 100.0,
+            4,
+        ).alias("yoy_pct"),
+    )
+
+
+ORACLE_YOY = """
+WITH monthly AS (
+  SELECT year(o_orderdate) AS ano, month(o_orderdate) AS mes,
+         ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 2) AS faturamento
+  FROM orders GROUP BY 1, 2
+)
+SELECT ano, mes, faturamento,
+       LAG(faturamento) OVER (PARTITION BY mes ORDER BY ano) AS ano_anterior,
+       ROUND((faturamento / NULLIF(LAG(faturamento) OVER (PARTITION BY mes ORDER BY ano), 0.0) - 1.0) * 100.0, 4) AS yoy_pct
+FROM monthly
+"""
+
+
+# ---------------------------------------------------------------------------
+# A5: conditional aggregation year-pivot  (ref: Cenario_YearToYear.sql:35-38,
+# Mix_Mensal_MM.sql:17-36 — SUM(IF(year=Y, x, 0)) columns)
+# ---------------------------------------------------------------------------
+
+def q_year_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-nation revenue pivoted into fixed year columns + growth %.
+
+    Conditional-sum form (not ``.pivot()``) so the pivot columns are
+    statically known — one aggregate, no second pass to discover keys.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+
+    def year_sum(y: int):
+        return F.round(
+            F.sum(
+                F.when(
+                    F.year("o_orderdate") == y,
+                    F.col("o_totalprice").cast("decimal(18,2)"),
+                ).otherwise(F.lit(0).cast("decimal(18,2)"))
+            ).cast("double"),
+            2,
+        )
+
+    return (
+        orders.join(customer, orders.o_custkey == customer.c_custkey)
+        .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            year_sum(1997).alias("fat_1997"),
+            year_sum(1998).alias("fat_1998"),
+        )
+        .select(
+            "n_name",
+            "fat_1997",
+            "fat_1998",
+            F.round(
+                (F.col("fat_1998") / F.nullif(F.col("fat_1997"), F.lit(0.0)) - 1.0) * 100.0,
+                4,
+            ).alias("crescimento_pct"),
+        )
+    )
+
+
+ORACLE_YEAR_PIVOT = """
+SELECT n.n_name,
+       ROUND(CAST(SUM(CASE WHEN year(o.o_orderdate) = 1997 THEN CAST(o.o_totalprice AS DECIMAL(18,2)) ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE), 2) AS fat_1997,
+       ROUND(CAST(SUM(CASE WHEN year(o.o_orderdate) = 1998 THEN CAST(o.o_totalprice AS DECIMAL(18,2)) ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE), 2) AS fat_1998,
+       ROUND((ROUND(CAST(SUM(CASE WHEN year(o.o_orderdate) = 1998 THEN CAST(o.o_totalprice AS DECIMAL(18,2)) ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE), 2)
+              / NULLIF(ROUND(CAST(SUM(CASE WHEN year(o.o_orderdate) = 1997 THEN CAST(o.o_totalprice AS DECIMAL(18,2)) ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE), 2), 0.0) - 1.0) * 100.0, 4) AS crescimento_pct
+FROM orders o
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+GROUP BY n.n_name
+"""
+
+
+# ---------------------------------------------------------------------------
+# W4: windowed total → % of total   (ref: View_SMT_AçõesDefinidas.sql:11,44)
+# ---------------------------------------------------------------------------
+
+def q_share_of_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order count per (status, priority) with % share inside status."""
+    orders = load_table(spark, sf_dir, "orders")
+    counts = orders.groupBy("o_orderstatus", "o_orderpriority").agg(
+        F.count("*").alias("qtd")
+    )
+    w = Window.partitionBy("o_orderstatus")
+    return counts.select(
+        "o_orderstatus",
+        "o_orderpriority",
+        "qtd",
+        F.round(F.col("qtd") / F.sum("qtd").over(w) * 100.0, 4).alias("pct_grupo"),
+    )
+
+
+ORACLE_SHARE = """
+WITH counts AS (
+  SELECT o_orderstatus, o_orderpriority, COUNT(*) AS qtd
+  FROM orders GROUP BY 1, 2
+)
+SELECT o_orderstatus, o_orderpriority, qtd,
+       ROUND(CAST(qtd AS DOUBLE) / SUM(qtd) OVER (PARTITION BY o_orderstatus) * 100.0, 4) AS pct_grupo
+FROM counts
+"""
+
+
+# ---------------------------------------------------------------------------
+# P6: parameterized range buckets  (ref: Códigos Úteis SQL/Recorrência.sql:36-45)
+# A7 label conventions ride along.
+# ---------------------------------------------------------------------------
+
+def q_recency_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customer recency cohorts: days since last order, bucketed with a
+    CASE ladder, counted per bucket.  Anchor = max order date in the
+    data (deterministic stand-in for CURDATE())."""
+    orders = load_table(spark, sf_dir, "orders")
+    anchor = orders.agg(F.max(F.col("o_orderdate").cast("date")).alias("d"))
+    last = orders.groupBy("o_custkey").agg(
+        F.max(F.col("o_orderdate").cast("date")).alias("ultima")
+    )
+    joined = last.crossJoin(F.broadcast(anchor)).select(
+        "o_custkey", F.datediff(F.col("d"), F.col("ultima")).alias("dias")
+    )
+    bucket = (
+        F.when(F.col("dias") <= 30, "0-30")
+        .when(F.col("dias") <= 90, "31-90")
+        .when(F.col("dias") <= 180, "91-180")
+        .when(F.col("dias") <= 365, "181-365")
+        .otherwise("365+")
+    )
+    return (
+        joined.select(bucket.alias("faixa"))
+        .groupBy("faixa")
+        .agg(F.count("*").alias("clientes"))
+    )
+
+
+ORACLE_RECENCY = """
+WITH anchor AS (SELECT MAX(CAST(o_orderdate AS DATE)) AS d FROM orders),
+last_order AS (
+  SELECT o_custkey, MAX(CAST(o_orderdate AS DATE)) AS ultima FROM orders GROUP BY 1
+), dias AS (
+  SELECT o_custkey, date_diff('day', ultima, (SELECT d FROM anchor)) AS dias FROM last_order
+)
+SELECT CASE WHEN dias <= 30 THEN '0-30'
+            WHEN dias <= 90 THEN '31-90'
+            WHEN dias <= 180 THEN '91-180'
+            WHEN dias <= 365 THEN '181-365'
+            ELSE '365+' END AS faixa,
+       COUNT(*) AS clientes
+FROM dias GROUP BY 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# A9 + A10 + A11: HAVING reincidence + ordered string_agg + conditional count
+# (ref: SP_SMT_Reincidencia_Reparos.sql:16-42, SLA de Produção - Completo.sql:118)
+# ---------------------------------------------------------------------------
+
+def q_reincidence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customers with more than 3 urgent-ish orders: order count,
+    conditional count, first/last dates, and the ordered trail of order
+    keys (GROUP_CONCAT SEPARATOR ' -> ' analogue)."""
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.groupBy("o_custkey")
+        .agg(
+            F.count("*").alias("pedidos"),
+            F.count(
+                F.when(F.col("o_orderpriority").isin("1-URGENT", "2-HIGH"), F.lit(1))
+            ).alias("urgentes"),
+            F.min(F.col("o_orderdate").cast("date")).alias("primeiro"),
+            F.max(F.col("o_orderdate").cast("date")).alias("ultimo"),
+            F.concat_ws(
+                " -> ",
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.struct(F.col("o_orderdate"), F.col("o_orderkey"))
+                        )
+                    ),
+                    lambda x: x.o_orderkey.cast("string"),
+                ),
+            ).alias("trilha"),
+        )
+        .filter(F.col("pedidos") > 3)
+    )
+
+
+ORACLE_REINCIDENCE = """
+SELECT o_custkey,
+       COUNT(*) AS pedidos,
+       COUNT(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 1 END) AS urgentes,
+       MIN(CAST(o_orderdate AS DATE)) AS primeiro,
+       MAX(CAST(o_orderdate AS DATE)) AS ultimo,
+       string_agg(CAST(o_orderkey AS VARCHAR), ' -> ' ORDER BY o_orderdate, o_orderkey) AS trilha
+FROM orders
+GROUP BY o_custkey
+HAVING COUNT(*) > 3
+"""
+
+
+# ---------------------------------------------------------------------------
+# A8/O4: manual total row via UNION ALL re-aggregation
+# (ref: PainelSDR_Report.sql:91-116, Inadimplencia.sql:44-67)
+# ---------------------------------------------------------------------------
+
+def q_union_detail_total(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-region revenue rows plus a 'TOTAL' row appended via union —
+    the reference's manual-total idiom (kept alongside the rollup form
+    to cover both)."""
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+
+    fact = (
+        orders.join(customer, orders.o_custkey == customer.c_custkey)
+        .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+    )
+    detail = fact.groupBy("r_name").agg(dsum("o_totalprice").alias("faturamento"))
+    total = fact.agg(dsum("o_totalprice").alias("faturamento")).select(
+        F.lit("TOTAL").alias("r_name"), "faturamento"
+    )
+    return detail.unionByName(total).withColumn(
+        "ordem", F.when(F.col("r_name") == "TOTAL", F.lit(1)).otherwise(F.lit(0))
+    )
+
+
+ORACLE_UNION_TOTAL = """
+WITH fact AS (
+  SELECT r.r_name, o.o_totalprice
+  FROM orders o
+  JOIN customer c ON o.o_custkey = c.c_custkey
+  JOIN nation n ON c.c_nationkey = n.n_nationkey
+  JOIN region r ON n.n_regionkey = r.r_regionkey
+)
+SELECT r_name,
+       ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 2) AS faturamento,
+       0 AS ordem
+FROM fact GROUP BY r_name
+UNION ALL
+SELECT 'TOTAL' AS r_name,
+       ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 2) AS faturamento,
+       1 AS ordem
+FROM fact
+"""
+
+
+# ---------------------------------------------------------------------------
+# W6: rolling mean + cumulative sum (ref: Modelo de Previsão de
+# Vendas.py:103-108 — shift(1), rolling(3).mean(), cumsum())
+# ---------------------------------------------------------------------------
+
+def q_rolling_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Monthly revenue with 3-month rolling mean and running total."""
+    orders = load_table(spark, sf_dir, "orders")
+    monthly = (
+        orders.groupBy(
+            F.date_trunc("month", "o_orderdate").cast("date").alias("mes")
+        )
+        .agg(dsum("o_totalprice").alias("faturamento"))
+    )
+    w_roll = Window.orderBy("mes").rowsBetween(-2, 0)
+    w_cum = Window.orderBy("mes").rowsBetween(Window.unboundedPreceding, 0)
+    return monthly.select(
+        "mes",
+        "faturamento",
+        F.round(F.avg("faturamento").over(w_roll), 4).alias("media_3m"),
+        F.round(F.sum("faturamento").over(w_cum), 2).alias("acumulado"),
+    )
+
+
+ORACLE_ROLLING = """
+WITH monthly AS (
+  SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS mes,
+         ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 2) AS faturamento
+  FROM orders GROUP BY 1
+)
+SELECT mes, faturamento,
+       ROUND(AVG(faturamento) OVER (ORDER BY mes ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 4) AS media_3m,
+       ROUND(SUM(faturamento) OVER (ORDER BY mes ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS acumulado
+FROM monthly
+"""
+
+
+# ---------------------------------------------------------------------------
+# P8: date-window predicate anchored at data max (last-3-months filter)
+# (ref: Recorrencia_TKM_30D.sql:26-27; Top 10 ... (6 meses).sql:17-19)
+# ---------------------------------------------------------------------------
+
+def q_last_quarter_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue per mktsegment over the 3 months ending at the newest
+    order date. The range predicate lands in PushedFilters at the scan
+    once the scalar anchor is resolved."""
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    anchor_row = orders.agg(F.max(F.col("o_orderdate").cast("date"))).collect()[0][0]
+    cutoff = anchor_row  # date
+    recent = orders.filter(
+        F.col("o_orderdate").cast("date") > F.add_months(F.lit(cutoff), -3)
+    )
+    return (
+        recent.join(customer, recent.o_custkey == customer.c_custkey)
+        .groupBy("c_mktsegment")
+        .agg(
+            dsum("o_totalprice").alias("faturamento"),
+            F.countDistinct("o_custkey").alias("clientes"),
+        )
+    )
+
+
+ORACLE_LAST_QUARTER = """
+WITH anchor AS (SELECT MAX(CAST(o_orderdate AS DATE)) AS d FROM orders)
+SELECT c.c_mktsegment,
+       ROUND(CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 2) AS faturamento,
+       COUNT(DISTINCT o.o_custkey) AS clientes
+FROM orders o
+JOIN customer c ON o.o_custkey = c.c_custkey
+WHERE CAST(o.o_orderdate AS DATE) > (SELECT d - INTERVAL 3 MONTH FROM anchor)
+GROUP BY c.c_mktsegment
+"""
+
+
+# ---------------------------------------------------------------------------
+# A14: one-pass data profiling aggregates
+# (ref: Algoritmo de Estruturação de Dados.py:86-126,743-761)
+# ---------------------------------------------------------------------------
+
+def q_profile_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema profile of `customer`: per column → rows, nulls,
+    distincts, uniqueness ratio.  Single aggregate pass (all measures
+    in one job), then unpivoted to narrow form."""
+    customer = load_table(spark, sf_dir, "customer")
+    cols = ["c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment"]
+    aggs = [F.count("*").alias("_rows")]
+    for c in cols:
+        aggs.append(F.count(F.when(F.col(c).isNull(), 1)).alias(f"{c}__nulls"))
+        aggs.append(F.countDistinct(F.col(c)).alias(f"{c}__distinct"))
+    wide = customer.agg(*aggs)
+    stack_args = []
+    for c in cols:
+        stack_args.append(f"'{c}', {c}__nulls, {c}__distinct")
+    narrow = wide.selectExpr(
+        "_rows",
+        f"stack({len(cols)}, {', '.join(stack_args)}) as (coluna, n_nulos, n_distintos)",
+    )
+    return narrow.select(
+        "coluna",
+        F.col("_rows").alias("n_linhas"),
+        "n_nulos",
+        "n_distintos",
+        F.round(F.col("n_distintos") / F.col("_rows").cast("double"), 6).alias(
+            "taxa_unicidade"
+        ),
+    )
+
+
+ORACLE_PROFILE = """
+WITH stats AS (
+  SELECT COUNT(*) AS n_rows,
+         COUNT(CASE WHEN c_custkey IS NULL THEN 1 END) AS k_nulls, COUNT(DISTINCT c_custkey) AS k_dist,
+         COUNT(CASE WHEN c_name IS NULL THEN 1 END) AS n_nulls, COUNT(DISTINCT c_name) AS n_dist,
+         COUNT(CASE WHEN c_nationkey IS NULL THEN 1 END) AS nk_nulls, COUNT(DISTINCT c_nationkey) AS nk_dist,
+         COUNT(CASE WHEN c_acctbal IS NULL THEN 1 END) AS a_nulls, COUNT(DISTINCT c_acctbal) AS a_dist,
+         COUNT(CASE WHEN c_mktsegment IS NULL THEN 1 END) AS m_nulls, COUNT(DISTINCT c_mktsegment) AS m_dist
+  FROM customer
+)
+SELECT 'c_custkey' AS coluna, n_rows AS n_linhas, k_nulls AS n_nulos, k_dist AS n_distintos,
+       ROUND(CAST(k_dist AS DOUBLE) / CAST(n_rows AS DOUBLE), 6) AS taxa_unicidade FROM stats
+UNION ALL
+SELECT 'c_name', n_rows, n_nulls, n_dist, ROUND(CAST(n_dist AS DOUBLE) / CAST(n_rows AS DOUBLE), 6) FROM stats
+UNION ALL
+SELECT 'c_nationkey', n_rows, nk_nulls, nk_dist, ROUND(CAST(nk_dist AS DOUBLE) / CAST(n_rows AS DOUBLE), 6) FROM stats
+UNION ALL
+SELECT 'c_acctbal', n_rows, a_nulls, a_dist, ROUND(CAST(a_dist AS DOUBLE) / CAST(n_rows AS DOUBLE), 6) FROM stats
+UNION ALL
+SELECT 'c_mktsegment', n_rows, m_nulls, m_dist, ROUND(CAST(m_dist AS DOUBLE) / CAST(n_rows AS DOUBLE), 6) FROM stats
+"""
+
+
+QUERIES = {
+    "faturamento_rollup": q_faturamento_rollup,
+    "top_customers_per_nation": q_top_customers_per_nation,
+    "mom_growth": q_mom_growth,
+    "yoy_same_month": q_yoy_same_month,
+    "year_pivot": q_year_pivot,
+    "share_of_priority": q_share_of_priority,
+    "recency_buckets": q_recency_buckets,
+    "reincidence": q_reincidence,
+    "union_detail_total": q_union_detail_total,
+    "rolling_metrics": q_rolling_metrics,
+    "last_quarter_revenue": q_last_quarter_revenue,
+    "profile_customer": q_profile_customer,
+}
+
+ORACLES = {
+    "faturamento_rollup": ORACLE_FATURAMENTO,
+    "top_customers_per_nation": ORACLE_TOP_CUSTOMERS,
+    "mom_growth": ORACLE_MOM,
+    "yoy_same_month": ORACLE_YOY,
+    "year_pivot": ORACLE_YEAR_PIVOT,
+    "share_of_priority": ORACLE_SHARE,
+    "recency_buckets": ORACLE_RECENCY,
+    "reincidence": ORACLE_REINCIDENCE,
+    "union_detail_total": ORACLE_UNION_TOTAL,
+    "rolling_metrics": ORACLE_ROLLING,
+    "last_quarter_revenue": ORACLE_LAST_QUARTER,
+    "profile_customer": ORACLE_PROFILE,
+}

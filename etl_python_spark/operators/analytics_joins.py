@@ -1,0 +1,430 @@
+"""Join family, set ops, and predicate patterns (SURVEY.md §2.2/2.3/2.6).
+
+Join-strategy notes (the scale story):
+- dims (region/nation) are always ``F.broadcast`` — no shuffle of the
+  fact side, ever;
+- fact⨝fact (orders⨝lineitem) is a shuffle hash/sort-merge join on the
+  key both sides already group by, so AQE can reuse the exchange;
+- semi/anti joins are expressed as ``left_semi``/``left_anti`` so no
+  payload columns cross the wire.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions.numeric import dsum
+from ..sources.tables import load_table
+
+
+# ---------------------------------------------------------------------------
+# J1: left equi-join enrichment ("PROCX") with composite key
+# (ref: ETL - CRM.py:139-162 — leads ← IBGE cities on CIDADE|UF)
+# ---------------------------------------------------------------------------
+
+def q_left_enrichment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """customer ⟕ nation ⟕ region with a match-flag column (join
+    coverage audit, ref ETL - CRM.py:158-160).  Dims broadcast."""
+    customer = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    return (
+        customer.join(
+            F.broadcast(nation), customer.c_nationkey == nation.n_nationkey, "left"
+        )
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey, "left")
+        .select(
+            "c_custkey",
+            "c_mktsegment",
+            F.col("n_name").alias("nacao"),
+            F.col("r_name").alias("regiao"),
+            F.col("n_name").isNotNull().alias("match_ok"),
+        )
+    )
+
+
+ORACLE_LEFT_ENRICHMENT = """
+SELECT c.c_custkey, c.c_mktsegment, n.n_name AS nacao, r.r_name AS regiao,
+       n.n_name IS NOT NULL AS match_ok
+FROM customer c
+LEFT JOIN nation n ON c.c_nationkey = n.n_nationkey
+LEFT JOIN region r ON n.n_regionkey = r.r_regionkey
+"""
+
+
+# ---------------------------------------------------------------------------
+# J2: full-outer join + key coalesce
+# (ref: Algoritmo de Dados (Versão com Graficos).py:74-78)
+# ---------------------------------------------------------------------------
+
+def q_full_outer_coalesce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customers active in 1997 ⟗ customers active in 1998, one row per
+    customer with both-year flags (the np.where key-coalesce idiom)."""
+    orders = load_table(spark, sf_dir, "orders")
+    y97 = (
+        orders.filter(F.year("o_orderdate") == 1997)
+        .groupBy("o_custkey")
+        .agg(F.count("*").alias("pedidos_1997"))
+    )
+    y98 = (
+        orders.filter(F.year("o_orderdate") == 1998)
+        .groupBy("o_custkey")
+        .agg(F.count("*").alias("pedidos_1998"))
+    )
+    return (
+        y97.join(y98, "o_custkey", "full_outer")
+        .select(
+            F.col("o_custkey").alias("cliente"),
+            F.coalesce("pedidos_1997", F.lit(0)).alias("pedidos_1997"),
+            F.coalesce("pedidos_1998", F.lit(0)).alias("pedidos_1998"),
+        )
+        .withColumn(
+            "situacao",
+            F.when(
+                (F.col("pedidos_1997") > 0) & (F.col("pedidos_1998") > 0), "RETIDO"
+            )
+            .when(F.col("pedidos_1998") > 0, "NOVO")
+            .otherwise("CHURN"),
+        )
+    )
+
+
+ORACLE_FULL_OUTER = """
+WITH y97 AS (
+  SELECT o_custkey, COUNT(*) AS pedidos_1997 FROM orders
+  WHERE year(o_orderdate) = 1997 GROUP BY 1
+), y98 AS (
+  SELECT o_custkey, COUNT(*) AS pedidos_1998 FROM orders
+  WHERE year(o_orderdate) = 1998 GROUP BY 1
+)
+SELECT COALESCE(y97.o_custkey, y98.o_custkey) AS cliente,
+       COALESCE(pedidos_1997, 0) AS pedidos_1997,
+       COALESCE(pedidos_1998, 0) AS pedidos_1998,
+       CASE WHEN COALESCE(pedidos_1997,0) > 0 AND COALESCE(pedidos_1998,0) > 0 THEN 'RETIDO'
+            WHEN COALESCE(pedidos_1998,0) > 0 THEN 'NOVO'
+            ELSE 'CHURN' END AS situacao
+FROM y97 FULL OUTER JOIN y98 ON y97.o_custkey = y98.o_custkey
+"""
+
+
+# ---------------------------------------------------------------------------
+# J4: join on pre-aggregated/deduped subquery (avoid fan-out)
+# (ref: SP_SMT_Reincidencia_Reparos.sql:23-27; Faturamento.sql:154-163)
+# ---------------------------------------------------------------------------
+
+def q_preagg_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-level revenue joined against a pre-aggregated per-customer
+    lifetime total — aggregate-then-join so the fan-out never happens."""
+    orders = load_table(spark, sf_dir, "orders")
+    lifetime = orders.groupBy("o_custkey").agg(
+        dsum("o_totalprice").alias("fat_total_cliente")
+    )
+    recent = orders.filter(F.year("o_orderdate") == 1998).select(
+        "o_orderkey", "o_custkey", F.round(F.col("o_totalprice"), 2).alias("valor")
+    )
+    return recent.join(lifetime, "o_custkey").select(
+        "o_orderkey",
+        "o_custkey",
+        "valor",
+        "fat_total_cliente",
+        F.round(F.col("valor") / F.nullif(F.col("fat_total_cliente"), F.lit(0.0)) * 100.0, 4
+        ).alias("pct_do_cliente"),
+    )
+
+
+ORACLE_PREAGG_JOIN = """
+WITH lifetime AS (
+  SELECT o_custkey,
+         ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 2) AS fat_total_cliente
+  FROM orders GROUP BY 1
+)
+SELECT o.o_orderkey, o.o_custkey, ROUND(o.o_totalprice, 2) AS valor, l.fat_total_cliente,
+       ROUND(ROUND(o.o_totalprice, 2) / NULLIF(l.fat_total_cliente, 0.0) * 100.0, 4) AS pct_do_cliente
+FROM orders o JOIN lifetime l ON o.o_custkey = l.o_custkey
+WHERE year(o.o_orderdate) = 1998
+"""
+
+
+# ---------------------------------------------------------------------------
+# J5: join with non-equi range condition inside ON
+# (ref: Códigos Úteis SQL/Recorrência.sql:21-23)
+# ---------------------------------------------------------------------------
+
+def q_range_condition_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """orders ⨝ lineitem on key AND ship-within-60-days range.  The
+    equi part keeps it a hash join; the range lands as a join filter."""
+    orders = load_table(spark, sf_dir, "orders")
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    cond = (
+        (orders.o_orderkey == lineitem.l_orderkey)
+        & (lineitem.l_shipdate >= orders.o_orderdate)
+        & (
+            lineitem.l_shipdate
+            <= F.date_add(F.col("o_orderdate").cast("date"), 60)
+        )
+    )
+    return (
+        orders.join(lineitem, cond)
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count("*").alias("itens_rapidos"),
+            dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
+                "receita_rapida"
+            ),
+        )
+    )
+
+
+ORACLE_RANGE_JOIN = """
+SELECT o.o_orderstatus,
+       COUNT(*) AS itens_rapidos,
+       ROUND(CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(18,2))) AS DOUBLE), 2) AS receita_rapida
+FROM orders o
+JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+  AND l.l_shipdate >= o.o_orderdate
+  AND l.l_shipdate <= CAST(o.o_orderdate AS DATE) + INTERVAL 60 DAY
+GROUP BY o.o_orderstatus
+"""
+
+
+# ---------------------------------------------------------------------------
+# J8: semi-join (EXISTS)   (ref: JSON Resposta 1.sql:12-15)
+# ---------------------------------------------------------------------------
+
+def q_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customers holding at least one open ('O') order — left_semi, so
+    only keys travel."""
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    open_orders = orders.filter(F.col("o_orderstatus") == "O")
+    return customer.join(
+        open_orders, customer.c_custkey == open_orders.o_custkey, "left_semi"
+    ).select("c_custkey", "c_mktsegment", F.round("c_acctbal", 2).alias("saldo"))
+
+
+ORACLE_SEMI = """
+SELECT c.c_custkey, c.c_mktsegment, ROUND(c.c_acctbal, 2) AS saldo
+FROM customer c
+WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'O')
+"""
+
+
+# ---------------------------------------------------------------------------
+# J9: anti-join (missing-in-dim report)   (ref: ETL - CRM.py:318-323)
+# ---------------------------------------------------------------------------
+
+def q_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customers with no 1998 orders — the reference's
+    'cities without IBGE match' report as a left_anti join (the year
+    filter is pushed below the join build side)."""
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.year("o_orderdate") == 1998
+    )
+    customer = load_table(spark, sf_dir, "customer")
+    return customer.join(
+        orders, customer.c_custkey == orders.o_custkey, "left_anti"
+    ).select("c_custkey", "c_name", "c_mktsegment")
+
+
+ORACLE_ANTI = """
+SELECT c.c_custkey, c.c_name, c.c_mktsegment
+FROM customer c
+WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
+                  AND year(o.o_orderdate) = 1998)
+"""
+
+
+# ---------------------------------------------------------------------------
+# J10+W5: self-alignment via row_number ordinal then join
+# (ref: Showroom_Comparativo_V2.sql:27-53)
+# ---------------------------------------------------------------------------
+
+def q_ordinal_alignment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Align the daily event-count series of 'purchase' vs 'click' by
+    day ordinal (nth active day of each series) — full-outer on the
+    ordinal, replacing the reference's UNION-of-two-LEFT-JOINs."""
+    events = load_table(spark, sf_dir, "events")
+    daily = (
+        events.filter(F.col("event_type").isin("purchase", "click"))
+        .groupBy("event_type", F.col("ts").cast("date").alias("dia"))
+        .agg(F.count("*").alias("qtd"))
+    )
+    w = Window.partitionBy("event_type").orderBy("dia")
+    ranked = daily.withColumn("ordinal", F.row_number().over(w))
+    a = ranked.filter(F.col("event_type") == "purchase").select(
+        "ordinal",
+        F.col("dia").alias("dia_purchase"),
+        F.col("qtd").alias("qtd_purchase"),
+    )
+    b = ranked.filter(F.col("event_type") == "click").select(
+        "ordinal", F.col("dia").alias("dia_click"), F.col("qtd").alias("qtd_click")
+    )
+    return a.join(b, "ordinal", "full_outer").select(
+        "ordinal", "dia_purchase", "qtd_purchase", "dia_click", "qtd_click"
+    )
+
+
+ORACLE_ORDINAL = """
+WITH daily AS (
+  SELECT event_type, CAST(ts AS DATE) AS dia, COUNT(*) AS qtd
+  FROM events WHERE event_type IN ('purchase','click')
+  GROUP BY 1, 2
+), ranked AS (
+  SELECT event_type, dia, qtd,
+         ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY dia) AS ordinal
+  FROM daily
+), a AS (
+  SELECT ordinal, dia AS dia_purchase, qtd AS qtd_purchase FROM ranked WHERE event_type = 'purchase'
+), b AS (
+  SELECT ordinal, dia AS dia_click, qtd AS qtd_click FROM ranked WHERE event_type = 'click'
+)
+SELECT COALESCE(a.ordinal, b.ordinal) AS ordinal, a.dia_purchase, a.qtd_purchase, b.dia_click, b.qtd_click
+FROM a FULL OUTER JOIN b ON a.ordinal = b.ordinal
+"""
+
+
+# ---------------------------------------------------------------------------
+# J12: argmax link join — latest order per customer
+# (ref: SLA de Produção - Completo.sql:79-85,98)
+# ---------------------------------------------------------------------------
+
+def q_latest_order_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """row_number()=1 form of MAX()-then-join-back (one shuffle instead
+    of two, and no duplicate-max ambiguity)."""
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.desc("o_orderdate"), F.desc("o_orderkey")
+    )
+    return (
+        orders.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "o_custkey",
+            F.col("o_orderkey").alias("ultimo_pedido"),
+            F.col("o_orderdate").cast("date").alias("data_ultimo"),
+            F.round("o_totalprice", 2).alias("valor_ultimo"),
+        )
+    )
+
+
+ORACLE_LATEST_ORDER = """
+WITH ranked AS (
+  SELECT o_custkey, o_orderkey, o_orderdate, o_totalprice,
+         ROW_NUMBER() OVER (PARTITION BY o_custkey ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+  FROM orders
+)
+SELECT o_custkey, o_orderkey AS ultimo_pedido, CAST(o_orderdate AS DATE) AS data_ultimo,
+       ROUND(o_totalprice, 2) AS valor_ultimo
+FROM ranked WHERE rn = 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# P3/P4/P7: compound predicates, NOT-IN blacklist, LIKE/contains
+# (ref: PainelSDR_Report.sql:33-61; Base de Produtos Mais Vendidos.py:61-76)
+# ---------------------------------------------------------------------------
+
+def q_blacklist_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parts filtered by compound predicate: brand blacklist (NOT IN),
+    name-contains, size range — all pushed to the parquet scan."""
+    part = load_table(spark, sf_dir, "part")
+    return (
+        part.filter(
+            (~F.col("p_brand").isin("Brand#11", "Brand#22"))
+            & F.col("p_type").contains("ECO")
+            & F.col("p_size").between(5, 30)
+        )
+        .select("p_partkey", "p_brand", "p_type", "p_size")
+    )
+
+
+ORACLE_BLACKLIST = """
+SELECT p_partkey, p_brand, p_type, p_size
+FROM part
+WHERE p_brand NOT IN ('Brand#11', 'Brand#22')
+  AND p_type LIKE '%ECO%'
+  AND p_size BETWEEN 5 AND 30
+"""
+
+
+# ---------------------------------------------------------------------------
+# O2/O3: global top-N with custom sort key
+# (ref: Gerador de Ranking de Vendas.py:41-45; Faturamento.sql:173-175)
+# ---------------------------------------------------------------------------
+
+def q_global_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-10 orders by value (TakeOrdered — no full sort at scale),
+    deterministic tie-break on key."""
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+        .limit(10)
+        .select(
+            "o_orderkey",
+            "o_custkey",
+            F.round("o_totalprice", 2).alias("valor"),
+            F.col("o_orderdate").cast("date").alias("data"),
+        )
+    )
+
+
+ORACLE_GLOBAL_TOPN = """
+SELECT o_orderkey, o_custkey, ROUND(o_totalprice, 2) AS valor, CAST(o_orderdate AS DATE) AS data
+FROM orders
+ORDER BY o_totalprice DESC, o_orderkey ASC
+LIMIT 10
+"""
+
+
+# ---------------------------------------------------------------------------
+# O5 + A13: union-distinct and dedup-as-aggregation
+# (ref: Showroom_Comparativo_V2.sql:42; ETL - CRM.py:351-364)
+# ---------------------------------------------------------------------------
+
+def q_union_distinct_dims(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct (nationkey) values present in either customer or
+    supplier — UNION dedup building a conformed dim key set."""
+    customer = load_table(spark, sf_dir, "customer")
+    supplier = load_table(spark, sf_dir, "supplier")
+    return (
+        customer.select(F.col("c_nationkey").alias("nationkey"))
+        .union(supplier.select(F.col("s_nationkey").alias("nationkey")))
+        .distinct()
+    )
+
+
+ORACLE_UNION_DISTINCT = """
+SELECT c_nationkey AS nationkey FROM customer
+UNION
+SELECT s_nationkey AS nationkey FROM supplier
+"""
+
+
+QUERIES = {
+    "left_enrichment": q_left_enrichment,
+    "full_outer_coalesce": q_full_outer_coalesce,
+    "preagg_join": q_preagg_join,
+    "range_condition_join": q_range_condition_join,
+    "semi_join": q_semi_join,
+    "anti_join": q_anti_join,
+    "ordinal_alignment": q_ordinal_alignment,
+    "latest_order_per_customer": q_latest_order_per_customer,
+    "blacklist_filter": q_blacklist_filter,
+    "global_topn": q_global_topn,
+    "union_distinct_dims": q_union_distinct_dims,
+}
+
+ORACLES = {
+    "left_enrichment": ORACLE_LEFT_ENRICHMENT,
+    "full_outer_coalesce": ORACLE_FULL_OUTER,
+    "preagg_join": ORACLE_PREAGG_JOIN,
+    "range_condition_join": ORACLE_RANGE_JOIN,
+    "semi_join": ORACLE_SEMI,
+    "anti_join": ORACLE_ANTI,
+    "ordinal_alignment": ORACLE_ORDINAL,
+    "latest_order_per_customer": ORACLE_LATEST_ORDER,
+    "blacklist_filter": ORACLE_BLACKLIST,
+    "global_topn": ORACLE_GLOBAL_TOPN,
+    "union_distinct_dims": ORACLE_UNION_DISTINCT,
+}

@@ -1,0 +1,265 @@
+"""Deduplication operators over the ``documents`` table.
+
+Four tiers, matching the standard training-data pipeline ladder:
+
+- exact        : hash-groupBy on a normalized fingerprint (1 shuffle)
+- ngram-jaccard: shingle inverted index → candidate pairs → exact
+                 Jaccard (the shuffle is on shingles, never on pairs —
+                 no O(n²) stage; hot shingles capped)
+- minhash-lsh  : k minhashes → bands → bucket join → verify (rows-only
+                 oracle: hash functions are engine-specific)
+- simhash      : 64-bit weighted bit votes, hamming buckets
+
+At 100 TB the first two are the workhorses: both are single-shuffle
+shapes keyed by content hash / shingle, which partitions evenly for
+natural text.  LSH banding bounds candidate-pair growth; the
+``max_df`` cap drops degenerate shingles (stopword runs) that would
+otherwise produce quadratic bucket blow-up.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..sources.tables import load_table
+
+SHINGLE_K = 3  # words per shingle
+MAX_DF = 100  # drop shingles occurring in more docs (stop-shingles)
+MINHASH_K = 32
+LSH_BANDS = 8  # 8 bands × 4 rows
+
+
+def _norm_text(col):
+    return F.regexp_replace(F.lower(F.trim(col)), r"\s+", " ")
+
+
+def _shingles(col):
+    """Distinct k-word shingles of the normalized text (JVM lambda)."""
+    toks = F.split(_norm_text(col), " ")
+    n = F.size(toks)
+    idx = F.sequence(F.lit(0), F.greatest(n - SHINGLE_K, F.lit(0)))
+    sh = F.transform(
+        idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, SHINGLE_K))
+    )
+    return F.array_distinct(F.when(n >= SHINGLE_K, sh).otherwise(F.array(_norm_text(col))))
+
+
+# ---------------------------------------------------------------------------
+# Exact dedup: fingerprint → keep lowest doc_id per group
+# ---------------------------------------------------------------------------
+
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One row per distinct normalized text: canonical (min) doc_id and
+    duplicate count.  Single hash-aggregate shuffle on the md5 key."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select("doc_id", F.md5(_norm_text(F.col("text"))).alias("fingerprint"))
+        .groupBy("fingerprint")
+        .agg(
+            F.min("doc_id").alias("canonical_doc_id"),
+            F.count("*").alias("n_copias"),
+        )
+    )
+
+
+ORACLE_DEDUP_EXACT = """
+SELECT md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fingerprint,
+       MIN(doc_id) AS canonical_doc_id,
+       COUNT(*) AS n_copias
+FROM documents
+GROUP BY 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# N-gram Jaccard near-dup pairs via shingle inverted index
+# ---------------------------------------------------------------------------
+
+def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Candidate pairs sharing ≥1 shingle, scored with exact Jaccard
+    |A∩B| / (|A|+|B|−|A∩B|), threshold 0.2.
+
+    Plan: explode distinct shingles → filter stop-shingles by document
+    frequency → self-join the inverted index on shingle (co-occurrence
+    count = |A∩B|) → broadcast-join per-doc sizes.  The pair space is
+    generated only inside shingle buckets, so cost is Σ df² over
+    retained shingles, not n²."""
+    docs = load_table(spark, sf_dir, "documents")
+    sh = docs.select(
+        "doc_id", F.explode(_shingles(F.col("text"))).alias("shingle")
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    df_counts = sh.groupBy("shingle").agg(F.count("*").alias("df"))
+    sh_kept = sh.join(
+        F.broadcast(df_counts.filter(F.col("df") <= MAX_DF).select("shingle")),
+        "shingle",
+    )
+    a = sh_kept.select(F.col("doc_id").alias("doc_a"), "shingle")
+    b = sh_kept.select(F.col("doc_id").alias("doc_b"), "shingle")
+    co = (
+        a.join(b, "shingle")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("inter"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("size_a"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("size_b"))
+    return (
+        co.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(
+                F.col("inter")
+                / (F.col("size_a") + F.col("size_b") - F.col("inter")).cast("double"),
+                4,
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= 0.2)
+    )
+
+
+_SQL_SHINGLES = f"""
+WITH norm AS (
+  SELECT doc_id, regexp_replace(lower(trim(text)), '\\s+', ' ', 'g') AS t
+  FROM documents
+), toks AS (
+  SELECT doc_id, string_split(t, ' ') AS w, t FROM norm
+), sh AS (
+  SELECT doc_id, unnest(list_distinct(
+    CASE WHEN len(w) >= {SHINGLE_K}
+         THEN list_transform(range(1, len(w) - {SHINGLE_K} + 2),
+                             i -> array_to_string(w[i:i+{SHINGLE_K}-1], ' '))
+         ELSE [t] END)) AS shingle
+  FROM toks
+)
+"""
+
+ORACLE_NGRAM_JACCARD = (
+    _SQL_SHINGLES
+    + f"""
+, sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY 1),
+df AS (SELECT shingle, COUNT(*) AS df FROM sh GROUP BY 1),
+kept AS (SELECT s.doc_id, s.shingle FROM sh s JOIN df ON s.shingle = df.shingle WHERE df.df <= {MAX_DF}),
+co AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter
+  FROM kept a JOIN kept b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT co.doc_a, co.doc_b,
+       ROUND(CAST(inter AS DOUBLE) / CAST(sa.n_sh + sb.n_sh - inter AS DOUBLE), 4) AS jaccard
+FROM co
+JOIN sizes sa ON co.doc_a = sa.doc_id
+JOIN sizes sb ON co.doc_b = sb.doc_id
+WHERE ROUND(CAST(inter AS DOUBLE) / CAST(sa.n_sh + sb.n_sh - inter AS DOUBLE), 4) >= 0.2
+"""
+)
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH banding (rows-only check: hash fns are engine-specific)
+# ---------------------------------------------------------------------------
+
+def q_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs via MinHash signatures + LSH banding, verified
+    with exact Jaccard ≥ 0.2 over shingle sets.
+
+    k=32 xxhash64-based minhashes per doc (JVM hash, computed in one
+    ``transform`` pass over the shingle array — no shuffle), banded
+    into 8 bands of 4; docs sharing any band bucket become candidates
+    (shuffle keyed by band hash, so bucket sizes — not n — drive
+    cost), then candidates are verified exactly."""
+    docs = load_table(spark, sf_dir, "documents")
+    with_sh = docs.select("doc_id", _shingles(F.col("text")).alias("sh"))
+
+    minhashes = [
+        F.array_min(
+            F.transform(F.col("sh"), lambda s: F.xxhash64(F.lit(i), s))
+        ).alias(f"mh_{i}")
+        for i in range(MINHASH_K)
+    ]
+    sig = with_sh.select("doc_id", "sh", *minhashes)
+
+    rows_per_band = MINHASH_K // LSH_BANDS
+    band_cols = []
+    for b in range(LSH_BANDS):
+        cols = [F.col(f"mh_{i}") for i in range(b * rows_per_band, (b + 1) * rows_per_band)]
+        band_cols.append(F.struct(F.lit(b).alias("band"), F.xxhash64(*cols).alias("h")))
+    banded = sig.select(
+        "doc_id", "sh", F.explode(F.array(*band_cols)).alias("bk")
+    ).select("doc_id", "sh", F.col("bk.band").alias("band"), F.col("bk.h").alias("h"))
+
+    a = banded.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"), "band", "h")
+    b = banded.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"), "band", "h")
+    cand = (
+        a.join(b, ["band", "h"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", "sh_a", "sh_b")
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size("sh_a") + F.size("sh_b") - inter
+    return (
+        cand.select(
+            "doc_a",
+            "doc_b",
+            F.round(inter / union.cast("double"), 4).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= 0.2)
+    )
+
+
+# ---------------------------------------------------------------------------
+# SimHash (rows-only)
+# ---------------------------------------------------------------------------
+
+def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """64-bit SimHash per document: token-hash bit votes aggregated via
+    a single JVM ``aggregate`` lambda over the token array (no explode,
+    no shuffle — embarrassingly parallel scan)."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.array_distinct(F.split(_norm_text(F.col("text")), " "))
+    # votes[i] = Σ over tokens of (bit_i ? +1 : -1); simhash bit_i = votes[i] > 0
+    # (bit positions are unrolled as literal shifts so the whole thing
+    #  stays one codegen'd expression — shift counts must be literals)
+    votes = F.aggregate(
+        toks,
+        F.array_repeat(F.lit(0), 64),
+        lambda acc, t: F.zip_with(
+            acc,
+            F.array(
+                *[
+                    F.when(
+                        F.shiftright(F.xxhash64(t), i).bitwiseAND(F.lit(1)) == 1,
+                        F.lit(1),
+                    ).otherwise(F.lit(-1))
+                    for i in range(64)
+                ]
+            ),
+            lambda a, v: a + v,
+        ),
+    )
+    with_votes = docs.select("doc_id", votes.alias("votes"))
+    simhash = F.lit(0).cast("long")
+    for i in range(64):
+        bit = F.when(F.element_at(F.col("votes"), i + 1) > 0, F.lit(1)).otherwise(
+            F.lit(0)
+        )
+        simhash = simhash.bitwiseOR(F.shiftleft(bit.cast("long"), i))
+    return with_votes.select("doc_id", simhash.alias("simhash"))
+
+
+QUERIES = {
+    "dedup_exact": q_dedup_exact,
+    "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
+    "minhash_lsh_pairs": q_minhash_lsh_pairs,
+    "simhash": q_simhash,
+}
+
+ORACLES = {
+    "dedup_exact": ORACLE_DEDUP_EXACT,
+    "ngram_jaccard_pairs": ORACLE_NGRAM_JACCARD,
+    # minhash_lsh_pairs / simhash: engine-specific hashing → rows-only check
+}

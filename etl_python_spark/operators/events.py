@@ -1,0 +1,148 @@
+"""Event-stream analytics over the ``events`` table.
+
+Batch expressions of the streaming semantics (the same logic runs
+under Structured Streaming in ``streaming/`` with
+``trigger(availableNow=True)`` — see SURVEY.md §2.9): tumbling
+windows, sessionization, and semi-structured JSON props extraction.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions.numeric import dsum
+from ..sources.tables import load_table
+
+SESSION_GAP_MIN = 30
+
+
+# ---------------------------------------------------------------------------
+# Tumbling hourly window aggregate (batch form of the streaming query)
+# ---------------------------------------------------------------------------
+
+def q_hourly_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    return (
+        events.groupBy(
+            F.date_trunc("hour", "ts").alias("hora"), F.col("event_type")
+        )
+        .agg(
+            F.count("*").alias("eventos"),
+            F.countDistinct("user_id").alias("usuarios"),
+            dsum("value").alias("valor_total"),
+        )
+    )
+
+
+ORACLE_HOURLY = """
+SELECT date_trunc('hour', ts) AS hora, event_type,
+       COUNT(*) AS eventos,
+       COUNT(DISTINCT user_id) AS usuarios,
+       ROUND(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 2) AS valor_total
+FROM events
+GROUP BY 1, 2
+"""
+
+
+# ---------------------------------------------------------------------------
+# Sessionization: gap > 30 min starts a new session (lag + running sum)
+# ---------------------------------------------------------------------------
+
+def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user sessions with event counts and duration — the classic
+    lag/cumsum assignment; one window shuffle keyed by user."""
+    events = load_table(spark, sf_dir, "events")
+    w_user = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    flagged = events.select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.when(
+            (F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w_user)))
+            > SESSION_GAP_MIN * 60,
+            1,
+        )
+        .otherwise(0)
+        .alias("nova"),
+    )
+    w_cum = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    sessions = flagged.withColumn("sessao", F.sum("nova").over(w_cum))
+    return sessions.groupBy("user_id", "sessao").agg(
+        F.count("*").alias("eventos"),
+        F.min("ts").alias("inicio"),
+        F.max("ts").alias("fim"),
+        (F.unix_timestamp(F.max("ts")) - F.unix_timestamp(F.min("ts"))).alias(
+            "duracao_seg"
+        ),
+    )
+
+
+ORACLE_SESSIONIZE = f"""
+WITH flagged AS (
+  SELECT user_id, ts, event_id,
+         CASE WHEN date_diff('second', LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id), ts)
+                   > {SESSION_GAP_MIN} * 60
+              THEN 1 ELSE 0 END AS nova
+  FROM events
+), sessions AS (
+  SELECT user_id, ts, event_id,
+         SUM(nova) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sessao
+  FROM flagged
+)
+SELECT user_id, sessao, COUNT(*) AS eventos, MIN(ts) AS inicio, MAX(ts) AS fim,
+       date_diff('second', MIN(ts), MAX(ts)) AS duracao_seg
+FROM sessions
+GROUP BY 1, 2
+"""
+
+
+# ---------------------------------------------------------------------------
+# Semi-structured props extraction (schema-on-read JSON, ref
+# cnpj_core.py:251-320 / JSON Resposta 1.sql)
+# ---------------------------------------------------------------------------
+
+def q_props_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pull the numeric ``k`` out of the JSON props column and
+    aggregate by event_type — get_json_object stays JVM-side."""
+    events = load_table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("int")
+    return (
+        events.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count("k").alias("com_k"),
+            F.sum("k").alias("soma_k"),
+            F.min("k").alias("min_k"),
+            F.max("k").alias("max_k"),
+        )
+    )
+
+
+ORACLE_PROPS = """
+SELECT event_type,
+       COUNT(TRY_CAST(regexp_extract(props, '"k":\\s*(-?\\d+)', 1) AS INT)) AS com_k,
+       SUM(TRY_CAST(regexp_extract(props, '"k":\\s*(-?\\d+)', 1) AS INT)) AS soma_k,
+       MIN(TRY_CAST(regexp_extract(props, '"k":\\s*(-?\\d+)', 1) AS INT)) AS min_k,
+       MAX(TRY_CAST(regexp_extract(props, '"k":\\s*(-?\\d+)', 1) AS INT)) AS max_k
+FROM events
+GROUP BY 1
+"""
+
+
+QUERIES = {
+    "hourly_event_counts": q_hourly_event_counts,
+    "sessionize": q_sessionize,
+    "props_extract": q_props_extract,
+}
+
+ORACLES = {
+    "hourly_event_counts": ORACLE_HOURLY,
+    "sessionize": ORACLE_SESSIONIZE,
+    "props_extract": ORACLE_PROPS,
+}

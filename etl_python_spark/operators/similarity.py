@@ -1,0 +1,209 @@
+"""Similarity search over the ``embeddings`` table (array<float>).
+
+- brute-force cosine top-k: the exact baseline.  Query vectors are a
+  tiny broadcast side; the big side streams once, per-partition local
+  top-k is folded by AQE before the final take — no n×m materialized.
+- LSH-bucketed top-k: the scale path — random-hyperplane signatures
+  bucket the corpus so each query probes one bucket (plus neighbors),
+  turning O(n) per query into O(n/2^bits).
+
+Dot products run as JVM higher-order functions (``zip_with`` +
+``aggregate``) over the arrays — vectorized columnar input, no Python.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..sources.tables import load_table
+
+TOP_K = 5
+N_QUERY = 10  # first N vec_ids serve as query set
+LSH_BITS = 8
+
+
+def _dot(a, b):
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def _norm(a):
+    return F.sqrt(
+        F.aggregate(
+            F.transform(a, lambda x: x.cast("double") * x.cast("double")),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+    )
+
+
+def q_ann_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact cosine top-k neighbors for the first N_QUERY vectors.
+
+    The query side is broadcast (crossJoin of a 10-row dim) so the
+    corpus is scanned exactly once; ranking is a window partitioned by
+    query id with deterministic tie-break on neighbor id."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < N_QUERY).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb")
+    )
+    corpus = emb.select(
+        F.col("vec_id").alias("n_id"), F.col("embedding").alias("n_emb")
+    )
+    scored = corpus.crossJoin(F.broadcast(queries)).filter(
+        F.col("q_id") != F.col("n_id")
+    )
+    cos = F.round(
+        _dot(F.col("q_emb"), F.col("n_emb"))
+        / F.nullif(_norm(F.col("q_emb")) * _norm(F.col("n_emb")), F.lit(0.0)),
+        4,
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("cosine"), F.asc("n_id"))
+    return (
+        scored.select("q_id", "n_id", cos.alias("cosine"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_K)
+    )
+
+
+ORACLE_ANN_BRUTEFORCE = f"""
+WITH queries AS (
+  SELECT vec_id AS q_id, embedding AS q_emb FROM embeddings WHERE vec_id < {N_QUERY}
+), scored AS (
+  SELECT q.q_id, e.vec_id AS n_id,
+         ROUND(
+           list_sum(list_transform(range(1, len(q.q_emb) + 1),
+                    i -> CAST(q.q_emb[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE)))
+           / NULLIF(
+               sqrt(list_sum(list_transform(q.q_emb, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+             * sqrt(list_sum(list_transform(e.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))),
+             0.0), 4) AS cosine
+  FROM embeddings e CROSS JOIN queries q
+  WHERE q.q_id <> e.vec_id
+), ranked AS (
+  SELECT q_id, n_id, cosine,
+         ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cosine DESC, n_id ASC) AS rank
+  FROM scored
+)
+SELECT q_id, n_id, cosine, rank FROM ranked WHERE rank <= {TOP_K}
+"""
+
+
+def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-bucketed approximate top-k (rows-only correctness check —
+    the hyperplanes are engine-seeded).
+
+    Signature = sign pattern against LSH_BITS pseudo-random hyperplanes
+    derived deterministically from xxhash64(bit, dim) — reproducible
+    across runs without shipping a matrix.  Corpus is bucketed once
+    (hash shuffle on signature); each query probes only its own bucket.
+    Recall loss vs brute force is the documented trade; the exact
+    variant above is the audit baseline."""
+    emb = load_table(spark, sf_dir, "embeddings")
+
+    def signature(col):
+        bits = [
+            F.when(
+                F.aggregate(
+                    F.zip_with(
+                        col,
+                        F.transform(
+                            F.sequence(F.lit(0), F.size(col) - 1),
+                            # hash-derived pseudo-hyperplane component in [-1, 1]
+                            lambda d: (
+                                F.pmod(F.xxhash64(F.lit(b), d), F.lit(2001)) - 1000
+                            ).cast("double")
+                            / 1000.0,
+                        ),
+                        lambda x, h: x.cast("double") * h,
+                    ),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x,
+                )
+                > 0,
+                F.lit(1),
+            ).otherwise(F.lit(0))
+            for b in range(LSH_BITS)
+        ]
+        sig = F.lit(0)
+        for i, bit in enumerate(bits):
+            sig = sig + F.shiftleft(bit, i)
+        return sig
+
+    tagged = emb.select("vec_id", "embedding", signature(F.col("embedding")).alias("bucket"))
+    queries = tagged.filter(F.col("vec_id") < N_QUERY).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("embedding").alias("q_emb"),
+        F.col("bucket"),
+    )
+    cand = tagged.join(F.broadcast(queries), "bucket").filter(
+        F.col("q_id") != F.col("vec_id")
+    )
+    cos = F.round(
+        _dot(F.col("q_emb"), F.col("embedding"))
+        / F.nullif(_norm(F.col("q_emb")) * _norm(F.col("embedding")), F.lit(0.0)),
+        4,
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("cosine"), F.asc("n_id"))
+    return (
+        cand.select("q_id", F.col("vec_id").alias("n_id"), cos.alias("cosine"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_K)
+    )
+
+
+def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (cosine ≥ 0.2) among the
+    first 200 vectors — the embedding tier of the dedup ladder.  Same
+    label ⇒ candidate restriction keeps the pair space bounded; at
+    scale the label comes from the LSH bucket instead."""
+    emb = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 200)
+    a = emb.select(
+        F.col("vec_id").alias("id_a"), F.col("embedding").alias("emb_a"), "label"
+    )
+    b = emb.select(
+        F.col("vec_id").alias("id_b"), F.col("embedding").alias("emb_b"), "label"
+    )
+    pairs = a.join(b, "label").filter(F.col("id_a") < F.col("id_b"))
+    cos = F.round(
+        _dot(F.col("emb_a"), F.col("emb_b"))
+        / F.nullif(_norm(F.col("emb_a")) * _norm(F.col("emb_b")), F.lit(0.0)),
+        4,
+    )
+    return pairs.select("label", "id_a", "id_b", cos.alias("cosine")).filter(
+        F.col("cosine") >= 0.2
+    )
+
+
+ORACLE_EMB_NEARDUP = """
+WITH sub AS (SELECT vec_id, embedding, label FROM embeddings WHERE vec_id < 200),
+pairs AS (
+  SELECT a.label, a.vec_id AS id_a, b.vec_id AS id_b,
+         ROUND(
+           list_sum(list_transform(range(1, len(a.embedding) + 1),
+                    i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))
+           / NULLIF(
+               sqrt(list_sum(list_transform(a.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+             * sqrt(list_sum(list_transform(b.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))),
+             0.0), 4) AS cosine
+  FROM sub a JOIN sub b ON a.label = b.label AND a.vec_id < b.vec_id
+)
+SELECT label, id_a, id_b, cosine FROM pairs WHERE cosine >= 0.2
+"""
+
+
+QUERIES = {
+    "ann_bruteforce": q_ann_bruteforce,
+    "ann_lsh": q_ann_lsh,
+    "embedding_neardup": q_embedding_neardup,
+}
+
+ORACLES = {
+    "ann_bruteforce": ORACLE_ANN_BRUTEFORCE,
+    "embedding_neardup": ORACLE_EMB_NEARDUP,
+    # ann_lsh: engine-seeded hyperplanes → rows-only check
+}

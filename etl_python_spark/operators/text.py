@@ -1,0 +1,193 @@
+"""Text-analysis operators over the ``documents`` table.
+
+Large-scale training-data pipeline primitives (SURVEY.md §7.8): token
+counting, quality scoring, language-ID heuristic, fingerprinting.  All
+pure Catalyst expressions (split/filter/transform lambdas run in the
+JVM) — no Python UDFs, so they codegen and scale linearly with input
+splits.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..sources.tables import load_table
+
+# tiny deterministic stopword sets for the language heuristic
+STOP_EN = ["the", "and", "of", "to", "in", "is", "that", "for", "with", "as"]
+STOP_PT = ["de", "que", "não", "uma", "para", "com", "os", "das", "dos", "ao"]
+STOP_ES = ["el", "la", "los", "las", "una", "por", "con", "del", "se", "es"]
+
+
+def _tokens(col):
+    """Whitespace tokenization of lower-cased text; empty → empty array."""
+    t = F.lower(F.trim(col))
+    return F.when(t == "", F.array().cast("array<string>")).otherwise(
+        F.split(t, r"\s+")
+    )
+
+
+def _count_in(tokens, words: list[str]):
+    arr = F.array(*[F.lit(w) for w in words])
+    return F.size(F.filter(tokens, lambda x: F.array_contains(arr, x)))
+
+
+# ---------------------------------------------------------------------------
+# Token counting (whitespace + word-ish regex)
+# ---------------------------------------------------------------------------
+
+def q_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = _tokens(F.col("text"))
+    words = F.split(F.trim(F.regexp_replace(F.lower(F.col("text")), r"[^a-z0-9áéíóúâêôãõç ]", " ")), r"\s+")
+    return docs.select(
+        "doc_id",
+        F.size(toks).alias("n_tokens_ws"),
+        F.size(F.filter(words, lambda x: x != "")).alias("n_tokens_word"),
+        F.length("text").alias("n_chars_real"),
+    )
+
+
+ORACLE_TOKEN_COUNT = """
+SELECT doc_id,
+       CASE WHEN trim(text) = '' THEN 0
+            ELSE len(regexp_split_to_array(lower(trim(text)), '\\s+')) END AS n_tokens_ws,
+       len(list_filter(regexp_split_to_array(trim(regexp_replace(lower(text), '[^a-z0-9áéíóúâêôãõç ]', ' ', 'g')), '\\s+'), x -> x <> '')) AS n_tokens_word,
+       length(text) AS n_chars_real
+FROM documents
+"""
+
+
+# ---------------------------------------------------------------------------
+# Quality scoring: length / punctuation / stopword ratios
+# ---------------------------------------------------------------------------
+
+def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = _tokens(F.col("text"))
+    n_tok = F.size(toks)
+    n_chars = F.length("text")
+    n_alpha = F.length(F.regexp_replace("text", r"[^A-Za-z]", ""))
+    n_punct = F.length(F.regexp_replace("text", r"[^.,;:!?]", ""))
+    n_stop = _count_in(toks, STOP_EN)
+    avg_tok_len = F.round(
+        F.length(F.regexp_replace(F.lower(F.trim("text")), r"\s+", ""))
+        / F.nullif(n_tok.cast("double"), F.lit(0.0)),
+        4,
+    )
+    quality = (
+        F.when((n_tok >= 5) & (avg_tok_len >= 3) & (avg_tok_len <= 12), 1.0)
+        .otherwise(0.0)
+    )
+    return docs.select(
+        "doc_id",
+        n_tok.alias("n_tokens"),
+        F.round(n_alpha / F.nullif(n_chars.cast("double"), F.lit(0.0)), 4).alias(
+            "alpha_ratio"
+        ),
+        F.round(n_punct / F.nullif(n_chars.cast("double"), F.lit(0.0)), 4).alias(
+            "punct_ratio"
+        ),
+        F.round(n_stop / F.nullif(n_tok.cast("double"), F.lit(0.0)), 4).alias(
+            "stopword_ratio"
+        ),
+        avg_tok_len.alias("avg_token_len"),
+        quality.alias("quality_flag"),
+    )
+
+
+_SQL_TOKS = "regexp_split_to_array(lower(trim(text)), '\\s+')"
+_SQL_NTOK = f"CASE WHEN trim(text) = '' THEN 0 ELSE len({_SQL_TOKS}) END"
+_SQL_STOP_EN = "['" + "','".join(STOP_EN) + "']"
+
+ORACLE_TEXT_QUALITY = f"""
+SELECT doc_id,
+       {_SQL_NTOK} AS n_tokens,
+       ROUND(CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE)
+             / NULLIF(CAST(length(text) AS DOUBLE), 0.0), 4) AS alpha_ratio,
+       ROUND(CAST(length(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS DOUBLE)
+             / NULLIF(CAST(length(text) AS DOUBLE), 0.0), 4) AS punct_ratio,
+       ROUND(CAST(len(list_filter({_SQL_TOKS}, x -> list_contains({_SQL_STOP_EN}, x))) AS DOUBLE)
+             / NULLIF(CAST({_SQL_NTOK} AS DOUBLE), 0.0), 4) AS stopword_ratio,
+       ROUND(CAST(length(regexp_replace(lower(trim(text)), '\\s+', '', 'g')) AS DOUBLE)
+             / NULLIF(CAST({_SQL_NTOK} AS DOUBLE), 0.0), 4) AS avg_token_len,
+       CASE WHEN {_SQL_NTOK} >= 5
+             AND ROUND(CAST(length(regexp_replace(lower(trim(text)), '\\s+', '', 'g')) AS DOUBLE)
+                       / NULLIF(CAST({_SQL_NTOK} AS DOUBLE), 0.0), 4) BETWEEN 3 AND 12
+            THEN 1.0 ELSE 0.0 END AS quality_flag
+FROM documents
+"""
+
+
+# ---------------------------------------------------------------------------
+# Language-ID: stopword-hit heuristic with deterministic tie-break
+# ---------------------------------------------------------------------------
+
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = _tokens(F.col("text"))
+    s_en = _count_in(toks, STOP_EN)
+    s_pt = _count_in(toks, STOP_PT)
+    s_es = _count_in(toks, STOP_ES)
+    pred = (
+        F.when((s_en >= s_pt) & (s_en >= s_es), "en")
+        .when(s_pt >= s_es, "pt")
+        .otherwise("es")
+    )
+    return docs.select(
+        "doc_id",
+        "lang",
+        s_en.alias("hits_en"),
+        s_pt.alias("hits_pt"),
+        s_es.alias("hits_es"),
+        pred.alias("pred_lang"),
+    )
+
+
+def _sql_hits(words: list[str]) -> str:
+    arr = "['" + "','".join(words) + "']"
+    return f"len(list_filter({_SQL_TOKS}, x -> list_contains({arr}, x)))"
+
+
+ORACLE_LANG_ID = f"""
+SELECT doc_id, lang,
+       {_sql_hits(STOP_EN)} AS hits_en,
+       {_sql_hits(STOP_PT)} AS hits_pt,
+       {_sql_hits(STOP_ES)} AS hits_es,
+       CASE WHEN {_sql_hits(STOP_EN)} >= {_sql_hits(STOP_PT)} AND {_sql_hits(STOP_EN)} >= {_sql_hits(STOP_ES)} THEN 'en'
+            WHEN {_sql_hits(STOP_PT)} >= {_sql_hits(STOP_ES)} THEN 'pt'
+            ELSE 'es' END AS pred_lang
+FROM documents
+"""
+
+
+# ---------------------------------------------------------------------------
+# Document fingerprinting: md5 over normalized text
+# ---------------------------------------------------------------------------
+
+def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    norm = F.regexp_replace(F.lower(F.trim("text")), r"\s+", " ")
+    return docs.select("doc_id", F.md5(norm).alias("fingerprint"))
+
+
+ORACLE_FINGERPRINT = """
+SELECT doc_id, md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fingerprint
+FROM documents
+"""
+
+
+QUERIES = {
+    "token_count": q_token_count,
+    "text_quality": q_text_quality,
+    "lang_id": q_lang_id,
+    "doc_fingerprint": q_doc_fingerprint,
+}
+
+ORACLES = {
+    "token_count": ORACLE_TOKEN_COUNT,
+    "text_quality": ORACLE_TEXT_QUALITY,
+    "lang_id": ORACLE_LANG_ID,
+    "doc_fingerprint": ORACLE_FINGERPRINT,
+}

@@ -1,0 +1,63 @@
+"""Canonical test-data table access.
+
+All query functions read parquet through these helpers so the scan
+always goes through the native vectorized parquet reader with column
+pruning + filter pushdown (never a pandas detour).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Read one table. Plain ``spark.read.parquet`` — Catalyst prunes
+    columns and pushes filters from whatever plan sits on top.
+
+    The ``events`` table is written with nanosecond timestamps, which
+    the Spark parquet reader only accepts as INT64 via the legacy
+    nanosAsLong conf; we convert back to a proper timestamp column
+    (microsecond truncation) right at the scan so downstream operators
+    see a normal TimestampType.
+    """
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    if name == "events":
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.parquet(path)
+        from pyspark.sql import functions as F
+        from pyspark.sql.types import LongType
+
+        if isinstance(df.schema["ts"].dataType, LongType):
+            df = df.withColumn(
+                "ts", F.timestamp_micros(F.floor(F.col("ts") / 1000).cast("long"))
+            )
+        return df
+    return spark.read.parquet(path)
+
+
+def load_tables(spark: SparkSession, sf_dir: str, *names: str) -> tuple[DataFrame, ...]:
+    return tuple(load_table(spark, sf_dir, n) for n in (names or TABLES))
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> None:
+    """Register every table as a temp view so the Spark SQL surface
+    (``spark.sql``) can be used interchangeably with the DataFrame API."""
+    for name in TABLES:
+        path = os.path.join(sf_dir, f"{name}.parquet")
+        if os.path.exists(path):
+            load_table(spark, sf_dir, name).createOrReplaceTempView(name)

@@ -1,0 +1,118 @@
+"""Local t2-style correctness gate: run every queries() entry on Spark
+and its oracle_sql() on DuckDB at sf0.01, compare row count + columns +
+order-insensitive canonicalized values.
+
+Usage: python tools/check_correctness.py [sf_dir] [query ...]
+"""
+
+from __future__ import annotations
+
+import math
+import sys
+import time
+import traceback
+
+sys.path.insert(0, "/root/repo")
+
+
+def canon(v):
+    """Canonicalize a cell so Spark and DuckDB values compare equal."""
+    import datetime
+    import decimal
+
+    if v is None:
+        return "NULL"
+    if isinstance(v, bool):
+        return str(int(v))
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        if v == int(v) and abs(v) < 1e15:
+            return str(int(v))
+        return f"{v:.6g}"
+    if isinstance(v, decimal.Decimal):
+        return canon(float(v))
+    if isinstance(v, datetime.datetime):
+        return v.strftime("%Y-%m-%d %H:%M:%S")
+    if isinstance(v, datetime.date):
+        return v.strftime("%Y-%m-%d")
+    if isinstance(v, (list, tuple)):
+        return "[" + ",".join(canon(x) for x in v) + "]"
+    return str(v)
+
+
+def rowset(cols, rows):
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    return sorted("|".join(canon(r[i]) for i in order) for r in rows)
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    only = set(sys.argv[2:])
+
+    import duckdb
+
+    import __spark_entry__ as e
+    from etl_python_spark.session import get_spark
+
+    spark = get_spark("check_correctness")
+    con = duckdb.connect()
+    for t in (
+        "region nation customer supplier part orders lineitem events "
+        "documents embeddings".split()
+    ):
+        con.execute(
+            f"CREATE OR REPLACE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'"
+        )
+
+    qs, oracles = e.queries(), e.oracle_sql()
+    failed = []
+    for name, fn in qs.items():
+        if only and name not in only:
+            continue
+        t0 = time.time()
+        try:
+            df = fn(spark, sf_dir)
+            sp_cols = [c.lower() for c in df.columns]
+            sp_rows = df.collect()
+        except Exception:
+            print(f"FAIL  {name}: spark error\n{traceback.format_exc()}")
+            failed.append(name)
+            continue
+        if name not in oracles:
+            print(f"ok*   {name}: rows-only ({len(sp_rows)} rows, {time.time()-t0:.1f}s)")
+            if len(sp_rows) == 0:
+                print(f"WARN  {name}: 0 rows")
+            continue
+        try:
+            res = con.execute(oracles[name])
+            dk_cols = [d[0].lower() for d in res.description]
+            dk_rows = res.fetchall()
+        except Exception:
+            print(f"FAIL  {name}: duckdb error\n{traceback.format_exc()}")
+            failed.append(name)
+            continue
+        problems = []
+        if sorted(sp_cols) != sorted(dk_cols):
+            problems.append(f"cols {sorted(sp_cols)} vs {sorted(dk_cols)}")
+        if len(sp_rows) != len(dk_rows):
+            problems.append(f"rows {len(sp_rows)} vs {len(dk_rows)}")
+        if not problems:
+            a, b = rowset(sp_cols, sp_rows), rowset(dk_cols, dk_rows)
+            if a != b:
+                diff = [
+                    (x, y) for x, y in zip(a, b) if x != y
+                ][:3]
+                problems.append(f"values differ, e.g. {diff}")
+        if problems:
+            print(f"FAIL  {name}: {'; '.join(problems)}")
+            failed.append(name)
+        else:
+            print(f"ok    {name}: {len(sp_rows)} rows match ({time.time()-t0:.1f}s)")
+
+    print(f"\n{len(failed)} failures" + (f": {failed}" if failed else ""))
+    return 1 if failed else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
