@@ -28,9 +28,9 @@ def _c(col: Column | str) -> Column:
 def month_name_pt(col: Column | str) -> Column:
     """month number/date → UPPER pt-BR month name ('JANEIRO'…)."""
     c = _c(col)
-    m = F.when(c.cast("string").rlike(r"^\d{1,2}$"), c.cast("int")).otherwise(
-        F.month(c)
-    )
+    m = F.when(
+        c.cast("string").rlike(r"^\d{1,2}$"), c.cast("string").try_cast("int")
+    ).otherwise(F.month(c.cast("string").try_cast("date")))
     expr = F.lit(None).cast("string")
     for i, name in enumerate(MONTH_NAMES_PT, start=1):
         expr = F.when(m == i, F.lit(name)).otherwise(expr)

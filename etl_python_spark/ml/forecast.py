@@ -1,0 +1,143 @@
+"""Grouped forecasting: lag features + per-group model fit/predict.
+
+Re-expresses the reference's ML layer (SURVEY.md §2.10):
+- the lag/rolling feature view (Faturamento_Lag_1, Media_3_Meses,
+  Media_6_Meses — ETL - Análise Preditiva ... ML.py:56,99) as window
+  functions;
+- the per-seller RandomForest loop (:89-154) as
+  ``groupBy().applyInPandas`` — each group fits independently on its
+  executor, Arrow-batched; with the < 6-observations guard (:92-102);
+- the monthly projection to a horizon (Modelo de Previsão de
+  Vendas.py:77-83) with a deterministic linear-trend + seasonal model
+  (Prophet isn't in the container; the *Spark shape* — grouped model
+  fit over a distributed feature frame — is the capability).
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions.numeric import dsum
+from ..sources.tables import load_table
+
+MIN_OBS = 6  # skip groups with fewer monthly observations (ref :92-102)
+
+
+def monthly_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-nation monthly revenue with lag-1, 3-month and 6-month
+    rolling means — the reference's feature view as pure windows."""
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    monthly = (
+        orders.join(customer, orders.o_custkey == customer.c_custkey)
+        .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
+        .groupBy(
+            "n_name",
+            F.date_trunc("month", "o_orderdate").cast("date").alias("mes"),
+        )
+        .agg(dsum("o_totalprice").alias("faturamento"))
+    )
+    w = Window.partitionBy("n_name").orderBy("mes")
+    return monthly.select(
+        "n_name",
+        "mes",
+        "faturamento",
+        F.lag("faturamento").over(w).alias("lag_1"),
+        F.round(F.avg("faturamento").over(w.rowsBetween(-2, 0)), 4).alias("media_3m"),
+        F.round(F.avg("faturamento").over(w.rowsBetween(-5, 0)), 4).alias("media_6m"),
+    )
+
+
+_FORECAST_SCHEMA = (
+    "n_name string, mes date, previsao double, mae double, n_obs int"
+)
+
+
+def _fit_predict_group(pdf: pd.DataFrame) -> pd.DataFrame:
+    """Deterministic per-group trend+seasonality fit, executed on the
+    executor via Arrow.  Least-squares on (t, month-dummies); forecast
+    3 months past the last observation; in-sample MAE reported
+    (ref ML.py:106,150 persists per-seller MAE)."""
+    import numpy as np
+
+    pdf = pdf.sort_values("mes").reset_index(drop=True)
+    name = pdf["n_name"].iloc[0]
+    if len(pdf) < MIN_OBS:
+        return pd.DataFrame(
+            columns=["n_name", "mes", "previsao", "mae", "n_obs"]
+        ).astype({"previsao": "float64", "mae": "float64", "n_obs": "int32"})
+    y = pdf["faturamento"].to_numpy(dtype="float64")
+    t = np.arange(len(y), dtype="float64")
+    months = pd.to_datetime(pdf["mes"]).dt.month.to_numpy()
+    X = np.column_stack(
+        [np.ones_like(t), t]
+        + [(months == m).astype("float64") for m in range(2, 13)]
+    )
+    beta, *_ = np.linalg.lstsq(X, y, rcond=None)
+    fitted = X @ beta
+    mae = float(np.abs(fitted - y).mean())
+
+    last = pd.to_datetime(pdf["mes"].iloc[-1])
+    horizon = pd.date_range(
+        last + pd.offsets.MonthBegin(1), periods=3, freq="MS"
+    )
+    t_f = np.arange(len(y), len(y) + 3, dtype="float64")
+    m_f = horizon.month.to_numpy()
+    X_f = np.column_stack(
+        [np.ones_like(t_f), t_f]
+        + [(m_f == m).astype("float64") for m in range(2, 13)]
+    )
+    pred = X_f @ beta
+    return pd.DataFrame(
+        {
+            "n_name": name,
+            "mes": horizon.date,
+            "previsao": np.round(pred, 2),
+            "mae": round(mae, 2),
+            "n_obs": len(y),
+        }
+    )
+
+
+def forecast_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-month-ahead revenue forecast per nation via grouped pandas
+    UDF — one Arrow batch per group, fitted in parallel across
+    executors. At 100 TB the input to the UDF is already the *monthly
+    aggregate* (tiny per group), so the expensive part stays in
+    Catalyst."""
+    feats = monthly_features(spark, sf_dir).select("n_name", "mes", "faturamento")
+    return feats.groupBy("n_name").applyInPandas(
+        _fit_predict_group, schema=_FORECAST_SCHEMA
+    )
+
+
+ORACLE_FEATURES = """
+WITH monthly AS (
+  SELECT n.n_name, CAST(date_trunc('month', o.o_orderdate) AS DATE) AS mes,
+         ROUND(CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 2) AS faturamento
+  FROM orders o
+  JOIN customer c ON o.o_custkey = c.c_custkey
+  JOIN nation n ON c.c_nationkey = n.n_nationkey
+  GROUP BY 1, 2
+)
+SELECT n_name, mes, faturamento,
+       LAG(faturamento) OVER (PARTITION BY n_name ORDER BY mes) AS lag_1,
+       ROUND(AVG(faturamento) OVER (PARTITION BY n_name ORDER BY mes
+             ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 4) AS media_3m,
+       ROUND(AVG(faturamento) OVER (PARTITION BY n_name ORDER BY mes
+             ROWS BETWEEN 5 PRECEDING AND CURRENT ROW), 4) AS media_6m
+FROM monthly
+"""
+
+QUERIES = {
+    "ml_lag_features": monthly_features,
+    "ml_forecast_per_group": forecast_per_group,
+}
+
+ORACLES = {
+    "ml_lag_features": ORACLE_FEATURES,
+    # ml_forecast_per_group: model fit → rows-only check
+}

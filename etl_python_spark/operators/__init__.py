@@ -14,18 +14,40 @@ from pyspark.sql import DataFrame, SparkSession
 
 
 def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    from . import analytics_core, analytics_joins, dedup, similarity, text, events
-
     out: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
-    for mod in (analytics_core, analytics_joins, dedup, similarity, text, events):
+    for mod in _modules():
         out.update(mod.QUERIES)
     return out
 
 
 def all_oracles() -> dict[str, str]:
-    from . import analytics_core, analytics_joins, dedup, similarity, text, events
-
     out: dict[str, str] = {}
-    for mod in (analytics_core, analytics_joins, dedup, similarity, text, events):
+    for mod in _modules():
         out.update(mod.ORACLES)
     return out
+
+
+def _modules():
+    from . import (
+        analytics_core,
+        analytics_joins,
+        analytics_windows,
+        dedup,
+        events,
+        similarity,
+        text,
+    )
+    from ..ml import forecast
+    from ..streaming import file_stream
+
+    return (
+        analytics_core,
+        analytics_joins,
+        analytics_windows,
+        dedup,
+        events,
+        similarity,
+        text,
+        forecast,
+        file_stream,
+    )

@@ -1,0 +1,142 @@
+"""Edge readers: CSV with encoding/separator fallback, Excel, JDBC.
+
+Re-expresses the reference's ingest edge (SURVEY.md §2.1):
+- S3 encoding-sniffing CSV (Conversor de Formatos.py:52-70) — the
+  fallback loop probes a sample driver-side, then hands the winning
+  (encoding, sep) to the distributed ``spark.read.csv``;
+- S1/S2 Excel sheets (ETL - Primeiro Pedido.py:112-113,
+  ETL - CRM.py:67-76) — pandas at the edge (Excel never parallelizes),
+  converted immediately to a DataFrame, with per-sheet lineage column;
+- S5 JDBC with pushdown (EDA - Faturamento.py:76-83) — thin wrapper
+  over ``spark.read.jdbc`` (predicate pushdown is built in).
+
+Canonical storage after any edge read is parquet (SURVEY §7: "Excel
+ingestion at scale" note).
+"""
+
+from __future__ import annotations
+
+import logging
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+log = logging.getLogger(__name__)
+
+ENCODING_CANDIDATES = ["UTF-8", "UTF-8", "windows-1252", "ISO-8859-1", "UTF-16"]
+SEP_CANDIDATES = [",", ";", "\t", "|"]
+
+
+def read_csv_sniffed(
+    spark: SparkSession,
+    path: str,
+    encoding: str | None = None,
+    sep: str | None = None,
+    header: bool = True,
+) -> DataFrame:
+    """CSV scan with encoding/separator sniffing.
+
+    Probes a small sample per candidate (driver-side, bounded) and
+    picks the first (encoding, sep) that parses into >1 column with a
+    consistent width; the real read is a normal distributed
+    ``spark.read.csv`` in PERMISSIVE mode with that choice.
+    """
+    encodings = [encoding] if encoding else ENCODING_CANDIDATES
+    seps = [sep] if sep else SEP_CANDIDATES
+    best: tuple[str, str, int] | None = None
+    for enc in encodings:
+        for s in seps:
+            try:
+                probe = (
+                    spark.read.options(
+                        header=header, encoding=enc, sep=s, mode="PERMISSIVE"
+                    )
+                    .csv(path)
+                    .limit(5)
+                )
+                width = len(probe.columns)
+                if width > (best[2] if best else 1):
+                    best = (enc, s, width)
+            except Exception:  # noqa: BLE001 - probing
+                continue
+    if best is None:
+        raise ValueError(f"could not sniff CSV dialect for {path}")
+    enc, s, _ = best
+    log.info("csv sniff %s: encoding=%s sep=%r", path, enc, s)
+    return spark.read.options(
+        header=header, encoding=enc, sep=s, mode="PERMISSIVE", inferSchema=True
+    ).csv(path)
+
+
+def read_excel(
+    spark: SparkSession,
+    path: str,
+    sheet: str | int | None = 0,
+    usecols: list[str] | None = None,
+) -> DataFrame:
+    """Single-sheet Excel scan via pandas at the edge (projection at
+    scan via ``usecols``), promoted to a Spark DataFrame."""
+    import pandas as pd
+
+    pdf = pd.read_excel(path, sheet_name=sheet, usecols=usecols)
+    return spark.createDataFrame(pdf)
+
+
+def read_excel_all_sheets(
+    spark: SparkSession, path: str, lineage_col: str = "aba_origem"
+) -> DataFrame:
+    """Multi-sheet scan + union + lineage column (ref ETL - CRM.py:67-76,
+    Utilitário - Juntar Abas em Arquivo Único.py:19-39): every sheet is
+    read, tagged with its origin, and unioned by name with missing
+    columns tolerated."""
+    import pandas as pd
+
+    sheets = pd.read_excel(path, sheet_name=None)
+    out: DataFrame | None = None
+    for name, pdf in sheets.items():
+        if pdf.empty:
+            continue
+        df = spark.createDataFrame(pdf).withColumn(lineage_col, F.lit(name))
+        out = df if out is None else out.unionByName(df, allowMissingColumns=True)
+    if out is None:
+        raise ValueError(f"no non-empty sheets in {path}")
+    return out
+
+
+def read_jdbc(
+    spark: SparkSession,
+    url: str,
+    query: str,
+    properties: dict[str, str] | None = None,
+    partition_column: str | None = None,
+    num_partitions: int = 8,
+    lower_bound: int | None = None,
+    upper_bound: int | None = None,
+) -> DataFrame:
+    """JDBC scan with optional partitioned parallel read.  The query
+    string goes to the database verbatim (S5 pushdown); with a
+    partition column the read fans out across ``num_partitions``
+    connections — the scalable path for big source tables."""
+    reader = spark.read.format("jdbc").option("url", url).option("query", query)
+    for k, v in (properties or {}).items():
+        reader = reader.option(k, v)
+    if partition_column is not None:
+        reader = (
+            reader.option("partitionColumn", partition_column)
+            .option("numPartitions", num_partitions)
+            .option("lowerBound", lower_bound or 0)
+            .option("upperBound", upper_bound or 1_000_000)
+        )
+    return reader.load()
+
+
+def promote_header(df: DataFrame) -> DataFrame:
+    """Header-row promotion (ref API Extrator Renda Per Capita -
+    IBGE.py:36-127: ``df.columns = df.iloc[0]``): treat the first row
+    (in current order) as column names.  Edge-sized data only."""
+    first = df.limit(1).collect()[0]
+    rest = df.subtract(df.limit(1))
+    renamed = rest
+    for old, new in zip(df.columns, [str(v) for v in first]):
+        renamed = renamed.withColumnRenamed(old, new)
+    return renamed

@@ -1,0 +1,103 @@
+"""Sinks: parquet staging with audit, pt-BR CSV, JSON docs, JDBC,
+idempotent period upsert.
+
+Re-expresses the reference's load layer (SURVEY.md §2.1 S6-S10, S14):
+- staging overwrite loads (DROP+DDL+batched insert) → declarative
+  ``mode('overwrite')`` writers with partitioning;
+- the DELETE-period + INSERT idempotent upsert
+  (ETL - Análise Preditiva ... Machine Learning.py:186-207) →
+  dynamic partition overwrite (only the affected partitions rewrite);
+- pt-BR CSV export (ETL - CRM.py:273: sep=';', utf-8-sig);
+- JSON document output (JSON_ARRAYAGG shape, Belmicro/JSON Resposta 1).
+"""
+
+from __future__ import annotations
+
+import logging
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+log = logging.getLogger(__name__)
+
+
+def write_staging(
+    df: DataFrame,
+    path: str,
+    partition_by: list[str] | None = None,
+    audit: bool = False,
+) -> int | None:
+    """Full-replace staging load (the reference's DROP+recreate).
+    ``audit=True`` reproduces the reference's row-count diagnostics
+    (ETL - Venda B2B.py:216-241) with a single count."""
+    n = df.count() if audit else None
+    writer = df.write.mode("overwrite")
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.parquet(path)
+    if audit:
+        log.info("staging load %s: %s rows", path, n)
+    return n
+
+
+def upsert_period(
+    df: DataFrame,
+    path: str,
+    partition_col: str,
+    spark: SparkSession,
+) -> None:
+    """Idempotent DELETE-period + INSERT: dynamic partition overwrite
+    replaces exactly the partitions present in ``df`` and leaves the
+    rest untouched — the Spark-native form of the reference's
+    per-prediction-date upsert.  At 100 TB this touches only the
+    affected partition directories."""
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    df.write.mode("overwrite").partitionBy(partition_col).parquet(path)
+
+
+def write_csv_ptbr(df: DataFrame, path: str) -> None:
+    """pt-BR CSV: ';' separator, UTF-8 with BOM header convention."""
+    df.write.mode("overwrite").options(
+        header=True, sep=";", encoding="UTF-8"
+    ).csv(path)
+
+
+def write_json_docs(df: DataFrame, path: str) -> None:
+    df.write.mode("overwrite").json(path)
+
+
+def aggregate_to_json(df: DataFrame, group_cols: list[str]) -> DataFrame:
+    """JSON_ARRAYAGG(JSON_OBJECT(...)) analogue: one JSON array of row
+    objects per group (ref ScriptsSQL - Belmicro/JSON Resposta 1.sql:18-28)."""
+    payload_cols = [c for c in df.columns if c not in group_cols]
+    return df.groupBy(*group_cols).agg(
+        F.to_json(
+            F.collect_list(F.struct(*[F.col(c) for c in payload_cols]))
+        ).alias("payload_json")
+    )
+
+
+def write_jdbc(
+    df: DataFrame,
+    url: str,
+    table: str,
+    mode: str = "overwrite",
+    batchsize: int = 10_000,
+    properties: dict[str, str] | None = None,
+    create_table_column_types: str | None = None,
+) -> None:
+    """JDBC sink (S6/S7): the connector handles DDL, batching and
+    transactions that the reference hand-rolled; explicit column types
+    via ``createTableColumnTypes`` replace the manual DDL generator."""
+    writer = (
+        df.write.format("jdbc")
+        .option("url", url)
+        .option("dbtable", table)
+        .option("batchsize", batchsize)
+        .mode(mode)
+    )
+    if create_table_column_types:
+        writer = writer.option("createTableColumnTypes", create_table_column_types)
+    for k, v in (properties or {}).items():
+        writer = writer.option(k, v)
+    writer.save()

@@ -1,0 +1,136 @@
+"""Tests for the model/ and sources/ layers (registry, profiler, star
+builder, integrity checks, readers/writers round-trips)."""
+
+import os
+
+from pyspark.sql import functions as F
+
+from etl_python_spark.model.integrity import check_balance, check_no_negative, verify_catalog
+from etl_python_spark.model.profiler import profile, suggest_primary_key
+from etl_python_spark.model.registry import DatasetSchema
+from etl_python_spark.model.star import build_star
+from etl_python_spark.sources.readers import read_csv_sniffed
+from etl_python_spark.sources.writers import (
+    aggregate_to_json,
+    upsert_period,
+    write_csv_ptbr,
+    write_staging,
+)
+from tests.conftest import SF_SMOKE
+
+
+def test_registry_tolerant_apply(spark):
+    schema = DatasetSchema(
+        name="vendas",
+        mapping={
+            "Número Nota": ("numero_nota", "int"),
+            "Valor": ("valor", "decimal(15,2)"),
+            "Vendedor": ("vendedor", "string"),
+            "Coluna Ausente": ("ausente", "double"),
+        },
+        required=["numero_nota"],
+    )
+    df = spark.createDataFrame(
+        [(1, "10.50", "ANA"), (None, "2.00", "BIA")],
+        "`Número Nota` int, Valor string, Vendedor string",
+    )
+    out = schema.apply(df)
+    assert out.columns == ["numero_nota", "valor", "vendedor", "ausente"]
+    rows = out.collect()
+    assert len(rows) == 1  # required dropna removed the null-key row
+    assert str(rows[0].valor) == "10.50"
+    assert rows[0].ausente is None
+
+
+def test_profiler_roles(spark):
+    cust = spark.read.parquet(f"{SF_SMOKE}/customer.parquet")
+    stats = {s.column: s for s in profile(cust)}
+    assert stats["c_custkey"].role == "key"
+    assert stats["c_mktsegment"].role == "dimension"
+    assert stats["c_acctbal"].role == "measure"
+    assert stats["c_custkey"].nulls == 0
+    pk = suggest_primary_key(cust)
+    assert pk == ["c_custkey"]
+
+
+def test_star_builder(spark):
+    orders = spark.read.parquet(f"{SF_SMOKE}/orders.parquet").limit(200)
+    fact, dims = build_star(orders, {"status": ["o_orderstatus"]})
+    dim = dims["status"]
+    assert dim.columns == ["sk_status", "o_orderstatus"]
+    n_status = orders.select("o_orderstatus").distinct().count()
+    assert dim.count() == n_status
+    assert "sk_status" in fact.columns and "o_orderstatus" not in fact.columns
+    assert fact.count() == 200
+    assert fact.filter(F.col("sk_status").isNull()).count() == 0
+
+
+def test_integrity_checks(spark):
+    orders = spark.read.parquet(f"{SF_SMOKE}/orders.parquet")
+    assert check_no_negative(orders, "o_totalprice") == 0
+    bal = spark.createDataFrame(
+        [(100.0, -100.005), (50.0, -20.0)], "ativo double, passivo double"
+    )
+    out = {r.ativo: r.integridade for r in check_balance(bal, "ativo", "passivo").collect()}
+    assert out[100.0] == "Íntegro" and out[50.0] == "Inconsistente"
+    orders.createOrReplaceTempView("orders_v")
+    cat = verify_catalog(spark, ["orders_v"])
+    assert cat[0].has_id_column
+
+
+def test_csv_sniffing_roundtrip(spark, tmp_path):
+    p = str(tmp_path / "ptbr.csv")
+    with open(p, "w", encoding="utf-8") as f:
+        f.write("nome;valor\nANA;10\nBIA;20\n")
+    df = read_csv_sniffed(spark, p)
+    assert df.columns == ["nome", "valor"]
+    assert df.count() == 2
+
+
+def test_write_staging_and_upsert(spark, tmp_path):
+    path = str(tmp_path / "staging")
+    orders = spark.read.parquet(f"{SF_SMOKE}/orders.parquet").withColumn(
+        "ano", F.year("o_orderdate")
+    )
+    n = write_staging(orders, path, partition_by=["ano"], audit=True)
+    assert n == orders.count()
+    # upsert: replace only ano=1998 with a 1-row frame
+    one = orders.filter(F.col("ano") == 1998).limit(1)
+    upsert_period(one, path, "ano", spark)
+    re = spark.read.parquet(path)
+    assert re.filter(F.col("ano") == 1998).count() == 1
+    assert re.filter(F.col("ano") == 1997).count() == orders.filter(
+        F.col("ano") == 1997
+    ).count()
+
+
+def test_csv_ptbr_and_json_agg(spark, tmp_path):
+    df = spark.createDataFrame(
+        [("A", 1, 10.0), ("A", 2, 20.0), ("B", 3, 5.0)], "g string, id int, v double"
+    )
+    out = str(tmp_path / "out_csv")
+    write_csv_ptbr(df, out)
+    files = [f for f in os.listdir(out) if f.endswith(".csv")]
+    assert files
+    with open(os.path.join(out, files[0])) as f:
+        assert ";" in f.readline()
+    agg = aggregate_to_json(df, ["g"]).collect()
+    payload = {r.g: r.payload_json for r in agg}
+    assert '"id":1' in payload["A"].replace(" ", "")
+
+
+def test_forecast_per_group(spark):
+    from etl_python_spark.ml.forecast import forecast_per_group
+
+    out = forecast_per_group(spark, SF_SMOKE)
+    rows = out.collect()
+    assert len(rows) > 0
+    assert {r.n_name for r in rows}  # at least one group forecast
+    sample = rows[0]
+    assert sample.previsao is not None and sample.n_obs >= 6
+    # 3 months per qualifying group
+    by_group = {}
+    for r in rows:
+        by_group.setdefault(r.n_name, 0)
+        by_group[r.n_name] += 1
+    assert all(v == 3 for v in by_group.values())
