@@ -19,7 +19,7 @@ otherwise produce quadratic bucket blow-up.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..sources.tables import load_table
@@ -35,14 +35,41 @@ def _norm_text(col):
 
 
 def _shingles(col):
-    """Distinct k-word shingles of the normalized text (JVM lambda)."""
+    """Distinct k-word shingles of the normalized text (JVM lambda).
+
+    NOTE: prefer :func:`with_shingles` in plans — it materializes the
+    token array in its own projection first.  Higher-order-function
+    lambdas run outside whole-stage codegen, so an inline ``split``
+    here would be re-evaluated per element (measured ~5× slowdown)."""
     toks = F.split(_norm_text(col), " ")
+    return _shingles_from_tokens(toks)
+
+
+def _shingles_from_tokens(toks):
     n = F.size(toks)
-    idx = F.sequence(F.lit(0), F.greatest(n - SHINGLE_K, F.lit(0)))
+    idx = F.sequence(F.lit(1), F.greatest(n - SHINGLE_K + 1, F.lit(1)))
     sh = F.transform(
-        idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, SHINGLE_K))
+        idx,
+        lambda i: F.concat_ws(
+            " ",
+            *[F.element_at(toks, i + j) for j in range(SHINGLE_K)],
+        ),
     )
-    return F.array_distinct(F.when(n >= SHINGLE_K, sh).otherwise(F.array(_norm_text(col))))
+    return F.array_distinct(
+        F.when(n >= SHINGLE_K, sh).otherwise(F.array(F.concat_ws(" ", toks)))
+    )
+
+
+def with_shingles(docs: DataFrame) -> DataFrame:
+    """documents → (doc_id, sh) with the token split materialized once
+    per row before the shingle lambda touches it."""
+    toked = docs.select(
+        "doc_id", F.split(_norm_text(F.col("text")), " ").alias("toks")
+    )
+    return toked.select(
+        "doc_id",
+        _shingles_from_tokens(F.col("toks")).alias("sh"),
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -80,45 +107,46 @@ def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Candidate pairs sharing ≥1 shingle, scored with exact Jaccard
     |A∩B| / (|A|+|B|−|A∩B|), threshold 0.2.
 
-    Plan: explode distinct shingles → filter stop-shingles by document
-    frequency → self-join the inverted index on shingle (co-occurrence
-    count = |A∩B|) → broadcast-join per-doc sizes.  The pair space is
-    generated only inside shingle buckets, so cost is Σ df² over
-    retained shingles, not n²."""
+    Plan shape (one shingle shuffle, no n² stage):
+    - shingle once, carry |doc| (``size(sh)``) alongside the explode so
+      no per-doc sizes join is ever needed;
+    - document frequency via a window over the shingle partitioning,
+      filtered to drop stop-shingles; the self-join on shingle then
+      REUSES the same exchange (both sides are the identical subtree),
+      so candidate generation costs zero extra shuffles;
+    - |A∩B| = co-occurrence count per pair, grouped with the sizes in
+      the key (they're functionally dependent on the doc ids).
+    Cost is Σ df² over retained shingles — bounded by MAX_DF."""
     docs = load_table(spark, sf_dir, "documents")
-    sh = docs.select(
-        "doc_id", F.explode(_shingles(F.col("text"))).alias("shingle")
+    with_sh = with_shingles(docs)
+    sh = with_sh.select(
+        "doc_id", F.size("sh").alias("n_sh"), F.explode("sh").alias("shingle")
     )
-    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
-    df_counts = sh.groupBy("shingle").agg(F.count("*").alias("df"))
-    sh_kept = sh.join(
-        F.broadcast(df_counts.filter(F.col("df") <= MAX_DF).select("shingle")),
-        "shingle",
+    w_sh = Window.partitionBy("shingle")
+    kept = sh.withColumn("df", F.count("*").over(w_sh)).filter(
+        F.col("df") <= MAX_DF
     )
-    a = sh_kept.select(F.col("doc_id").alias("doc_a"), "shingle")
-    b = sh_kept.select(F.col("doc_id").alias("doc_b"), "shingle")
+    a = kept.select(
+        F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("size_a"), "shingle"
+    )
+    b = kept.select(
+        F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("size_b"), "shingle"
+    )
     co = (
         a.join(b, "shingle")
         .filter(F.col("doc_a") < F.col("doc_b"))
-        .groupBy("doc_a", "doc_b")
+        .groupBy("doc_a", "doc_b", "size_a", "size_b")
         .agg(F.count("*").alias("inter"))
     )
-    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("size_a"))
-    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("size_b"))
-    return (
-        co.join(sa, "doc_a")
-        .join(sb, "doc_b")
-        .select(
-            "doc_a",
-            "doc_b",
-            F.round(
-                F.col("inter")
-                / (F.col("size_a") + F.col("size_b") - F.col("inter")).cast("double"),
-                4,
-            ).alias("jaccard"),
-        )
-        .filter(F.col("jaccard") >= 0.2)
-    )
+    return co.select(
+        "doc_a",
+        "doc_b",
+        F.round(
+            F.col("inter")
+            / (F.col("size_a") + F.col("size_b") - F.col("inter")).cast("double"),
+            4,
+        ).alias("jaccard"),
+    ).filter(F.col("jaccard") >= 0.2)
 
 
 _SQL_SHINGLES = f"""
@@ -166,43 +194,56 @@ def q_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup pairs via MinHash signatures + LSH banding, verified
     with exact Jaccard ≥ 0.2 over shingle sets.
 
-    k=32 xxhash64-based minhashes per doc (JVM hash, computed in one
-    ``transform`` pass over the shingle array — no shuffle), banded
-    into 8 bands of 4; docs sharing any band bucket become candidates
-    (shuffle keyed by band hash, so bucket sizes — not n — drive
-    cost), then candidates are verified exactly."""
+    k=32 xxhash64-based minhashes per doc, computed from the exploded
+    shingle table with a hash aggregate (map-side partial MIN combine —
+    the signature build is one shuffle keyed by doc, carrying 32
+    longs per row, never the shingle text).  Banding explodes the
+    signature into 8 (band, hash) keys; docs sharing a band bucket are
+    candidates (shuffle keyed by band hash, so bucket sizes — not n —
+    drive cost).  Candidates carry only ids; the shingle arrays are
+    joined back just for the final exact-Jaccard verification of the
+    (small) candidate set."""
     docs = load_table(spark, sf_dir, "documents")
-    with_sh = docs.select("doc_id", _shingles(F.col("text")).alias("sh"))
+    with_sh = with_shingles(docs)
+    sh = with_sh.select("doc_id", F.explode("sh").alias("shingle"))
 
-    minhashes = [
-        F.array_min(
-            F.transform(F.col("sh"), lambda s: F.xxhash64(F.lit(i), s))
-        ).alias(f"mh_{i}")
-        for i in range(MINHASH_K)
-    ]
-    sig = with_sh.select("doc_id", "sh", *minhashes)
+    sig = sh.groupBy("doc_id").agg(
+        *[
+            F.min(F.xxhash64(F.lit(i), F.col("shingle"))).alias(f"mh_{i}")
+            for i in range(MINHASH_K)
+        ]
+    )
 
     rows_per_band = MINHASH_K // LSH_BANDS
     band_cols = []
     for b in range(LSH_BANDS):
-        cols = [F.col(f"mh_{i}") for i in range(b * rows_per_band, (b + 1) * rows_per_band)]
-        band_cols.append(F.struct(F.lit(b).alias("band"), F.xxhash64(*cols).alias("h")))
+        cols = [
+            F.col(f"mh_{i}")
+            for i in range(b * rows_per_band, (b + 1) * rows_per_band)
+        ]
+        band_cols.append(
+            F.struct(F.lit(b).alias("band"), F.xxhash64(*cols).alias("h"))
+        )
     banded = sig.select(
-        "doc_id", "sh", F.explode(F.array(*band_cols)).alias("bk")
-    ).select("doc_id", "sh", F.col("bk.band").alias("band"), F.col("bk.h").alias("h"))
+        "doc_id", F.explode(F.array(*band_cols)).alias("bk")
+    ).select("doc_id", F.col("bk.band").alias("band"), F.col("bk.h").alias("h"))
 
-    a = banded.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"), "band", "h")
-    b = banded.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"), "band", "h")
+    a = banded.select(F.col("doc_id").alias("doc_a"), "band", "h")
+    b = banded.select(F.col("doc_id").alias("doc_b"), "band", "h")
     cand = (
         a.join(b, ["band", "h"])
         .filter(F.col("doc_a") < F.col("doc_b"))
-        .select("doc_a", "doc_b", "sh_a", "sh_b")
+        .select("doc_a", "doc_b")
         .dropDuplicates(["doc_a", "doc_b"])
     )
+
+    sh_a = with_sh.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
+    sh_b = with_sh.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
+    verified = cand.join(sh_a, "doc_a").join(sh_b, "doc_b")
     inter = F.size(F.array_intersect("sh_a", "sh_b"))
     union = F.size("sh_a") + F.size("sh_b") - inter
     return (
-        cand.select(
+        verified.select(
             "doc_a",
             "doc_b",
             F.round(inter / union.cast("double"), 4).alias("jaccard"),
