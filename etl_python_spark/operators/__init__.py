@@ -34,6 +34,7 @@ def _modules():
         analytics_windows,
         dedup,
         events,
+        multimodal,
         similarity,
         text,
     )
@@ -46,6 +47,7 @@ def _modules():
         analytics_windows,
         dedup,
         events,
+        multimodal,
         similarity,
         text,
         forecast,

@@ -1,0 +1,271 @@
+"""Multimodal (image/audio/video) column operators.
+
+Media is modeled the way a 100 TB training-data lake stores it: an
+opaque ``binary`` payload column plus typed metadata, processed with
+Arrow-batched ``mapInPandas`` so decode/feature-extraction runs
+vectorized per partition and never funnels through the driver.  The
+reference has no media layer (its closest analogue is embedding
+product images into Excel reports, ``Base de Produtos Mais
+Vendidos.py:101-148``); this module is part of the training-data
+extension surface (SURVEY.md §7.8).
+
+Because no image/audio codec libraries ship in this container, the
+actual codec call is isolated in :func:`decode_media_real` (raises
+``NotImplementedError`` unless PIL is importable) and the pipelines
+run a **deterministic fake decoder** over the real bytes instead.
+Everything around that seam — binary columns through parquet scans,
+Arrow batch shape, output schema, per-modality partitioning — is real
+and is what the scale design depends on.
+
+Test media derives deterministically from ``documents``: payload =
+UTF-8 bytes of ``text``, modality = ``doc_id % 3`` → image/audio/video.
+That keeps the metadata query fully DuckDB-oracle-checkable (byte
+lengths, SHA-256, magic prefix) with zero fixture files.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+from typing import TYPE_CHECKING
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..sources.tables import load_table
+
+if TYPE_CHECKING:  # pragma: no cover
+    import pandas as pd
+
+MODALITIES = ["image", "audio", "video"]
+FRAME_SIZE = 64  # bytes per fake "video frame"
+MAX_FRAMES = 8
+
+
+def as_media(docs: DataFrame) -> DataFrame:
+    """documents → (media_id, modality, payload binary, n_bytes).
+
+    In production this is the parquet scan of the media lake itself;
+    the payload column stays opaque bytes end to end (never decoded
+    into a JVM string), so partition sizing is governed by
+    ``spark.sql.files.maxPartitionBytes`` exactly as for any blob
+    table.
+    """
+    return docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.element_at(
+            F.array(*[F.lit(m) for m in MODALITIES]),
+            (F.col("doc_id") % 3 + 1).cast("int"),
+        ).alias("modality"),
+        F.encode(F.col("text"), "utf-8").alias("payload"),
+    ).withColumn("n_bytes", F.length("payload"))
+
+
+def decode_media_real(payload: bytes, modality: str):  # pragma: no cover
+    """The real-codec seam.  Swap-in point for PIL / torchaudio /
+    pyav in an environment that has them; deliberately NOT exercised
+    by tests in this container."""
+    if modality == "image":
+        try:
+            import io
+
+            from PIL import Image  # noqa: F401  (absent in this container)
+        except ImportError as exc:
+            raise NotImplementedError(
+                "image decode requires PIL; container has no codec libs"
+            ) from exc
+        return Image.open(io.BytesIO(payload))
+    raise NotImplementedError(f"no codec wired for modality={modality!r}")
+
+
+# ---------------------------------------------------------------------------
+# Typed metadata over the binary column — fully oracled
+# ---------------------------------------------------------------------------
+
+def q_multimodal_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-object typed metadata computed JVM-side on the payload
+    bytes: size, content digest, container "magic" prefix.  All
+    whole-stage-codegen expressions over one scan — the template for
+    any cheap metadata pass (dedup by digest, corrupt-object sweep)
+    that must not decode.
+
+    The magic prefix is hex of the first 4 *characters'* bytes (not a
+    raw byte slice) so the DuckDB oracle — whose substring is
+    character-based and cannot slice blobs — states the identical
+    value.
+    """
+    media = as_media(load_table(spark, sf_dir, "documents"))
+    return media.select(
+        "media_id",
+        "modality",
+        "n_bytes",
+        F.sha2(F.col("payload"), 256).alias("digest"),
+        F.lower(
+            F.hex(F.encode(F.substring(F.decode("payload", "utf-8"), 1, 4), "utf-8"))
+        ).alias("magic"),
+    )
+
+
+ORACLE_MULTIMODAL_METADATA = """
+SELECT doc_id AS media_id,
+       ['image', 'audio', 'video'][CAST(doc_id % 3 AS INT) + 1] AS modality,
+       octet_length(encode(text)) AS n_bytes,
+       sha256(text) AS digest,
+       lower(hex(encode(substring(text, 1, 4)))) AS magic
+FROM documents
+"""
+
+
+# ---------------------------------------------------------------------------
+# Feature extraction — Arrow-batched mapInPandas over the bytes
+# ---------------------------------------------------------------------------
+
+FEATURES_SCHEMA = (
+    "media_id long, modality string, width int, height int, channels int, "
+    "mean_byte double, byte_entropy double"
+)
+
+
+def extract_features(df: DataFrame) -> DataFrame:
+    """(media_id, modality, payload) → per-object feature row via
+    ``mapInPandas``: each Arrow batch is decoded column-wise with
+    numpy (no per-row Python loop over bytes — ``frombuffer`` is
+    zero-copy).  The fake decoder derives dims/stats deterministically
+    from the payload; :func:`decode_media_real` is the production
+    swap-in.
+    """
+
+    def features(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for mid, modality, payload in zip(
+                pdf["media_id"], pdf["modality"], pdf["payload"]
+            ):
+                b = np.frombuffer(payload, dtype=np.uint8)
+                n = int(b.size)
+                # deterministic fake decode: dims from byte length
+                side = max(1, int(np.sqrt(n)))
+                counts = np.bincount(b, minlength=256).astype(np.float64)
+                p = counts[counts > 0] / max(n, 1)
+                rows.append(
+                    (
+                        int(mid),
+                        modality,
+                        side,
+                        max(1, n // side),
+                        1 if modality == "audio" else 3,
+                        float(b.mean()) if n else 0.0,
+                        float(-(p * np.log2(p)).sum()) if n else 0.0,
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "media_id",
+                    "modality",
+                    "width",
+                    "height",
+                    "channels",
+                    "mean_byte",
+                    "byte_entropy",
+                ],
+            )
+
+    return df.mapInPandas(features, FEATURES_SCHEMA)
+
+
+def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feature rows for every media object, then a per-modality
+    roll-up (count, avg entropy) — the shape of a corpus-quality
+    dashboard feed.  The Python stage sees only (id, modality,
+    payload); projection happens before the exchange so Arrow ships
+    no unused columns."""
+    media = as_media(load_table(spark, sf_dir, "documents"))
+    feats = extract_features(media.select("media_id", "modality", "payload"))
+    return feats.groupBy("modality").agg(
+        F.count("*").alias("n_objects"),
+        F.round(F.avg("mean_byte"), 4).alias("avg_mean_byte"),
+        F.round(F.avg("byte_entropy"), 4).alias("avg_entropy"),
+        F.max("width").alias("max_width"),
+    )
+
+
+# rows-only: the fake decoder's numpy arithmetic (entropy) is not
+# restated in SQL; row-count (=3 modalities) + schema are still checked.
+
+
+# ---------------------------------------------------------------------------
+# Frame sampling — binary slicing + explode, oracled arithmetic
+# ---------------------------------------------------------------------------
+
+def q_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-stride frame sampling over "video" payloads: explode a
+    frame index per object, slice the real bytes per frame
+    (``substring`` on binary is byte-addressed JVM-side), emit typed
+    frame rows.  The explode multiplies rows before any shuffle, so at
+    scale the frame table inherits the scan's partitioning — no
+    repartition needed until a downstream group-by.
+
+    Frame payloads are sliced for real (and measured via
+    ``length``) but only arithmetic columns are exposed, keeping the
+    oracle blob-free."""
+    media = as_media(load_table(spark, sf_dir, "documents")).filter(
+        F.col("modality") == "video"
+    )
+    n_frames = F.least(
+        F.floor(F.col("n_bytes") / FRAME_SIZE).cast("int"), F.lit(MAX_FRAMES)
+    )
+    # sequence(0, -1) yields a *descending* array, not empty — guard
+    # zero-frame payloads before the explode
+    frames = (
+        media.withColumn("n_frames", n_frames)
+        .filter(F.col("n_frames") >= 1)
+        .select(
+            "media_id",
+            "n_bytes",
+            F.explode(F.sequence(F.lit(0), F.col("n_frames") - 1)).alias("frame_no"),
+            F.col("payload"),
+        )
+    )
+    frame_bytes = F.substring(
+        F.col("payload"), F.col("frame_no") * FRAME_SIZE + 1, F.lit(FRAME_SIZE)
+    )
+    return frames.select(
+        "media_id",
+        "frame_no",
+        (F.col("frame_no") * FRAME_SIZE).alias("byte_offset"),
+        F.length(frame_bytes).alias("frame_len"),
+    )
+
+
+ORACLE_FRAME_SAMPLE = f"""
+WITH media AS (
+  SELECT doc_id AS media_id, octet_length(encode(text)) AS n_bytes
+  FROM documents
+  WHERE CAST(doc_id % 3 AS INT) = 2
+),
+framed AS (
+  SELECT media_id, n_bytes,
+         unnest(range(0, LEAST(CAST(floor(n_bytes / {FRAME_SIZE}) AS INT), {MAX_FRAMES}))) AS frame_no
+  FROM media
+)
+SELECT media_id, CAST(frame_no AS INT) AS frame_no,
+       CAST(frame_no * {FRAME_SIZE} AS INT) AS byte_offset,
+       CAST(LEAST({FRAME_SIZE}, n_bytes - frame_no * {FRAME_SIZE}) AS INT) AS frame_len
+FROM framed
+"""
+
+
+QUERIES = {
+    "multimodal_metadata": q_multimodal_metadata,
+    "media_features": q_media_features,
+    "frame_sample": q_frame_sample,
+}
+
+ORACLES = {
+    "multimodal_metadata": ORACLE_MULTIMODAL_METADATA,
+    # media_features: Python-side fake decoder → rows-only check
+    "frame_sample": ORACLE_FRAME_SAMPLE,
+}
