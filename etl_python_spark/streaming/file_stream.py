@@ -84,10 +84,143 @@ FROM events
 GROUP BY 1, 2
 """
 
+
+def session_window_stream(
+    spark: SparkSession, sf_dir: str, gap: str = "30 minutes"
+) -> DataFrame:
+    """Per-user session windows (``session_window`` merges rows whose
+    gaps stay under ``gap``) with a watermark bounding session state.
+    Complete mode + an availableNow drain emits every session with its
+    final merged extent, which makes the result batch-equivalent — the
+    oracle restates the same gap rule with lag/cumsum sessionization.
+    (Session-window aggregation forbids ``update`` output; ``append``
+    under availableNow would stop before the watermark closes the last
+    sessions.)"""
+    stream = _events_stream(spark, sf_dir)
+    agg = (
+        stream.withWatermark("ts", "2 hours")
+        .groupBy(F.col("user_id"), F.session_window("ts", gap).alias("sw"))
+        .agg(
+            F.count("*").alias("eventos"),
+            F.round(
+                F.sum(F.col("value").cast("decimal(18,2)")).cast("double"), 2
+            ).alias("valor_total"),
+        )
+        .select(
+            "user_id",
+            F.col("sw.start").alias("session_start"),
+            "eventos",
+            "valor_total",
+        )
+    )
+    name = f"sessions_{uuid.uuid4().hex[:8]}"
+    ckpt = tempfile.mkdtemp(prefix="ckpt_")
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    return spark.table(name)
+
+
+ORACLE_STREAM_SESSIONS = """
+WITH seq AS (
+  SELECT user_id, ts, value,
+         CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                   > INTERVAL 30 MINUTE
+              OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+              THEN 1 ELSE 0 END AS is_start
+  FROM events
+),
+tagged AS (
+  SELECT user_id, ts, value,
+         SUM(is_start) OVER (PARTITION BY user_id ORDER BY ts
+                             ROWS UNBOUNDED PRECEDING) AS session_no
+  FROM seq
+)
+SELECT user_id, MIN(ts) AS session_start,
+       COUNT(*) AS eventos,
+       ROUND(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 2) AS valor_total
+FROM tagged
+GROUP BY user_id, session_no
+"""
+
+
+def stateful_user_totals_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful operator via ``applyInPandasWithState``: per-user
+    running totals kept in explicit GroupState (the pattern for
+    anything session-like that ``session_window`` can't express —
+    distinct-ish counters, decaying scores, per-key model state).
+
+    Money is accumulated in integer cents inside the state so the
+    result is order-independent and exactly matches the oracle's
+    DECIMAL sum — float accumulation across batches would drift."""
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    stream = _events_stream(spark, sf_dir)
+
+    def totals(key, pdfs, state: GroupState):
+        import pandas as pd
+
+        cnt, cents = state.get if state.exists else (0, 0)
+        for pdf in pdfs:
+            cnt += len(pdf)
+            cents += int(
+                (pdf["value"].astype("float64").round(2) * 100).round().sum()
+            )
+        state.update((cnt, cents))
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]],
+                "eventos": [cnt],
+                "valor_total": [cents / 100.0],
+            }
+        )
+
+    result = (
+        stream.select("user_id", "value")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            totals,
+            outputStructType="user_id long, eventos long, valor_total double",
+            stateStructType="eventos long, cents long",
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+    name = f"user_totals_{uuid.uuid4().hex[:8]}"
+    ckpt = tempfile.mkdtemp(prefix="ckpt_")
+    q = (
+        result.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("update")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    return spark.table(name)
+
+
+ORACLE_STREAM_USER_TOTALS = """
+SELECT user_id, COUNT(*) AS eventos,
+       ROUND(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 2) AS valor_total
+FROM events
+GROUP BY user_id
+"""
+
 QUERIES = {
     "stream_hourly_counts": hourly_counts_stream,
+    "stream_sessionize": session_window_stream,
+    "stream_user_totals": stateful_user_totals_stream,
 }
 
 ORACLES = {
     "stream_hourly_counts": ORACLE_STREAM_HOURLY,
+    "stream_sessionize": ORACLE_STREAM_SESSIONS,
+    "stream_user_totals": ORACLE_STREAM_USER_TOTALS,
 }
