@@ -576,8 +576,51 @@ SELECT 'c_mktsegment', n_rows, m_nulls, m_dist, ROUND(CAST(m_dist AS DOUBLE) / C
 """
 
 
+def q_json_export(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON document output (S14 — ref: ScriptsSQL - Belmicro/JSON
+    Resposta 1.sql:18-28 ``JSON_ARRAYAGG(JSON_OBJECT(...))``): one JSON
+    array of order objects per customer, built JVM-side with
+    ``to_json(array_sort(collect_list(struct(...))))``.  The sort makes
+    the aggregation order-independent (collect_list order is undefined
+    after a shuffle), which is also what makes the string
+    hash-comparable across engines."""
+    cust = load_table(spark, sf_dir, "customer").filter(F.col("c_custkey") <= 50)
+    orders = load_table(spark, sf_dir, "orders")
+    joined = orders.join(
+        F.broadcast(cust.select("c_custkey")),
+        orders.o_custkey == cust.c_custkey,
+    )
+    return (
+        joined.groupBy("c_custkey")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.to_json(
+                F.array_sort(
+                    F.collect_list(
+                        F.struct(
+                            F.col("o_orderkey").alias("pedido"),
+                            F.col("o_orderstatus").alias("situacao"),
+                        )
+                    )
+                )
+            ).alias("pedidos_json"),
+        )
+    )
+
+
+ORACLE_JSON_EXPORT = """
+SELECT c_custkey, COUNT(*) AS n_orders,
+       CAST(to_json(list_sort(list({'pedido': o_orderkey, 'situacao': o_orderstatus}))) AS VARCHAR)
+         AS pedidos_json
+FROM orders JOIN customer ON o_custkey = c_custkey
+WHERE c_custkey <= 50
+GROUP BY c_custkey
+"""
+
+
 QUERIES = {
     "faturamento_rollup": q_faturamento_rollup,
+    "json_export": q_json_export,
     "top_customers_per_nation": q_top_customers_per_nation,
     "mom_growth": q_mom_growth,
     "yoy_same_month": q_yoy_same_month,
@@ -593,6 +636,7 @@ QUERIES = {
 
 ORACLES = {
     "faturamento_rollup": ORACLE_FATURAMENTO,
+    "json_export": ORACLE_JSON_EXPORT,
     "top_customers_per_nation": ORACLE_TOP_CUSTOMERS,
     "mom_growth": ORACLE_MOM,
     "yoy_same_month": ORACLE_YOY,

@@ -380,8 +380,94 @@ FROM part
 """
 
 
+def q_cnpj_validate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CNPJ check-digit validation (§2.7 validation surface) over
+    synthetic registrations derived from customer keys: a 12-digit
+    base gets correct mod-11 check digits, then even keys corrupt the
+    last digit — so the validator must separate the halves.  The
+    validation itself is :func:`cnpj_check_digit_ok`, a pure codegen
+    expression (ref semantics: cnpj_core.py:18-39)."""
+    from ..functions.cleaning import cnpj_check_digit_ok
+
+    cust = load_table(spark, sf_dir, "customer").filter(F.col("c_custkey") <= 200)
+
+    def digit(src, i: int):
+        return F.substring(src, i, 1).cast("int")
+
+    def dv(src, weights):
+        total = F.lit(0)
+        for i, w in enumerate(weights):
+            total = total + digit(src, i + 1) * F.lit(w)
+        rem = total % 11
+        return F.when(rem < 2, F.lit(0)).otherwise(F.lit(11) - rem)
+
+    w1 = [5, 4, 3, 2, 9, 8, 7, 6, 5, 4, 3, 2]
+    w2 = [6, 5, 4, 3, 2, 9, 8, 7, 6, 5, 4, 3, 2]
+    # staged projections keep each dv tree referencing a *column*, not
+    # a re-inlined copy of the upstream expression — feeding nested
+    # expressions through three weighted-sum layers otherwise builds a
+    # multi-million-node tree (measured: ~50 s of analysis alone)
+    b12 = cust.select(
+        "c_custkey", F.lpad(F.col("c_custkey").cast("string"), 12, "1").alias("b12")
+    )
+    b13 = b12.select(
+        "c_custkey",
+        F.concat(F.col("b12"), dv(F.col("b12"), w1).cast("string")).alias("b13"),
+    )
+    dv2 = dv(F.col("b13"), w2)
+    built = b13.select(
+        "c_custkey",
+        F.concat(
+            F.col("b13"),
+            F.when(F.col("c_custkey") % 2 == 1, dv2)
+            .otherwise((dv2 + 1) % 10)
+            .cast("string"),
+        ).alias("cnpj"),
+    )
+    return built.select(
+        "c_custkey",
+        "cnpj",
+        cnpj_check_digit_ok(F.col("cnpj")).alias("valido"),
+    )
+
+
+def _dk_dv(src: str, weights: list[int]) -> str:
+    terms = " + ".join(
+        f"CAST(substring({src}, {i + 1}, 1) AS INT) * {w}"
+        for i, w in enumerate(weights)
+    )
+    return f"(CASE WHEN ({terms}) % 11 < 2 THEN 0 ELSE 11 - ({terms}) % 11 END)"
+
+
+_W1 = [5, 4, 3, 2, 9, 8, 7, 6, 5, 4, 3, 2]
+_W2 = [6, 5, 4, 3, 2, 9, 8, 7, 6, 5, 4, 3, 2]
+
+ORACLE_CNPJ = f"""
+WITH base AS (
+  SELECT c_custkey, lpad(CAST(c_custkey AS VARCHAR), 12, '1') AS b12
+  FROM customer WHERE c_custkey <= 200
+), with13 AS (
+  SELECT c_custkey, b12 || CAST({_dk_dv('b12', _W1)} AS VARCHAR) AS b13 FROM base
+), built AS (
+  SELECT c_custkey,
+         b13 || CAST(CASE WHEN c_custkey % 2 = 1
+                          THEN {_dk_dv('b13', _W2)}
+                          ELSE ({_dk_dv('b13', _W2)} + 1) % 10 END AS VARCHAR) AS cnpj
+  FROM with13
+)
+SELECT c_custkey, cnpj,
+       (length(cnpj) = 14
+        AND cnpj <> repeat(substring(cnpj, 1, 1), 14)
+        AND CAST(substring(cnpj, 13, 1) AS INT) = {_dk_dv('substring(cnpj, 1, 12)', _W1)}
+        AND CAST(substring(cnpj, 14, 1) AS INT) = {_dk_dv('substring(cnpj, 1, 13)', _W2)}
+       ) AS valido
+FROM built
+"""
+
+
 QUERIES = {
     "calendar_dim": q_calendar_dim,
+    "cnpj_validate": q_cnpj_validate,
     "custom_sort_field": q_custom_sort_field,
     "value_counts": q_value_counts,
     "churn_kpi": q_churn_kpi,
@@ -392,6 +478,7 @@ QUERIES = {
 
 ORACLES = {
     "calendar_dim": ORACLE_CALENDAR,
+    "cnpj_validate": ORACLE_CNPJ,
     "custom_sort_field": ORACLE_CUSTOM_SORT,
     "value_counts": ORACLE_VALUE_COUNTS,
     "churn_kpi": ORACLE_CHURN,

@@ -156,6 +156,116 @@ def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+N_CENTROIDS = 16
+N_PROBE = 4
+
+
+def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF (inverted-file) approximate top-k: the corpus is coarsely
+    quantized to its nearest centroid once, queries probe only the
+    N_PROBE nearest cells — per-query work drops from O(n) to
+    O(n·probe/cells), and the cell id becomes the shuffle/partition
+    key at scale (each cell's posting list is a co-located partition;
+    a 100 TB corpus re-uses the assignment across every query batch).
+
+    Centroids here are a deterministic sample (vec_ids 100..115) so
+    the DuckDB oracle can restate the whole pipeline; production would
+    fit them with k-means on a sample and broadcast exactly the same
+    way.  Assignment cosine is rounded to 6dp before the argmax so the
+    engines' float folds can't flip near-ties."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    centroids = emb.filter(
+        (F.col("vec_id") >= 100) & (F.col("vec_id") < 100 + N_CENTROIDS)
+    ).select(F.col("vec_id").alias("c_id"), F.col("embedding").alias("c_emb"))
+
+    def cell_assign(side: DataFrame, id_col: str, emb_col: str, keep: int):
+        cos6 = F.round(
+            _dot(F.col(emb_col), F.col("c_emb"))
+            / F.nullif(_norm(F.col(emb_col)) * _norm(F.col("c_emb")), F.lit(0.0)),
+            6,
+        )
+        w = Window.partitionBy(id_col).orderBy(F.desc("c_cos"), F.asc("c_id"))
+        return (
+            side.crossJoin(F.broadcast(centroids))
+            .select(id_col, emb_col, "c_id", cos6.alias("c_cos"))
+            .withColumn("c_rank", F.row_number().over(w))
+            .filter(F.col("c_rank") <= keep)
+            .drop("c_cos", "c_rank")
+        )
+
+    corpus = emb.select(F.col("vec_id").alias("n_id"), F.col("embedding").alias("n_emb"))
+    posting = cell_assign(corpus, "n_id", "n_emb", keep=1)
+    queries = emb.filter(F.col("vec_id") < N_QUERY).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb")
+    )
+    probes = cell_assign(queries, "q_id", "q_emb", keep=N_PROBE)
+
+    cand = posting.join(F.broadcast(probes), "c_id").filter(
+        F.col("q_id") != F.col("n_id")
+    )
+    cos = F.round(
+        _dot(F.col("q_emb"), F.col("n_emb"))
+        / F.nullif(_norm(F.col("q_emb")) * _norm(F.col("n_emb")), F.lit(0.0)),
+        4,
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("cosine"), F.asc("n_id"))
+    return (
+        cand.select("q_id", "n_id", cos.alias("cosine"))
+        .dropDuplicates(["q_id", "n_id"])
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_K)
+    )
+
+
+_DK_COS = """
+           list_sum(list_transform(range(1, len({a}) + 1),
+                    i -> CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE)))
+           / NULLIF(
+               sqrt(list_sum(list_transform({a}, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+             * sqrt(list_sum(list_transform({b}, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))),
+             0.0)
+"""
+
+ORACLE_ANN_IVF = f"""
+WITH centroids AS (
+  SELECT vec_id AS c_id, embedding AS c_emb FROM embeddings
+  WHERE vec_id >= 100 AND vec_id < {100 + N_CENTROIDS}
+), corpus_cells AS (
+  SELECT n_id, c_id FROM (
+    SELECT e.vec_id AS n_id, c.c_id,
+           ROW_NUMBER() OVER (PARTITION BY e.vec_id
+             ORDER BY ROUND({_DK_COS.format(a='e.embedding', b='c.c_emb')}, 6) DESC,
+                      c.c_id ASC) AS c_rank
+    FROM embeddings e CROSS JOIN centroids c
+  ) WHERE c_rank = 1
+), probes AS (
+  SELECT q_id, c_id FROM (
+    SELECT q.vec_id AS q_id, c.c_id,
+           ROW_NUMBER() OVER (PARTITION BY q.vec_id
+             ORDER BY ROUND({_DK_COS.format(a='q.embedding', b='c.c_emb')}, 6) DESC,
+                      c.c_id ASC) AS c_rank
+    FROM embeddings q CROSS JOIN centroids c
+    WHERE q.vec_id < {N_QUERY}
+  ) WHERE c_rank <= {N_PROBE}
+), cand AS (
+  SELECT DISTINCT p.q_id, cc.n_id
+  FROM probes p JOIN corpus_cells cc ON p.c_id = cc.c_id
+  WHERE p.q_id <> cc.n_id
+), scored AS (
+  SELECT cand.q_id, cand.n_id,
+         ROUND({_DK_COS.format(a='q.embedding', b='n.embedding')}, 4) AS cosine
+  FROM cand
+  JOIN embeddings q ON q.vec_id = cand.q_id
+  JOIN embeddings n ON n.vec_id = cand.n_id
+), ranked AS (
+  SELECT q_id, n_id, cosine,
+         ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cosine DESC, n_id ASC) AS rank
+  FROM scored
+)
+SELECT q_id, n_id, cosine, rank FROM ranked WHERE rank <= {TOP_K}
+"""
+
+
 def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (cosine ≥ 0.2) among the
     first 200 vectors — the embedding tier of the dedup ladder.  Same
@@ -199,11 +309,13 @@ SELECT label, id_a, id_b, cosine FROM pairs WHERE cosine >= 0.2
 QUERIES = {
     "ann_bruteforce": q_ann_bruteforce,
     "ann_lsh": q_ann_lsh,
+    "ann_ivf": q_ann_ivf,
     "embedding_neardup": q_embedding_neardup,
 }
 
 ORACLES = {
     "ann_bruteforce": ORACLE_ANN_BRUTEFORCE,
+    "ann_ivf": ORACLE_ANN_IVF,
     "embedding_neardup": ORACLE_EMB_NEARDUP,
     # ann_lsh: engine-seeded hyperplanes → rows-only check
 }
