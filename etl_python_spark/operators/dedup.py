@@ -22,7 +22,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..sources.tables import load_table
+from ..sources.tables import load_table, spread
 
 SHINGLE_K = 3  # words per shingle
 MAX_DF = 100  # drop shingles occurring in more docs (stop-shingles)
@@ -62,8 +62,23 @@ def _shingles_from_tokens(toks):
 
 def with_shingles(docs: DataFrame) -> DataFrame:
     """documents → (doc_id, sh) with the token split materialized once
-    per row before the shingle lambda touches it."""
-    toked = docs.select(
+    per row before the shingle lambda touches it.
+
+    The scan is repartitioned to the session's parallelism first: the
+    shingle pass is CPU-bound per row (regex + split + k-gram
+    assembly), and a small parquet file arrives as ONE input split —
+    without this the whole corpus shingles on a single core (measured
+    13 s → <1 s at sf0.1 on local[32]).  At lake scale the same line
+    protects against few-large-files layouts; the ~10 MB-per-core
+    shuffle it costs is noise next to the CPU win.
+
+    Consumers must explode with ``explode_outer`` + an isNotNull
+    filter: plain ``explode`` makes InferFiltersFromGenerate add a
+    ``size(sh) > 0`` predicate that predicate-pushdown then re-inlines
+    *below* this exchange — the whole shingle expression re-evaluates
+    on the unsplit scan partition, single-core (the 13 s above was
+    exactly this)."""
+    toked = spread(docs, "doc_id").select(
         "doc_id", F.split(_norm_text(F.col("text")), " ").alias("toks")
     )
     return toked.select(
@@ -120,8 +135,8 @@ def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     with_sh = with_shingles(docs)
     sh = with_sh.select(
-        "doc_id", F.size("sh").alias("n_sh"), F.explode("sh").alias("shingle")
-    )
+        "doc_id", F.size("sh").alias("n_sh"), F.explode_outer("sh").alias("shingle")
+    ).filter(F.col("shingle").isNotNull())
     w_sh = Window.partitionBy("shingle")
     kept = sh.withColumn("df", F.count("*").over(w_sh)).filter(
         F.col("df") <= MAX_DF
@@ -205,7 +220,9 @@ def q_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     (small) candidate set."""
     docs = load_table(spark, sf_dir, "documents")
     with_sh = with_shingles(docs)
-    sh = with_sh.select("doc_id", F.explode("sh").alias("shingle"))
+    sh = with_sh.select("doc_id", F.explode_outer("sh").alias("shingle")).filter(
+        F.col("shingle").isNotNull()
+    )
 
     sig = sh.groupBy("doc_id").agg(
         *[
@@ -258,9 +275,11 @@ def q_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """64-bit SimHash per document: token-hash bit votes aggregated via
-    a single JVM ``aggregate`` lambda over the token array (no explode,
-    no shuffle — embarrassingly parallel scan)."""
-    docs = load_table(spark, sf_dir, "documents")
+    a single JVM ``aggregate`` lambda over the token array (no explode;
+    embarrassingly parallel once the scan is split — the repartition
+    spreads the CPU-bound bit-vote fold across cores, same rationale
+    as :func:`with_shingles`)."""
+    docs = spread(load_table(spark, sf_dir, "documents"), "doc_id")
     toks = F.array_distinct(F.split(_norm_text(F.col("text")), " "))
     # votes[i] = Σ over tokens of (bit_i ? +1 : -1); simhash bit_i = votes[i] > 0
     # (bit positions are unrolled as literal shifts so the whole thing

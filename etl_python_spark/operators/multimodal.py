@@ -31,7 +31,7 @@ from typing import TYPE_CHECKING
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..sources.tables import load_table
+from ..sources.tables import load_table, spread
 
 if TYPE_CHECKING:  # pragma: no cover
     import pandas as pd
@@ -93,7 +93,7 @@ def q_multimodal_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
     character-based and cannot slice blobs — states the identical
     value.
     """
-    media = as_media(load_table(spark, sf_dir, "documents"))
+    media = as_media(spread(load_table(spark, sf_dir, "documents"), "doc_id"))
     return media.select(
         "media_id",
         "modality",
@@ -182,7 +182,7 @@ def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     dashboard feed.  The Python stage sees only (id, modality,
     payload); projection happens before the exchange so Arrow ships
     no unused columns."""
-    media = as_media(load_table(spark, sf_dir, "documents"))
+    media = as_media(spread(load_table(spark, sf_dir, "documents"), "doc_id"))
     feats = extract_features(media.select("media_id", "modality", "payload"))
     return feats.groupBy("modality").agg(
         F.count("*").alias("n_objects"),

@@ -16,7 +16,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..sources.tables import load_table
+from ..sources.tables import load_table, spread
 
 TOP_K = 5
 N_QUERY = 10  # first N vec_ids serve as query set
@@ -47,7 +47,7 @@ def q_ann_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     The query side is broadcast (crossJoin of a 10-row dim) so the
     corpus is scanned exactly once; ranking is a window partitioned by
     query id with deterministic tie-break on neighbor id."""
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = spread(load_table(spark, sf_dir, "embeddings"), "vec_id")
     queries = emb.filter(F.col("vec_id") < N_QUERY).select(
         F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb")
     )
@@ -103,7 +103,7 @@ def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     (hash shuffle on signature); each query probes only its own bucket.
     Recall loss vs brute force is the documented trade; the exact
     variant above is the audit baseline."""
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = spread(load_table(spark, sf_dir, "embeddings"), "vec_id")
 
     def signature(col):
         bits = [
@@ -173,7 +173,7 @@ def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     fit them with k-means on a sample and broadcast exactly the same
     way.  Assignment cosine is rounded to 6dp before the argmax so the
     engines' float folds can't flip near-ties."""
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = spread(load_table(spark, sf_dir, "embeddings"), "vec_id")
     centroids = emb.filter(
         (F.col("vec_id") >= 100) & (F.col("vec_id") < 100 + N_CENTROIDS)
     ).select(F.col("vec_id").alias("c_id"), F.col("embedding").alias("c_emb"))
@@ -271,7 +271,9 @@ def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     first 200 vectors — the embedding tier of the dedup ladder.  Same
     label ⇒ candidate restriction keeps the pair space bounded; at
     scale the label comes from the LSH bucket instead."""
-    emb = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 200)
+    emb = spread(
+        load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 200), "vec_id"
+    )
     a = emb.select(
         F.col("vec_id").alias("id_a"), F.col("embedding").alias("emb_a"), "label"
     )

@@ -12,7 +12,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..sources.tables import load_table
+from ..sources.tables import load_table, spread
 
 # tiny deterministic stopword sets for the language heuristic
 STOP_EN = ["the", "and", "of", "to", "in", "is", "that", "for", "with", "as"]
@@ -38,7 +38,7 @@ def _count_in(tokens, words: list[str]):
 # ---------------------------------------------------------------------------
 
 def q_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
+    docs = spread(load_table(spark, sf_dir, "documents"), "doc_id")
     toks = _tokens(F.col("text"))
     words = F.split(F.trim(F.regexp_replace(F.lower(F.col("text")), r"[^a-z0-9áéíóúâêôãõç ]", " ")), r"\s+")
     return docs.select(
@@ -64,7 +64,7 @@ FROM documents
 # ---------------------------------------------------------------------------
 
 def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
+    docs = spread(load_table(spark, sf_dir, "documents"), "doc_id")
     toks = _tokens(F.col("text"))
     n_tok = F.size(toks)
     n_chars = F.length("text")
@@ -125,7 +125,7 @@ FROM documents
 # ---------------------------------------------------------------------------
 
 def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
+    docs = spread(load_table(spark, sf_dir, "documents"), "doc_id")
     toks = _tokens(F.col("text"))
     s_en = _count_in(toks, STOP_EN)
     s_pt = _count_in(toks, STOP_PT)
@@ -167,7 +167,7 @@ FROM documents
 # ---------------------------------------------------------------------------
 
 def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
+    docs = spread(load_table(spark, sf_dir, "documents"), "doc_id")
     norm = F.regexp_replace(F.lower(F.trim("text")), r"\s+", " ")
     return docs.select("doc_id", F.md5(norm).alias("fingerprint"))
 

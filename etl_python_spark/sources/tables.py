@@ -10,6 +10,7 @@ from __future__ import annotations
 import os
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 TABLES = (
     "region",
@@ -48,6 +49,22 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
             )
         return df
     return spark.read.parquet(path)
+
+
+def spread(df: DataFrame, *cols: str) -> DataFrame:
+    """Repartition to the session's core count ahead of CPU-bound
+    per-row work (regex/shingling/hashing/cosines/Pandas UDFs).
+
+    A small parquet file arrives as ONE input split (it's under
+    ``spark.sql.files.maxPartitionBytes``), so without this the whole
+    expression pipeline runs single-core no matter how many executors
+    exist.  The explicit partition count marks the exchange
+    REPARTITION_BY_NUM, which AQE will not coalesce away on byte-size
+    grounds — AQE sizes partitions by bytes and cannot see per-row CPU
+    cost.  On a real lake with many splits this exchange still costs
+    only one pass of the (projected) columns."""
+    n = df.sparkSession.sparkContext.defaultParallelism
+    return df.repartition(n, *[F.col(c) for c in cols]) if cols else df.repartition(n)
 
 
 def load_tables(spark: SparkSession, sf_dir: str, *names: str) -> tuple[DataFrame, ...]:
