@@ -29,8 +29,13 @@ HEADLINE = [
     "dedup_exact",
     "ngram_jaccard_pairs",
     "minhash_lsh_pairs",
+    "simhash",
     "text_quality",
     "ann_bruteforce",
+    "ann_ivf",
+    "multimodal_metadata",
+    "media_features",
+    "json_export",
 ]
 
 
@@ -45,8 +50,14 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
     qs = all_queries()
 
-    # warm-up: tiny query to JIT the scan/agg paths
+    # warm-up: tiny query to JIT the scan/agg paths, plus one trivial
+    # Pandas UDF pass so the Python worker pool (one per core, reused
+    # across queries) is forked before any timed query needs it
     spark.read.parquet(os.path.join(sf_dir, "nation.parquet")).count()
+    sc = spark.sparkContext
+    spark.range(sc.defaultParallelism * 4).repartition(sc.defaultParallelism).mapInPandas(
+        lambda it: it, "id long"
+    ).count()
 
     timings: dict[str, float] = {}
     for name in HEADLINE:

@@ -93,8 +93,10 @@ def with_shingles(docs: DataFrame) -> DataFrame:
 
 def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """One row per distinct normalized text: canonical (min) doc_id and
-    duplicate count.  Single hash-aggregate shuffle on the md5 key."""
-    docs = load_table(spark, sf_dir, "documents")
+    duplicate count.  Single hash-aggregate shuffle on the md5 key —
+    the partial aggregate computes the md5, so without spread() that
+    regex+hash pass runs on the unsplit scan partition."""
+    docs = spread(load_table(spark, sf_dir, "documents"), "doc_id")
     return (
         docs.select("doc_id", F.md5(_norm_text(F.col("text"))).alias("fingerprint"))
         .groupBy("fingerprint")
@@ -274,41 +276,40 @@ def q_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """64-bit SimHash per document: token-hash bit votes aggregated via
-    a single JVM ``aggregate`` lambda over the token array (no explode;
-    embarrassingly parallel once the scan is split — the repartition
-    spreads the CPU-bound bit-vote fold across cores, same rationale
-    as :func:`with_shingles`)."""
+    """64-bit SimHash per document: explode distinct tokens, hash each
+    ONCE, and take 64 map-side bit-vote sums in a single hash
+    aggregate keyed by doc — votes[i] = Σ ±1 by bit i of the token
+    hash; simhash bit_i = votes[i] > 0.
+
+    This is the same shape as the MinHash signature build (partial
+    aggregation combines votes before the doc-keyed shuffle, which
+    carries 64 ints per row).  The previous formulation — an
+    ``aggregate`` lambda folding a 64-wide array per token — allocated
+    an array per token per row and ran ~2× slower; higher-order
+    lambdas also sit outside whole-stage codegen."""
     docs = spread(load_table(spark, sf_dir, "documents"), "doc_id")
-    toks = F.array_distinct(F.split(_norm_text(F.col("text")), " "))
-    # votes[i] = Σ over tokens of (bit_i ? +1 : -1); simhash bit_i = votes[i] > 0
-    # (bit positions are unrolled as literal shifts so the whole thing
-    #  stays one codegen'd expression — shift counts must be literals)
-    votes = F.aggregate(
-        toks,
-        F.array_repeat(F.lit(0), 64),
-        lambda acc, t: F.zip_with(
-            acc,
-            F.array(
-                *[
-                    F.when(
-                        F.shiftright(F.xxhash64(t), i).bitwiseAND(F.lit(1)) == 1,
-                        F.lit(1),
-                    ).otherwise(F.lit(-1))
-                    for i in range(64)
-                ]
-            ),
-            lambda a, v: a + v,
+    toks = docs.select(
+        "doc_id",
+        F.explode_outer(F.array_distinct(F.split(_norm_text(F.col("text")), " "))).alias(
+            "tok"
         ),
+    ).filter(F.col("tok").isNotNull())
+    hashed = toks.select("doc_id", F.xxhash64("tok").alias("h"))
+    votes = hashed.groupBy("doc_id").agg(
+        *[
+            F.sum(
+                F.when(
+                    F.shiftright("h", i).bitwiseAND(F.lit(1)) == 1, F.lit(1)
+                ).otherwise(F.lit(-1))
+            ).alias(f"v_{i}")
+            for i in range(64)
+        ]
     )
-    with_votes = docs.select("doc_id", votes.alias("votes"))
     simhash = F.lit(0).cast("long")
     for i in range(64):
-        bit = F.when(F.element_at(F.col("votes"), i + 1) > 0, F.lit(1)).otherwise(
-            F.lit(0)
-        )
+        bit = F.when(F.col(f"v_{i}") > 0, F.lit(1)).otherwise(F.lit(0))
         simhash = simhash.bitwiseOR(F.shiftleft(bit.cast("long"), i))
-    return with_votes.select("doc_id", simhash.alias("simhash"))
+    return votes.select("doc_id", simhash.alias("simhash"))
 
 
 QUERIES = {

@@ -139,38 +139,43 @@ def extract_features(df: DataFrame) -> DataFrame:
         import pandas as pd
 
         for pdf in batches:
-            rows = []
-            for mid, modality, payload in zip(
-                pdf["media_id"], pdf["modality"], pdf["payload"]
-            ):
-                b = np.frombuffer(payload, dtype=np.uint8)
-                n = int(b.size)
-                # deterministic fake decode: dims from byte length
-                side = max(1, int(np.sqrt(n)))
-                counts = np.bincount(b, minlength=256).astype(np.float64)
-                p = counts[counts > 0] / max(n, 1)
-                rows.append(
-                    (
-                        int(mid),
-                        modality,
-                        side,
-                        max(1, n // side),
-                        1 if modality == "audio" else 3,
-                        float(b.mean()) if n else 0.0,
-                        float(-(p * np.log2(p)).sum()) if n else 0.0,
-                    )
-                )
+            n_rows = len(pdf)
+            if n_rows == 0:
+                continue
+            payloads = [p if p is not None else b"" for p in pdf["payload"]]
+            lens = np.fromiter((len(p) for p in payloads), dtype=np.int64, count=n_rows)
+            flat = (
+                np.frombuffer(b"".join(payloads), dtype=np.uint8).astype(np.int64)
+                if lens.sum()
+                else np.zeros(0, dtype=np.int64)
+            )
+            # whole-batch vectorization: per-row byte histograms in ONE
+            # bincount by offsetting each row's bytes into its own
+            # 256-wide band (row_idx*256 + byte) — no per-row loop
+            row_idx = np.repeat(np.arange(n_rows), lens)
+            hist = np.bincount(row_idx * 256 + flat, minlength=n_rows * 256).reshape(
+                n_rows, 256
+            ).astype(np.float64)
+            safe_n = np.maximum(lens, 1).astype(np.float64)
+            p = hist / safe_n[:, None]
+            with np.errstate(divide="ignore", invalid="ignore"):
+                ent = -np.nansum(np.where(p > 0, p * np.log2(p), 0.0), axis=1)
+            mean_byte = (hist @ np.arange(256.0)) / safe_n
+            mean_byte[lens == 0] = 0.0
+            ent[lens == 0] = 0.0
+            side = np.maximum(1, np.sqrt(lens).astype(np.int64))
             yield pd.DataFrame(
-                rows,
-                columns=[
-                    "media_id",
-                    "modality",
-                    "width",
-                    "height",
-                    "channels",
-                    "mean_byte",
-                    "byte_entropy",
-                ],
+                {
+                    "media_id": pdf["media_id"].to_numpy(),
+                    "modality": pdf["modality"].to_numpy(),
+                    "width": side.astype(np.int32),
+                    "height": np.maximum(1, lens // side).astype(np.int32),
+                    "channels": np.where(pdf["modality"].to_numpy() == "audio", 1, 3).astype(
+                        np.int32
+                    ),
+                    "mean_byte": mean_byte,
+                    "byte_entropy": ent,
+                }
             )
 
     return df.mapInPandas(features, FEATURES_SCHEMA)
