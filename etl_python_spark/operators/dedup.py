@@ -287,7 +287,11 @@ def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``aggregate`` lambda folding a 64-wide array per token — allocated
     an array per token per row and ran ~2× slower; higher-order
     lambdas also sit outside whole-stage codegen."""
-    docs = spread(load_table(spark, sf_dir, "documents"), "doc_id")
+    return simhash_signatures(spread(load_table(spark, sf_dir, "documents"), "doc_id"))
+
+
+def simhash_signatures(docs: DataFrame) -> DataFrame:
+    """(doc_id, simhash long) — see :func:`q_simhash`."""
     toks = docs.select(
         "doc_id",
         F.explode_outer(F.array_distinct(F.split(_norm_text(F.col("text")), " "))).alias(
@@ -312,11 +316,57 @@ def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return votes.select("doc_id", simhash.alias("simhash"))
 
 
+SIMHASH_BANDS = 4  # 4 × 16-bit bands: catches all pairs with hamming ≤ 3
+HAMMING_T = 3
+
+
+def q_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs by SimHash hamming distance ≤ 3, found with the
+    pigeonhole banding trick: split the 64-bit signature into 4
+    16-bit bands — any pair within distance 3 agrees exactly on at
+    least one band, so candidates come from a band-keyed self-join
+    (shuffle on (band, 16-bit key); bucket sizes, not n², drive cost)
+    and are verified with one ``bit_count(a XOR b)``.  Signatures are
+    engine-hash-derived → rows-only correctness check."""
+    sig = simhash_signatures(spread(load_table(spark, sf_dir, "documents"), "doc_id"))
+    bands = sig.select(
+        "doc_id",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.shiftright("simhash", 16 * b)
+                        .bitwiseAND(F.lit(0xFFFF))
+                        .alias("key"),
+                    )
+                    for b in range(SIMHASH_BANDS)
+                ]
+            )
+        ).alias("bk"),
+    ).select("doc_id", "simhash", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+    a = bands.select(
+        F.col("doc_id").alias("doc_a"), F.col("simhash").alias("sig_a"), "band", "key"
+    )
+    b = bands.select(
+        F.col("doc_id").alias("doc_b"), F.col("simhash").alias("sig_b"), "band", "key"
+    )
+    return (
+        a.join(b, ["band", "key"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b"))).alias("hamming"))
+        .filter(F.col("hamming") <= HAMMING_T)
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+
+
 QUERIES = {
     "dedup_exact": q_dedup_exact,
     "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
     "minhash_lsh_pairs": q_minhash_lsh_pairs,
     "simhash": q_simhash,
+    "simhash_neardup": q_simhash_neardup,
 }
 
 ORACLES = {
