@@ -45,6 +45,42 @@ GROUP BY 1, 2
 """
 
 
+def q_sliding_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding 2-hour windows advancing hourly via ``window()`` — each
+    event lands in exactly 2 overlapping windows; Spark expands them
+    before one hash-aggregate shuffle keyed by (window, type), so the
+    cost is 2× the tumbling case, never a re-scan per offset.  The
+    oracle restates the expansion with an explicit 2-row unnest."""
+    events = load_table(spark, sf_dir, "events")
+    return (
+        events.groupBy(
+            F.window("ts", "2 hours", "1 hour").alias("w"), F.col("event_type")
+        )
+        .agg(
+            F.count("*").alias("eventos"),
+            dsum("value").alias("valor_total"),
+        )
+        .select(
+            F.col("w.start").alias("inicio"),
+            "event_type",
+            "eventos",
+            "valor_total",
+        )
+    )
+
+
+ORACLE_SLIDING = """
+WITH expanded AS (
+  SELECT e.*, date_trunc('hour', ts) - INTERVAL (o.o) HOUR AS inicio
+  FROM events e, (SELECT unnest([0, 1]) AS o) o
+)
+SELECT inicio, event_type, COUNT(*) AS eventos,
+       ROUND(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 2) AS valor_total
+FROM expanded
+GROUP BY 1, 2
+"""
+
+
 # ---------------------------------------------------------------------------
 # Sessionization: gap > 30 min starts a new session (lag + running sum)
 # ---------------------------------------------------------------------------
@@ -137,12 +173,14 @@ GROUP BY 1
 
 QUERIES = {
     "hourly_event_counts": q_hourly_event_counts,
+    "sliding_event_counts": q_sliding_event_counts,
     "sessionize": q_sessionize,
     "props_extract": q_props_extract,
 }
 
 ORACLES = {
     "hourly_event_counts": ORACLE_HOURLY,
+    "sliding_event_counts": ORACLE_SLIDING,
     "sessionize": ORACLE_SESSIONIZE,
     "props_extract": ORACLE_PROPS,
 }
