@@ -114,6 +114,69 @@ def forecast_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def proxy_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feature-prep rules the reference applies before fitting:
+
+    - proxy substitution (ML.py:119-133): a 0/NULL lag falls back to
+      the same-month mean of the *other* groups' lags — expressed as a
+      month-partitioned window average (no self-join);
+    - scale auto-correction by median (Modelo de Previsão:42-51):
+      groups whose median revenue sits under a threshold get a ×1000
+      factor.  Exact ``median`` per group, broadcast-joined back.
+    """
+    feats = monthly_features(spark, sf_dir)
+    w_mes = Window.partitionBy("mes")
+    med = feats.groupBy("n_name").agg(
+        F.round(F.median("faturamento"), 2).alias("mediana")
+    )
+    fator = F.when(F.col("mediana") < 1_000_000, F.lit(1000)).otherwise(F.lit(1))
+    return (
+        feats.withColumn(
+            "lag_proxy",
+            F.round(
+                F.coalesce(
+                    F.nullif(F.col("lag_1"), F.lit(0.0)),
+                    F.avg(F.nullif(F.col("lag_1"), F.lit(0.0))).over(w_mes),
+                ),
+                2,
+            ),
+        )
+        .join(F.broadcast(med), "n_name")
+        .select(
+            "n_name",
+            "mes",
+            "faturamento",
+            "lag_proxy",
+            "mediana",
+            fator.alias("fator_escala"),
+        )
+    )
+
+
+ORACLE_PROXY = """
+WITH monthly AS (
+  SELECT n.n_name, CAST(date_trunc('month', o.o_orderdate) AS DATE) AS mes,
+         ROUND(CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 2) AS faturamento
+  FROM orders o
+  JOIN customer c ON o.o_custkey = c.c_custkey
+  JOIN nation n ON c.c_nationkey = n.n_nationkey
+  GROUP BY 1, 2
+), feats AS (
+  SELECT n_name, mes, faturamento,
+         LAG(faturamento) OVER (PARTITION BY n_name ORDER BY mes) AS lag_1
+  FROM monthly
+), med AS (
+  SELECT n_name, ROUND(median(faturamento), 2) AS mediana FROM monthly GROUP BY 1
+)
+SELECT f.n_name, f.mes, f.faturamento,
+       ROUND(COALESCE(NULLIF(f.lag_1, 0.0),
+                      AVG(NULLIF(f.lag_1, 0.0)) OVER (PARTITION BY f.mes)), 2) AS lag_proxy,
+       m.mediana,
+       CASE WHEN m.mediana < 1000000 THEN 1000 ELSE 1 END AS fator_escala
+FROM feats f JOIN med m ON f.n_name = m.n_name
+"""
+
+
 ORACLE_FEATURES = """
 WITH monthly AS (
   SELECT n.n_name, CAST(date_trunc('month', o.o_orderdate) AS DATE) AS mes,
@@ -134,10 +197,12 @@ FROM monthly
 
 QUERIES = {
     "ml_lag_features": monthly_features,
+    "ml_proxy_features": proxy_features,
     "ml_forecast_per_group": forecast_per_group,
 }
 
 ORACLES = {
     "ml_lag_features": ORACLE_FEATURES,
+    "ml_proxy_features": ORACLE_PROXY,
     # ml_forecast_per_group: model fit → rows-only check
 }

@@ -401,7 +401,80 @@ SELECT s_nationkey AS nationkey FROM supplier
 """
 
 
+SLA_DAYS = 90
+
+
+def q_sla_leadtime(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SLA / lead-time consolidation (ref: SQLServer - Scripts/SLA de
+    Produção - Completo.sql — per-OP completion via argmax link
+    :79-85, DATEDIFF lead time :93, on-time status ladder :164-168,
+    conditional counts :118):
+
+    order completion = MAX(l_shipdate) per order (the J12 argmax
+    folded into one partial-aggregated groupBy, not a join-back),
+    lead = DATEDIFF(completion, order date), status = CASE lead ≤ 90,
+    then per-priority roll-up with a conditional late count (A11) and
+    a NULLIF-guarded late ratio (A6)."""
+    orders = load_table(spark, sf_dir, "orders")
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    done = lineitem.groupBy("l_orderkey").agg(
+        F.max(F.col("l_shipdate").cast("date")).alias("conclusao")
+    )
+    per_order = orders.join(
+        done, orders.o_orderkey == done.l_orderkey
+    ).select(
+        "o_orderpriority",
+        F.datediff(F.col("conclusao"), F.col("o_orderdate").cast("date")).alias(
+            "lead_dias"
+        ),
+    )
+    late = F.when(F.col("lead_dias") > SLA_DAYS, F.col("lead_dias"))
+    return (
+        per_order.groupBy("o_orderpriority")
+        .agg(
+            F.count("*").alias("pedidos"),
+            F.round(F.avg("lead_dias"), 2).alias("lead_medio"),
+            F.max("lead_dias").alias("lead_max"),
+            F.count(late).alias("atrasados"),
+        )
+        .select(
+            "o_orderpriority",
+            "pedidos",
+            "lead_medio",
+            "lead_max",
+            "atrasados",
+            F.round(
+                F.col("atrasados")
+                / F.nullif(F.col("pedidos").cast("double"), F.lit(0.0))
+                * 100,
+                2,
+            ).alias("pct_atraso"),
+        )
+    )
+
+
+ORACLE_SLA = f"""
+WITH done AS (
+  SELECT l_orderkey, MAX(CAST(l_shipdate AS DATE)) AS conclusao
+  FROM lineitem GROUP BY 1
+), per_order AS (
+  SELECT o.o_orderpriority,
+         date_diff('day', CAST(o.o_orderdate AS DATE), d.conclusao) AS lead_dias
+  FROM orders o JOIN done d ON o.o_orderkey = d.l_orderkey
+)
+SELECT o_orderpriority, COUNT(*) AS pedidos,
+       ROUND(AVG(lead_dias), 2) AS lead_medio,
+       MAX(lead_dias) AS lead_max,
+       COUNT(CASE WHEN lead_dias > {SLA_DAYS} THEN lead_dias END) AS atrasados,
+       ROUND(COUNT(CASE WHEN lead_dias > {SLA_DAYS} THEN lead_dias END)
+             / NULLIF(CAST(COUNT(*) AS DOUBLE), 0.0) * 100, 2) AS pct_atraso
+FROM per_order
+GROUP BY 1
+"""
+
+
 QUERIES = {
+    "sla_leadtime": q_sla_leadtime,
     "left_enrichment": q_left_enrichment,
     "full_outer_coalesce": q_full_outer_coalesce,
     "preagg_join": q_preagg_join,
@@ -416,6 +489,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "sla_leadtime": ORACLE_SLA,
     "left_enrichment": ORACLE_LEFT_ENRICHMENT,
     "full_outer_coalesce": ORACLE_FULL_OUTER,
     "preagg_join": ORACLE_PREAGG_JOIN,

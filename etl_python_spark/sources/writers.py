@@ -101,3 +101,28 @@ def write_jdbc(
     for k, v in (properties or {}).items():
         writer = writer.option(k, v)
     writer.save()
+
+
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    bucket_col: str,
+    n_buckets: int = 32,
+    path: str | None = None,
+) -> None:
+    """Bucketed + sorted table write: both sides of a recurring
+    fact⨝fact equi-join stored with the same bucketing skip the
+    shuffle entirely at read time (Spark matches HashPartitioning from
+    bucket metadata), which at 100 TB turns the dominant exchange of
+    every downstream join/aggregation on that key into a free scan
+    property.  ``sortBy`` additionally lets sort-merge join skip its
+    sorts."""
+    writer = (
+        df.write.mode("overwrite")
+        .bucketBy(n_buckets, bucket_col)
+        .sortBy(bucket_col)
+        .format("parquet")
+    )
+    if path:
+        writer = writer.option("path", path)
+    writer.saveAsTable(table)
