@@ -32,6 +32,7 @@ def _modules():
         analytics_core,
         analytics_joins,
         analytics_windows,
+        catalog,
         dedup,
         events,
         multimodal,
@@ -45,6 +46,7 @@ def _modules():
         analytics_core,
         analytics_joins,
         analytics_windows,
+        catalog,
         dedup,
         events,
         multimodal,
