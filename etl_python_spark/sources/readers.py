@@ -91,7 +91,17 @@ def read_excel_all_sheets(
     columns tolerated."""
     import pandas as pd
 
-    sheets = pd.read_excel(path, sheet_name=None)
+    return union_sheet_frames(
+        spark, pd.read_excel(path, sheet_name=None), lineage_col
+    )
+
+
+def union_sheet_frames(
+    spark: SparkSession, sheets: dict, lineage_col: str = "aba_origem"
+) -> DataFrame:
+    """The S2 union core, separated from the Excel codec (testable
+    without an xlsx library): tag each sheet frame with its origin and
+    ``unionByName(allowMissingColumns=True)``."""
     out: DataFrame | None = None
     for name, pdf in sheets.items():
         if pdf.empty:
@@ -99,7 +109,7 @@ def read_excel_all_sheets(
         df = spark.createDataFrame(pdf).withColumn(lineage_col, F.lit(name))
         out = df if out is None else out.unionByName(df, allowMissingColumns=True)
     if out is None:
-        raise ValueError(f"no non-empty sheets in {path}")
+        raise ValueError("no non-empty sheets")
     return out
 
 

@@ -134,3 +134,21 @@ def test_forecast_per_group(spark):
         by_group.setdefault(r.n_name, 0)
         by_group[r.n_name] += 1
     assert all(v == 3 for v in by_group.values())
+
+
+def test_union_sheet_frames_lineage_and_missing_columns(spark):
+    import pandas as pd
+
+    from etl_python_spark.sources.readers import union_sheet_frames
+
+    sheets = {
+        "Ana": pd.DataFrame({"cliente": ["a", "b"], "valor": [1.0, 2.0]}),
+        "Vazia": pd.DataFrame({"cliente": []}),
+        "Beto": pd.DataFrame({"cliente": ["c"], "extra": ["x"]}),
+    }
+    df = union_sheet_frames(spark, sheets, lineage_col="aba_origem")
+    rows = {r.cliente: r for r in df.collect()}
+    assert set(rows) == {"a", "b", "c"}
+    assert rows["a"].aba_origem == "Ana"
+    assert rows["c"].aba_origem == "Beto"
+    assert rows["c"].valor is None and rows["a"].extra is None
