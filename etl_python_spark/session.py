@@ -47,7 +47,9 @@ def get_spark(
         # a misconfigured cluster profile can't silently disable them
         .config("spark.sql.parquet.filterPushdown", "true")
         .config("spark.sql.parquet.aggregatePushdown", "true")
-        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
+        # local mode: the driver JVM hosts all 32 executor threads —
+        # a small heap turns shuffle/window buffers into GC churn
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "24g"))
     )
     if master:
         builder = builder.master(master)
