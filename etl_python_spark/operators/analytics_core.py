@@ -582,6 +582,69 @@ SELECT 'c_mktsegment', n_rows, m_nulls, m_dist, ROUND(CAST(m_dist AS DOUBLE) / C
 """
 
 
+_MESES_PT = [
+    "JAN", "FEV", "MAR", "ABR", "MAI", "JUN",
+    "JUL", "AGO", "SET", "OUT", "NOV", "DEZ",
+]
+
+
+def q_mix_monthly_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Monthly mix pivot (ref: scripts_sql/Mix_Mensal_MM.sql:17-36 —
+    SUM(IF month=m) columns JAN..DEZ per dimension row, for one year).
+
+    Conditional-sum pivot with statically-known pt-BR month columns —
+    a single hash aggregate over the fact (the dynamic
+    PREPARE/EXECUTE pivot of Showroom_Comparativo_V2.sql:6-75 becomes
+    ordinary Python parameterization of the same expression list)."""
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.year("o_orderdate") == 1998
+    )
+    customer = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+
+    def month_sum(m: int):
+        return F.round(
+            F.sum(
+                F.when(
+                    F.month("o_orderdate") == m,
+                    F.col("o_totalprice").cast("decimal(18,2)"),
+                ).otherwise(F.lit(0).cast("decimal(18,2)"))
+            ).cast("double"),
+            2,
+        )
+
+    return (
+        orders.join(customer, orders.o_custkey == customer.c_custkey)
+        .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            *[month_sum(m + 1).alias(name) for m, name in enumerate(_MESES_PT)],
+            F.round(
+                F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double"), 2
+            ).alias("TOTAL"),
+        )
+    )
+
+
+_MES_COLS_SQL = ",\n       ".join(
+    f"ROUND(CAST(SUM(CASE WHEN month(o_orderdate) = {m + 1} "
+    f"THEN CAST(o_totalprice AS DECIMAL(18,2)) "
+    f"ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE), 2) AS {name}"
+    for m, name in enumerate(_MESES_PT)
+)
+
+ORACLE_MIX_MONTHLY = f"""
+SELECT n_name,
+       {_MES_COLS_SQL},
+       ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 2) AS TOTAL
+FROM orders
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+WHERE year(o_orderdate) = 1998
+GROUP BY n_name
+"""
+
+
 def q_json_export(spark: SparkSession, sf_dir: str) -> DataFrame:
     """JSON document output (S14 — ref: ScriptsSQL - Belmicro/JSON
     Resposta 1.sql:18-28 ``JSON_ARRAYAGG(JSON_OBJECT(...))``): one JSON
@@ -627,6 +690,7 @@ GROUP BY c_custkey
 QUERIES = {
     "faturamento_rollup": q_faturamento_rollup,
     "json_export": q_json_export,
+    "mix_monthly_pivot": q_mix_monthly_pivot,
     "top_customers_per_nation": q_top_customers_per_nation,
     "mom_growth": q_mom_growth,
     "yoy_same_month": q_yoy_same_month,
@@ -643,6 +707,7 @@ QUERIES = {
 ORACLES = {
     "faturamento_rollup": ORACLE_FATURAMENTO,
     "json_export": ORACLE_JSON_EXPORT,
+    "mix_monthly_pivot": ORACLE_MIX_MONTHLY,
     "top_customers_per_nation": ORACLE_TOP_CUSTOMERS,
     "mom_growth": ORACLE_MOM,
     "yoy_same_month": ORACLE_YOY,

@@ -1,0 +1,77 @@
+"""Watermark semantics in append-mode windowed aggregation, driven
+through the file source batch-by-batch (maxFilesPerTrigger=1 under
+availableNow):
+
+- a window is emitted exactly once, when the watermark passes its end;
+- a late row arriving AFTER its window was finalized+evicted is
+  dropped (the append-mode guarantee) — no duplicate emission, no
+  count drift;
+- windows the watermark hasn't passed are not emitted at all.
+
+(A row that is late-but-before-finalization is *not* guaranteed to be
+dropped — Spark aggregates it; asserting that would pin undefined
+behavior.)"""
+
+import glob
+import os
+import shutil
+import time
+import uuid
+
+from pyspark.sql import functions as F
+
+
+def test_late_row_for_finalized_window_is_dropped(spark, tmp_path):
+    src = tmp_path / "stream_src"
+    src.mkdir()
+
+    def write_file(name, rows, mtime):
+        df = spark.createDataFrame(rows, "ts string, user_id long").select(
+            F.to_timestamp("ts").alias("ts"), "user_id"
+        )
+        staging = str(tmp_path / f"_stg_{name}")
+        df.coalesce(1).write.mode("overwrite").parquet(staging)
+        (part,) = glob.glob(os.path.join(staging, "part-*.parquet"))
+        dest = str(src / f"{name}.parquet")
+        shutil.move(part, dest)
+        os.utime(dest, (mtime, mtime))
+
+    now = time.time()
+    # batch 0: 10:00-window gets one row; max ts 12:00 → wm 11:00 after
+    write_file("f1", [("2026-01-01 10:30:00", 1), ("2026-01-01 12:00:00", 2)], now - 100)
+    # batch 1: advances wm to 11:30 → 10:00-window (end 11:00) finalizes
+    write_file("f2", [("2026-01-01 12:30:00", 4)], now - 50)
+    # batch 2: 10:45 is late for the already-finalized window → dropped
+    write_file("f3", [("2026-01-01 10:45:00", 5), ("2026-01-01 13:30:00", 6)], now)
+
+    stream = (
+        spark.readStream.schema("ts timestamp, user_id long")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(src))
+    )
+    agg = (
+        stream.withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "1 hour").alias("w"))
+        .agg(F.count("*").alias("n"))
+        .select(F.col("w.start").alias("inicio"), "n")
+    )
+    name = f"late_{uuid.uuid4().hex[:8]}"
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = spark.table(name).collect()
+    by_start = {}
+    for r in rows:
+        by_start.setdefault(str(r.inicio), []).append(r.n)
+    # finalized exactly once, count untouched by the late row
+    assert by_start.get("2026-01-01 10:00:00") == [1], by_start
+    # unfinalized windows (12:00 end 13:00, 13:00 end 14:00 > wm 12:30)
+    # must not have been emitted
+    assert "2026-01-01 12:00:00" not in by_start, by_start
+    assert "2026-01-01 13:00:00" not in by_start, by_start
