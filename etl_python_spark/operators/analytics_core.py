@@ -582,6 +582,89 @@ SELECT 'c_mktsegment', n_rows, m_nulls, m_dist, ROUND(CAST(m_dist AS DOUBLE) / C
 """
 
 
+def q_supplier_region_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-supplier-nation net revenue and share of its region's total
+    (W4 windowed-total over a 4-table join: lineitem ⨝ supplier ⨝
+    nation ⨝ region — the fact joins only broadcast dims, so the plan
+    is one scan + one aggregate shuffle + one small window)."""
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    supplier = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    net = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(18,2)")
+    per_nation = (
+        lineitem.join(
+            F.broadcast(supplier), lineitem.l_suppkey == supplier.s_suppkey
+        )
+        .join(F.broadcast(nation), supplier.s_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("r_name", "n_name")
+        .agg(F.round(F.sum(net).cast("double"), 2).alias("receita"))
+    )
+    w_region = Window.partitionBy("r_name")
+    return per_nation.select(
+        "r_name",
+        "n_name",
+        "receita",
+        F.round(
+            F.col("receita")
+            / F.nullif(F.sum("receita").over(w_region), F.lit(0.0))
+            * 100,
+            4,
+        ).alias("share_regiao_pct"),
+    )
+
+
+ORACLE_SUPPLIER_SHARE = """
+WITH per_nation AS (
+  SELECT r.r_name, n.n_name,
+         ROUND(CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(18,2))) AS DOUBLE), 2) AS receita
+  FROM lineitem l
+  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+  JOIN nation n ON s.s_nationkey = n.n_nationkey
+  JOIN region r ON n.n_regionkey = r.r_regionkey
+  GROUP BY 1, 2
+)
+SELECT r_name, n_name, receita,
+       ROUND(receita / NULLIF(SUM(receita) OVER (PARTITION BY r_name), 0.0) * 100, 4)
+         AS share_regiao_pct
+FROM per_nation
+"""
+
+
+def q_grouping_sets_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUPING SETS — the generalization past the reference's WITH
+    ROLLUP (Spark supplies it free): order counts and revenue at
+    (priority×status), (priority), (status), and grand-total grains in
+    ONE aggregate pass, grain labeled via ``grouping()`` flags."""
+    orders = load_table(spark, sf_dir, "orders")
+    orders.createOrReplaceTempView("_gs_orders")
+    return spark.sql(
+        """
+        SELECT COALESCE(o_orderpriority, 'TODAS') AS prioridade,
+               COALESCE(o_orderstatus, 'TODOS') AS situacao,
+               grouping(o_orderpriority) + 2 * grouping(o_orderstatus) AS grao,
+               COUNT(*) AS pedidos,
+               ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 2) AS receita
+        FROM _gs_orders
+        GROUP BY GROUPING SETS ((o_orderpriority, o_orderstatus),
+                                (o_orderpriority), (o_orderstatus), ())
+        """
+    )
+
+
+ORACLE_GROUPING_SETS = """
+SELECT COALESCE(o_orderpriority, 'TODAS') AS prioridade,
+       COALESCE(o_orderstatus, 'TODOS') AS situacao,
+       grouping(o_orderpriority) + 2 * grouping(o_orderstatus) AS grao,
+       COUNT(*) AS pedidos,
+       ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 2) AS receita
+FROM orders
+GROUP BY GROUPING SETS ((o_orderpriority, o_orderstatus),
+                        (o_orderpriority), (o_orderstatus), ())
+"""
+
+
 _MESES_PT = [
     "JAN", "FEV", "MAR", "ABR", "MAI", "JUN",
     "JUL", "AGO", "SET", "OUT", "NOV", "DEZ",
@@ -691,6 +774,8 @@ QUERIES = {
     "faturamento_rollup": q_faturamento_rollup,
     "json_export": q_json_export,
     "mix_monthly_pivot": q_mix_monthly_pivot,
+    "supplier_region_share": q_supplier_region_share,
+    "grouping_sets_report": q_grouping_sets_report,
     "top_customers_per_nation": q_top_customers_per_nation,
     "mom_growth": q_mom_growth,
     "yoy_same_month": q_yoy_same_month,
@@ -708,6 +793,8 @@ ORACLES = {
     "faturamento_rollup": ORACLE_FATURAMENTO,
     "json_export": ORACLE_JSON_EXPORT,
     "mix_monthly_pivot": ORACLE_MIX_MONTHLY,
+    "supplier_region_share": ORACLE_SUPPLIER_SHARE,
+    "grouping_sets_report": ORACLE_GROUPING_SETS,
     "top_customers_per_nation": ORACLE_TOP_CUSTOMERS,
     "mom_growth": ORACLE_MOM,
     "yoy_same_month": ORACLE_YOY,

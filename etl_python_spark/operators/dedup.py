@@ -124,35 +124,53 @@ def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Candidate pairs sharing ≥1 shingle, scored with exact Jaccard
     |A∩B| / (|A|+|B|−|A∩B|), threshold 0.2.
 
-    Plan shape (one shingle shuffle, no n² stage):
-    - shingle once, carry |doc| (``size(sh)``) alongside the explode so
-      no per-doc sizes join is ever needed;
-    - document frequency via a window over the shingle partitioning,
-      filtered to drop stop-shingles; the self-join on shingle then
-      REUSES the same exchange (both sides are the identical subtree),
-      so candidate generation costs zero extra shuffles;
-    - |A∩B| = co-occurrence count per pair, grouped with the sizes in
-      the key (they're functionally dependent on the doc ids).
-    Cost is Σ df² over retained shingles — bounded by MAX_DF."""
+    Plan shape — the shingle pipeline is computed ONCE and there is no
+    self-join at all:
+    - shingle once, carry |doc| (``size(sh)``) through the explode;
+    - groupBy shingle collecting the (doc, size) posting list; the
+      document-frequency stop-shingle cap is just ``size(docs)`` on
+      the collected list (a self-join formulation would re-execute the
+      whole shingle subtree per side — measured, Catalyst does NOT
+      reuse the exchange across the join's two branches);
+    - pairs are generated inside each posting list with array lambdas
+      (i<j index walk), bounded by MAX_DF ⇒ ≤ MAX_DF²/2 pairs per
+      shingle, then exploded and counted: |A∩B| = co-occurrence.
+    Two shuffles total (shingle groupBy, pair groupBy); cost is Σ df²
+    over retained shingles — capped by MAX_DF."""
     docs = load_table(spark, sf_dir, "documents")
     with_sh = with_shingles(docs)
     sh = with_sh.select(
         "doc_id", F.size("sh").alias("n_sh"), F.explode_outer("sh").alias("shingle")
     ).filter(F.col("shingle").isNotNull())
-    w_sh = Window.partitionBy("shingle")
-    kept = sh.withColumn("df", F.count("*").over(w_sh)).filter(
-        F.col("df") <= MAX_DF
+    posting = (
+        sh.groupBy("shingle")
+        .agg(F.collect_list(F.struct("doc_id", "n_sh")).alias("docs"))
+        .filter((F.size("docs") >= 2) & (F.size("docs") <= MAX_DF))
+        .select(F.array_sort("docs").alias("docs"))
     )
-    a = kept.select(
-        F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("size_a"), "shingle"
-    )
-    b = kept.select(
-        F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("size_b"), "shingle"
+    n = F.size("docs")
+    pair_list = F.flatten(
+        F.transform(
+            F.col("docs"),
+            lambda x, i: F.transform(
+                F.slice(F.col("docs"), i + 2, F.greatest(n - i - 1, F.lit(0))),
+                lambda y: F.struct(
+                    x["doc_id"].alias("doc_a"),
+                    x["n_sh"].alias("size_a"),
+                    y["doc_id"].alias("doc_b"),
+                    y["n_sh"].alias("size_b"),
+                ),
+            ),
+        )
     )
     co = (
-        a.join(b, "shingle")
-        .filter(F.col("doc_a") < F.col("doc_b"))
-        .groupBy("doc_a", "doc_b", "size_a", "size_b")
+        posting.select(F.explode(pair_list).alias("p"))
+        .groupBy(
+            F.col("p.doc_a").alias("doc_a"),
+            F.col("p.doc_b").alias("doc_b"),
+            F.col("p.size_a").alias("size_a"),
+            F.col("p.size_b").alias("size_b"),
+        )
         .agg(F.count("*").alias("inter"))
     )
     return co.select(
