@@ -23,8 +23,36 @@ from pyspark.sql import functions as F
 
 log = logging.getLogger(__name__)
 
-ENCODING_CANDIDATES = ["UTF-8", "UTF-8", "windows-1252", "ISO-8859-1", "UTF-16"]
+# strict-decode order matters (ref Conversor de Formatos.py:52-70):
+# utf-8 rejects cp1252-encoded accents outright, while cp1252/latin-1
+# decode almost any byte sequence — so the permissive ones go last
+ENCODING_CANDIDATES = ["utf-8-sig", "utf-8", "cp1252", "iso-8859-1", "utf-16"]
 SEP_CANDIDATES = [",", ";", "\t", "|"]
+_PROBE_BYTES = 64 * 1024
+
+
+def _sniff_dialect(
+    path: str, encodings: list[str], seps: list[str]
+) -> tuple[str, str]:
+    """Driver-side probe on the file head: first encoding that decodes
+    STRICTLY wins (a distributed Spark read can't probe this — it
+    substitutes U+FFFD instead of failing); separator = the candidate
+    splitting the first line into the most fields."""
+    with open(path, "rb") as f:
+        head = f.read(_PROBE_BYTES)
+    chosen_enc, text = None, None
+    for enc in encodings:
+        try:
+            text = head.decode(enc)
+            chosen_enc = enc
+            break
+        except (UnicodeDecodeError, UnicodeError):
+            continue
+    if chosen_enc is None or text is None:
+        raise ValueError(f"could not sniff CSV encoding for {path}")
+    first_line = text.splitlines()[0] if text.splitlines() else ""
+    sep = max(seps, key=lambda s: len(first_line.split(s)))
+    return chosen_enc, sep
 
 
 def read_csv_sniffed(
@@ -34,38 +62,29 @@ def read_csv_sniffed(
     sep: str | None = None,
     header: bool = True,
 ) -> DataFrame:
-    """CSV scan with encoding/separator sniffing.
+    """CSV scan with encoding/separator sniffing (S3).
 
-    Probes a small sample per candidate (driver-side, bounded) and
-    picks the first (encoding, sep) that parses into >1 column with a
-    consistent width; the real read is a normal distributed
-    ``spark.read.csv`` in PERMISSIVE mode with that choice.
-    """
-    encodings = [encoding] if encoding else ENCODING_CANDIDATES
-    seps = [sep] if sep else SEP_CANDIDATES
-    best: tuple[str, str, int] | None = None
-    for enc in encodings:
-        for s in seps:
-            try:
-                probe = (
-                    spark.read.options(
-                        header=header, encoding=enc, sep=s, mode="PERMISSIVE"
-                    )
-                    .csv(path)
-                    .limit(5)
-                )
-                width = len(probe.columns)
-                if width > (best[2] if best else 1):
-                    best = (enc, s, width)
-            except Exception:  # noqa: BLE001 - probing
-                continue
-    if best is None:
-        raise ValueError(f"could not sniff CSV dialect for {path}")
-    enc, s, _ = best
+    The dialect probe is driver-side and bounded (head of one file);
+    the real read is a normal distributed ``spark.read.csv`` in
+    PERMISSIVE mode with the sniffed (encoding, sep).  Spark's csv
+    reader accepts only a fixed charset list: utf-8-sig maps to UTF-8
+    (BOM stripped from the first header column below) and cp1252 maps
+    to its iso-8859-1 subset (identical on the accented-letter range
+    pt-BR data uses; only the 0x80-0x9F punctuation block differs)."""
+    enc, s = _sniff_dialect(
+        path,
+        [encoding] if encoding else ENCODING_CANDIDATES,
+        [sep] if sep else SEP_CANDIDATES,
+    )
+    spark_enc = {"utf-8-sig": "UTF-8", "cp1252": "iso-8859-1"}.get(enc, enc)
     log.info("csv sniff %s: encoding=%s sep=%r", path, enc, s)
-    return spark.read.options(
-        header=header, encoding=enc, sep=s, mode="PERMISSIVE", inferSchema=True
+    df = spark.read.options(
+        header=header, encoding=spark_enc, sep=s, mode="PERMISSIVE", inferSchema=True
     ).csv(path)
+    bom = "﻿"
+    if df.columns and df.columns[0].startswith(bom):
+        df = df.withColumnRenamed(df.columns[0], df.columns[0].lstrip(bom))
+    return df
 
 
 def read_excel(

@@ -1,0 +1,97 @@
+"""End-to-end staging lifecycle (SURVEY §3.1 — the ETL - Venda
+B2B.py:104-364 template): dirty pt-BR CSV → schema registry projection
+→ scalar cleaning → essential-key dropna → audited staging write →
+read-back aggregate checksum.
+
+Mirrors the reference's audit prints as assertions: rows excluded per
+rule, money-sum sanity check after cleaning (ETL - Mix de
+Produtos.py:146-148), null normalization."""
+
+import csv
+
+from pyspark.sql import functions as F
+
+from etl_python_spark.functions.cleaning import digits_only, parse_brl
+from etl_python_spark.model.registry import DatasetSchema
+from etl_python_spark.sources.readers import read_csv_sniffed
+from etl_python_spark.sources.writers import write_staging
+
+RAW_ROWS = [
+    # numero, cliente, cnpj, valor (pt-BR), data (dayfirst), uf
+    ("1001", "ACME LTDA", "11.222.333/0001-81", "R$ 1.234,56", "05/03/2026", "SP"),
+    ("1002", "BETA SA", "99999999000199", "R$ 10.000,00", "07/03/2026", "RJ"),
+    ("1003", "", "", "750,25", "08/03/2026", "MG"),  # cliente vazio → mantém
+    ("", "SEM NUMERO", "123", "1,00", "09/03/2026", "RS"),  # sem chave → cai
+    ("1005", "GAMA ME", "11222333000181", "", "10/03/2026", "PR"),  # sem valor
+]
+
+
+def _write_raw_csv(path):
+    with open(path, "w", newline="", encoding="cp1252") as f:
+        w = csv.writer(f, delimiter=";")
+        w.writerow(["Número Único", "Cliente", "CNPJ", "Valor Total", "Data Negociação", "UF"])
+        w.writerows(RAW_ROWS)
+
+
+SCHEMA = DatasetSchema(
+    name="staging_pedidos",
+    mapping={
+        "Número Único": ("numero_unico", "long"),
+        "Cliente": ("cliente", "string"),
+        "CNPJ": ("cnpj", "string"),
+        "Valor Total": ("valor_total_raw", "string"),
+        "Data Negociação": ("data_negociacao_raw", "string"),
+        "UF": ("uf", "string"),
+        "Coluna Inexistente": ("extra", "string"),  # tolerated → NULL
+    },
+    required=["numero_unico"],
+)
+
+
+def test_staging_pipeline_end_to_end(spark, tmp_path):
+    raw_path = str(tmp_path / "venda.csv")
+    _write_raw_csv(raw_path)
+
+    raw = read_csv_sniffed(spark, raw_path)
+    assert raw.count() == 5
+
+    staged = SCHEMA.apply(raw)
+    # dropna on the essential key: the keyless row is excluded (P2 audit)
+    assert staged.count() == 4
+
+    cleaned = staged.select(
+        "numero_unico",
+        F.coalesce(F.nullif(F.trim("cliente"), F.lit("")), F.lit(None)).alias(
+            "cliente"
+        ),
+        digits_only("cnpj").alias("cnpj"),
+        parse_brl("valor_total_raw").alias("valor_total"),
+        F.to_date("data_negociacao_raw", "dd/MM/yyyy").alias("data_negociacao"),
+        "uf",
+        F.current_timestamp().alias("data_carga"),
+    )
+    rows = {r.numero_unico: r for r in cleaned.collect()}
+    # pt-BR currency parsing incl. thousand/decimal disambiguation
+    assert rows[1001].valor_total == 1234.56
+    assert rows[1002].valor_total == 10000.00
+    assert rows[1003].valor_total == 750.25
+    assert rows[1005].valor_total is None
+    # money-sum sanity check (aggregate checksum audit)
+    total = cleaned.agg(F.round(F.sum("valor_total"), 2).alias("s")).first().s
+    assert total == round(1234.56 + 10000.00 + 750.25, 2)
+    # CNPJ digits-only preserves leading zeros as string
+    assert rows[1001].cnpj == "11222333000181"
+    # dayfirst date parse
+    assert str(rows[1001].data_negociacao) == "2026-03-05"
+    # tolerated missing source column became typed NULL
+    assert "extra" not in cleaned.columns  # not selected downstream
+
+    # audited staging write + read-back
+    out = str(tmp_path / "staging_pedidos")
+    n = write_staging(cleaned, out, audit=True)
+    assert n == 4
+    back = spark.read.parquet(out)
+    assert back.count() == 4
+    assert (
+        back.agg(F.round(F.sum("valor_total"), 2).alias("s")).first().s == total
+    )
