@@ -178,8 +178,66 @@ FROM documents
 """
 
 
+CHUNK_WINDOW = 16  # rolling-hash window (bytes)
+CHUNK_MASK = 63  # boundary when hash % 64 == 0 → ~64-byte avg chunks
+_RH_BASE = 257
+_RH_MOD = 1_000_000_007
+
+
+def q_rolling_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-defined chunking via a polynomial rolling hash
+    (Rabin-Karp style) — the dedup-friendly fingerprint: chunk
+    boundaries depend only on local content, so an insertion shifts
+    one chunk instead of re-hashing the whole document.
+
+    The per-position window hashes are computed inside ``mapInPandas``
+    with one numpy convolution per batch (bytes ⊛ powers mod M — no
+    per-byte Python), boundaries where hash & mask == 0.  Emits per-doc
+    chunk stats; at scale the chunk hash column becomes the join key
+    of a chunk-level dedup store."""
+    docs = spread(load_table(spark, sf_dir, "documents"), "doc_id")
+
+    def chunk_stats(batches):
+        import numpy as np
+        import pandas as pd
+
+        powers = np.array(
+            [pow(_RH_BASE, CHUNK_WINDOW - 1 - j, _RH_MOD) for j in range(CHUNK_WINDOW)],
+            dtype=np.int64,
+        )
+        for pdf in batches:
+            out = []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                b = np.frombuffer((text or "").encode("utf-8"), dtype=np.uint8)
+                n = b.size
+                if n < CHUNK_WINDOW:
+                    out.append((int(doc_id), 1, n, n))
+                    continue
+                # window hashes: H[i] = Σ b[i+j]·base^(w-1-j) mod M,
+                # via per-term mod-mults then summed (values < 2^43)
+                terms = b.astype(np.int64)[
+                    np.arange(n - CHUNK_WINDOW + 1)[:, None] + np.arange(CHUNK_WINDOW)
+                ] * powers
+                H = terms.sum(axis=1) % _RH_MOD
+                cuts = np.flatnonzero((H & CHUNK_MASK) == 0) + CHUNK_WINDOW
+                bounds = np.unique(np.concatenate(([0], cuts, [n])))
+                sizes = np.diff(bounds)
+                sizes = sizes[sizes > 0]
+                out.append(
+                    (int(doc_id), int(sizes.size), int(sizes.max()), int(sizes.min()))
+                )
+            yield pd.DataFrame(
+                out, columns=["doc_id", "n_chunks", "max_chunk", "min_chunk"]
+            )
+
+    return docs.select("doc_id", "text").mapInPandas(
+        chunk_stats, "doc_id long, n_chunks int, max_chunk int, min_chunk int"
+    )
+
+
 QUERIES = {
     "token_count": q_token_count,
+    "rolling_chunks": q_rolling_chunks,
     "text_quality": q_text_quality,
     "lang_id": q_lang_id,
     "doc_fingerprint": q_doc_fingerprint,
