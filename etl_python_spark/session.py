@@ -47,9 +47,11 @@ def get_spark(
         # a misconfigured cluster profile can't silently disable them
         .config("spark.sql.parquet.filterPushdown", "true")
         .config("spark.sql.parquet.aggregatePushdown", "true")
-        # local mode: the driver JVM hosts all 32 executor threads —
-        # a small heap turns shuffle/window buffers into GC churn
-        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "24g"))
+        # 8g measured best on local[32]: a 24g heap ran the shingle
+        # stage 3-10x SLOWER (progressive within-session degradation,
+        # GC-dominated); small heaps keep G1 pauses short for these
+        # sub-GB shuffles
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
     )
     if master:
         builder = builder.master(master)
