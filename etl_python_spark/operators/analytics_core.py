@@ -632,6 +632,36 @@ FROM per_nation
 """
 
 
+def q_formatted_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """pt-BR display-formatting parity (the SURVEY §7 'hard' item —
+    ref: Faturamento.sql:46-65 ``CONCAT('R$ ', FORMAT(x,2,'de_DE'))``):
+    numeric column and its 'R$ 1.234,56' display string side by side,
+    via :func:`format_brl` (format_number + separator translate, pure
+    codegen).  The numeric column stays canonical; the string is the
+    presentation edge — both oracle-checked."""
+    from ..functions.cleaning import format_brl
+
+    orders = load_table(spark, sf_dir, "orders")
+    agg = orders.groupBy("o_orderpriority").agg(dsum("o_totalprice").alias("receita"))
+    return agg.select(
+        "o_orderpriority", "receita", format_brl("receita").alias("receita_fmt")
+    )
+
+
+ORACLE_FORMATTED = """
+WITH agg AS (
+  SELECT o_orderpriority,
+         ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 2) AS receita
+  FROM orders GROUP BY 1
+)
+SELECT o_orderpriority, receita,
+       'R$ ' || replace(format('{:,}', CAST(floor(receita) AS BIGINT)), ',', '.')
+             || ',' || lpad(CAST(CAST(round(receita * 100) AS BIGINT) % 100 AS VARCHAR), 2, '0')
+         AS receita_fmt
+FROM agg
+"""
+
+
 def q_grouping_sets_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """GROUPING SETS — the generalization past the reference's WITH
     ROLLUP (Spark supplies it free): order counts and revenue at
@@ -776,6 +806,7 @@ QUERIES = {
     "mix_monthly_pivot": q_mix_monthly_pivot,
     "supplier_region_share": q_supplier_region_share,
     "grouping_sets_report": q_grouping_sets_report,
+    "formatted_report": q_formatted_report,
     "top_customers_per_nation": q_top_customers_per_nation,
     "mom_growth": q_mom_growth,
     "yoy_same_month": q_yoy_same_month,
@@ -795,6 +826,7 @@ ORACLES = {
     "mix_monthly_pivot": ORACLE_MIX_MONTHLY,
     "supplier_region_share": ORACLE_SUPPLIER_SHARE,
     "grouping_sets_report": ORACLE_GROUPING_SETS,
+    "formatted_report": ORACLE_FORMATTED,
     "top_customers_per_nation": ORACLE_TOP_CUSTOMERS,
     "mom_growth": ORACLE_MOM,
     "yoy_same_month": ORACLE_YOY,
