@@ -1,0 +1,116 @@
+"""Property-based tests (hypothesis) for the scalar library: each
+property generates a batch of examples and pushes them through Spark
+in ONE job, comparing against an independent Python reference
+implementation.  (Per-example Spark jobs would be prohibitively slow —
+batching keeps each property to a single collect.)"""
+
+import math
+from datetime import date
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from etl_python_spark.functions.cleaning import cnpj_check_digit_ok, parse_brl
+from etl_python_spark.functions.dates import week_of_month
+
+SETTINGS = dict(max_examples=8, deadline=None)
+
+amounts = st.decimals(
+    min_value="0.00", max_value="99999999.99", places=2, allow_nan=False
+)
+
+
+def _fmt_ptbr(x: float) -> str:
+    whole, cents = divmod(round(x * 100), 100)
+    g = f"{whole:,}".replace(",", ".")
+    return f"R$ {g},{cents:02d}"
+
+
+@settings(**SETTINGS)
+@given(st.lists(amounts, min_size=1, max_size=40))
+def test_parse_brl_roundtrips_ptbr_format(spark, values):
+    vals = [float(v) for v in values]
+    rows = [(i, _fmt_ptbr(v)) for i, v in enumerate(vals)]
+    df = spark.createDataFrame(rows, "i int, txt string")
+    got = {
+        r.i: r.parsed
+        for r in df.select("i", parse_brl("txt").alias("parsed")).collect()
+    }
+    for i, v in enumerate(vals):
+        assert got[i] is not None and math.isclose(got[i], v, abs_tol=1e-9), (
+            vals[i],
+            rows[i],
+            got[i],
+        )
+
+
+@settings(**SETTINGS)
+@given(st.lists(amounts, min_size=1, max_size=40))
+def test_parse_brl_accepts_plain_en_us(spark, values):
+    vals = [float(v) for v in values]
+    rows = [(i, f"{v:.2f}") for i, v in enumerate(vals)]
+    df = spark.createDataFrame(rows, "i int, txt string")
+    got = {
+        r.i: r.parsed
+        for r in df.select("i", parse_brl("txt").alias("parsed")).collect()
+    }
+    for i, v in enumerate(vals):
+        assert math.isclose(got[i], v, abs_tol=1e-9)
+
+
+def _cnpj_dv(digits: str) -> str:
+    # independent mod-11 reference (public algorithm)
+    def dv(ds, weights):
+        s = sum(int(d) * w for d, w in zip(ds, weights))
+        r = s % 11
+        return 0 if r < 2 else 11 - r
+
+    w1 = [5, 4, 3, 2, 9, 8, 7, 6, 5, 4, 3, 2]
+    w2 = [6, 5, 4, 3, 2, 9, 8, 7, 6, 5, 4, 3, 2]
+    d1 = dv(digits, w1)
+    d2 = dv(digits + str(d1), w2)
+    return f"{digits}{d1}{d2}"
+
+
+@settings(**SETTINGS)
+@given(
+    st.lists(
+        st.tuples(
+            st.text(alphabet="0123456789", min_size=12, max_size=12),
+            st.booleans(),
+        ),
+        min_size=1,
+        max_size=40,
+    )
+)
+def test_cnpj_check_digits_match_reference_impl(spark, cases):
+    rows = []
+    for i, (base, corrupt) in enumerate(cases):
+        cnpj = _cnpj_dv(base)
+        if corrupt:
+            cnpj = cnpj[:-1] + str((int(cnpj[-1]) + 1) % 10)
+        all_same = cnpj == cnpj[0] * 14
+        rows.append((i, cnpj, (not corrupt) and not all_same))
+    df = spark.createDataFrame(rows, "i int, cnpj string, expected boolean")
+    got = df.select(
+        "i", "expected", cnpj_check_digit_ok("cnpj").alias("ok")
+    ).collect()
+    for r in got:
+        assert r.ok == r.expected, r
+
+
+@settings(**SETTINGS)
+@given(
+    st.lists(
+        st.dates(min_value=date(1990, 1, 1), max_value=date(2035, 12, 31)),
+        min_size=1,
+        max_size=40,
+    )
+)
+def test_week_of_month_matches_ceil_rule(spark, dates):
+    rows = [(i, d) for i, d in enumerate(dates)]
+    df = spark.createDataFrame(rows, "i int, d date")
+    got = {r.i: r.w for r in df.select("i", week_of_month("d").alias("w")).collect()}
+    for i, d in enumerate(dates):
+        assert got[i] == math.ceil(d.day / 7), (d, got[i])
