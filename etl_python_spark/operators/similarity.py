@@ -266,6 +266,80 @@ SELECT q_id, n_id, cosine, rank FROM ranked WHERE rank <= {TOP_K}
 """
 
 
+KMEANS_K = 8
+KMEANS_ITERS = 3
+
+
+def q_kmeans_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed Lloyd's k-means over the embedding column — the
+    representative iterative algorithm (and the real fit for the IVF
+    coarse quantizer).  Per iteration:
+
+    - assignment: squared-L2 argmin against the K current centroids,
+      evaluated as broadcast literals inside one projection (no join,
+      no shuffle for the small side);
+    - update: ``posexplode`` the vectors and hash-aggregate
+      (cluster, dim) means — one shuffle keyed by (cluster, dim),
+      partial aggregation map-side, then K×dim rows fold back to K
+      centroid arrays on the driver (the same kilobyte-sized
+      driver round-trip any Lloyd's implementation does per step).
+
+    Deterministic throughout: init = first K vectors, distances
+    rounded to 6dp before the argmin tie-break on cluster id.
+    Iterative + engine-evaluated → rows-only check."""
+    emb = spread(load_table(spark, sf_dir, "embeddings"), "vec_id").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    centroids = [
+        r.v for r in emb.filter(F.col("vec_id") < KMEANS_K).orderBy("vec_id").collect()
+    ]
+
+    def dist2(vec_col, centroid: list[float]):
+        c = F.array(*[F.lit(float(x)) for x in centroid])
+        return F.round(
+            F.aggregate(
+                F.zip_with(vec_col, c, lambda a, b: (a - b) * (a - b)),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ),
+            6,
+        )
+
+    def assign(df):
+        d = F.array(*[dist2(F.col("v"), c) for c in centroids])
+        best = F.array_position(d, F.array_min(d)).cast("int") - 1
+        return df.withColumn("cluster", best).withColumn(
+            "dist2", F.array_min(d)
+        )
+
+    for _ in range(KMEANS_ITERS):
+        assigned = assign(emb)
+        dims = assigned.select(
+            "cluster", F.posexplode("v").alias("pos", "val")
+        )
+        means = (
+            dims.groupBy("cluster", "pos")
+            .agg(F.avg("val").alias("m"))
+            .groupBy("cluster")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "m"))),
+                    lambda s: s["m"],
+                ).alias("centroid")
+            )
+            .orderBy("cluster")
+            .collect()
+        )
+        new_centroids = dict((r.cluster, list(r.centroid)) for r in means)
+        centroids = [new_centroids.get(i, centroids[i]) for i in range(KMEANS_K)]
+
+    final = assign(emb)
+    return final.groupBy("cluster").agg(
+        F.count("*").alias("n_members"),
+        F.round(F.sum("dist2"), 4).alias("inertia"),
+    )
+
+
 def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (cosine ≥ 0.2) among the
     first 200 vectors — the embedding tier of the dedup ladder.  Same
@@ -312,6 +386,7 @@ QUERIES = {
     "ann_bruteforce": q_ann_bruteforce,
     "ann_lsh": q_ann_lsh,
     "ann_ivf": q_ann_ivf,
+    "kmeans_embeddings": q_kmeans_embeddings,
     "embedding_neardup": q_embedding_neardup,
 }
 
