@@ -156,6 +156,65 @@ def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ann_bruteforce_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow-vectorized brute-force cosine: each ``mapInPandas`` batch
+    scores its corpus slice against the whole broadcast query matrix
+    with one BLAS matmul (corpus_batch @ Q.T) — the Python-side
+    alternative to the JVM fold in :func:`q_ann_bruteforce`, and the
+    faster path as embedding dim grows (one matmul per batch vs one
+    interpreted lambda fold per pair).
+
+    Emits a per-batch local top-k, then the exact global top-k via one
+    small window — identical semantics and rounding to the JVM
+    variant, so it shares the same oracle (float sums differ only in
+    association order; 4dp rounding absorbs that)."""
+    import pandas as pd
+
+    emb = spread(load_table(spark, sf_dir, "embeddings"), "vec_id")
+    q_rows = (
+        emb.filter(F.col("vec_id") < N_QUERY)
+        .select("vec_id", "embedding")
+        .orderBy("vec_id")
+        .collect()
+    )
+    import numpy as np
+
+    q_ids = np.array([r.vec_id for r in q_rows])
+    Q = np.array([r.embedding for r in q_rows], dtype=np.float64)
+    Qn = Q / np.linalg.norm(Q, axis=1, keepdims=True)
+    bq_ids = spark.sparkContext.broadcast(q_ids)
+    bQ = spark.sparkContext.broadcast(Qn)
+
+    def score(batches):
+        import numpy as np
+
+        ids_q, Qm = bq_ids.value, bQ.value
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            C = np.array(list(pdf["embedding"]), dtype=np.float64)
+            Cn = C / np.maximum(np.linalg.norm(C, axis=1, keepdims=True), 1e-300)
+            cos = Cn @ Qm.T  # (batch, n_query)
+            n_ids = pdf["vec_id"].to_numpy()
+            out = []
+            k = min(TOP_K + 1, cos.shape[0])  # +1 absorbs the self-match
+            for j, qid in enumerate(ids_q):
+                top = np.argpartition(-cos[:, j], k - 1)[:k]
+                for i in top:
+                    if n_ids[i] != qid:
+                        out.append((int(qid), int(n_ids[i]), round(float(cos[i, j]), 4)))
+            yield pd.DataFrame(out, columns=["q_id", "n_id", "cosine"])
+
+    local = emb.select("vec_id", "embedding").mapInPandas(
+        score, "q_id long, n_id long, cosine double"
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("cosine"), F.asc("n_id"))
+    return (
+        local.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_K)
+    )
+
+
 N_CENTROIDS = 16
 N_PROBE = 4
 
@@ -384,6 +443,7 @@ SELECT label, id_a, id_b, cosine FROM pairs WHERE cosine >= 0.2
 
 QUERIES = {
     "ann_bruteforce": q_ann_bruteforce,
+    "ann_bruteforce_pandas": q_ann_bruteforce_pandas,
     "ann_lsh": q_ann_lsh,
     "ann_ivf": q_ann_ivf,
     "kmeans_embeddings": q_kmeans_embeddings,
@@ -392,6 +452,7 @@ QUERIES = {
 
 ORACLES = {
     "ann_bruteforce": ORACLE_ANN_BRUTEFORCE,
+    "ann_bruteforce_pandas": ORACLE_ANN_BRUTEFORCE,
     "ann_ivf": ORACLE_ANN_IVF,
     "embedding_neardup": ORACLE_EMB_NEARDUP,
     # ann_lsh: engine-seeded hyperplanes → rows-only check
