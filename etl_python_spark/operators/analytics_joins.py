@@ -473,8 +473,64 @@ GROUP BY 1
 """
 
 
+def q_geo_spine_zerofill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Geo rollup joined against the FULL region×nation spine with
+    zero-fill (ref: EDA - Faturamento.py:115-119 — merge on the
+    ESTADOS_BR region×UF spine so silent zeros appear as rows).  The
+    spine is dims-only (cross-join-free: nation already carries its
+    region key), the fact aggregate left-joins onto it, and COALESCE
+    turns missing cells into explicit zeros."""
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.year("o_orderdate") == 1995
+    )
+    customer = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    spine = nation.join(
+        F.broadcast(region), nation.n_regionkey == region.r_regionkey
+    ).select("r_name", "n_name", "n_nationkey")
+    rev = (
+        orders.join(customer, orders.o_custkey == customer.c_custkey)
+        .groupBy("c_nationkey")
+        .agg(
+            dsum("o_totalprice").alias("fat"),
+            F.count("*").alias("pedidos"),
+        )
+    )
+    # rev is a per-nation aggregate — bounded by |nation| at any data
+    # scale, so broadcast it explicitly (post-agg relations have no
+    # stats; the static planner would fall back to sort-merge)
+    return (
+        spine.join(F.broadcast(rev), spine.n_nationkey == rev.c_nationkey, "left")
+        .select(
+            "r_name",
+            "n_name",
+            F.coalesce("fat", F.lit(0.0)).alias("faturamento"),
+            F.coalesce("pedidos", F.lit(0)).alias("pedidos"),
+        )
+    )
+
+
+ORACLE_GEO_SPINE = """
+WITH rev AS (
+  SELECT c.c_nationkey, ROUND(CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 2) AS fat,
+         COUNT(*) AS pedidos
+  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+  WHERE year(o.o_orderdate) = 1995
+  GROUP BY 1
+)
+SELECT r.r_name, n.n_name,
+       COALESCE(rev.fat, 0.0) AS faturamento,
+       COALESCE(rev.pedidos, 0) AS pedidos
+FROM nation n
+JOIN region r ON n.n_regionkey = r.r_regionkey
+LEFT JOIN rev ON n.n_nationkey = rev.c_nationkey
+"""
+
+
 QUERIES = {
     "sla_leadtime": q_sla_leadtime,
+    "geo_spine_zerofill": q_geo_spine_zerofill,
     "left_enrichment": q_left_enrichment,
     "full_outer_coalesce": q_full_outer_coalesce,
     "preagg_join": q_preagg_join,
@@ -490,6 +546,7 @@ QUERIES = {
 
 ORACLES = {
     "sla_leadtime": ORACLE_SLA,
+    "geo_spine_zerofill": ORACLE_GEO_SPINE,
     "left_enrichment": ORACLE_LEFT_ENRICHMENT,
     "full_outer_coalesce": ORACLE_FULL_OUTER,
     "preagg_join": ORACLE_PREAGG_JOIN,
