@@ -70,9 +70,13 @@ def aggregate_to_json(df: DataFrame, group_cols: list[str]) -> DataFrame:
     """JSON_ARRAYAGG(JSON_OBJECT(...)) analogue: one JSON array of row
     objects per group (ref ScriptsSQL - Belmicro/JSON Resposta 1.sql:18-28)."""
     payload_cols = [c for c in df.columns if c not in group_cols]
+    # array_sort: collect_list order is undefined after a shuffle —
+    # sorting (field-wise struct compare) makes the JSON reproducible
     return df.groupBy(*group_cols).agg(
         F.to_json(
-            F.collect_list(F.struct(*[F.col(c) for c in payload_cols]))
+            F.array_sort(
+                F.collect_list(F.struct(*[F.col(c) for c in payload_cols]))
+            )
         ).alias("payload_json")
     )
 
