@@ -528,9 +528,42 @@ LEFT JOIN rev ON n.n_nationkey = rev.c_nationkey
 """
 
 
+def q_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT / EXCEPT parity (SURVEY §2.6 notes the reference never
+    uses them; Spark supplies both natively): customers active in 1997
+    vs 1998 — retained (∩), churned (97∖98), new (98∖97) — labeled and
+    unioned.  Set ops plan as aggregate-based distinct joins; at scale
+    they are one shuffle each on the compared key."""
+    orders = load_table(spark, sf_dir, "orders")
+
+    def actives(year: int):
+        return orders.filter(F.year("o_orderdate") == year).select("o_custkey")
+
+    a97, a98 = actives(1997), actives(1998)
+    # intersect/subtract are the DISTINCT set ops (SQL INTERSECT /
+    # EXCEPT); exceptAll would keep per-order multiplicity and leak
+    # both-years customers into the churned set
+    retained = a97.intersect(a98).withColumn("grupo", F.lit("retido"))
+    churned = a97.subtract(a98).withColumn("grupo", F.lit("perdido"))
+    new = a98.subtract(a97).withColumn("grupo", F.lit("novo"))
+    return retained.unionByName(churned).unionByName(new)
+
+
+ORACLE_SET_OPS = """
+WITH a97 AS (SELECT DISTINCT o_custkey FROM orders WHERE year(o_orderdate) = 1997),
+     a98 AS (SELECT DISTINCT o_custkey FROM orders WHERE year(o_orderdate) = 1998)
+SELECT o_custkey, 'retido' AS grupo FROM (SELECT o_custkey FROM a97 INTERSECT SELECT o_custkey FROM a98)
+UNION ALL
+SELECT o_custkey, 'perdido' FROM (SELECT o_custkey FROM a97 EXCEPT SELECT o_custkey FROM a98)
+UNION ALL
+SELECT o_custkey, 'novo' FROM (SELECT o_custkey FROM a98 EXCEPT SELECT o_custkey FROM a97)
+"""
+
+
 QUERIES = {
     "sla_leadtime": q_sla_leadtime,
     "geo_spine_zerofill": q_geo_spine_zerofill,
+    "set_ops": q_set_ops,
     "left_enrichment": q_left_enrichment,
     "full_outer_coalesce": q_full_outer_coalesce,
     "preagg_join": q_preagg_join,
@@ -547,6 +580,7 @@ QUERIES = {
 ORACLES = {
     "sla_leadtime": ORACLE_SLA,
     "geo_spine_zerofill": ORACLE_GEO_SPINE,
+    "set_ops": ORACLE_SET_OPS,
     "left_enrichment": ORACLE_LEFT_ENRICHMENT,
     "full_outer_coalesce": ORACLE_FULL_OUTER,
     "preagg_join": ORACLE_PREAGG_JOIN,

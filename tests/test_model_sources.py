@@ -152,3 +152,25 @@ def test_union_sheet_frames_lineage_and_missing_columns(spark):
     assert rows["a"].aba_origem == "Ana"
     assert rows["c"].aba_origem == "Beto"
     assert rows["c"].valor is None and rows["a"].extra is None
+
+
+def test_observed_audit_rides_the_action(spark):
+    from etl_python_spark.sources.audit import observed_checksum, observed_counts
+    from etl_python_spark.sources.tables import load_table
+    from tests.conftest import SF_SMOKE
+
+    orders = load_table(spark, SF_SMOKE, "orders")
+    df, obs = observed_counts(orders, "staging_audit", null_cols=["o_orderstatus"])
+    n = df.count()  # the single action both computes and audits
+    got = obs.get
+    assert got["rows"] == n
+    assert got["nulls_o_orderstatus"] >= 0
+
+    df2, obs2 = observed_checksum(orders, "money_audit", "o_totalprice")
+    df2.write.format("noop").mode("overwrite").save()
+    import pyspark.sql.functions as F
+
+    expected = orders.agg(
+        F.round(F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double"), 2)
+    ).first()[0]
+    assert obs2.get["sum_o_totalprice"] == expected
