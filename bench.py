@@ -26,6 +26,9 @@ HEADLINE = [
     "latest_order_per_customer",
     "sessionize",
     "hourly_event_counts",
+    "supplier_region_share",
+    "sla_leadtime",
+    "sliding_event_counts",
     "dedup_exact",
     "ngram_jaccard_pairs",
     "minhash_lsh_pairs",
