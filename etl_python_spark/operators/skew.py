@@ -11,7 +11,7 @@ salt, no ``rand()`` — keeps every run and every retry identical).
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 DEFAULT_SALTS = 16

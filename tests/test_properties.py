@@ -9,7 +9,6 @@ from datetime import date
 
 from hypothesis import given, settings
 from hypothesis import strategies as st
-from pyspark.sql import functions as F
 
 from etl_python_spark.functions.cleaning import cnpj_check_digit_ok, parse_brl
 from etl_python_spark.functions.dates import week_of_month
