@@ -1,0 +1,53 @@
+"""Physical-plan regression guards: the properties the scale design
+depends on, asserted against explain output so a refactor can't
+silently reintroduce a bad plan shape."""
+
+import contextlib
+import io
+
+from etl_python_spark.operators.analytics_core import (
+    q_faturamento_rollup,
+    q_top_customers_per_nation,
+)
+from etl_python_spark.operators.dedup import q_ngram_jaccard_pairs
+from tests.conftest import SF_SMOKE
+
+
+def _plan(df) -> str:
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def test_faturamento_broadcasts_dims_and_prunes_scan(spark):
+    plan = _plan(q_faturamento_rollup(spark, SF_SMOKE))
+    assert "SortMergeJoin" not in plan
+    assert plan.count("BroadcastHashJoin") >= 2
+    # orders scan must not read untouched columns
+    scan = next(s for s in plan.split("(") if "orders.parquet" in s)
+    assert "o_comment" not in scan and "o_orderpriority" not in scan
+    assert "PushedFilters: [IsNotNull" in plan
+
+
+def test_top_customers_single_window_after_aggregate(spark):
+    import re
+
+    plan = _plan(q_top_customers_per_nation(spark, SF_SMOKE))
+    # aggregate shrinks input BEFORE the window: exactly one Window op,
+    # no sort-merge join (count operator headers, not detail mentions)
+    assert len(re.findall(r"\(\d+\) Window\b", plan)) == 1
+    assert "SortMergeJoin" not in plan
+
+
+def test_ngram_has_no_selfjoin_and_spreads_the_scan(spark):
+    plan = _plan(q_ngram_jaccard_pairs(spark, SF_SMOKE))
+    # posting-list formulation: no join operator at all
+    for op in ("SortMergeJoin", "BroadcastHashJoin", "ShuffledHashJoin"):
+        assert op not in plan, op
+    # the CPU-spreading repartition must survive optimization
+    assert "REPARTITION_BY_NUM" in plan
+    # and the inferred size()>0 filter must not sit below it (it would
+    # re-inline the shingle expression pre-exchange, single-core)
+    below = plan.split("REPARTITION_BY_NUM")[0]
+    assert "array_distinct" not in below
