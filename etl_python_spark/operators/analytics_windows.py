@@ -465,9 +465,56 @@ FROM built
 """
 
 
+def q_customer_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NTILE quartiles + exact median — window capabilities the
+    reference's MySQL layer never had (SURVEY §2.5 note): customers
+    ranked into revenue quartiles within their nation, with the
+    nation's median revenue alongside.  One aggregate shuffle then one
+    window exchange on the (small) per-customer rollup."""
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    per_cust = (
+        orders.join(customer, orders.o_custkey == customer.c_custkey)
+        .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
+        .groupBy("n_name", "c_custkey")
+        .agg(
+            F.round(
+                F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double"), 2
+            ).alias("fat")
+        )
+    )
+    w = Window.partitionBy("n_name").orderBy(F.desc("fat"), F.asc("c_custkey"))
+    w_n = Window.partitionBy("n_name")
+    return per_cust.select(
+        "n_name",
+        "c_custkey",
+        "fat",
+        F.ntile(4).over(w).alias("quartil"),
+        F.round(F.median("fat").over(w_n), 2).alias("mediana_nacao"),
+    )
+
+
+ORACLE_QUARTILES = """
+WITH per_cust AS (
+  SELECT n.n_name, c.c_custkey,
+         ROUND(CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 2) AS fat
+  FROM orders o
+  JOIN customer c ON o.o_custkey = c.c_custkey
+  JOIN nation n ON c.c_nationkey = n.n_nationkey
+  GROUP BY 1, 2
+)
+SELECT n_name, c_custkey, fat,
+       NTILE(4) OVER (PARTITION BY n_name ORDER BY fat DESC, c_custkey ASC) AS quartil,
+       ROUND(median(fat) OVER (PARTITION BY n_name), 2) AS mediana_nacao
+FROM per_cust
+"""
+
+
 QUERIES = {
     "calendar_dim": q_calendar_dim,
     "cnpj_validate": q_cnpj_validate,
+    "customer_quartiles": q_customer_quartiles,
     "custom_sort_field": q_custom_sort_field,
     "value_counts": q_value_counts,
     "churn_kpi": q_churn_kpi,
@@ -479,6 +526,7 @@ QUERIES = {
 ORACLES = {
     "calendar_dim": ORACLE_CALENDAR,
     "cnpj_validate": ORACLE_CNPJ,
+    "customer_quartiles": ORACLE_QUARTILES,
     "custom_sort_field": ORACLE_CUSTOM_SORT,
     "value_counts": ORACLE_VALUE_COUNTS,
     "churn_kpi": ORACLE_CHURN,
