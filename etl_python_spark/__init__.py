@@ -20,7 +20,8 @@ Layout
                    pipeline operators (dedup, similarity, text)
 - ``streaming``  : structured-streaming file pipelines
 - ``ml``         : grouped forecasting via applyInPandas
-- ``plans``      : plan-inspection helpers (pushdown/broadcast asserts)
+- ``plans``      : SQL view surface of the report family
+- ``enrich``     : REST enrichment clients (CNPJ/PTAX/IBGE)
 """
 
 __version__ = "0.1.0"
