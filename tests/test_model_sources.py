@@ -174,3 +174,21 @@ def test_observed_audit_rides_the_action(spark):
         F.round(F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double"), 2)
     ).first()[0]
     assert obs2.get["sum_o_totalprice"] == expected
+
+
+def test_write_excel_report_is_a_guarded_stub(spark, tmp_path):
+    import pytest
+
+    from etl_python_spark.sources.tables import load_table
+    from etl_python_spark.sources.writers import write_excel_report
+    from tests.conftest import SF_SMOKE
+
+    nation = load_table(spark, SF_SMOKE, "nation")
+    with pytest.raises(NotImplementedError):
+        write_excel_report(nation, str(tmp_path / "r.xlsx"))
+    with pytest.raises(ValueError, match="presentation sink"):
+        write_excel_report(
+            load_table(spark, SF_SMOKE, "lineitem"),
+            str(tmp_path / "r.xlsx"),
+            max_rows=10,
+        )
