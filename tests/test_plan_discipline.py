@@ -51,3 +51,23 @@ def test_ngram_has_no_selfjoin_and_spreads_the_scan(spark):
     # re-inline the shingle expression pre-exchange, single-core)
     below = plan.split("REPARTITION_BY_NUM")[0]
     assert "array_distinct" not in below
+
+
+def test_partitioned_staging_prunes_partitions(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from etl_python_spark.sources.tables import load_table
+    from etl_python_spark.sources.writers import write_staging
+
+    orders = load_table(spark, SF_SMOKE, "orders").withColumn(
+        "ano", F.year("o_orderdate")
+    )
+    path = str(tmp_path / "staged")
+    write_staging(orders, path, partition_by=["ano"])
+
+    read = spark.read.parquet(path).filter(F.col("ano") == 1998)
+    plan = _plan(read)
+    # the year predicate must prune at the directory level, not scan+filter
+    assert "PartitionFilters: [isnotnull(ano" in plan or "PartitionFilters: [(ano" in plan, plan
+    years = {r.ano for r in read.select("ano").distinct().collect()}
+    assert years == {1998}
