@@ -18,6 +18,7 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 HEADLINE = [
+    "pricing_summary",
     "faturamento_rollup",
     "top_customers_per_nation",
     "year_pivot",

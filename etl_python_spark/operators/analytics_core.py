@@ -582,6 +582,52 @@ SELECT 'c_mktsegment', n_rows, m_nulls, m_dist, ROUND(CAST(m_dist AS DOUBLE) / C
 """
 
 
+def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 pricing summary on lineitem (the canonical scan+agg
+    benchmark shape; semantics are public TPC-H): one pass over the
+    fact, map-side partial aggregation, shuffle only on the 4-value
+    (returnflag, linestatus) key.  DECIMAL accumulation keeps sums
+    order-independent."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate").cast("date") <= F.lit("1998-09-02").cast("date")
+    )
+    disc_price = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+        "decimal(18,2)"
+    )
+    charge = (
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * (1 + F.col("l_tax"))
+    ).cast("decimal(18,2)")
+    return (
+        li.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum(F.col("l_quantity").cast("decimal(18,2)")).cast("double"), 2).alias("sum_qty"),
+            F.round(F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).cast("double"), 2).alias("sum_base_price"),
+            F.round(F.sum(disc_price).cast("double"), 2).alias("sum_disc_price"),
+            F.round(F.sum(charge).cast("double"), 2).alias("sum_charge"),
+            F.round(F.avg(F.col("l_quantity").cast("decimal(18,2)")).cast("double"), 4).alias("avg_qty"),
+            F.round(F.avg(F.col("l_extendedprice").cast("decimal(18,2)")).cast("double"), 4).alias("avg_price"),
+            F.round(F.avg(F.col("l_discount").cast("decimal(18,4)")).cast("double"), 4).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+ORACLE_PRICING_SUMMARY = """
+SELECT l_returnflag, l_linestatus,
+       ROUND(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE), 2) AS sum_qty,
+       ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE), 2) AS sum_base_price,
+       ROUND(CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,2))) AS DOUBLE), 2) AS sum_disc_price,
+       ROUND(CAST(SUM(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(18,2))) AS DOUBLE), 2) AS sum_charge,
+       ROUND(CAST(AVG(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE), 4) AS avg_qty,
+       ROUND(CAST(AVG(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE), 4) AS avg_price,
+       ROUND(CAST(AVG(CAST(l_discount AS DECIMAL(18,4))) AS DOUBLE), 4) AS avg_disc,
+       COUNT(*) AS count_order
+FROM lineitem
+WHERE CAST(l_shipdate AS DATE) <= DATE '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
 def q_supplier_region_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-supplier-nation net revenue and share of its region's total
     (W4 windowed-total over a 4-table join: lineitem ⨝ supplier ⨝
@@ -804,6 +850,7 @@ QUERIES = {
     "faturamento_rollup": q_faturamento_rollup,
     "json_export": q_json_export,
     "mix_monthly_pivot": q_mix_monthly_pivot,
+    "pricing_summary": q_pricing_summary,
     "supplier_region_share": q_supplier_region_share,
     "grouping_sets_report": q_grouping_sets_report,
     "formatted_report": q_formatted_report,
@@ -824,6 +871,7 @@ ORACLES = {
     "faturamento_rollup": ORACLE_FATURAMENTO,
     "json_export": ORACLE_JSON_EXPORT,
     "mix_monthly_pivot": ORACLE_MIX_MONTHLY,
+    "pricing_summary": ORACLE_PRICING_SUMMARY,
     "supplier_region_share": ORACLE_SUPPLIER_SHARE,
     "grouping_sets_report": ORACLE_GROUPING_SETS,
     "formatted_report": ORACLE_FORMATTED,
