@@ -628,6 +628,60 @@ GROUP BY l_returnflag, l_linestatus
 """
 
 
+def q_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shipping priority (public semantics, adapted to this
+    schema's columns): revenue of unshipped BUILDING-segment orders,
+    top 10.  Plan: segment filter pushes into the customer scan, the
+    filtered customer side broadcasts into orders, lineitem joins on
+    the order key (the only big⨝big edge), then TakeOrdered — no full
+    sort of the aggregate."""
+    cutoff = F.lit("1995-03-15").cast("date")
+    customer = load_table(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate").cast("date") < cutoff
+    )
+    lineitem = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate").cast("date") > cutoff
+    )
+    rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(18,2)")
+    return (
+        lineitem.join(
+            F.broadcast(
+                orders.join(
+                    F.broadcast(customer.select("c_custkey")),
+                    orders.o_custkey == F.col("c_custkey"),
+                ).select("o_orderkey", "o_orderdate", "o_orderpriority")
+            ),
+            lineitem.l_orderkey == F.col("o_orderkey"),
+        )
+        .groupBy(
+            "l_orderkey",
+            F.col("o_orderdate").cast("date").alias("data_pedido"),
+            "o_orderpriority",
+        )
+        .agg(F.round(F.sum(rev).cast("double"), 2).alias("receita"))
+        .orderBy(F.desc("receita"), F.asc("l_orderkey"))
+        .limit(10)
+    )
+
+
+ORACLE_SHIPPING_PRIORITY = """
+SELECT l_orderkey, CAST(o_orderdate AS DATE) AS data_pedido, o_orderpriority,
+       ROUND(CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,2))) AS DOUBLE), 2) AS receita
+FROM customer
+JOIN orders ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+WHERE c_mktsegment = 'BUILDING'
+  AND CAST(o_orderdate AS DATE) < DATE '1995-03-15'
+  AND CAST(l_shipdate AS DATE) > DATE '1995-03-15'
+GROUP BY 1, 2, 3
+ORDER BY receita DESC, l_orderkey ASC
+LIMIT 10
+"""
+
+
 def q_supplier_region_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-supplier-nation net revenue and share of its region's total
     (W4 windowed-total over a 4-table join: lineitem ⨝ supplier ⨝
@@ -851,6 +905,7 @@ QUERIES = {
     "json_export": q_json_export,
     "mix_monthly_pivot": q_mix_monthly_pivot,
     "pricing_summary": q_pricing_summary,
+    "shipping_priority": q_shipping_priority,
     "supplier_region_share": q_supplier_region_share,
     "grouping_sets_report": q_grouping_sets_report,
     "formatted_report": q_formatted_report,
@@ -872,6 +927,7 @@ ORACLES = {
     "json_export": ORACLE_JSON_EXPORT,
     "mix_monthly_pivot": ORACLE_MIX_MONTHLY,
     "pricing_summary": ORACLE_PRICING_SUMMARY,
+    "shipping_priority": ORACLE_SHIPPING_PRIORITY,
     "supplier_region_share": ORACLE_SUPPLIER_SHARE,
     "grouping_sets_report": ORACLE_GROUPING_SETS,
     "formatted_report": ORACLE_FORMATTED,

@@ -213,14 +213,63 @@ FROM events
 GROUP BY user_id
 """
 
+def stream_static_enriched(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static join: the event stream broadcast-joins the static
+    customer→nation dim inside each micro-batch (the dim re-resolves
+    per batch, so at scale a refreshed dim table is picked up without
+    restarting the query), then aggregates per nation.  Oracled
+    against the batch equivalent."""
+    from ..sources.tables import load_table
+
+    stream = _events_stream(spark, sf_dir)
+    customer = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey"
+    )
+    nation = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    dim = customer.join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
+    joined = stream.join(
+        F.broadcast(dim), stream.user_id == dim.c_custkey, "inner"
+    )
+    agg = joined.groupBy("n_name").agg(
+        F.count("*").alias("eventos"),
+        F.round(
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double"), 2
+        ).alias("valor_total"),
+    )
+    name = f"enriched_{uuid.uuid4().hex[:8]}"
+    ckpt = tempfile.mkdtemp(prefix="ckpt_")
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    return spark.table(name)
+
+
+ORACLE_STREAM_ENRICHED = """
+SELECT n.n_name, COUNT(*) AS eventos,
+       ROUND(CAST(SUM(CAST(e.value AS DECIMAL(18,2))) AS DOUBLE), 2) AS valor_total
+FROM events e
+JOIN customer c ON e.user_id = c.c_custkey
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+GROUP BY 1
+"""
+
+
 QUERIES = {
     "stream_hourly_counts": hourly_counts_stream,
+    "stream_static_enriched": stream_static_enriched,
     "stream_sessionize": session_window_stream,
     "stream_user_totals": stateful_user_totals_stream,
 }
 
 ORACLES = {
     "stream_hourly_counts": ORACLE_STREAM_HOURLY,
+    "stream_static_enriched": ORACLE_STREAM_ENRICHED,
     "stream_sessionize": ORACLE_STREAM_SESSIONS,
     "stream_user_totals": ORACLE_STREAM_USER_TOTALS,
 }
