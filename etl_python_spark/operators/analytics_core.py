@@ -682,6 +682,81 @@ LIMIT 10
 """
 
 
+def q_forecast_revenue_change(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 (public semantics): revenue delta from discount
+    tweaks — the maximally-selective scan+aggregate.  Every predicate
+    reaches the parquet scan as a pushed filter (the plan-discipline
+    test family asserts PushedFilters); no shuffle beyond the single
+    global aggregate."""
+    li = load_table(spark, sf_dir, "lineitem")
+    sel = li.filter(
+        (F.col("l_shipdate").cast("date") >= F.lit("1995-01-01").cast("date"))
+        & (F.col("l_shipdate").cast("date") < F.lit("1996-01-01").cast("date"))
+        & (F.col("l_discount") >= 0.03)
+        & (F.col("l_discount") <= 0.05)
+        & (F.col("l_quantity") < 24)
+    )
+    return sel.agg(
+        F.round(
+            F.sum(
+                (F.col("l_extendedprice") * F.col("l_discount")).cast("decimal(18,2)")
+            ).cast("double"),
+            2,
+        ).alias("receita_adicional"),
+        F.count("*").alias("itens"),
+    )
+
+
+ORACLE_FORECAST_REVENUE = """
+SELECT ROUND(CAST(SUM(CAST(l_extendedprice * l_discount AS DECIMAL(18,2))) AS DOUBLE), 2)
+         AS receita_adicional,
+       COUNT(*) AS itens
+FROM lineitem
+WHERE CAST(l_shipdate AS DATE) >= DATE '1995-01-01'
+  AND CAST(l_shipdate AS DATE) < DATE '1996-01-01'
+  AND l_discount BETWEEN 0.03 AND 0.05
+  AND l_quantity < 24
+"""
+
+
+def q_cube_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full CUBE over (returnflag, linestatus) — all 4 grains in one
+    aggregate pass (the generalization past rollup/grouping-sets the
+    reference's MySQL 8 also lacked)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.cube("l_returnflag", "l_linestatus")
+        .agg(
+            F.grouping("l_returnflag").alias("g_flag"),
+            F.grouping("l_linestatus").alias("g_status"),
+            F.count("*").alias("itens"),
+            F.round(
+                F.sum(F.col("l_quantity").cast("decimal(18,2)")).cast("double"), 2
+            ).alias("qtd_total"),
+        )
+        .select(
+            F.coalesce("l_returnflag", F.lit("TODOS")).alias("flag"),
+            F.coalesce("l_linestatus", F.lit("TODOS")).alias("situacao"),
+            "g_flag",
+            "g_status",
+            "itens",
+            "qtd_total",
+        )
+    )
+
+
+ORACLE_CUBE = """
+SELECT COALESCE(l_returnflag, 'TODOS') AS flag,
+       COALESCE(l_linestatus, 'TODOS') AS situacao,
+       GROUPING(l_returnflag) AS g_flag,
+       GROUPING(l_linestatus) AS g_status,
+       COUNT(*) AS itens,
+       ROUND(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE), 2) AS qtd_total
+FROM lineitem
+GROUP BY CUBE (l_returnflag, l_linestatus)
+"""
+
+
 def q_supplier_region_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-supplier-nation net revenue and share of its region's total
     (W4 windowed-total over a 4-table join: lineitem ⨝ supplier ⨝
@@ -906,6 +981,8 @@ QUERIES = {
     "mix_monthly_pivot": q_mix_monthly_pivot,
     "pricing_summary": q_pricing_summary,
     "shipping_priority": q_shipping_priority,
+    "forecast_revenue_change": q_forecast_revenue_change,
+    "cube_report": q_cube_report,
     "supplier_region_share": q_supplier_region_share,
     "grouping_sets_report": q_grouping_sets_report,
     "formatted_report": q_formatted_report,
@@ -928,6 +1005,8 @@ ORACLES = {
     "mix_monthly_pivot": ORACLE_MIX_MONTHLY,
     "pricing_summary": ORACLE_PRICING_SUMMARY,
     "shipping_priority": ORACLE_SHIPPING_PRIORITY,
+    "forecast_revenue_change": ORACLE_FORECAST_REVENUE,
+    "cube_report": ORACLE_CUBE,
     "supplier_region_share": ORACLE_SUPPLIER_SHARE,
     "grouping_sets_report": ORACLE_GROUPING_SETS,
     "formatted_report": ORACLE_FORMATTED,
