@@ -201,6 +201,59 @@ def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 # restated in SQL; row-count (=3 modalities) + schema are still checked.
 
 
+RESIZE_TARGET = 4096  # bytes after downsampling
+
+
+def q_media_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resize/downsample pass over the payload bytes: every k-th byte
+    with k = ceil(n/target) — the deterministic stand-in for a real
+    image resample (the PIL call would slot into the same
+    ``mapInPandas`` seam; numpy strided slicing is zero-copy per
+    batch).  The output is a real (smaller) binary column; the oracle
+    re-states the size arithmetic — resized_len = ceil(n/k) — which
+    pins that the Python stage processed every row with the right
+    stride."""
+    media = as_media(spread(load_table(spark, sf_dir, "documents"), "doc_id"))
+
+    def resize(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                b = np.frombuffer(payload or b"", dtype=np.uint8)
+                n = int(b.size)
+                k = max(1, -(-n // RESIZE_TARGET))  # ceil(n/target)
+                small = b[::k].tobytes()
+                rows.append((int(mid), n, k, small, len(small)))
+            yield pd.DataFrame(
+                rows,
+                columns=["media_id", "n_bytes", "stride", "resized", "resized_len"],
+            )
+
+    out = media.select("media_id", "payload").mapInPandas(
+        resize, "media_id long, n_bytes int, stride int, resized binary, resized_len int"
+    )
+    return out.select("media_id", "n_bytes", "stride", "resized_len")
+
+
+ORACLE_MEDIA_RESIZE = f"""
+WITH m AS (
+  SELECT doc_id AS media_id, octet_length(encode(text)) AS n_bytes
+  FROM documents
+), s AS (
+  SELECT media_id, n_bytes,
+         GREATEST(1, CAST(ceil(CAST(n_bytes AS DOUBLE) / {RESIZE_TARGET}) AS INT)) AS stride
+  FROM m
+)
+SELECT media_id, CAST(n_bytes AS INT) AS n_bytes, stride,
+       CAST(CASE WHEN n_bytes = 0 THEN 0
+                 ELSE ceil(CAST(n_bytes AS DOUBLE) / stride) END AS INT) AS resized_len
+FROM s
+"""
+
+
 # ---------------------------------------------------------------------------
 # Frame sampling — binary slicing + explode, oracled arithmetic
 # ---------------------------------------------------------------------------
@@ -266,11 +319,13 @@ FROM framed
 QUERIES = {
     "multimodal_metadata": q_multimodal_metadata,
     "media_features": q_media_features,
+    "media_resize": q_media_resize,
     "frame_sample": q_frame_sample,
 }
 
 ORACLES = {
     "multimodal_metadata": ORACLE_MULTIMODAL_METADATA,
     # media_features: Python-side fake decoder → rows-only check
+    "media_resize": ORACLE_MEDIA_RESIZE,
     "frame_sample": ORACLE_FRAME_SAMPLE,
 }
