@@ -32,6 +32,37 @@ def davg(col: Column | str, scale: int = 6) -> Column:
     )
 
 
+def cents(col: Column | str) -> Column:
+    """Computed money expression → exact integer cents (BIGINT).
+
+    ``floor(x*100 + 0.5)`` is evaluated identically by any IEEE-754
+    engine, so a *derived* money value (``price * (1-discount)``)
+    quantizes to the same integer everywhere.  Per-row
+    ``CAST(x AS DECIMAL(18,2))`` does NOT have this property: engines
+    disagree by one ulp on rounding boundaries, and cent-level drift
+    accumulates over 1e8-magnitude sums.  The SQL-side twin is
+    `SQL_CENTS`."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.floor(c * 100 + F.lit(0.5)).cast("long")
+
+
+def csum(col: Column | str) -> Column:
+    """Engine-parity SUM of a *computed* money expression: sum exact
+    integer cents, divide once at the end.  Order-independent (integer
+    addition) and bit-identical across engines (single double division
+    of an integer < 2^53).  Use `dsum` for raw already-2-decimal
+    columns; use this for derived expressions."""
+    return F.sum(cents(col)).cast("double") / F.lit(100.0)
+
+
+def sql_csum(expr: str) -> str:
+    """DuckDB twin of `csum` for oracle SQL strings."""
+    return (
+        f"CAST(SUM(CAST(FLOOR(({expr}) * 100 + 0.5) AS BIGINT)) AS DOUBLE)"
+        " / 100.0"
+    )
+
+
 def ratio(num: Column, den: Column, scale: int = 6) -> Column:
     """num/den with divide-by-zero → NULL (NULLIF semantics of the
     reference KPI queries, e.g. ticket médio / conversão)."""

@@ -13,7 +13,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..functions.numeric import dsum
+from ..functions.numeric import cents, csum, dsum, sql_csum
 from ..sources.tables import load_table
 
 
@@ -591,19 +591,17 @@ def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem").filter(
         F.col("l_shipdate").cast("date") <= F.lit("1998-09-02").cast("date")
     )
-    disc_price = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
-        "decimal(18,2)"
-    )
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     charge = (
         F.col("l_extendedprice") * (1 - F.col("l_discount")) * (1 + F.col("l_tax"))
-    ).cast("decimal(18,2)")
+    )
     return (
         li.groupBy("l_returnflag", "l_linestatus")
         .agg(
             F.round(F.sum(F.col("l_quantity").cast("decimal(18,2)")).cast("double"), 2).alias("sum_qty"),
             F.round(F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).cast("double"), 2).alias("sum_base_price"),
-            F.round(F.sum(disc_price).cast("double"), 2).alias("sum_disc_price"),
-            F.round(F.sum(charge).cast("double"), 2).alias("sum_charge"),
+            csum(disc_price).alias("sum_disc_price"),
+            csum(charge).alias("sum_charge"),
             F.round(F.avg(F.col("l_quantity").cast("decimal(18,2)")).cast("double"), 4).alias("avg_qty"),
             F.round(F.avg(F.col("l_extendedprice").cast("decimal(18,2)")).cast("double"), 4).alias("avg_price"),
             F.round(F.avg(F.col("l_discount").cast("decimal(18,4)")).cast("double"), 4).alias("avg_disc"),
@@ -612,12 +610,12 @@ def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-ORACLE_PRICING_SUMMARY = """
+ORACLE_PRICING_SUMMARY = f"""
 SELECT l_returnflag, l_linestatus,
        ROUND(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE), 2) AS sum_qty,
        ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE), 2) AS sum_base_price,
-       ROUND(CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,2))) AS DOUBLE), 2) AS sum_disc_price,
-       ROUND(CAST(SUM(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(18,2))) AS DOUBLE), 2) AS sum_charge,
+       {sql_csum('l_extendedprice * (1 - l_discount)')} AS sum_disc_price,
+       {sql_csum('l_extendedprice * (1 - l_discount) * (1 + l_tax)')} AS sum_charge,
        ROUND(CAST(AVG(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE), 4) AS avg_qty,
        ROUND(CAST(AVG(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE), 4) AS avg_price,
        ROUND(CAST(AVG(CAST(l_discount AS DECIMAL(18,4))) AS DOUBLE), 4) AS avg_disc,
@@ -645,7 +643,7 @@ def q_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     lineitem = load_table(spark, sf_dir, "lineitem").filter(
         F.col("l_shipdate").cast("date") > cutoff
     )
-    rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(18,2)")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     return (
         lineitem.join(
             F.broadcast(
@@ -661,15 +659,15 @@ def q_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("o_orderdate").cast("date").alias("data_pedido"),
             "o_orderpriority",
         )
-        .agg(F.round(F.sum(rev).cast("double"), 2).alias("receita"))
+        .agg(csum(rev).alias("receita"))
         .orderBy(F.desc("receita"), F.asc("l_orderkey"))
         .limit(10)
     )
 
 
-ORACLE_SHIPPING_PRIORITY = """
+ORACLE_SHIPPING_PRIORITY = f"""
 SELECT l_orderkey, CAST(o_orderdate AS DATE) AS data_pedido, o_orderpriority,
-       ROUND(CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,2))) AS DOUBLE), 2) AS receita
+       {sql_csum('l_extendedprice * (1 - l_discount)')} AS receita
 FROM customer
 JOIN orders ON c_custkey = o_custkey
 JOIN lineitem ON l_orderkey = o_orderkey
@@ -697,18 +695,15 @@ def q_forecast_revenue_change(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("l_quantity") < 24)
     )
     return sel.agg(
-        F.round(
-            F.sum(
-                (F.col("l_extendedprice") * F.col("l_discount")).cast("decimal(18,2)")
-            ).cast("double"),
-            2,
-        ).alias("receita_adicional"),
+        csum(F.col("l_extendedprice") * F.col("l_discount")).alias(
+            "receita_adicional"
+        ),
         F.count("*").alias("itens"),
     )
 
 
-ORACLE_FORECAST_REVENUE = """
-SELECT ROUND(CAST(SUM(CAST(l_extendedprice * l_discount AS DECIMAL(18,2))) AS DOUBLE), 2)
+ORACLE_FORECAST_REVENUE = f"""
+SELECT {sql_csum('l_extendedprice * l_discount')}
          AS receita_adicional,
        COUNT(*) AS itens
 FROM lineitem
@@ -766,7 +761,7 @@ def q_supplier_region_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     supplier = load_table(spark, sf_dir, "supplier")
     nation = load_table(spark, sf_dir, "nation")
     region = load_table(spark, sf_dir, "region")
-    net = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(18,2)")
+    net = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     per_nation = (
         lineitem.join(
             F.broadcast(supplier), lineitem.l_suppkey == supplier.s_suppkey
@@ -774,16 +769,20 @@ def q_supplier_region_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(nation), supplier.s_nationkey == nation.n_nationkey)
         .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
         .groupBy("r_name", "n_name")
-        .agg(F.round(F.sum(net).cast("double"), 2).alias("receita"))
+        .agg(F.sum(cents(net)).alias("receita_cents"))
     )
+    # share is computed on integer cents end-to-end: the windowed total
+    # is a BIGINT sum, so partial-aggregation order can never move it.
     w_region = Window.partitionBy("r_name")
     return per_nation.select(
         "r_name",
         "n_name",
-        "receita",
+        (F.col("receita_cents").cast("double") / F.lit(100.0)).alias("receita"),
         F.round(
-            F.col("receita")
-            / F.nullif(F.sum("receita").over(w_region), F.lit(0.0))
+            F.col("receita_cents").cast("double")
+            / F.nullif(
+                F.sum("receita_cents").over(w_region).cast("double"), F.lit(0.0)
+            )
             * 100,
             4,
         ).alias("share_regiao_pct"),
@@ -793,16 +792,18 @@ def q_supplier_region_share(spark: SparkSession, sf_dir: str) -> DataFrame:
 ORACLE_SUPPLIER_SHARE = """
 WITH per_nation AS (
   SELECT r.r_name, n.n_name,
-         ROUND(CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(18,2))) AS DOUBLE), 2) AS receita
+         CAST(SUM(CAST(FLOOR((l.l_extendedprice * (1 - l.l_discount)) * 100 + 0.5) AS BIGINT)) AS BIGINT) AS receita_cents
   FROM lineitem l
   JOIN supplier s ON l.l_suppkey = s.s_suppkey
   JOIN nation n ON s.s_nationkey = n.n_nationkey
   JOIN region r ON n.n_regionkey = r.r_regionkey
   GROUP BY 1, 2
 )
-SELECT r_name, n_name, receita,
-       ROUND(receita / NULLIF(SUM(receita) OVER (PARTITION BY r_name), 0.0) * 100, 4)
-         AS share_regiao_pct
+SELECT r_name, n_name,
+       CAST(receita_cents AS DOUBLE) / 100.0 AS receita,
+       ROUND(CAST(receita_cents AS DOUBLE)
+             / NULLIF(CAST(SUM(receita_cents) OVER (PARTITION BY r_name) AS DOUBLE), 0.0)
+             * 100, 4) AS share_regiao_pct
 FROM per_nation
 """
 

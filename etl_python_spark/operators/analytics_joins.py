@@ -14,7 +14,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..functions.numeric import dsum
+from ..functions.numeric import csum, dsum, sql_csum
 from ..sources.tables import load_table
 
 
@@ -169,17 +169,17 @@ def q_range_condition_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("o_orderstatus")
         .agg(
             F.count("*").alias("itens_rapidos"),
-            dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
+            csum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
                 "receita_rapida"
             ),
         )
     )
 
 
-ORACLE_RANGE_JOIN = """
+ORACLE_RANGE_JOIN = f"""
 SELECT o.o_orderstatus,
        COUNT(*) AS itens_rapidos,
-       ROUND(CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(18,2))) AS DOUBLE), 2) AS receita_rapida
+       {sql_csum('l.l_extendedprice * (1 - l.l_discount)')} AS receita_rapida
 FROM orders o
 JOIN lineitem l ON o.o_orderkey = l.l_orderkey
   AND l.l_shipdate >= o.o_orderdate

@@ -72,12 +72,12 @@ SELECT data,
        CASE month(data) {_PT_CASE} END AS nome_mes,
        CAST(ceil(day(data) / 7.0) AS INT) AS semana_do_mes,
        CASE WHEN dayofweek(data) BETWEEN 1 AND 5 THEN 1 ELSE 0 END AS dia_util,
-       SUM(CASE WHEN dayofweek(data) BETWEEN 1 AND 5 THEN 1 ELSE 0 END)
+       CAST(SUM(CASE WHEN dayofweek(data) BETWEEN 1 AND 5 THEN 1 ELSE 0 END)
          OVER (PARTITION BY year(data) ORDER BY data
-               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS dia_util_ano,
-       SUM(CASE WHEN dayofweek(data) BETWEEN 1 AND 5 THEN 1 ELSE 0 END)
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS dia_util_ano,
+       CAST(SUM(CASE WHEN dayofweek(data) BETWEEN 1 AND 5 THEN 1 ELSE 0 END)
          OVER (PARTITION BY year(data), month(data) ORDER BY data
-               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS dia_util_mes
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS dia_util_mes
 FROM spine
 """
 

@@ -127,8 +127,8 @@ WITH flagged AS (
   FROM events
 ), sessions AS (
   SELECT user_id, ts, event_id,
-         SUM(nova) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sessao
+         CAST(SUM(nova) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS sessao
   FROM flagged
 )
 SELECT user_id, sessao, COUNT(*) AS eventos, MIN(ts) AS inicio, MAX(ts) AS fim,
@@ -163,7 +163,7 @@ def q_props_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
 ORACLE_PROPS = """
 SELECT event_type,
        COUNT(TRY_CAST(regexp_extract(props, '"k":\\s*(-?\\d+)', 1) AS INT)) AS com_k,
-       SUM(TRY_CAST(regexp_extract(props, '"k":\\s*(-?\\d+)', 1) AS INT)) AS soma_k,
+       CAST(SUM(TRY_CAST(regexp_extract(props, '"k":\\s*(-?\\d+)', 1) AS INT)) AS BIGINT) AS soma_k,
        MIN(TRY_CAST(regexp_extract(props, '"k":\\s*(-?\\d+)', 1) AS INT)) AS min_k,
        MAX(TRY_CAST(regexp_extract(props, '"k":\\s*(-?\\d+)', 1) AS INT)) AS max_k
 FROM events

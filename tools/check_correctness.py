@@ -29,7 +29,10 @@ def canon(v):
             return "NaN"
         if v == int(v) and abs(v) < 1e15:
             return str(int(v))
-        return f"{v:.6g}"
+        # Full precision: the driver gate hashes exact values, so any
+        # canonicalization looser than repr() hides engine-parity bugs
+        # locally that then fail the round (round-1 lesson).
+        return repr(v)
     if isinstance(v, decimal.Decimal):
         return canon(float(v))
     if isinstance(v, datetime.datetime):
@@ -85,14 +88,26 @@ def main() -> int:
                 print(f"WARN  {name}: 0 rows")
             continue
         try:
-            res = con.execute(oracles[name])
-            dk_cols = [d[0].lower() for d in res.description]
-            dk_rows = res.fetchall()
+            rel = con.sql(oracles[name])
+            dk_cols = [c.lower() for c in rel.columns]
+            dk_types = [str(t) for t in rel.types]
+            dk_rows = rel.fetchall()
         except Exception:
             print(f"FAIL  {name}: duckdb error\n{traceback.format_exc()}")
             failed.append(name)
             continue
         problems = []
+        # Engine-level output types the driver's hash distinguishes even
+        # when values are identical (round-1 calendar_dim lesson):
+        # DuckDB SUM(int) yields HUGEINT/int128, which no Spark type maps
+        # to.  Treat them as failures so the oracle gets an explicit CAST.
+        bad_types = [
+            f"{c}:{t}"
+            for c, t in zip(dk_cols, dk_types)
+            if "HUGEINT" in t.upper() or "INT128" in t.upper()
+        ]
+        if bad_types:
+            problems.append(f"oracle HUGEINT output cols {bad_types}")
         if sorted(sp_cols) != sorted(dk_cols):
             problems.append(f"cols {sorted(sp_cols)} vs {sorted(dk_cols)}")
         if len(sp_rows) != len(dk_rows):
