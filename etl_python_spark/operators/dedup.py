@@ -19,7 +19,10 @@ otherwise produce quadratic bucket blow-up.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+import functools
+import random
+
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..sources.tables import load_table, spread
@@ -28,6 +31,25 @@ SHINGLE_K = 3  # words per shingle
 MAX_DF = 100  # drop shingles occurring in more docs (stop-shingles)
 MINHASH_K = 32
 LSH_BANDS = 8  # 8 bands × 4 rows
+
+# Engine-agnostic hashing: every signature below is derived from the
+# first 15 hex chars of md5 (a 60-bit integer both Spark and DuckDB
+# compute identically), so the oracle can replicate the FULL pipeline —
+# no engine-specific xxhash anywhere in the dedup family.
+HASH_P = 1_000_000_007  # prime modulus; keeps (a*h+b) inside 63 bits
+_rng = random.Random(20240813)
+MINHASH_A = [_rng.randrange(1, HASH_P) for _ in range(MINHASH_K)]
+MINHASH_B = [_rng.randrange(0, HASH_P) for _ in range(MINHASH_K)]
+
+
+def hash60(col: Column) -> Column:
+    """60-bit deterministic string hash: md5 hex prefix as BIGINT.
+    SQL twin: ``('0x'||substring(md5(x),1,15))::BIGINT`` (DuckDB)."""
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
+
+
+def sql_hash60(expr: str) -> str:
+    return f"('0x'||substring(md5({expr}),1,15))::BIGINT"
 
 
 def _norm_text(col):
@@ -127,25 +149,37 @@ def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     Plan shape — the shingle pipeline is computed ONCE and there is no
     self-join at all:
     - shingle once, carry |doc| (``size(sh)``) through the explode;
-    - groupBy shingle collecting the (doc, size) posting list; the
-      document-frequency stop-shingle cap is just ``size(docs)`` on
-      the collected list (a self-join formulation would re-execute the
-      whole shingle subtree per side — measured, Catalyst does NOT
-      reuse the exchange across the join's two branches);
+    - document-frequency pass FIRST: ``groupBy(shingle).count()``
+      (fixed-width partial aggregate, no buffers), keep shingles with
+      df in [2, MAX_DF], semi-join back — only THEN collect the
+      posting lists.  Collecting before the df filter would
+      materialize a degenerate hot shingle's full posting list
+      ("de de de…" at corpus scale) inside one aggregation buffer —
+      an OOM cliff at 100 TB.  The count pass is the bounded way to
+      drop those rows before any list exists;
     - pairs are generated inside each posting list with array lambdas
       (i<j index walk), bounded by MAX_DF ⇒ ≤ MAX_DF²/2 pairs per
       shingle, then exploded and counted: |A∩B| = co-occurrence.
-    Two shuffles total (shingle groupBy, pair groupBy); cost is Σ df²
-    over retained shingles — capped by MAX_DF."""
+    Three shuffles total (df count, semi-join+collect — the collect
+    groupBy reuses the join's shingle partitioning — and the pair
+    groupBy); cost is Σ df² over retained shingles, capped by
+    MAX_DF.  ``tests/test_plan_discipline.py`` pins the
+    count-before-collect ordering."""
     docs = load_table(spark, sf_dir, "documents")
     with_sh = with_shingles(docs)
     sh = with_sh.select(
         "doc_id", F.size("sh").alias("n_sh"), F.explode_outer("sh").alias("shingle")
     ).filter(F.col("shingle").isNotNull())
-    posting = (
+    kept = (
         sh.groupBy("shingle")
+        .agg(F.count("*").alias("df"))
+        .filter((F.col("df") >= 2) & (F.col("df") <= MAX_DF))
+        .select("shingle")
+    )
+    posting = (
+        sh.join(kept, "shingle", "left_semi")
+        .groupBy("shingle")
         .agg(F.collect_list(F.struct("doc_id", "n_sh")).alias("docs"))
-        .filter((F.size("docs") >= 2) & (F.size("docs") <= MAX_DF))
         .select(F.array_sort("docs").alias("docs"))
     )
     n = F.size("docs")
@@ -222,31 +256,52 @@ WHERE ROUND(CAST(inter AS DOUBLE) / CAST(sa.n_sh + sb.n_sh - inter AS DOUBLE), 4
 
 
 # ---------------------------------------------------------------------------
-# MinHash + LSH banding (rows-only check: hash fns are engine-specific)
+# MinHash + LSH banding (engine-agnostic hashes → full value oracle)
 # ---------------------------------------------------------------------------
+
+def _band_key(cols) -> Column:
+    """Fold a band's minhashes into one bucket key with a polynomial
+    accumulator mod HASH_P (same fold in the oracle SQL)."""
+    return functools.reduce(
+        lambda acc, c: (acc * 131 + c) % HASH_P, cols, F.lit(0).cast("long")
+    )
+
+
+def _sql_band_key(names) -> str:
+    expr = "0"
+    for n in names:
+        expr = f"(({expr}) * 131 + {n}) % {HASH_P}"
+    return expr
+
 
 def q_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup pairs via MinHash signatures + LSH banding, verified
     with exact Jaccard ≥ 0.2 over shingle sets.
 
-    k=32 xxhash64-based minhashes per doc, computed from the exploded
-    shingle table with a hash aggregate (map-side partial MIN combine —
-    the signature build is one shuffle keyed by doc, carrying 32
-    longs per row, never the shingle text).  Banding explodes the
-    signature into 8 (band, hash) keys; docs sharing a band bucket are
-    candidates (shuffle keyed by band hash, so bucket sizes — not n —
-    drive cost).  Candidates carry only ids; the shingle arrays are
-    joined back just for the final exact-Jaccard verification of the
-    (small) candidate set."""
+    k=32 universal-hash minhashes per doc — mh_i = min over shingles of
+    (a_i·H + b_i) mod P, where H is the engine-agnostic 60-bit md5
+    hash — computed from the exploded shingle table with a hash
+    aggregate (map-side partial MIN combine — the signature build is
+    one shuffle keyed by doc, carrying 32 longs per row, never the
+    shingle text).  Banding folds each 4-row band into a bucket key;
+    docs sharing a band bucket are candidates (shuffle keyed by band
+    key, so bucket sizes — not n — drive cost).  Candidates carry only
+    ids; the shingle arrays are joined back just for the final
+    exact-Jaccard verification of the (small) candidate set.  Because
+    the hashes are engine-agnostic, the DuckDB oracle replicates the
+    whole pipeline value-for-value."""
     docs = load_table(spark, sf_dir, "documents")
     with_sh = with_shingles(docs)
     sh = with_sh.select("doc_id", F.explode_outer("sh").alias("shingle")).filter(
         F.col("shingle").isNotNull()
     )
 
-    sig = sh.groupBy("doc_id").agg(
+    h = (hash60(F.col("shingle")) % HASH_P).alias("h")
+    sig = sh.select("doc_id", h).groupBy("doc_id").agg(
         *[
-            F.min(F.xxhash64(F.lit(i), F.col("shingle"))).alias(f"mh_{i}")
+            F.min((F.lit(MINHASH_A[i]) * F.col("h") + F.lit(MINHASH_B[i])) % HASH_P).alias(
+                f"mh_{i}"
+            )
             for i in range(MINHASH_K)
         ]
     )
@@ -259,7 +314,7 @@ def q_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             for i in range(b * rows_per_band, (b + 1) * rows_per_band)
         ]
         band_cols.append(
-            F.struct(F.lit(b).alias("band"), F.xxhash64(*cols).alias("h"))
+            F.struct(F.lit(b).alias("band"), _band_key(cols).alias("h"))
         )
     banded = sig.select(
         "doc_id", F.explode(F.array(*band_cols)).alias("bk")
@@ -289,22 +344,77 @@ def q_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_ROWS_PER_BAND = MINHASH_K // LSH_BANDS
+
+_SQL_MINHASH_AGGS = ",\n         ".join(
+    f"MIN(({MINHASH_A[i]} * h + {MINHASH_B[i]}) % {HASH_P}) AS mh_{i}"
+    for i in range(MINHASH_K)
+)
+
+_SQL_BAND_SELECTS = "\n  UNION ALL ".join(
+    f"SELECT doc_id, {b} AS band, "
+    + _sql_band_key(
+        [f"mh_{i}" for i in range(b * _ROWS_PER_BAND, (b + 1) * _ROWS_PER_BAND)]
+    )
+    + " AS h FROM sig"
+    for b in range(LSH_BANDS)
+)
+
+ORACLE_MINHASH_LSH = (
+    _SQL_SHINGLES
+    + f"""
+, hashed AS (
+  SELECT doc_id, {sql_hash60('shingle')} % {HASH_P} AS h FROM sh
+), sig AS (
+  SELECT doc_id,
+         {_SQL_MINHASH_AGGS}
+  FROM hashed GROUP BY doc_id
+), banded AS (
+  {_SQL_BAND_SELECTS}
+), cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM banded a JOIN banded b ON a.band = b.band AND a.h = b.h
+  WHERE a.doc_id < b.doc_id
+), doc_sh AS (
+  SELECT doc_id, list(DISTINCT shingle) AS shset FROM sh GROUP BY doc_id
+)
+SELECT c.doc_a, c.doc_b,
+       ROUND(CAST(len(list_intersect(sa.shset, sb.shset)) AS DOUBLE)
+             / CAST(len(sa.shset) + len(sb.shset)
+                    - len(list_intersect(sa.shset, sb.shset)) AS DOUBLE), 4)
+         AS jaccard
+FROM cand c
+JOIN doc_sh sa ON c.doc_a = sa.doc_id
+JOIN doc_sh sb ON c.doc_b = sb.doc_id
+WHERE ROUND(CAST(len(list_intersect(sa.shset, sb.shset)) AS DOUBLE)
+            / CAST(len(sa.shset) + len(sb.shset)
+                   - len(list_intersect(sa.shset, sb.shset)) AS DOUBLE), 4) >= 0.2
+"""
+)
+
+
 # ---------------------------------------------------------------------------
-# SimHash (rows-only)
+# SimHash (engine-agnostic 60-bit signature → full value oracle)
 # ---------------------------------------------------------------------------
 
+SIMHASH_BITS = 60  # bits of the md5-derived token hash → signature width
+
+
 def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """64-bit SimHash per document: explode distinct tokens, hash each
-    ONCE, and take 64 map-side bit-vote sums in a single hash
-    aggregate keyed by doc — votes[i] = Σ ±1 by bit i of the token
-    hash; simhash bit_i = votes[i] > 0.
+    """60-bit SimHash per document: explode distinct tokens, hash each
+    ONCE with the engine-agnostic md5-prefix hash, and take 60
+    map-side bit-vote sums in a single hash aggregate keyed by doc —
+    votes[i] = Σ ±1 by bit i of the token hash; simhash bit_i =
+    votes[i] > 0.
 
     This is the same shape as the MinHash signature build (partial
     aggregation combines votes before the doc-keyed shuffle, which
-    carries 64 ints per row).  The previous formulation — an
-    ``aggregate`` lambda folding a 64-wide array per token — allocated
-    an array per token per row and ran ~2× slower; higher-order
-    lambdas also sit outside whole-stage codegen."""
+    carries 60 ints per row).  An ``aggregate`` lambda folding a
+    60-wide array per token allocated an array per token per row and
+    ran ~2× slower; higher-order lambdas also sit outside whole-stage
+    codegen.  60 bits (not 64) keeps the signature and every shift
+    inside signed-BIGINT range in BOTH engines, so the DuckDB oracle
+    reproduces it exactly."""
     return simhash_signatures(spread(load_table(spark, sf_dir, "documents"), "doc_id"))
 
 
@@ -316,7 +426,7 @@ def simhash_signatures(docs: DataFrame) -> DataFrame:
             "tok"
         ),
     ).filter(F.col("tok").isNotNull())
-    hashed = toks.select("doc_id", F.xxhash64("tok").alias("h"))
+    hashed = toks.select("doc_id", hash60(F.col("tok")).alias("h"))
     votes = hashed.groupBy("doc_id").agg(
         *[
             F.sum(
@@ -324,28 +434,59 @@ def simhash_signatures(docs: DataFrame) -> DataFrame:
                     F.shiftright("h", i).bitwiseAND(F.lit(1)) == 1, F.lit(1)
                 ).otherwise(F.lit(-1))
             ).alias(f"v_{i}")
-            for i in range(64)
+            for i in range(SIMHASH_BITS)
         ]
     )
     simhash = F.lit(0).cast("long")
-    for i in range(64):
+    for i in range(SIMHASH_BITS):
         bit = F.when(F.col(f"v_{i}") > 0, F.lit(1)).otherwise(F.lit(0))
         simhash = simhash.bitwiseOR(F.shiftleft(bit.cast("long"), i))
     return votes.select("doc_id", simhash.alias("simhash"))
 
 
-SIMHASH_BANDS = 4  # 4 × 16-bit bands: catches all pairs with hamming ≤ 3
+_SQL_SIMHASH_BITS = " + ".join(
+    f"(CASE WHEN v_{i} > 0 THEN (1::BIGINT << {i}) ELSE 0 END)"
+    for i in range(SIMHASH_BITS)
+)
+
+_SQL_SIMHASH_VOTES = ",\n         ".join(
+    f"SUM(CASE WHEN (h >> {i}) & 1 = 1 THEN 1 ELSE -1 END) AS v_{i}"
+    for i in range(SIMHASH_BITS)
+)
+
+_SQL_SIMHASH_SIG = f"""
+WITH norm AS (
+  SELECT doc_id, regexp_replace(lower(trim(text)), '\\s+', ' ', 'g') AS t
+  FROM documents
+), toks AS (
+  SELECT doc_id, unnest(list_distinct(string_split(t, ' '))) AS tok FROM norm
+), hashed AS (
+  SELECT doc_id, {sql_hash60('tok')} AS h FROM toks
+), votes AS (
+  SELECT doc_id,
+         {_SQL_SIMHASH_VOTES}
+  FROM hashed GROUP BY doc_id
+), sig AS (
+  SELECT doc_id, CAST({_SQL_SIMHASH_BITS} AS BIGINT) AS simhash FROM votes
+)
+"""
+
+ORACLE_SIMHASH = _SQL_SIMHASH_SIG + "SELECT doc_id, simhash FROM sig"
+
+
+SIMHASH_BANDS = 4  # 4 × 15-bit bands: catches all pairs with hamming ≤ 3
 HAMMING_T = 3
 
 
 def q_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup pairs by SimHash hamming distance ≤ 3, found with the
-    pigeonhole banding trick: split the 64-bit signature into 4
-    16-bit bands — any pair within distance 3 agrees exactly on at
+    pigeonhole banding trick: split the 60-bit signature into 4
+    15-bit bands — any pair within distance 3 agrees exactly on at
     least one band, so candidates come from a band-keyed self-join
-    (shuffle on (band, 16-bit key); bucket sizes, not n², drive cost)
+    (shuffle on (band, 15-bit key); bucket sizes, not n², drive cost)
     and are verified with one ``bit_count(a XOR b)``.  Signatures are
-    engine-hash-derived → rows-only correctness check."""
+    engine-agnostic (md5-derived), so the oracle replicates the whole
+    pipeline."""
     sig = simhash_signatures(spread(load_table(spark, sf_dir, "documents"), "doc_id"))
     bands = sig.select(
         "doc_id",
@@ -355,8 +496,8 @@ def q_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
                 *[
                     F.struct(
                         F.lit(b).alias("band"),
-                        F.shiftright("simhash", 16 * b)
-                        .bitwiseAND(F.lit(0xFFFF))
+                        F.shiftright("simhash", 15 * b)
+                        .bitwiseAND(F.lit(0x7FFF))
                         .alias("key"),
                     )
                     for b in range(SIMHASH_BANDS)
@@ -373,7 +514,7 @@ def q_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         a.join(b, ["band", "key"])
         .filter(F.col("doc_a") < F.col("doc_b"))
-        .select("doc_a", "doc_b", F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b"))).alias("hamming"))
+        .select("doc_a", "doc_b", F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b"))).cast("int").alias("hamming"))
         .filter(F.col("hamming") <= HAMMING_T)
         .dropDuplicates(["doc_a", "doc_b"])
     )
@@ -387,8 +528,29 @@ QUERIES = {
     "simhash_neardup": q_simhash_neardup,
 }
 
+_SQL_SIMHASH_BANDS = "\n  UNION ALL ".join(
+    f"SELECT doc_id, simhash, {b} AS band, (simhash >> {15 * b}) & 32767 AS key FROM sig"
+    for b in range(SIMHASH_BANDS)
+)
+
+ORACLE_SIMHASH_NEARDUP = (
+    _SQL_SIMHASH_SIG
+    + f"""
+, banded AS (
+  {_SQL_SIMHASH_BANDS}
+)
+SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
+FROM banded a JOIN banded b ON a.band = b.band AND a.key = b.key
+WHERE a.doc_id < b.doc_id
+  AND bit_count(xor(a.simhash, b.simhash)) <= {HAMMING_T}
+"""
+)
+
 ORACLES = {
     "dedup_exact": ORACLE_DEDUP_EXACT,
     "ngram_jaccard_pairs": ORACLE_NGRAM_JACCARD,
-    # minhash_lsh_pairs / simhash: engine-specific hashing → rows-only check
+    "minhash_lsh_pairs": ORACLE_MINHASH_LSH,
+    "simhash": ORACLE_SIMHASH,
+    "simhash_neardup": ORACLE_SIMHASH_NEARDUP,
 }

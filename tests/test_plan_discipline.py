@@ -42,15 +42,28 @@ def test_top_customers_single_window_after_aggregate(spark):
 
 def test_ngram_has_no_selfjoin_and_spreads_the_scan(spark):
     plan = _plan(q_ngram_jaccard_pairs(spark, SF_SMOKE))
-    # posting-list formulation: no join operator at all
-    for op in ("SortMergeJoin", "BroadcastHashJoin", "ShuffledHashJoin"):
-        assert op not in plan, op
+    # no pair-generating self-join: the only join is the df-cap
+    # semi-join (stop-shingle filter), never doc×doc
+    assert "LeftSemi" in plan
+    assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
     # the CPU-spreading repartition must survive optimization
     assert "REPARTITION_BY_NUM" in plan
     # and the inferred size()>0 filter must not sit below it (it would
     # re-inline the shingle expression pre-exchange, single-core)
     below = plan.split("REPARTITION_BY_NUM")[0]
     assert "array_distinct" not in below
+
+
+def test_ngram_df_filter_precedes_posting_collect(spark):
+    plan = _plan(q_ngram_jaccard_pairs(spark, SF_SMOKE))
+    # OOM-cliff guard: posting lists may only be collected AFTER the
+    # document-frequency count filtered out hot shingles.  In the plan
+    # tree (root printed first) the collect aggregate must therefore
+    # sit ABOVE the semi-join that applies the df cap, and a plain
+    # count aggregate must exist to feed it.
+    tree = plan.split("(1) Scan")[0]
+    assert "partial_count(1)" in plan
+    assert tree.index("ObjectHashAggregate") < tree.index("LeftSemi")
 
 
 def test_partitioned_staging_prunes_partitions(spark, tmp_path):
