@@ -199,10 +199,20 @@ def q_ann_bruteforce_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
             out = []
             k = min(TOP_K + 1, cos.shape[0])  # +1 absorbs the self-match
             for j, qid in enumerate(ids_q):
-                top = np.argpartition(-cos[:, j], k - 1)[:k]
-                for i in top:
+                # Local pruning must agree with the global window's
+                # deterministic order (round(cos,4) DESC, n_id ASC):
+                # prune on ROUNDED scores and keep every boundary tie,
+                # else a candidate that ties after rounding (with a
+                # smaller n_id) could be dropped here and the result
+                # would vary with partitioning.
+                cos4 = np.round(cos[:, j], 4)
+                part = np.argpartition(-cos4, k - 1)[:k]
+                thresh = cos4[part].min()
+                cand = np.flatnonzero(cos4 >= thresh)
+                order = cand[np.lexsort((n_ids[cand], -cos4[cand]))][:k]
+                for i in order:
                     if n_ids[i] != qid:
-                        out.append((int(qid), int(n_ids[i]), round(float(cos[i, j]), 4)))
+                        out.append((int(qid), int(n_ids[i]), float(cos4[i])))
             yield pd.DataFrame(out, columns=["q_id", "n_id", "cosine"])
 
     local = emb.select("vec_id", "embedding").mapInPandas(

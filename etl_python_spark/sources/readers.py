@@ -43,7 +43,15 @@ def _sniff_dialect(
     chosen_enc, text = None, None
     for enc in encodings:
         try:
-            text = head.decode(enc)
+            # Incremental decode with final=False tolerates a multibyte
+            # sequence cut at the probe boundary — a plain .decode()
+            # would raise on a valid UTF-8 file truncated mid-character
+            # and fall through to cp1252, mojibaking the whole read.
+            import codecs
+
+            text = codecs.getincrementaldecoder(enc)("strict").decode(
+                head, final=False
+            )
             chosen_enc = enc
             break
         except (UnicodeDecodeError, UnicodeError):
@@ -162,10 +170,19 @@ def read_jdbc(
 def promote_header(df: DataFrame) -> DataFrame:
     """Header-row promotion (ref API Extrator Renda Per Capita -
     IBGE.py:36-127: ``df.columns = df.iloc[0]``): treat the first row
-    (in current order) as column names.  Edge-sized data only."""
-    first = df.limit(1).collect()[0]
-    rest = df.subtract(df.limit(1))
-    renamed = rest
-    for old, new in zip(df.columns, [str(v) for v in first]):
-        renamed = renamed.withColumnRenamed(old, new)
-    return renamed
+    (in current order) as column names.  Edge-sized data only.
+
+    Implemented with a deterministic ordinal, NOT ``subtract(limit(1))``
+    — subtract is EXCEPT DISTINCT, which would dedup the data rows and
+    drop any row equal to the header, and ``limit(1)`` on a
+    multi-partition frame is not guaranteed to be the file's first row.
+    The single-partition coalesce pins file order (edge reads arrive as
+    one partition anyway) and the id is assigned before any shuffle."""
+    ordered = df.coalesce(1).withColumn(
+        "__ord__", F.monotonically_increasing_id()
+    )
+    first = ordered.orderBy("__ord__").limit(1).collect()[0]
+    rest = ordered.filter(F.col("__ord__") > first["__ord__"])
+    return rest.select(
+        *[F.col(c).alias(str(first[c])) for c in df.columns]
+    )

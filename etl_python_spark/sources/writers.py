@@ -50,16 +50,50 @@ def upsert_period(
     replaces exactly the partitions present in ``df`` and leaves the
     rest untouched — the Spark-native form of the reference's
     per-prediction-date upsert.  At 100 TB this touches only the
-    affected partition directories."""
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-    df.write.mode("overwrite").partitionBy(partition_col).parquet(path)
+    affected partition directories.
+
+    The dynamic mode is passed as a per-write DataFrameWriter option —
+    never set on the shared session, where it would silently turn every
+    later ``write_staging(..., partition_by=...)`` full-replace into a
+    partial overwrite that leaves stale partitions behind."""
+    (
+        df.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy(partition_col)
+        .parquet(path)
+    )
 
 
 def write_csv_ptbr(df: DataFrame, path: str) -> None:
-    """pt-BR CSV: ';' separator, UTF-8 with BOM header convention."""
+    """pt-BR CSV: ';' separator, plain UTF-8 (distributed, multi-part).
+    For the reference's Excel-facing single-file export with a BOM
+    (utf-8-sig, ETL - CRM.py:273) use :func:`export_csv_ptbr_file` —
+    a BOM cannot be prepended to arbitrary part files of a distributed
+    write."""
     df.write.mode("overwrite").options(
         header=True, sep=";", encoding="UTF-8"
     ).csv(path)
+
+
+def export_csv_ptbr_file(df: DataFrame, file_path: str, max_rows: int = 1_000_000) -> int:
+    """Presentation-edge pt-BR CSV: ONE local file, ';' separator,
+    UTF-8 **with BOM** (utf-8-sig) so Excel pt-BR renders accents —
+    the exact convention of ETL - CRM.py:273.  Driver-side by design
+    (report export, like the Excel sink); the row cap keeps fact
+    tables out."""
+    rows = df.limit(max_rows + 1).collect()
+    if len(rows) > max_rows:
+        raise ValueError(
+            f"single-file CSV export is a presentation sink; result has "
+            f">{max_rows} rows — aggregate first or use write_csv_ptbr"
+        )
+    import csv
+
+    with open(file_path, "w", encoding="utf-8-sig", newline="") as fh:
+        w = csv.writer(fh, delimiter=";")
+        w.writerow(df.columns)
+        w.writerows([list(r) for r in rows])
+    return len(rows)
 
 
 def write_json_docs(df: DataFrame, path: str) -> None:

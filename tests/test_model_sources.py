@@ -119,6 +119,70 @@ def test_csv_ptbr_and_json_agg(spark, tmp_path):
     assert '"id":1' in payload["A"].replace(" ", "")
 
 
+def test_upsert_does_not_leak_overwrite_mode(spark, tmp_path):
+    """upsert_period must scope dynamic partition overwrite to its own
+    write: a later write_staging full-replace has to actually replace —
+    partitions absent from the new frame must NOT survive."""
+    path = str(tmp_path / "staging2")
+    orders = spark.read.parquet(f"{SF_SMOKE}/orders.parquet").withColumn(
+        "ano", F.year("o_orderdate")
+    )
+    write_staging(orders, path, partition_by=["ano"])
+    upsert_period(orders.filter(F.col("ano") == 1998).limit(1), path, "ano", spark)
+    # full replace with ONLY 1997 rows: every other year must vanish
+    only_1997 = orders.filter(F.col("ano") == 1997)
+    write_staging(only_1997, path, partition_by=["ano"])
+    re = spark.read.parquet(path)
+    assert {r.ano for r in re.select("ano").distinct().collect()} == {1997}
+
+
+def test_promote_header_keeps_duplicate_rows(spark):
+    """promote_header must drop exactly the first row — not dedup the
+    rest (the subtract(limit(1)) bug: EXCEPT DISTINCT semantics)."""
+    from etl_python_spark.sources.readers import promote_header
+
+    df = spark.createDataFrame(
+        [("nome", "uf"), ("ANA", "SP"), ("ANA", "SP"), ("nome", "uf")],
+        "c0 string, c1 string",
+    )
+    out = promote_header(df)
+    assert out.columns == ["nome", "uf"]
+    rows = [(r["nome"], r["uf"]) for r in out.collect()]
+    # both duplicate data rows survive, as does the header-valued row
+    assert sorted(rows) == [("ANA", "SP"), ("ANA", "SP"), ("nome", "uf")]
+
+
+def test_sniffer_tolerates_multibyte_cut_at_probe_boundary(tmp_path):
+    """A UTF-8 file whose probe window ends mid-character must still
+    sniff as UTF-8, not fall through to cp1252."""
+    from etl_python_spark.sources import readers
+
+    p = str(tmp_path / "cut.csv")
+    prefix = "coluna;valor\n".encode("utf-8")
+    filler = b"a" * (readers._PROBE_BYTES - len(prefix) - 1)
+    # byte at index _PROBE_BYTES-1 is the FIRST byte of the 2-byte 'ç',
+    # so the probe window ends mid-character
+    payload = prefix + filler + "ç".encode("utf-8") + b";1\n"
+    with open(p, "wb") as f:
+        f.write(payload)
+    enc, sep = readers._sniff_dialect(
+        p, readers.ENCODING_CANDIDATES, readers.SEP_CANDIDATES
+    )
+    assert enc in ("utf-8", "utf-8-sig") and sep == ";"
+
+
+def test_export_csv_ptbr_single_file_has_bom(spark, tmp_path):
+    from etl_python_spark.sources.writers import export_csv_ptbr_file
+
+    df = spark.createDataFrame([("ação", 1.5)], "nome string, valor double")
+    p = str(tmp_path / "rel.csv")
+    n = export_csv_ptbr_file(df, p)
+    assert n == 1
+    raw = open(p, "rb").read()
+    assert raw.startswith(b"\xef\xbb\xbf")  # utf-8-sig BOM for Excel pt-BR
+    assert ";".encode() in raw and "ação".encode() in raw
+
+
 def test_forecast_per_group(spark):
     from etl_python_spark.ml.forecast import forecast_per_group
 
