@@ -95,18 +95,60 @@ def read_csv_sniffed(
     return df
 
 
+def _sheet_to_spark(
+    spark: SparkSession,
+    header: list[str],
+    rows: list[list],
+    usecols: list[str] | None = None,
+) -> DataFrame:
+    """(header, rows) from the stdlib xlsx codec → typed DataFrame.
+    Per-column type: double if every non-null is numeric, else bool if
+    every non-null is bool, else string (the reference's pandas
+    inference collapsed to the same three at the staging edge)."""
+    from pyspark.sql import types as T
+
+    keep = [
+        (i, c)
+        for i, c in enumerate(header)
+        if usecols is None or c in usecols
+    ]
+    fields, casts = [], []
+    for i, c in keep:
+        vals = [r[i] for r in rows if i < len(r) and r[i] is not None]
+        if vals and all(isinstance(v, bool) for v in vals):
+            t, cast = T.BooleanType(), bool
+        elif vals and all(
+            isinstance(v, (int, float)) and not isinstance(v, bool) for v in vals
+        ):
+            t, cast = T.DoubleType(), float
+        else:
+            t, cast = T.StringType(), str
+        fields.append(T.StructField(c, t, True))
+        casts.append(cast)
+    data = [
+        tuple(
+            cast(r[i]) if i < len(r) and r[i] is not None else None
+            for (i, _), cast in zip(keep, casts)
+        )
+        for r in rows
+    ]
+    return spark.createDataFrame(data, T.StructType(fields))
+
+
 def read_excel(
     spark: SparkSession,
     path: str,
     sheet: str | int | None = 0,
     usecols: list[str] | None = None,
 ) -> DataFrame:
-    """Single-sheet Excel scan via pandas at the edge (projection at
-    scan via ``usecols``), promoted to a Spark DataFrame."""
-    import pandas as pd
+    """Single-sheet Excel scan (S1) via the stdlib zip+XML codec
+    (:mod:`.xlsx` — no openpyxl needed), promoted to a typed Spark
+    DataFrame with projection-at-scan via ``usecols``
+    (ref ETL - Primeiro Pedido.py:112-113)."""
+    from . import xlsx
 
-    pdf = pd.read_excel(path, sheet_name=sheet, usecols=usecols)
-    return spark.createDataFrame(pdf)
+    header, rows = xlsx.read_sheet(path, 0 if sheet is None else sheet)
+    return _sheet_to_spark(spark, header, rows, usecols)
 
 
 def read_excel_all_sheets(
@@ -116,11 +158,19 @@ def read_excel_all_sheets(
     Utilitário - Juntar Abas em Arquivo Único.py:19-39): every sheet is
     read, tagged with its origin, and unioned by name with missing
     columns tolerated."""
-    import pandas as pd
+    from . import xlsx
 
-    return union_sheet_frames(
-        spark, pd.read_excel(path, sheet_name=None), lineage_col
-    )
+    out: DataFrame | None = None
+    for name, (header, rows) in xlsx.read_all_sheets(path).items():
+        if not rows:
+            continue
+        df = _sheet_to_spark(spark, header, rows).withColumn(
+            lineage_col, F.lit(name)
+        )
+        out = df if out is None else out.unionByName(df, allowMissingColumns=True)
+    if out is None:
+        raise ValueError("no non-empty sheets")
+    return out
 
 
 def union_sheet_frames(

@@ -172,26 +172,18 @@ def write_excel_report(
     sheet_name: str = "Relatorio",
     max_rows: int = 100_000,
 ) -> None:
-    """Styled Excel report sink (S9 — ref: EDA - Faturamento.py:87-123,
+    """Excel report sink (S9 — ref: EDA - Faturamento.py:87-123,
     Gerador de Ranking de Vendas.py:48-67): presentation-layer export
-    of a SMALL result frame via ``toPandas`` at the edge.
-
-    The xlsx codec is the swap-in seam (same pattern as
-    multimodal.decode_media_real): this container ships no
-    openpyxl/xlsxwriter, so the call raises ``NotImplementedError``
-    cleanly; the guard rails around it — result-size cap so nobody
-    funnels a fact table through the driver, column order preserved —
-    are the engine-side contract and hold regardless of codec."""
-    n = df.limit(max_rows + 1).count()
-    if n > max_rows:
+    of a SMALL result frame at the edge, written with the stdlib xlsx
+    codec (:mod:`.xlsx` — no openpyxl needed).  The result-size cap is
+    the engine-side contract: nobody funnels a fact table through the
+    driver."""
+    rows = df.limit(max_rows + 1).collect()
+    if len(rows) > max_rows:
         raise ValueError(
             f"excel export is a presentation sink; result has >{max_rows} rows — "
             "aggregate first or use write_staging/write_csv_ptbr"
         )
-    try:
-        import openpyxl  # noqa: F401
-    except ImportError as exc:
-        raise NotImplementedError(
-            "xlsx export requires openpyxl/xlsxwriter; not in this container"
-        ) from exc
-    df.toPandas().to_excel(path, sheet_name=sheet_name, index=False)  # pragma: no cover
+    from . import xlsx
+
+    xlsx.write_xlsx(path, {sheet_name: (df.columns, [list(r) for r in rows])})

@@ -1,0 +1,252 @@
+"""Minimal stdlib xlsx codec (zip + SpreadsheetML XML) — no openpyxl.
+
+Makes the reference's most common entry point — Excel workbooks
+(ETL - CRM.py:67-76, ETL - Venda B2B.py:119, Utilitário - Juntar Abas
+em Arquivo Único.py:19-39) — executable end-to-end in a container with
+no xlsx library: ``read_sheet``/``read_all_sheets`` parse
+sharedStrings + worksheet XML; ``write_xlsx`` emits a workbook with
+inline strings that Excel/openpyxl/pandas can open.
+
+Scope (deliberate): values are str/float/bool/None; dates arrive as
+Excel serial numbers (callers convert with ``excel_serial_to_date``);
+formulas yield their cached value; styles/images are ignored.  The
+engine-side contract — sheet iteration order, header promotion, sparse
+cells as None — is what the readers/writers build on.
+"""
+
+from __future__ import annotations
+
+import re
+import xml.etree.ElementTree as ET
+import zipfile
+from datetime import date, timedelta
+
+_NS = {"m": "http://schemas.openxmlformats.org/spreadsheetml/2006/main"}
+_REL_NS = {
+    "r": "http://schemas.openxmlformats.org/package/2006/relationships",
+}
+_R_ATTR = (
+    "{http://schemas.openxmlformats.org/officeDocument/2006/relationships}id"
+)
+_CELL_REF = re.compile(r"([A-Z]+)(\d+)")
+
+
+def _col_index(ref: str) -> int:
+    """'A'→0, 'B'→1, …, 'AA'→26 (cell reference column part)."""
+    m = _CELL_REF.match(ref)
+    letters = m.group(1) if m else "A"
+    idx = 0
+    for ch in letters:
+        idx = idx * 26 + (ord(ch) - 64)
+    return idx - 1
+
+
+def excel_serial_to_date(serial: float) -> date:
+    """Excel 1900-epoch serial number → date (day 1 = 1900-01-01;
+    includes Excel's historical leap-year-1900 off-by-one)."""
+    return date(1899, 12, 30) + timedelta(days=int(serial))
+
+
+def _shared_strings(zf: zipfile.ZipFile) -> list[str]:
+    try:
+        xml = zf.read("xl/sharedStrings.xml")
+    except KeyError:
+        return []
+    root = ET.fromstring(xml)
+    out = []
+    for si in root.findall("m:si", _NS):
+        # either one <t> or rich-text runs <r><t>…
+        out.append("".join(t.text or "" for t in si.iter(f"{{{_NS['m']}}}t")))
+    return out
+
+
+def _sheet_paths(zf: zipfile.ZipFile) -> list[tuple[str, str]]:
+    """[(sheet_name, zip_path)] in workbook order."""
+    wb = ET.fromstring(zf.read("xl/workbook.xml"))
+    rels = ET.fromstring(zf.read("xl/_rels/workbook.xml.rels"))
+    rid_to_target = {
+        rel.get("Id"): rel.get("Target")
+        for rel in rels.findall("r:Relationship", _REL_NS)
+    }
+    out = []
+    for sh in wb.find("m:sheets", _NS).findall("m:sheet", _NS):
+        target = rid_to_target[sh.get(_R_ATTR)]
+        if not target.startswith("/"):
+            target = "xl/" + target
+        out.append((sh.get("name"), target.lstrip("/")))
+    return out
+
+
+def _cell_value(c: ET.Element, shared: list[str]):
+    t = c.get("t", "n")
+    if t == "inlineStr":
+        is_el = c.find("m:is", _NS)
+        return "".join(
+            el.text or "" for el in is_el.iter(f"{{{_NS['m']}}}t")
+        ) if is_el is not None else None
+    v = c.find("m:v", _NS)
+    if v is None or v.text is None:
+        return None
+    if t == "s":
+        return shared[int(v.text)]
+    if t == "b":
+        return v.text == "1"
+    if t == "str":
+        return v.text
+    try:
+        return float(v.text)
+    except ValueError:  # defensive: malformed numeric cell
+        return v.text
+
+
+def _read_rows(zf: zipfile.ZipFile, path: str, shared: list[str]) -> list[list]:
+    root = ET.fromstring(zf.read(path))
+    data = root.find("m:sheetData", _NS)
+    rows: list[list] = []
+    width = 0
+    for row in data.findall("m:row", _NS) if data is not None else []:
+        cells: dict[int, object] = {}
+        for c in row.findall("m:c", _NS):
+            cells[_col_index(c.get("r", "A1"))] = _cell_value(c, shared)
+        w = max(cells) + 1 if cells else 0
+        width = max(width, w)
+        rows.append([cells.get(i) for i in range(w)])
+    return [r + [None] * (width - len(r)) for r in rows]
+
+
+def sheet_names(path: str) -> list[str]:
+    with zipfile.ZipFile(path) as zf:
+        return [name for name, _ in _sheet_paths(zf)]
+
+
+def read_sheet(path: str, sheet: str | int = 0) -> tuple[list[str], list[list]]:
+    """One sheet → (header, data_rows).  First row is the header
+    (reference convention); sparse/missing cells are None."""
+    with zipfile.ZipFile(path) as zf:
+        sheets = _sheet_paths(zf)
+        if isinstance(sheet, int):
+            name, target = sheets[sheet]
+        else:
+            name, target = next((n, t) for n, t in sheets if n == sheet)
+        rows = _read_rows(zf, target, _shared_strings(zf))
+    if not rows:
+        return [], []
+    header = [str(v) if v is not None else f"col_{i}" for i, v in enumerate(rows[0])]
+    return header, rows[1:]
+
+
+def read_all_sheets(path: str) -> dict[str, tuple[list[str], list[list]]]:
+    """Every sheet in workbook order → {name: (header, rows)}."""
+    with zipfile.ZipFile(path) as zf:
+        shared = _shared_strings(zf)
+        return {
+            name: (
+                lambda rs: (
+                    [
+                        str(v) if v is not None else f"col_{i}"
+                        for i, v in enumerate(rs[0])
+                    ]
+                    if rs
+                    else [],
+                    rs[1:] if rs else [],
+                )
+            )(_read_rows(zf, target, shared))
+            for name, target in _sheet_paths(zf)
+        }
+
+
+# ---------------------------------------------------------------------------
+# Writer (S9): header + rows per sheet, inline strings, no styles
+# ---------------------------------------------------------------------------
+
+def _esc(s: str) -> str:
+    return (
+        s.replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")
+    )
+
+
+def _col_ref(i: int) -> str:
+    out = ""
+    i += 1
+    while i:
+        i, r = divmod(i - 1, 26)
+        out = chr(65 + r) + out
+    return out
+
+
+def _sheet_xml(header: list[str], rows: list[list]) -> str:
+    def cell(ref: str, v) -> str:
+        if v is None:
+            return ""
+        if isinstance(v, bool):
+            return f'<c r="{ref}" t="b"><v>{int(v)}</v></c>'
+        if isinstance(v, (int, float)):
+            return f'<c r="{ref}"><v>{v}</v></c>'
+        return f'<c r="{ref}" t="inlineStr"><is><t xml:space="preserve">{_esc(str(v))}</t></is></c>'
+
+    body = []
+    for rn, row in enumerate([header] + [list(r) for r in rows], start=1):
+        cells = "".join(
+            cell(f"{_col_ref(ci)}{rn}", v) for ci, v in enumerate(row)
+        )
+        body.append(f'<row r="{rn}">{cells}</row>')
+    return (
+        '<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
+        f'<worksheet xmlns="{_NS["m"]}"><sheetData>'
+        + "".join(body)
+        + "</sheetData></worksheet>"
+    )
+
+
+def write_xlsx(path: str, sheets: dict[str, tuple[list[str], list[list]]]) -> None:
+    """Write {sheet_name: (header, rows)} as a minimal valid xlsx."""
+    names = list(sheets)
+    content_types = (
+        '<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
+        '<Types xmlns="http://schemas.openxmlformats.org/package/2006/content-types">'
+        '<Default Extension="rels" ContentType="application/vnd.openxmlformats-package.relationships+xml"/>'
+        '<Default Extension="xml" ContentType="application/xml"/>'
+        '<Override PartName="/xl/workbook.xml" ContentType="application/vnd.openxmlformats-officedocument.spreadsheetml.sheet.main+xml"/>'
+        + "".join(
+            f'<Override PartName="/xl/worksheets/sheet{i + 1}.xml" '
+            'ContentType="application/vnd.openxmlformats-officedocument.spreadsheetml.worksheet+xml"/>'
+            for i in range(len(names))
+        )
+        + "</Types>"
+    )
+    root_rels = (
+        '<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
+        f'<Relationships xmlns="{_REL_NS["r"]}">'
+        '<Relationship Id="rId1" '
+        'Type="http://schemas.openxmlformats.org/officeDocument/2006/relationships/officeDocument" '
+        'Target="xl/workbook.xml"/></Relationships>'
+    )
+    wb_sheets = "".join(
+        f'<sheet name="{_esc(n)}" sheetId="{i + 1}" r:id="rId{i + 1}"/>'
+        for i, n in enumerate(names)
+    )
+    workbook = (
+        '<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
+        f'<workbook xmlns="{_NS["m"]}" '
+        'xmlns:r="http://schemas.openxmlformats.org/officeDocument/2006/relationships">'
+        f"<sheets>{wb_sheets}</sheets></workbook>"
+    )
+    wb_rels = (
+        '<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
+        f'<Relationships xmlns="{_REL_NS["r"]}">'
+        + "".join(
+            f'<Relationship Id="rId{i + 1}" '
+            'Type="http://schemas.openxmlformats.org/officeDocument/2006/relationships/worksheet" '
+            f'Target="worksheets/sheet{i + 1}.xml"/>'
+            for i in range(len(names))
+        )
+        + "</Relationships>"
+    )
+    with zipfile.ZipFile(path, "w", zipfile.ZIP_DEFLATED) as zf:
+        zf.writestr("[Content_Types].xml", content_types)
+        zf.writestr("_rels/.rels", root_rels)
+        zf.writestr("xl/workbook.xml", workbook)
+        zf.writestr("xl/_rels/workbook.xml.rels", wb_rels)
+        for i, n in enumerate(names):
+            header, rows = sheets[n]
+            zf.writestr(f"xl/worksheets/sheet{i + 1}.xml", _sheet_xml(header, rows))

@@ -240,19 +240,56 @@ def test_observed_audit_rides_the_action(spark):
     assert obs2.get["sum_o_totalprice"] == expected
 
 
-def test_write_excel_report_is_a_guarded_stub(spark, tmp_path):
+def test_write_excel_report_roundtrip_and_cap(spark, tmp_path):
     import pytest
 
+    from etl_python_spark.sources.readers import read_excel
     from etl_python_spark.sources.tables import load_table
     from etl_python_spark.sources.writers import write_excel_report
     from tests.conftest import SF_SMOKE
 
-    nation = load_table(spark, SF_SMOKE, "nation")
-    with pytest.raises(NotImplementedError):
-        write_excel_report(nation, str(tmp_path / "r.xlsx"))
+    nation = load_table(spark, SF_SMOKE, "nation").select(
+        "n_nationkey", "n_name"
+    )
+    p = str(tmp_path / "r.xlsx")
+    write_excel_report(nation, p, sheet_name="Nações")
+    back = read_excel(spark, p, sheet="Nações")
+    assert back.count() == nation.count()
+    got = {(int(r.n_nationkey), r.n_name) for r in back.collect()}
+    want = {(int(r.n_nationkey), r.n_name) for r in nation.collect()}
+    assert got == want
     with pytest.raises(ValueError, match="presentation sink"):
         write_excel_report(
             load_table(spark, SF_SMOKE, "lineitem"),
-            str(tmp_path / "r.xlsx"),
+            str(tmp_path / "r2.xlsx"),
             max_rows=10,
         )
+
+
+def test_excel_multisheet_union_lineage_roundtrip(spark, tmp_path):
+    """S1/S2/S9 end-to-end on a real workbook: stdlib writer → stdlib
+    multi-sheet reader with lineage column and tolerated missing
+    columns (ref ETL - CRM.py:67-76)."""
+    from etl_python_spark.sources import xlsx
+    from etl_python_spark.sources.readers import read_excel, read_excel_all_sheets
+
+    p = str(tmp_path / "crm.xlsx")
+    xlsx.write_xlsx(
+        p,
+        {
+            "Ana": (["cliente", "valor"], [["a", 1.0], ["b", 2.0]]),
+            "Vazia": (["cliente"], []),
+            "Beto": (["cliente", "extra"], [["c", "x"], ["ação", None]]),
+        },
+    )
+    assert xlsx.sheet_names(p) == ["Ana", "Vazia", "Beto"]
+    df = read_excel_all_sheets(spark, p)
+    rows = {r.cliente: r for r in df.collect()}
+    assert set(rows) == {"a", "b", "c", "ação"}  # unicode survives
+    assert rows["a"].aba_origem == "Ana"
+    assert rows["c"].aba_origem == "Beto"
+    assert rows["c"].valor is None and rows["a"].extra is None
+    assert rows["a"].valor == 1.0  # numeric column typed double
+    # projection at scan (usecols) keeps only requested columns
+    only = read_excel(spark, p, sheet="Ana", usecols=["cliente"])
+    assert only.columns == ["cliente"]
