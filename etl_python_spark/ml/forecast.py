@@ -114,6 +114,78 @@ def forecast_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_RF_SCHEMA = "n_name string, mes date, previsao double, mae double, n_obs int"
+
+
+def _default_regressor_factory():
+    """sklearn RandomForest, the reference's model (ML.py:89-154).
+    Raises a clean driver-side error when sklearn isn't installed —
+    never a mid-job executor ImportError."""
+    try:
+        from sklearn.ensemble import RandomForestRegressor
+    except ImportError as exc:  # pragma: no cover - sklearn absent here
+        raise NotImplementedError(
+            "forecast_per_group_rf needs scikit-learn; use "
+            "forecast_per_group (deterministic trend fit) or inject a "
+            "regressor_factory"
+        ) from exc
+    return RandomForestRegressor(n_estimators=100, random_state=42)
+
+
+def forecast_per_group_rf(
+    spark: SparkSession, sf_dir: str, regressor_factory=None
+) -> DataFrame:
+    """The reference's per-seller RandomForest loop
+    (ETL - Análise Preditiva ... ML.py:89-154) as a grouped pandas UDF:
+    per group, temporal (no-shuffle) train/test split on the lag
+    features, fit, MAE on the held-out tail, predict the next month
+    from the latest feature row — sklearn stays sklearn inside the
+    UDF; Spark distributes groups across executors via Arrow.
+
+    ``regressor_factory`` is the model seam: any object with
+    fit(X, y)/predict(X).  The factory is resolved ON THE DRIVER so a
+    missing sklearn fails fast, then shipped to executors by closure.
+    """
+    factory = regressor_factory or _default_regressor_factory
+    factory()  # driver-side resolution: fail fast if the lib is absent
+
+    feats = monthly_features(spark, sf_dir).filter(F.col("lag_1").isNotNull())
+    cols = ["lag_1", "media_3m", "media_6m"]
+
+    def fit_group(pdf: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+
+        pdf = pdf.sort_values("mes").reset_index(drop=True)
+        empty = pd.DataFrame(
+            columns=["n_name", "mes", "previsao", "mae", "n_obs"]
+        ).astype({"previsao": "float64", "mae": "float64", "n_obs": "int32"})
+        if len(pdf) < MIN_OBS:
+            return empty
+        X = pdf[cols].to_numpy(dtype="float64")
+        y = pdf["faturamento"].to_numpy(dtype="float64")
+        # temporal split, shuffle=False (ref ML.py:100-106)
+        cut = max(int(len(pdf) * 0.8), 1)
+        model = factory()
+        model.fit(X[:cut], y[:cut])
+        test_pred = model.predict(X[cut:]) if cut < len(pdf) else y[:0]
+        mae = float(np.abs(test_pred - y[cut:]).mean()) if cut < len(pdf) else 0.0
+        nxt = (
+            pd.to_datetime(pdf["mes"].iloc[-1]) + pd.offsets.MonthBegin(1)
+        ).date()
+        pred = float(model.predict(X[-1:])[0])
+        return pd.DataFrame(
+            {
+                "n_name": [pdf["n_name"].iloc[0]],
+                "mes": [nxt],
+                "previsao": [round(pred, 2)],
+                "mae": [round(mae, 2)],
+                "n_obs": [len(pdf)],
+            }
+        )
+
+    return feats.groupBy("n_name").applyInPandas(fit_group, schema=_RF_SCHEMA)
+
+
 def proxy_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Feature-prep rules the reference applies before fitting:
 

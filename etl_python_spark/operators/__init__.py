@@ -22,7 +22,10 @@ from pyspark.sql import DataFrame, SparkSession
 #     their round-1 verdict remains valid evidence).
 # Names absent from this tuple keep module order after the block.
 VERIFY_PRIORITY = (
-    # (a) changed this round (money-cents parity / HUGEINT / new oracles)
+    # (a) new or changed this round (params / money-cents parity /
+    #     HUGEINT / new oracles)
+    "faturamento_proc",
+    "pk_audit",
     "pricing_summary",
     "shipping_priority",
     "forecast_revenue_change",

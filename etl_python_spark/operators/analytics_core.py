@@ -91,6 +91,98 @@ GROUP BY ROLLUP (n_name)
 
 
 # ---------------------------------------------------------------------------
+# §3.2 parameterized stored-procedure surface
+# (ref: scripts_sql/Faturamento.sql:1-32 — IN p_mes_nome/p_ano params,
+#  UPPER normalization, month-name CASE incl. the unaccented 'MARCO'
+#  alias, SIGNAL SQLSTATE '45000' on invalid input)
+# ---------------------------------------------------------------------------
+
+# month-name → number, including the reference's unaccented alias
+_MONTHS_PT = {
+    "JANEIRO": 1, "FEVEREIRO": 2, "MARÇO": 3, "MARCO": 3, "ABRIL": 4,
+    "MAIO": 5, "JUNHO": 6, "JULHO": 7, "AGOSTO": 8, "SETEMBRO": 9,
+    "OUTUBRO": 10, "NOVEMBRO": 11, "DEZEMBRO": 12,
+}
+
+
+def month_number_pt_or_raise(mes_nome: str) -> int:
+    """Normalize a pt-BR month-name parameter exactly like the proc's
+    prologue: UPPER + CASE ladder; invalid input raises (the Python
+    analogue of SIGNAL SQLSTATE '45000')."""
+    num = _MONTHS_PT.get(str(mes_nome).strip().upper())
+    if num is None:
+        raise ValueError(
+            "Nome de mês inválido. Use JANEIRO, FEVEREIRO, ... DEZEMBRO."
+        )
+    return num
+
+
+def faturamento(
+    spark: SparkSession, sf_dir: str, mes_nome: str, ano: int
+) -> DataFrame:
+    """``CALL Faturamento('NOVEMBRO', 1998)`` as a Python function: the
+    parameterized month/year revenue panel with rollup total.  The
+    month filter lands on the scan as a pushed predicate; the plan is
+    the same broadcast-dims + single-rollup-shuffle shape as
+    :func:`q_faturamento_rollup`."""
+    mes = month_number_pt_or_raise(mes_nome)
+    orders = load_table(spark, sf_dir, "orders").filter(
+        (F.year("o_orderdate") == int(ano)) & (F.month("o_orderdate") == mes)
+    )
+    customer = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    fact = orders.join(
+        customer, orders.o_custkey == customer.c_custkey, "inner"
+    ).join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
+    return (
+        fact.rollup("n_name")
+        .agg(
+            F.grouping("n_name").alias("_g"),
+            dsum("o_totalprice").alias("faturamento"),
+            F.count("o_orderkey").alias("pedidos"),
+            F.countDistinct("o_custkey").alias("carteira"),
+        )
+        .select(
+            F.when(F.col("_g") == 1, F.lit("SOMA"))
+            .otherwise(F.col("n_name"))
+            .alias("vendedor"),
+            "faturamento",
+            "pedidos",
+            "carteira",
+            F.round(
+                F.col("faturamento")
+                / F.nullif(F.col("pedidos").cast("double"), F.lit(0.0)),
+                2,
+            ).alias("ticket_medio"),
+        )
+    )
+
+
+def q_faturamento_proc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return faturamento(spark, sf_dir, "novembro", 1998)
+
+
+ORACLE_FATURAMENTO_PROC = """
+WITH fact AS (
+  SELECT n.n_name, o.o_orderkey, o.o_custkey, o.o_totalprice
+  FROM orders o
+  JOIN customer c ON o.o_custkey = c.c_custkey
+  JOIN nation n ON c.c_nationkey = n.n_nationkey
+  WHERE year(o.o_orderdate) = 1998 AND month(o.o_orderdate) = 11
+)
+SELECT
+  CASE WHEN GROUPING(n_name) = 1 THEN 'SOMA' ELSE n_name END AS vendedor,
+  ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 2) AS faturamento,
+  COUNT(o_orderkey) AS pedidos,
+  COUNT(DISTINCT o_custkey) AS carteira,
+  ROUND(ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 2)
+        / NULLIF(CAST(COUNT(o_orderkey) AS DOUBLE), 0.0), 2) AS ticket_medio
+FROM fact
+GROUP BY ROLLUP (n_name)
+"""
+
+
+# ---------------------------------------------------------------------------
 # W1: ROW_NUMBER top-N per group
 # (ref: Códigos Úteis SQL/Top 10 Faturamento Por Vendedora (6 meses).sql:13-24)
 # ---------------------------------------------------------------------------
@@ -978,6 +1070,7 @@ GROUP BY c_custkey
 
 QUERIES = {
     "faturamento_rollup": q_faturamento_rollup,
+    "faturamento_proc": q_faturamento_proc,
     "json_export": q_json_export,
     "mix_monthly_pivot": q_mix_monthly_pivot,
     "pricing_summary": q_pricing_summary,
@@ -1002,6 +1095,7 @@ QUERIES = {
 
 ORACLES = {
     "faturamento_rollup": ORACLE_FATURAMENTO,
+    "faturamento_proc": ORACLE_FATURAMENTO_PROC,
     "json_export": ORACLE_JSON_EXPORT,
     "mix_monthly_pivot": ORACLE_MIX_MONTHLY,
     "pricing_summary": ORACLE_PRICING_SUMMARY,

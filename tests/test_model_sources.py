@@ -200,6 +200,64 @@ def test_forecast_per_group(spark):
     assert all(v == 3 for v in by_group.values())
 
 
+def test_faturamento_proc_params(spark):
+    """Parameterized stored-proc surface (Faturamento.sql:9-32): pt-BR
+    month normalization incl. the unaccented MARCO alias, and the
+    SIGNAL-analogue error on invalid input."""
+    import pytest
+
+    from etl_python_spark.operators.analytics_core import (
+        faturamento,
+        month_number_pt_or_raise,
+    )
+
+    assert month_number_pt_or_raise(" marco ") == 3
+    assert month_number_pt_or_raise("MARÇO") == 3
+    assert month_number_pt_or_raise("dezembro") == 12
+    with pytest.raises(ValueError, match="Nome de mês inválido"):
+        month_number_pt_or_raise("SMARCH")
+    df = faturamento(spark, SF_SMOKE, "novembro", 1998)
+    rows = {r.vendedor: r for r in df.collect()}
+    assert "SOMA" in rows
+    detail_sum = sum(r.faturamento for v, r in rows.items() if v != "SOMA")
+    assert abs(rows["SOMA"].faturamento - detail_sum) < 0.01
+
+
+def test_forecast_per_group_rf_seam(spark):
+    """The grouped-sklearn pattern (ML.py:89-154): model injected via
+    the factory seam runs the full applyInPandas path; the default
+    factory fails fast (driver-side) when sklearn is absent."""
+    import numpy as np
+    import pytest
+
+    from etl_python_spark.ml.forecast import forecast_per_group_rf
+
+    class MeanRegressor:
+        def fit(self, X, y):
+            self.mu = float(np.mean(y))
+            return self
+
+        def predict(self, X):
+            return np.full(len(X), self.mu)
+
+    out = forecast_per_group_rf(spark, SF_SMOKE, regressor_factory=MeanRegressor)
+    rows = out.collect()
+    assert rows and all(r.previsao is not None and r.n_obs >= 6 for r in rows)
+    assert all(r.mae >= 0.0 for r in rows)
+    # one next-month prediction per qualifying group
+    assert len({r.n_name for r in rows}) == len(rows)
+
+    try:
+        import sklearn  # noqa: F401
+
+        has_sklearn = True
+    except ImportError:
+        has_sklearn = False
+    if not has_sklearn:
+        with pytest.raises(NotImplementedError, match="scikit-learn"):
+            forecast_per_group_rf(spark, SF_SMOKE)
+
+
 def test_union_sheet_frames_lineage_and_missing_columns(spark):
     import pandas as pd
 
