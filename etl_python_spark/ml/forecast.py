@@ -186,6 +186,86 @@ def forecast_per_group_rf(
     return feats.groupBy("n_name").applyInPandas(fit_group, schema=_RF_SCHEMA)
 
 
+_HORIZON_SCHEMA = "mes date, previsao double, tipo string, fator_escala int"
+
+
+def forecast_to_horizon(
+    spark: SparkSession,
+    sf_dir: str,
+    horizon_end: str = "2028-12",
+    multiplicative: bool = True,
+) -> DataFrame:
+    """Whole-series monthly forecast to a FIXED end date with optional
+    multiplicative seasonality and the median scale auto-correction —
+    the Modelo de Previsão de Vendas.py semantics (:42-51 ×1000 scale
+    fix, :69-83 horizon to 2028-12, multiplicative Prophet config) on
+    the Spark shape: the series is aggregated in Catalyst (tiny), the
+    fit runs once inside a single-group ``applyInPandas``.
+
+    Multiplicative mode fits trend+seasonality on log(y) and
+    exponentiates back (the standard decomposition equivalence);
+    additive mode is the plain lstsq fit."""
+    orders = load_table(spark, sf_dir, "orders")
+    monthly = (
+        orders.groupBy(F.date_trunc("month", "o_orderdate").cast("date").alias("mes"))
+        .agg(dsum("o_totalprice").alias("faturamento"))
+    )
+
+    end = pd.Period(horizon_end, freq="M").to_timestamp()
+
+    def fit(pdf: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+
+        pdf = pdf.sort_values("mes").reset_index(drop=True)
+        y_raw = pdf["faturamento"].to_numpy(dtype="float64")
+        # scale auto-correction by median heuristic (:42-51)
+        fator = 1000 if float(np.median(y_raw)) < 1_000.0 else 1
+        y = y_raw * fator
+        months = pd.to_datetime(pdf["mes"]).dt.month.to_numpy()
+        t = np.arange(len(y), dtype="float64")
+        target = np.log(np.maximum(y, 1e-9)) if multiplicative else y
+        X = np.column_stack(
+            [np.ones_like(t), t]
+            + [(months == m).astype("float64") for m in range(2, 13)]
+        )
+        beta, *_ = np.linalg.lstsq(X, target, rcond=None)
+        last = pd.to_datetime(pdf["mes"].iloc[-1])
+        horizon = pd.date_range(
+            last + pd.offsets.MonthBegin(1), end, freq="MS"
+        )
+        if len(horizon) == 0:
+            return pd.DataFrame(
+                columns=["mes", "previsao", "tipo", "fator_escala"]
+            ).astype({"previsao": "float64", "fator_escala": "int32"})
+        t_f = np.arange(len(y), len(y) + len(horizon), dtype="float64")
+        m_f = horizon.month.to_numpy()
+        X_f = np.column_stack(
+            [np.ones_like(t_f), t_f]
+            + [(m_f == m).astype("float64") for m in range(2, 13)]
+        )
+        pred = X_f @ beta
+        if multiplicative:
+            pred = np.exp(pred)
+        return pd.DataFrame(
+            {
+                "mes": horizon.date,
+                "previsao": np.round(pred / fator, 2),
+                "tipo": "multiplicativa" if multiplicative else "aditiva",
+                "fator_escala": fator,
+            }
+        )
+
+    return (
+        monthly.withColumn("_g", F.lit(1))
+        .groupBy("_g")
+        .applyInPandas(lambda pdf: fit(pdf), schema=_HORIZON_SCHEMA)
+    )
+
+
+def q_forecast_horizon(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return forecast_to_horizon(spark, sf_dir, "2028-12", multiplicative=True)
+
+
 def proxy_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Feature-prep rules the reference applies before fitting:
 
@@ -271,6 +351,7 @@ QUERIES = {
     "ml_lag_features": monthly_features,
     "ml_proxy_features": proxy_features,
     "ml_forecast_per_group": forecast_per_group,
+    "ml_forecast_horizon": q_forecast_horizon,
 }
 
 ORACLES = {

@@ -61,6 +61,7 @@ VERIFY_PRIORITY = (
     "ml_lag_features",
     "ml_proxy_features",
     "ml_forecast_per_group",
+    "ml_forecast_horizon",
     "stream_hourly_counts",
     "stream_static_enriched",
     "stream_sessionize",

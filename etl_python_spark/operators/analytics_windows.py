@@ -119,12 +119,23 @@ FROM orders GROUP BY o_orderstatus
 # ---------------------------------------------------------------------------
 
 def q_value_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frequency table with % of total in ONE job: the total is a
+    windowed sum over the (already tiny) aggregate, not a separate
+    ``count()`` driver action that would re-scan the table per call."""
     part = load_table(spark, sf_dir, "part")
-    total = part.count()
+    w_all = Window.partitionBy()
     return (
         part.groupBy("p_type")
         .agg(F.count("*").alias("qtd"))
-        .withColumn("pct", F.round(F.col("qtd") / F.lit(float(total)) * 100.0, 4))
+        .withColumn(
+            "pct",
+            F.round(
+                F.col("qtd")
+                / F.sum("qtd").over(w_all).cast("double")
+                * 100.0,
+                4,
+            ),
+        )
     )
 
 

@@ -61,10 +61,17 @@ def spread(df: DataFrame, *cols: str) -> DataFrame:
     exist.  The explicit partition count marks the exchange
     REPARTITION_BY_NUM, which AQE will not coalesce away on byte-size
     grounds — AQE sizes partitions by bytes and cannot see per-row CPU
-    cost.  On a real lake with many splits this exchange still costs
-    only one pass of the (projected) columns."""
+    cost.  On a lake layout that already arrives with at least one
+    split per core the exchange is pure overhead, so the no-key form
+    is conditional on the actual split count (driver-side metadata
+    check, no job).  The keyed form always repartitions — there the
+    point is co-location on the key, not width."""
     n = df.sparkSession.sparkContext.defaultParallelism
-    return df.repartition(n, *[F.col(c) for c in cols]) if cols else df.repartition(n)
+    if cols:
+        return df.repartition(n, *[F.col(c) for c in cols])
+    if df.rdd.getNumPartitions() >= n:
+        return df
+    return df.repartition(n)
 
 
 def load_tables(spark: SparkSession, sf_dir: str, *names: str) -> tuple[DataFrame, ...]:

@@ -258,6 +258,29 @@ def test_forecast_per_group_rf_seam(spark):
             forecast_per_group_rf(spark, SF_SMOKE)
 
 
+def test_forecast_to_horizon_fixed_end_and_modes(spark):
+    """Fixed-end-date horizon + multiplicative seasonality (Modelo de
+    Previsão de Vendas.py:42-83 semantics)."""
+    import datetime
+
+    from etl_python_spark.ml.forecast import forecast_to_horizon
+
+    mult = forecast_to_horizon(spark, SF_SMOKE, "2003-06", multiplicative=True)
+    rows = sorted(mult.collect(), key=lambda r: r.mes)
+    assert rows[-1].mes == datetime.date(2003, 6, 1)  # horizon reaches end
+    assert all(r.previsao > 0 for r in rows)  # multiplicative never negative
+    assert all(r.tipo == "multiplicativa" for r in rows)
+    add = forecast_to_horizon(spark, SF_SMOKE, "2003-06", multiplicative=False)
+    rows_a = sorted(add.collect(), key=lambda r: r.mes)
+    assert rows_a[-1].mes == datetime.date(2003, 6, 1)
+    assert len(rows_a) == len(rows)
+    assert all(r.tipo == "aditiva" for r in rows_a)
+    # the two decompositions are genuinely different fits
+    assert any(
+        abs(m.previsao - a.previsao) > 1e-6 for m, a in zip(rows, rows_a)
+    )
+
+
 def test_union_sheet_frames_lineage_and_missing_columns(spark):
     import pandas as pd
 
