@@ -56,11 +56,22 @@ def main() -> None:
 
     # warm-up: tiny query to JIT the scan/agg paths, plus one trivial
     # Pandas UDF pass so the Python worker pool (one per core, reused
-    # across queries) is forked before any timed query needs it
+    # across queries) is forked before any timed query needs it, plus
+    # the md5/conv digest path the engine-agnostic hash family uses
+    # (NumberConverter JIT costs ~1s on its first execution otherwise)
     spark.read.parquet(os.path.join(sf_dir, "nation.parquet")).count()
     sc = spark.sparkContext
     spark.range(sc.defaultParallelism * 4).repartition(sc.defaultParallelism).mapInPandas(
         lambda it: it, "id long"
+    ).count()
+    from pyspark.sql import functions as F
+
+    spark.range(200_000).repartition(sc.defaultParallelism).select(
+        F.sum(
+            F.conv(F.substring(F.md5(F.col("id").cast("string")), 1, 15), 16, 10)
+            .cast("long")
+            % 1_000_000_007
+        )
     ).count()
 
     timings: dict[str, float] = {}
