@@ -93,36 +93,45 @@ SELECT q_id, n_id, cosine, rank FROM ranked WHERE rank <= {TOP_K}
 """
 
 
-def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """LSH-bucketed approximate top-k (rows-only correctness check —
-    the hyperplanes are engine-seeded).
+EMB_DIM = 64  # TESTDATA embedding width (TESTDATA.md)
 
-    Signature = sign pattern against LSH_BITS pseudo-random hyperplanes
-    derived deterministically from xxhash64(bit, dim) — reproducible
-    across runs without shipping a matrix.  Corpus is bucketed once
-    (hash shuffle on signature); each query probes only its own bucket.
-    Recall loss vs brute force is the documented trade; the exact
-    variant above is the audit baseline."""
+# Deterministic random hyperplanes, generated once in Python and inlined
+# as literals into BOTH the Spark expression and the oracle SQL — no
+# per-row hashing at all (cheaper than hash-derived components) and
+# engine-agnostic, so the LSH pipeline is fully value-oracled.
+_hp_rng = __import__("random").Random(20240814)
+LSH_PLANES = [
+    [round(_hp_rng.uniform(-1.0, 1.0), 6) for _ in range(EMB_DIM)]
+    for _ in range(LSH_BITS)
+]
+
+
+def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-bucketed approximate top-k.
+
+    Signature = sign pattern against LSH_BITS fixed random hyperplanes
+    (module constants, broadcast by closure).  The dot is rounded to
+    6dp before the sign test so the two engines' float fold orders
+    cannot flip a boundary bit.  Corpus is bucketed once (hash shuffle
+    on signature); each query probes only its own bucket.  Recall loss
+    vs brute force is the documented trade; the exact variant above is
+    the audit baseline."""
     emb = spread(load_table(spark, sf_dir, "embeddings"), "vec_id")
 
     def signature(col):
         bits = [
             F.when(
-                F.aggregate(
-                    F.zip_with(
-                        col,
-                        F.transform(
-                            F.sequence(F.lit(0), F.size(col) - 1),
-                            # hash-derived pseudo-hyperplane component in [-1, 1]
-                            lambda d: (
-                                F.pmod(F.xxhash64(F.lit(b), d), F.lit(2001)) - 1000
-                            ).cast("double")
-                            / 1000.0,
+                F.round(
+                    F.aggregate(
+                        F.zip_with(
+                            col,
+                            F.array(*[F.lit(h) for h in LSH_PLANES[b]]),
+                            lambda x, h: x.cast("double") * h,
                         ),
-                        lambda x, h: x.cast("double") * h,
+                        F.lit(0.0),
+                        lambda acc, x: acc + x,
                     ),
-                    F.lit(0.0),
-                    lambda acc, x: acc + x,
+                    6,
                 )
                 > 0,
                 F.lit(1),
@@ -154,6 +163,49 @@ def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= TOP_K)
     )
+
+
+def _sql_lsh_sig(emb_col: str) -> str:
+    """DuckDB twin of the Spark signature(): Σ 2^b over positive
+    (6dp-rounded) hyperplane dots; plane literals printed with repr()
+    so both engines parse the identical doubles."""
+    terms = []
+    for b in range(LSH_BITS):
+        plane = "[" + ", ".join(repr(h) for h in LSH_PLANES[b]) + "]"
+        terms.append(
+            f"(CASE WHEN ROUND(list_sum(list_transform(range(1, {EMB_DIM} + 1), "
+            f"i -> CAST({emb_col}[i] AS DOUBLE) * ({plane})[i])), 6) > 0 "
+            f"THEN {1 << b} ELSE 0 END)"
+        )
+    return " + ".join(terms)
+
+
+ORACLE_ANN_LSH = f"""
+WITH tagged AS (
+  SELECT vec_id, embedding, {_sql_lsh_sig('embedding')} AS bucket FROM embeddings
+), queries AS (
+  SELECT vec_id AS q_id, embedding AS q_emb, bucket FROM tagged WHERE vec_id < {N_QUERY}
+), cand AS (
+  SELECT q.q_id, t.vec_id AS n_id, q.q_emb, t.embedding AS n_emb
+  FROM tagged t JOIN queries q ON t.bucket = q.bucket
+  WHERE q.q_id <> t.vec_id
+), scored AS (
+  SELECT q_id, n_id,
+         ROUND(
+           list_sum(list_transform(range(1, {EMB_DIM} + 1),
+                    i -> CAST(q_emb[i] AS DOUBLE) * CAST(n_emb[i] AS DOUBLE)))
+           / NULLIF(
+               sqrt(list_sum(list_transform(q_emb, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+             * sqrt(list_sum(list_transform(n_emb, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))),
+             0.0), 4) AS cosine
+  FROM cand
+), ranked AS (
+  SELECT q_id, n_id, cosine,
+         ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cosine DESC, n_id ASC) AS rank
+  FROM scored
+)
+SELECT q_id, n_id, cosine, rank FROM ranked WHERE rank <= {TOP_K}
+"""
 
 
 def q_ann_bruteforce_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -465,5 +517,5 @@ ORACLES = {
     "ann_bruteforce_pandas": ORACLE_ANN_BRUTEFORCE,
     "ann_ivf": ORACLE_ANN_IVF,
     "embedding_neardup": ORACLE_EMB_NEARDUP,
-    # ann_lsh: engine-seeded hyperplanes → rows-only check
+    "ann_lsh": ORACLE_ANN_LSH,
 }
