@@ -66,6 +66,7 @@ VERIFY_PRIORITY = (
     "stream_static_enriched",
     "stream_sessionize",
     "stream_user_totals",
+    "stream_stream_join",
     # (c) round-1-green representatives (flagship + one per family)
     "faturamento_rollup",
     "json_export",

@@ -260,11 +260,85 @@ GROUP BY 1
 """
 
 
+def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream interval join (view→purchase attribution): each
+    purchase matches the same user's views from the preceding hour.
+    Both sides carry watermarks and the join condition bounds event
+    time on BOTH ends, so Spark can size the join state and expire it
+    — the canonical scalable stream⨝stream shape (unbounded-range
+    stream joins accumulate state forever).  Inner-join matches emit
+    as they occur; availableNow drains the source once, making the
+    result batch-equivalent and exactly oracle-able (pure pairs, no
+    float aggregation)."""
+    views = (
+        _events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "view")
+        .select(
+            F.col("user_id"),
+            F.col("event_id").alias("view_id"),
+            F.col("ts").alias("view_ts"),
+        )
+        .withWatermark("view_ts", "2 hours")
+    )
+    purchases = (
+        _events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("p_user"),
+            F.col("event_id").alias("purchase_id"),
+            F.col("ts").alias("purchase_ts"),
+        )
+        .withWatermark("purchase_ts", "2 hours")
+    )
+    joined = views.join(
+        purchases,
+        (F.col("user_id") == F.col("p_user"))
+        & (F.col("view_ts") <= F.col("purchase_ts"))
+        & (F.col("view_ts") >= F.col("purchase_ts") - F.expr("INTERVAL 1 HOUR")),
+        "inner",
+    ).select(
+        "user_id",
+        "view_id",
+        "purchase_id",
+        "view_ts",
+        "purchase_ts",
+        (
+            F.unix_timestamp("purchase_ts") - F.unix_timestamp("view_ts")
+        ).alias("atraso_seg"),
+    )
+    name = f"attrib_{uuid.uuid4().hex[:8]}"
+    ckpt = tempfile.mkdtemp(prefix="ckpt_")
+    q = (
+        joined.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    return spark.table(name)
+
+
+ORACLE_STREAM_STREAM_JOIN = """
+SELECT v.user_id, v.event_id AS view_id, p.event_id AS purchase_id,
+       v.ts AS view_ts, p.ts AS purchase_ts,
+       date_diff('second', v.ts, p.ts) AS atraso_seg
+FROM events v
+JOIN events p
+  ON v.user_id = p.user_id
+ AND v.ts <= p.ts
+ AND v.ts >= p.ts - INTERVAL 1 HOUR
+WHERE v.event_type = 'view' AND p.event_type = 'purchase'
+"""
+
+
 QUERIES = {
     "stream_hourly_counts": hourly_counts_stream,
     "stream_static_enriched": stream_static_enriched,
     "stream_sessionize": session_window_stream,
     "stream_user_totals": stateful_user_totals_stream,
+    "stream_stream_join": stream_stream_join,
 }
 
 ORACLES = {
@@ -272,4 +346,5 @@ ORACLES = {
     "stream_static_enriched": ORACLE_STREAM_ENRICHED,
     "stream_sessionize": ORACLE_STREAM_SESSIONS,
     "stream_user_totals": ORACLE_STREAM_USER_TOTALS,
+    "stream_stream_join": ORACLE_STREAM_STREAM_JOIN,
 }
