@@ -203,17 +203,25 @@ def read_jdbc(
     """JDBC scan with optional partitioned parallel read.  The query
     string goes to the database verbatim (S5 pushdown); with a
     partition column the read fans out across ``num_partitions``
-    connections — the scalable path for big source tables."""
-    reader = spark.read.format("jdbc").option("url", url).option("query", query)
+    connections — the scalable path for big source tables.
+
+    Spark's JDBC source forbids combining the ``query`` option with
+    ``partitionColumn`` (SPARK-27781), so the partitioned path wraps
+    the query as a ``dbtable`` derived-table instead — same pushdown,
+    plus the per-partition range predicates."""
+    reader = spark.read.format("jdbc").option("url", url)
     for k, v in (properties or {}).items():
         reader = reader.option(k, v)
     if partition_column is not None:
         reader = (
-            reader.option("partitionColumn", partition_column)
+            reader.option("dbtable", f"({query}) spark_src")
+            .option("partitionColumn", partition_column)
             .option("numPartitions", num_partitions)
             .option("lowerBound", lower_bound or 0)
             .option("upperBound", upper_bound or 1_000_000)
         )
+    else:
+        reader = reader.option("query", query)
     return reader.load()
 
 

@@ -183,6 +183,53 @@ def test_export_csv_ptbr_single_file_has_bom(spark, tmp_path):
     assert ";".encode() in raw and "ação".encode() in raw
 
 
+def test_jdbc_roundtrip_embedded_derby(spark, tmp_path):
+    """S5/S6/S7 executed end-to-end against embedded Derby (ships with
+    Spark): overwrite-mode write with explicit column types, query
+    pushdown read, and partitioned parallel read."""
+    from etl_python_spark.sources.readers import read_jdbc
+    from etl_python_spark.sources.writers import write_jdbc
+
+    url = f"jdbc:derby:{tmp_path}/db;create=true"
+    props = {"driver": "org.apache.derby.jdbc.EmbeddedDriver"}
+    nation = spark.read.parquet(f"{SF_SMOKE}/nation.parquet")
+    write_jdbc(
+        nation,
+        url,
+        "staging_nation",
+        mode="overwrite",
+        properties=props,
+        create_table_column_types="n_name VARCHAR(64)",
+    )
+    # full-replace semantics: second overwrite must not duplicate
+    write_jdbc(nation, url, "staging_nation", mode="overwrite", properties=props)
+    # Derby folds unquoted identifiers to UPPER; Spark writes quoted
+    # lowercase names, so the pushdown query quotes them
+    back = read_jdbc(
+        spark,
+        url,
+        'SELECT "n_nationkey", "n_name" FROM staging_nation '
+        'WHERE "n_regionkey" = 1',
+        properties=props,
+    )
+    expected = nation.filter("n_regionkey = 1").count()
+    assert back.count() == expected
+    assert set(c.lower() for c in back.columns) == {"n_nationkey", "n_name"}
+    # partitioned parallel read fans out over the key range
+    par = read_jdbc(
+        spark,
+        url,
+        "SELECT * FROM staging_nation",
+        properties=props,
+        partition_column='"n_nationkey"',
+        num_partitions=4,
+        lower_bound=0,
+        upper_bound=25,
+    )
+    assert par.rdd.getNumPartitions() == 4
+    assert par.count() == nation.count()
+
+
 def test_forecast_per_group(spark):
     from etl_python_spark.ml.forecast import forecast_per_group
 
