@@ -36,6 +36,7 @@ VERIFY_PRIORITY = (
     "props_extract",
     "dedup_exact",
     "ngram_jaccard_pairs",
+    "dedup_components",
     "minhash_lsh_pairs",
     "simhash",
     "simhash_neardup",

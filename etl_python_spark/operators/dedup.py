@@ -22,7 +22,7 @@ from __future__ import annotations
 import functools
 import random
 
-from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..sources.tables import load_table, spread
@@ -218,8 +218,9 @@ def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).filter(F.col("jaccard") >= 0.2)
 
 
-_SQL_SHINGLES = f"""
-WITH norm AS (
+# CTE body shared by the ngram/minhash/components oracles; emitted
+# after a "WITH " or "WITH RECURSIVE " prefix chosen by the consumer.
+_SQL_SHINGLES_BODY = f"""norm AS (
   SELECT doc_id, regexp_replace(lower(trim(text)), '\\s+', ' ', 'g') AS t
   FROM documents
 ), toks AS (
@@ -234,8 +235,10 @@ WITH norm AS (
 )
 """
 
-ORACLE_NGRAM_JACCARD = (
-    _SQL_SHINGLES
+_SQL_SHINGLES = "WITH " + _SQL_SHINGLES_BODY
+
+_SQL_PAIRS_BODY = (
+    _SQL_SHINGLES_BODY
     + f"""
 , sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY 1),
 df AS (SELECT shingle, COUNT(*) AS df FROM sh GROUP BY 1),
@@ -244,15 +247,107 @@ co AS (
   SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter
   FROM kept a JOIN kept b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
   GROUP BY 1, 2
+),
+pairs AS (
+  SELECT co.doc_a, co.doc_b,
+         ROUND(CAST(inter AS DOUBLE) / CAST(sa.n_sh + sb.n_sh - inter AS DOUBLE), 4) AS jaccard
+  FROM co
+  JOIN sizes sa ON co.doc_a = sa.doc_id
+  JOIN sizes sb ON co.doc_b = sb.doc_id
+  WHERE ROUND(CAST(inter AS DOUBLE) / CAST(sa.n_sh + sb.n_sh - inter AS DOUBLE), 4) >= 0.2
 )
-SELECT co.doc_a, co.doc_b,
-       ROUND(CAST(inter AS DOUBLE) / CAST(sa.n_sh + sb.n_sh - inter AS DOUBLE), 4) AS jaccard
-FROM co
-JOIN sizes sa ON co.doc_a = sa.doc_id
-JOIN sizes sb ON co.doc_b = sb.doc_id
-WHERE ROUND(CAST(inter AS DOUBLE) / CAST(sa.n_sh + sb.n_sh - inter AS DOUBLE), 4) >= 0.2
 """
 )
+
+ORACLE_NGRAM_JACCARD = "WITH " + _SQL_PAIRS_BODY + "SELECT doc_a, doc_b, jaccard FROM pairs"
+
+ORACLE_DEDUP_COMPONENTS = (
+    "WITH RECURSIVE "
+    + _SQL_PAIRS_BODY
+    + """
+, verts AS (SELECT doc_a AS v FROM pairs UNION SELECT doc_b FROM pairs),
+undirected AS (
+  SELECT doc_a AS u, doc_b AS w FROM pairs
+  UNION SELECT doc_b, doc_a FROM pairs
+),
+reach AS (
+  SELECT v, v AS r FROM verts
+  UNION
+  SELECT e.u AS v, reach.r FROM undirected e JOIN reach ON e.w = reach.v
+),
+comp AS (SELECT v AS doc_id, MIN(r) AS component_id FROM reach GROUP BY v)
+SELECT c.doc_id, c.component_id,
+       COUNT(*) OVER (PARTITION BY c.component_id) AS cluster_size,
+       c.doc_id = c.component_id AS canonical
+FROM comp c
+"""
+)
+
+
+# ---------------------------------------------------------------------------
+# Near-dup clustering: connected components over the pair graph
+# (the dedup endgame — pairs alone don't dedupe; clusters pick the
+#  canonical survivor.  Public algorithm family: iterative min-label
+#  propagation / Hash-to-Min style CC-on-MapReduce.)
+# ---------------------------------------------------------------------------
+
+def connected_components(edges: DataFrame, max_iter: int = 20) -> DataFrame:
+    """(doc_a, doc_b) undirected edges → (doc_id, component_id) with
+    component_id = MIN doc_id reachable.
+
+    Iterative min-label propagation: each round every vertex adopts
+    the minimum label among itself and its neighbors; convergence in
+    ≤ graph-diameter rounds (near-dup clusters are shallow — dup
+    clusters of depth > ~5 are rare, and ``max_iter`` bounds the
+    worst case).  Each round is one join + one aggregate, all keyed
+    shuffles; the convergence check rides the same aggregate via a
+    driver-side count of changed labels (one scalar per round, no
+    data collected).  At lake scale, checkpoint every ~5 rounds to
+    truncate lineage; cluster counts here converge in 1-2 rounds."""
+    adj = (
+        edges.select(F.col("doc_a").alias("u"), F.col("doc_b").alias("w"))
+        .union(edges.select(F.col("doc_b").alias("u"), F.col("doc_a").alias("w")))
+        .distinct()
+    )
+    labels = (
+        adj.select(F.col("u").alias("v")).distinct().withColumn("lbl", F.col("v"))
+    )
+    for _ in range(max_iter):
+        neighbor_min = (
+            adj.join(labels, adj.u == labels.v)
+            .groupBy("w")
+            .agg(F.min("lbl").alias("nmin"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, labels.v == neighbor_min.w, "left")
+            .select(
+                "v",
+                F.least(F.col("lbl"), F.coalesce("nmin", "lbl")).alias("lbl"),
+                (F.coalesce("nmin", "lbl") < F.col("lbl")).cast("int").alias("chg"),
+            )
+        )
+        new_labels = new_labels.localCheckpoint(eager=True)
+        changed = new_labels.agg(F.sum("chg")).first()[0] or 0
+        labels = new_labels.select("v", "lbl")
+        if changed == 0:
+            break
+    return labels.select(F.col("v").alias("doc_id"), F.col("lbl").alias("component_id"))
+
+
+def q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup clusters from the exact-Jaccard pair graph: every doc
+    in at least one pair, its component (min reachable doc_id), and
+    the cluster size — the table a dedup job joins back to keep one
+    canonical doc per cluster."""
+    pairs = q_ngram_jaccard_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    comp = connected_components(pairs)
+    w = Window.partitionBy("component_id")
+    return comp.select(
+        "doc_id",
+        "component_id",
+        F.count("*").over(w).alias("cluster_size"),
+        (F.col("doc_id") == F.col("component_id")).alias("canonical"),
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -523,6 +618,7 @@ def q_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES = {
     "dedup_exact": q_dedup_exact,
     "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
+    "dedup_components": q_dedup_components,
     "minhash_lsh_pairs": q_minhash_lsh_pairs,
     "simhash": q_simhash,
     "simhash_neardup": q_simhash_neardup,
@@ -550,6 +646,7 @@ WHERE a.doc_id < b.doc_id
 ORACLES = {
     "dedup_exact": ORACLE_DEDUP_EXACT,
     "ngram_jaccard_pairs": ORACLE_NGRAM_JACCARD,
+    "dedup_components": ORACLE_DEDUP_COMPONENTS,
     "minhash_lsh_pairs": ORACLE_MINHASH_LSH,
     "simhash": ORACLE_SIMHASH,
     "simhash_neardup": ORACLE_SIMHASH_NEARDUP,
