@@ -57,6 +57,7 @@ VERIFY_PRIORITY = (
     "rolling_chunks",
     "bpe_token_count",
     "text_quality",
+    "quality_filter",
     "lang_id",
     "doc_fingerprint",
     "ml_lag_features",

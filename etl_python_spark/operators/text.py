@@ -121,6 +121,55 @@ FROM documents
 
 
 # ---------------------------------------------------------------------------
+# Composite quality filter: ordered rule chain with reasons
+# (the C4/Gopher-style keep/drop gate of a training-data pipeline —
+#  rule shapes from the public C4 (Raffel et al.) and Gopher
+#  (Rae et al.) filtering descriptions)
+# ---------------------------------------------------------------------------
+
+QUALITY_RULES = [
+    ("curto", "n_tokens < 10"),
+    ("token_medio_anomalo", "avg_token_len < 2.0 OR avg_token_len > 12.0"),
+    ("pouco_alfabetico", "alpha_ratio < 0.6"),
+    ("pontuacao_excessiva", "punct_ratio > 0.1"),
+    ("sem_stopwords", "stopword_ratio < 0.03"),
+]
+
+
+def q_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document keep/drop decision with per-rule reasons: every rule
+    that fires contributes its tag to an ordered reason list; a doc is
+    kept iff no rule fires.  All thresholds compare the 4dp-rounded
+    metrics, so the decision is engine-parity by construction.  One
+    pass over the metrics projection — the rule chain is pure
+    whole-stage-codegen CASE logic."""
+    m = q_text_quality(spark, sf_dir)
+    reason_cols = [
+        F.when(F.expr(cond), F.lit(tag)) for tag, cond in QUALITY_RULES
+    ]
+    reasons = F.concat_ws(",", *reason_cols)
+    return m.select(
+        "doc_id",
+        "n_tokens",
+        (reasons == "").alias("manter"),
+        reasons.alias("motivos"),
+    )
+
+
+_SQL_REASONS = ", ".join(
+    f"CASE WHEN {cond} THEN '{tag}' END" for tag, cond in QUALITY_RULES
+)
+
+ORACLE_QUALITY_FILTER = f"""
+WITH m AS ({{metrics}})
+SELECT doc_id, n_tokens,
+       concat_ws(',', {_SQL_REASONS}) = '' AS manter,
+       concat_ws(',', {_SQL_REASONS}) AS motivos
+FROM m
+""".format(metrics=ORACLE_TEXT_QUALITY)
+
+
+# ---------------------------------------------------------------------------
 # Language-ID: stopword-hit heuristic with deterministic tie-break
 # ---------------------------------------------------------------------------
 
@@ -271,6 +320,7 @@ QUERIES = {
     "rolling_chunks": q_rolling_chunks,
     "bpe_token_count": q_bpe_token_count,
     "text_quality": q_text_quality,
+    "quality_filter": q_quality_filter,
     "lang_id": q_lang_id,
     "doc_fingerprint": q_doc_fingerprint,
 }
@@ -279,6 +329,7 @@ ORACLES = {
     "token_count": ORACLE_TOKEN_COUNT,
     "bpe_token_count": ORACLE_BPE,
     "text_quality": ORACLE_TEXT_QUALITY,
+    "quality_filter": ORACLE_QUALITY_FILTER,
     "lang_id": ORACLE_LANG_ID,
     "doc_fingerprint": ORACLE_FINGERPRINT,
 }
