@@ -26,6 +26,7 @@ VERIFY_PRIORITY = (
     #     HUGEINT / new oracles)
     "faturamento_proc",
     "pk_audit",
+    "value_counts",
     "pricing_summary",
     "shipping_priority",
     "forecast_revenue_change",
