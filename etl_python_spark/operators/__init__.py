@@ -59,6 +59,7 @@ VERIFY_PRIORITY = (
     "bpe_token_count",
     "text_quality",
     "quality_filter",
+    "repetition_metrics",
     "lang_id",
     "doc_fingerprint",
     "ml_lag_features",

@@ -170,6 +170,99 @@ FROM m
 
 
 # ---------------------------------------------------------------------------
+# Repetition metrics (Gopher-style repeated-n-gram filters, public
+# description in Rae et al.): concentration of the most frequent
+# 2-gram and the fraction of 3-grams that are duplicated within the
+# document — the signals that catch boilerplate/looping text.
+# ---------------------------------------------------------------------------
+
+def _grams(toks, k: int):
+    """Non-distinct word k-grams (repetition metrics need counts, so
+    no array_distinct here, unlike shingles); < k tokens → empty."""
+    n = F.size(toks)
+    idx = F.sequence(F.lit(1), F.greatest(n - k + 1, F.lit(1)))
+    grams = F.transform(
+        idx,
+        lambda i: F.concat_ws(" ", *[F.element_at(toks, i + j) for j in range(k)]),
+    )
+    return F.when(n >= k, grams).otherwise(F.array().cast("array<string>"))
+
+
+def q_repetition_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc repetition profile: top-2-gram concentration and
+    duplicated-3-gram mass.  Gram counts are built with one shuffle on
+    (doc, gram) and folded to per-doc ratios with a second doc-keyed
+    aggregate — both integer arithmetic until the final rounded
+    division, so engine parity is exact."""
+    docs = spread(load_table(spark, sf_dir, "documents"), "doc_id")
+    toked = docs.select("doc_id", _tokens(F.col("text")).alias("toks"))
+
+    def ratios(k: int, out_top: str, out_dup: str):
+        grams = toked.select(
+            "doc_id", F.explode_outer(_grams(F.col("toks"), k)).alias("g")
+        ).filter(F.col("g").isNotNull())
+        counts = grams.groupBy("doc_id", "g").agg(F.count("*").alias("c"))
+        return counts.groupBy("doc_id").agg(
+            F.round(
+                F.max("c") / F.nullif(F.sum("c").cast("double"), F.lit(0.0)), 4
+            ).alias(out_top),
+            F.round(
+                F.sum(F.when(F.col("c") > 1, F.col("c")).otherwise(F.lit(0)))
+                / F.nullif(F.sum("c").cast("double"), F.lit(0.0)),
+                4,
+            ).alias(out_dup),
+        )
+
+    g2 = ratios(2, "top_2gram_ratio", "dup_2gram_ratio")
+    g3 = ratios(3, "top_3gram_ratio", "dup_3gram_ratio")
+    base = docs.select("doc_id")
+    return (
+        base.join(g2, "doc_id", "left")
+        .join(g3, "doc_id", "left")
+        .na.fill(0.0)
+    )
+
+
+def _sql_grams(k: int) -> str:
+    return (
+        f"CASE WHEN len(w) >= {k} THEN "
+        f"list_transform(range(1, len(w) - {k} + 2), "
+        f"i -> array_to_string(w[i:i+{k}-1], ' ')) "
+        "ELSE [] END"
+    )
+
+
+def _sql_gram_ratios(k: int, out_top: str, out_dup: str) -> str:
+    return f"""
+  SELECT doc_id,
+         ROUND(CAST(MAX(c) AS DOUBLE) / NULLIF(CAST(SUM(c) AS DOUBLE), 0.0), 4) AS {out_top},
+         ROUND(CAST(SUM(CASE WHEN c > 1 THEN c ELSE 0 END) AS DOUBLE)
+               / NULLIF(CAST(SUM(c) AS DOUBLE), 0.0), 4) AS {out_dup}
+  FROM (
+    SELECT doc_id, g, COUNT(*) AS c
+    FROM (SELECT doc_id, unnest({_sql_grams(k)}) AS g
+          FROM (SELECT doc_id, {_SQL_TOKS} AS w FROM documents WHERE trim(text) <> ''))
+    GROUP BY doc_id, g
+  )
+  GROUP BY doc_id
+"""
+
+
+ORACLE_REPETITION = f"""
+WITH g2 AS ({_sql_gram_ratios(2, 'top_2gram_ratio', 'dup_2gram_ratio')}),
+g3 AS ({_sql_gram_ratios(3, 'top_3gram_ratio', 'dup_3gram_ratio')})
+SELECT d.doc_id,
+       COALESCE(g2.top_2gram_ratio, 0.0) AS top_2gram_ratio,
+       COALESCE(g2.dup_2gram_ratio, 0.0) AS dup_2gram_ratio,
+       COALESCE(g3.top_3gram_ratio, 0.0) AS top_3gram_ratio,
+       COALESCE(g3.dup_3gram_ratio, 0.0) AS dup_3gram_ratio
+FROM documents d
+LEFT JOIN g2 ON d.doc_id = g2.doc_id
+LEFT JOIN g3 ON d.doc_id = g3.doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
 # Language-ID: stopword-hit heuristic with deterministic tie-break
 # ---------------------------------------------------------------------------
 
@@ -321,6 +414,7 @@ QUERIES = {
     "bpe_token_count": q_bpe_token_count,
     "text_quality": q_text_quality,
     "quality_filter": q_quality_filter,
+    "repetition_metrics": q_repetition_metrics,
     "lang_id": q_lang_id,
     "doc_fingerprint": q_doc_fingerprint,
 }
@@ -330,6 +424,7 @@ ORACLES = {
     "bpe_token_count": ORACLE_BPE,
     "text_quality": ORACLE_TEXT_QUALITY,
     "quality_filter": ORACLE_QUALITY_FILTER,
+    "repetition_metrics": ORACLE_REPETITION,
     "lang_id": ORACLE_LANG_ID,
     "doc_fingerprint": ORACLE_FINGERPRINT,
 }
