@@ -119,12 +119,14 @@ _RF_SCHEMA = "n_name string, mes date, previsao double, mae double, n_obs int"
 
 def _default_regressor_factory():
     """sklearn RandomForest, the reference's model (ML.py:89-154).
-    Raises a clean driver-side error when sklearn isn't installed —
-    never a mid-job executor ImportError."""
+    Raises a clean driver-side ImportError when sklearn isn't
+    installed — never a mid-job executor failure, and never
+    NotImplementedError (which this codebase reserves for
+    intentionally-stubbed codec seams, not missing optional deps)."""
     try:
         from sklearn.ensemble import RandomForestRegressor
     except ImportError as exc:  # pragma: no cover - sklearn absent here
-        raise NotImplementedError(
+        raise ImportError(
             "forecast_per_group_rf needs scikit-learn; use "
             "forecast_per_group (deterministic trend fit) or inject a "
             "regressor_factory"

@@ -291,7 +291,7 @@ FROM comp c
 #  propagation / Hash-to-Min style CC-on-MapReduce.)
 # ---------------------------------------------------------------------------
 
-def connected_components(edges: DataFrame, max_iter: int = 20) -> DataFrame:
+def connected_components(edges: DataFrame, max_iter: int = 50) -> DataFrame:
     """(doc_a, doc_b) undirected edges → (doc_id, component_id) with
     component_id = MIN doc_id reachable.
 
@@ -312,6 +312,7 @@ def connected_components(edges: DataFrame, max_iter: int = 20) -> DataFrame:
     labels = (
         adj.select(F.col("u").alias("v")).distinct().withColumn("lbl", F.col("v"))
     )
+    changed = None
     for _ in range(max_iter):
         neighbor_min = (
             adj.join(labels, adj.u == labels.v)
@@ -331,6 +332,13 @@ def connected_components(edges: DataFrame, max_iter: int = 20) -> DataFrame:
         labels = new_labels.select("v", "lbl")
         if changed == 0:
             break
+    if changed != 0:
+        # A silent non-converged result would split components (and emit
+        # clusters with no canonical member) — fail loudly instead.
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter} rounds "
+            "(pair-graph diameter exceeds the iteration budget); raise max_iter"
+        )
     return labels.select(F.col("v").alias("doc_id"), F.col("lbl").alias("component_id"))
 
 

@@ -107,6 +107,14 @@ def _sheet_to_spark(
     inference collapsed to the same three at the staging edge)."""
     from pyspark.sql import types as T
 
+    if usecols is not None:
+        missing = [c for c in usecols if c not in header]
+        if missing:
+            # silent projection of a typo'd column name would surface
+            # far downstream; pandas' usecols raised here too
+            raise ValueError(
+                f"usecols not found in sheet: {missing}; available: {header}"
+            )
     keep = [
         (i, c)
         for i, c in enumerate(header)
@@ -239,6 +247,10 @@ def promote_header(df: DataFrame) -> DataFrame:
     ordered = df.coalesce(1).withColumn(
         "__ord__", F.monotonically_increasing_id()
     )
+    # pin the ordinal assignment: the frame is evaluated twice (header
+    # collect + the returned filter), and a nondeterministically-ordered
+    # upstream could otherwise pick a different "first row" per job
+    ordered = ordered.localCheckpoint(eager=True)
     first = ordered.orderBy("__ord__").limit(1).collect()[0]
     rest = ordered.filter(F.col("__ord__") > first["__ord__"])
     return rest.select(

@@ -125,9 +125,20 @@ def read_sheet(path: str, sheet: str | int = 0) -> tuple[list[str], list[list]]:
     with zipfile.ZipFile(path) as zf:
         sheets = _sheet_paths(zf)
         if isinstance(sheet, int):
+            if not 0 <= sheet < len(sheets):
+                raise IndexError(
+                    f"sheet index {sheet} out of range; workbook has "
+                    f"{len(sheets)} sheet(s): {[n for n, _ in sheets]}"
+                )
             name, target = sheets[sheet]
         else:
-            name, target = next((n, t) for n, t in sheets if n == sheet)
+            match = [(n, t) for n, t in sheets if n == sheet]
+            if not match:
+                raise KeyError(
+                    f"sheet {sheet!r} not in workbook; available: "
+                    f"{[n for n, _ in sheets]}"
+                )
+            name, target = match[0]
         rows = _read_rows(zf, target, _shared_strings(zf))
     if not rows:
         return [], []
@@ -159,10 +170,18 @@ def read_all_sheets(path: str) -> dict[str, tuple[list[str], list[list]]]:
 # Writer (S9): header + rows per sheet, inline strings, no styles
 # ---------------------------------------------------------------------------
 
-def _esc(s: str) -> str:
-    return (
-        s.replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")
-    )
+_XML_INVALID = re.compile(r"[\x00-\x08\x0b\x0c\x0e-\x1f]")
+
+
+def _esc(s: str, attr: bool = False) -> str:
+    """XML-escape text; ``attr=True`` additionally escapes double
+    quotes (sheet names land inside attribute values, and quotes are
+    legal in Excel sheet names).  XML-1.0-invalid control characters
+    (possible in scraped document text) are replaced with U+FFFD —
+    emitting them verbatim would corrupt the workbook."""
+    s = _XML_INVALID.sub("�", s)
+    s = s.replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")
+    return s.replace('"', "&quot;") if attr else s
 
 
 def _col_ref(i: int) -> str:
@@ -222,7 +241,7 @@ def write_xlsx(path: str, sheets: dict[str, tuple[list[str], list[list]]]) -> No
         'Target="xl/workbook.xml"/></Relationships>'
     )
     wb_sheets = "".join(
-        f'<sheet name="{_esc(n)}" sheetId="{i + 1}" r:id="rId{i + 1}"/>'
+        f'<sheet name="{_esc(n, attr=True)}" sheetId="{i + 1}" r:id="rId{i + 1}"/>'
         for i, n in enumerate(names)
     )
     workbook = (

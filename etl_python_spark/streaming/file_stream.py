@@ -38,6 +38,33 @@ def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     return stream
 
 
+def _drain_to_memory(
+    df: DataFrame, prefix: str, output_mode: str, timeout_s: int = 300
+) -> DataFrame:
+    """Run a streaming frame to completion into a memory sink
+    (availableNow drain) and return the result table.  Raises if the
+    drain does not finish inside ``timeout_s`` — returning a partially
+    drained table would surface as a baffling nondeterministic
+    row-count mismatch at the correctness gate."""
+    spark = df.sparkSession
+    name = f"{prefix}_{uuid.uuid4().hex[:8]}"
+    ckpt = tempfile.mkdtemp(prefix="ckpt_")
+    q = (
+        df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    if not q.awaitTermination(timeout_s):
+        q.stop()
+        raise TimeoutError(
+            f"streaming drain {name!r} did not finish in {timeout_s}s"
+        )
+    return spark.table(name)
+
+
 def hourly_counts_stream(
     spark: SparkSession, sf_dir: str, watermark: str = "2 hours"
 ) -> DataFrame:
@@ -62,18 +89,7 @@ def hourly_counts_stream(
             "valor_total",
         )
     )
-    name = f"hourly_counts_{uuid.uuid4().hex[:8]}"
-    ckpt = tempfile.mkdtemp(prefix="ckpt_")
-    q = (
-        agg.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("complete")
-        .option("checkpointLocation", ckpt)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination(120)
-    return spark.table(name)
+    return _drain_to_memory(agg, "hourly_counts", "complete")
 
 
 ORACLE_STREAM_HOURLY = """
@@ -113,18 +129,7 @@ def session_window_stream(
             "valor_total",
         )
     )
-    name = f"sessions_{uuid.uuid4().hex[:8]}"
-    ckpt = tempfile.mkdtemp(prefix="ckpt_")
-    q = (
-        agg.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("complete")
-        .option("checkpointLocation", ckpt)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination(120)
-    return spark.table(name)
+    return _drain_to_memory(agg, "sessions", "complete")
 
 
 ORACLE_STREAM_SESSIONS = """
@@ -192,18 +197,7 @@ def stateful_user_totals_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
-    name = f"user_totals_{uuid.uuid4().hex[:8]}"
-    ckpt = tempfile.mkdtemp(prefix="ckpt_")
-    q = (
-        result.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("update")
-        .option("checkpointLocation", ckpt)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination(120)
-    return spark.table(name)
+    return _drain_to_memory(result, "user_totals", "update")
 
 
 ORACLE_STREAM_USER_TOTALS = """
@@ -236,18 +230,7 @@ def stream_static_enriched(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.col("value").cast("decimal(18,2)")).cast("double"), 2
         ).alias("valor_total"),
     )
-    name = f"enriched_{uuid.uuid4().hex[:8]}"
-    ckpt = tempfile.mkdtemp(prefix="ckpt_")
-    q = (
-        agg.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("complete")
-        .option("checkpointLocation", ckpt)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination(120)
-    return spark.table(name)
+    return _drain_to_memory(agg, "enriched", "complete")
 
 
 ORACLE_STREAM_ENRICHED = """
@@ -306,18 +289,7 @@ def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.unix_timestamp("purchase_ts") - F.unix_timestamp("view_ts")
         ).alias("atraso_seg"),
     )
-    name = f"attrib_{uuid.uuid4().hex[:8]}"
-    ckpt = tempfile.mkdtemp(prefix="ckpt_")
-    q = (
-        joined.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("append")
-        .option("checkpointLocation", ckpt)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination(120)
-    return spark.table(name)
+    return _drain_to_memory(joined, "attrib", "append")
 
 
 ORACLE_STREAM_STREAM_JOIN = """

@@ -301,7 +301,7 @@ def test_forecast_per_group_rf_seam(spark):
     except ImportError:
         has_sklearn = False
     if not has_sklearn:
-        with pytest.raises(NotImplementedError, match="scikit-learn"):
+        with pytest.raises(ImportError, match="scikit-learn"):
             forecast_per_group_rf(spark, SF_SMOKE)
 
 
