@@ -22,68 +22,64 @@ from pyspark.sql import DataFrame, SparkSession
 #     their round-1 verdict remains valid evidence).
 # Names absent from this tuple keep module order after the block.
 VERIFY_PRIORITY = (
-    # (a) new or changed this round (params / money-cents parity /
-    #     HUGEINT / new oracles)
-    "faturamento_proc",
-    "pk_audit",
-    "value_counts",
-    "pricing_summary",
-    "shipping_priority",
-    "forecast_revenue_change",
-    "supplier_region_share",
-    "range_condition_join",
-    "calendar_dim",
+    # Round-4 rotation (round-3 verdict task 3).
+    # (a) changed this round: the events-ts normalization (Long nanos →
+    #     integer DIV 1000; TIMESTAMP_NTZ → cast) touches every query
+    #     that reads the events table — their r3 verdicts are stale.
+    "stream_hourly_counts",
+    "stream_sessionize",
+    "stream_stream_join",
+    "stream_static_enriched",
+    "stream_user_totals",
     "sessionize",
     "props_extract",
-    "dedup_exact",
-    "ngram_jaccard_pairs",
-    "dedup_components",
-    "minhash_lsh_pairs",
-    "simhash",
-    "simhash_neardup",
-    # (b) never driver-verified (beyond round 1's 50-entry cap)
     "hourly_event_counts",
     "sliding_event_counts",
-    "multimodal_metadata",
+    # (b) oracles added this round (were rows-only through r3)
     "media_features",
-    "media_resize",
-    "frame_sample",
-    "ann_bruteforce",
-    "ann_bruteforce_pandas",
-    "ann_lsh",
-    "ann_ivf",
-    "kmeans_embeddings",
-    "embedding_neardup",
-    "token_count",
     "rolling_chunks",
-    "bpe_token_count",
-    "text_quality",
-    "quality_filter",
-    "repetition_metrics",
-    "lang_id",
-    "doc_fingerprint",
-    "ml_lag_features",
-    "ml_proxy_features",
-    "ml_forecast_per_group",
-    "ml_forecast_horizon",
-    "stream_hourly_counts",
-    "stream_static_enriched",
-    "stream_sessionize",
-    "stream_user_totals",
-    "stream_stream_join",
-    # (c) round-1-green representatives (flagship + one per family)
-    "faturamento_rollup",
-    "json_export",
-    "mix_monthly_pivot",
-    "cube_report",
+    # (c) the 34 queries whose only driver verdict is round 1 (outside
+    #     the 50-entry window in r2/r3) — every one gets an r4 verdict.
+    "mom_growth",
+    "yoy_same_month",
+    "year_pivot",
+    "share_of_priority",
+    "recency_buckets",
+    "reincidence",
+    "union_detail_total",
+    "rolling_metrics",
+    "last_quarter_revenue",
+    "profile_customer",
+    "geo_spine_zerofill",
+    "set_ops",
+    "left_enrichment",
+    "full_outer_coalesce",
+    "preagg_join",
+    "semi_join",
+    "anti_join",
+    "ordinal_alignment",
+    "latest_order_per_customer",
+    "blacklist_filter",
+    "global_topn",
+    "union_distinct_dims",
+    "cnpj_validate",
+    "customer_quartiles",
+    "custom_sort_field",
+    "lead_scoring",
+    "depara_standardize",
     "grouping_sets_report",
     "formatted_report",
     "top_customers_per_nation",
-    "reincidence",
     "sla_leadtime",
     "catalog_integrity",
     "asof_rate_enrichment",
     "churn_kpi",
+    # (d) r3-green flagships to keep one fresh verdict per family
+    "pricing_summary",
+    "faturamento_rollup",
+    "dedup_exact",
+    "minhash_lsh_pairs",
+    "calendar_dim",
 )
 
 

@@ -197,8 +197,42 @@ def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# rows-only: the fake decoder's numpy arithmetic (entropy) is not
-# restated in SQL; row-count (=3 modalities) + schema are still checked.
+# Full value oracle (round-3 verdict task 5): the fake decoder is
+# deterministic arithmetic over the payload bytes, and the test corpus
+# is pure ASCII (verified: octet_length(encode(text)) == length(text)
+# for every row at sf0.01 and sf0.1), so char-addressed ascii(substring)
+# enumerates exactly the UTF-8 bytes numpy sees.  mean_byte is an exact
+# integer sum in both engines (< 2^53, exact in float64); entropy terms
+# are identical float64 ops with only summation order differing
+# (~1e-16), absorbed by ROUND(..., 4).
+ORACLE_MEDIA_FEATURES = """
+WITH d AS (
+  SELECT doc_id, text, length(text) AS n FROM documents
+),
+bytes AS (
+  SELECT doc_id, n,
+         ascii(substring(text, CAST(i AS INT), 1)) AS b
+  FROM (SELECT doc_id, n, text, unnest(range(1, n + 1)) AS i FROM d)
+),
+hist AS (
+  SELECT doc_id, n, b, COUNT(*) AS c FROM bytes GROUP BY doc_id, n, b
+),
+per_doc AS (
+  SELECT doc_id, n,
+         SUM(c * b) * 1.0 / n AS mean_byte,
+         -SUM((c * 1.0 / n) * log2(c * 1.0 / n)) AS entropy,
+         GREATEST(1, CAST(floor(sqrt(CAST(n AS DOUBLE))) AS BIGINT)) AS width
+  FROM hist
+  GROUP BY doc_id, n
+)
+SELECT ['image', 'audio', 'video'][CAST(doc_id % 3 AS INT) + 1] AS modality,
+       COUNT(*) AS n_objects,
+       ROUND(AVG(mean_byte), 4) AS avg_mean_byte,
+       ROUND(AVG(entropy), 4) AS avg_entropy,
+       CAST(MAX(width) AS INT) AS max_width
+FROM per_doc
+GROUP BY 1
+"""
 
 
 RESIZE_TARGET = 4096  # bytes after downsampling
@@ -325,7 +359,7 @@ QUERIES = {
 
 ORACLES = {
     "multimodal_metadata": ORACLE_MULTIMODAL_METADATA,
-    # media_features: Python-side fake decoder → rows-only check
+    "media_features": ORACLE_MEDIA_FEATURES,
     "media_resize": ORACLE_MEDIA_RESIZE,
     "frame_sample": ORACLE_FRAME_SAMPLE,
 }

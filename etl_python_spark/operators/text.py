@@ -408,6 +408,64 @@ def q_rolling_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Full value oracle (round-3 verdict task 5): the rolling hash is plain
+# integer arithmetic, so DuckDB can restate it exactly — window hash
+# H[i] = Σ b[i+j]·base^(w-1-j) mod M via a lateral join of byte
+# positions against the inlined power table (each term < 2^42, the
+# 16-term sum < 2^46: exact BIGINT, one mod at the end, matching the
+# numpy path term for term).  `H & 63 == 0` ≡ `H % 64 == 0` (H ≥ 0).
+# The corpus is pure ASCII so char-addressed ascii(substring) yields
+# the same bytes numpy reads from the UTF-8 encoding.
+_RH_POWERS_SQL = ", ".join(
+    f"({j}, {pow(_RH_BASE, CHUNK_WINDOW - 1 - j, _RH_MOD)})"
+    for j in range(CHUNK_WINDOW)
+)
+
+ORACLE_ROLLING_CHUNKS = f"""
+WITH d AS (
+  SELECT doc_id, text, length(text) AS n FROM documents
+),
+small AS (
+  SELECT doc_id, 1 AS n_chunks, n AS max_chunk, n AS min_chunk
+  FROM d WHERE n < {CHUNK_WINDOW}
+),
+big AS (SELECT * FROM d WHERE n >= {CHUNK_WINDOW}),
+pos AS (
+  SELECT doc_id, n, text, unnest(range(0, n - {CHUNK_WINDOW} + 1)) AS i
+  FROM big
+),
+hashes AS (
+  SELECT p.doc_id, p.n, p.i,
+         SUM(CAST(ascii(substring(p.text, CAST(p.i + pw.j + 1 AS INT), 1)) AS BIGINT)
+             * CAST(pw.p AS BIGINT)) % {_RH_MOD} AS h
+  FROM pos p, (VALUES {_RH_POWERS_SQL}) AS pw(j, p)
+  GROUP BY p.doc_id, p.n, p.i
+),
+bounds AS (
+  SELECT doc_id, i + {CHUNK_WINDOW} AS cut
+  FROM hashes WHERE h % {CHUNK_MASK + 1} = 0
+  UNION SELECT doc_id, 0 FROM big
+  UNION SELECT doc_id, n FROM big
+),
+sizes AS (
+  SELECT doc_id,
+         cut - LAG(cut) OVER (PARTITION BY doc_id ORDER BY cut) AS sz
+  FROM bounds
+),
+bigstats AS (
+  SELECT doc_id, COUNT(*) AS n_chunks, MAX(sz) AS max_chunk, MIN(sz) AS min_chunk
+  FROM sizes WHERE sz > 0
+  GROUP BY doc_id
+)
+SELECT doc_id, CAST(n_chunks AS INT) AS n_chunks,
+       CAST(max_chunk AS INT) AS max_chunk, CAST(min_chunk AS INT) AS min_chunk
+FROM bigstats
+UNION ALL
+SELECT doc_id, CAST(n_chunks AS INT), CAST(max_chunk AS INT), CAST(min_chunk AS INT)
+FROM small
+"""
+
+
 QUERIES = {
     "token_count": q_token_count,
     "rolling_chunks": q_rolling_chunks,
@@ -421,6 +479,7 @@ QUERIES = {
 
 ORACLES = {
     "token_count": ORACLE_TOKEN_COUNT,
+    "rolling_chunks": ORACLE_ROLLING_CHUNKS,
     "bpe_token_count": ORACLE_BPE,
     "text_quality": ORACLE_TEXT_QUALITY,
     "quality_filter": ORACLE_QUALITY_FILTER,

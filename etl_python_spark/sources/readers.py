@@ -253,6 +253,17 @@ def promote_header(df: DataFrame) -> DataFrame:
     ordered = ordered.localCheckpoint(eager=True)
     first = ordered.orderBy("__ord__").limit(1).collect()[0]
     rest = ordered.filter(F.col("__ord__") > first["__ord__"])
+    # Header cells can be null or repeated (ragged exports): a null
+    # header becomes a positional _c{i} name, and repeats get a _2/_3
+    # suffix — otherwise the select would raise AMBIGUOUS_REFERENCE on
+    # the first downstream column lookup.
+    names: list[str] = []
+    seen: dict[str, int] = {}
+    for i, c in enumerate(df.columns):
+        base = str(first[c]) if first[c] is not None else f"_c{i}"
+        n = seen.get(base, 0) + 1
+        seen[base] = n
+        names.append(base if n == 1 else f"{base}_{n}")
     return rest.select(
-        *[F.col(c).alias(str(first[c])) for c in df.columns]
+        *[F.col(c).alias(name) for c, name in zip(df.columns, names)]
     )

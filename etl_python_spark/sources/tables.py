@@ -26,28 +26,48 @@ TABLES = (
 )
 
 
+def normalize_event_ts(df: DataFrame, col: str = "ts") -> DataFrame:
+    """Normalize the events ``ts`` column to a plain TimestampType for
+    every physical shape the testdata has shipped in:
+
+    - INT64 epoch-nanos (read via the legacy nanosAsLong conf) →
+      integer ``ts DIV 1000`` then ``timestamp_micros``.  Integer
+      division, NOT ``F.floor(col / 1000)`` — ``/`` on a long promotes
+      to float64, which has 53 mantissa bits and silently rounds
+      epoch-nanos (>2^62), drifting timestamps by up to ~1 µs.
+    - TIMESTAMP_NTZ (Spark 4 infers parquet ``timestamp[us]`` without
+      a timezone as TimestampNTZType) → cast to session-TZ timestamp.
+      The session runs UTC, so values are unchanged, but watermarks
+      (``withWatermark``) require TimestampType and raise
+      EVENT_TIME_IS_NOT_ON_TIMESTAMP_TYPE on NTZ.
+    - TimestampType → already the canonical shape, pass through.
+    """
+    from pyspark.sql.types import LongType, TimestampNTZType
+
+    dt = df.schema[col].dataType
+    if isinstance(dt, LongType):
+        return df.withColumn(
+            col, F.expr(f"timestamp_micros({col} DIV 1000)")
+        )
+    if isinstance(dt, TimestampNTZType):
+        return df.withColumn(col, F.col(col).cast("timestamp"))
+    return df
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one table. Plain ``spark.read.parquet`` — Catalyst prunes
     columns and pushes filters from whatever plan sits on top.
 
-    The ``events`` table is written with nanosecond timestamps, which
-    the Spark parquet reader only accepts as INT64 via the legacy
-    nanosAsLong conf; we convert back to a proper timestamp column
-    (microsecond truncation) right at the scan so downstream operators
-    see a normal TimestampType.
+    The ``events`` table's ``ts`` physical type has varied between
+    testdata generations (INT64 nanos vs parquet timestamp[us] →
+    TIMESTAMP_NTZ); ``normalize_event_ts`` canonicalizes every shape
+    to TimestampType right at the scan so downstream operators —
+    including watermarked streaming — see one consistent type.
     """
     path = os.path.join(sf_dir, f"{name}.parquet")
     if name == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        df = spark.read.parquet(path)
-        from pyspark.sql import functions as F
-        from pyspark.sql.types import LongType
-
-        if isinstance(df.schema["ts"].dataType, LongType):
-            df = df.withColumn(
-                "ts", F.timestamp_micros(F.floor(F.col("ts") / 1000).cast("long"))
-            )
-        return df
+        return normalize_event_ts(spark.read.parquet(path))
     return spark.read.parquet(path)
 
 

@@ -42,9 +42,20 @@ def _col_index(ref: str) -> int:
 
 
 def excel_serial_to_date(serial: float) -> date:
-    """Excel 1900-epoch serial number → date (day 1 = 1900-01-01;
-    includes Excel's historical leap-year-1900 off-by-one)."""
-    return date(1899, 12, 30) + timedelta(days=int(serial))
+    """Excel 1900-epoch serial number → date (day 1 = 1900-01-01).
+
+    Excel inherited Lotus 1-2-3's fictitious 1900-02-29 (serial 60),
+    so serials ≥ 61 are offset by one relative to the real calendar:
+    the flat ``1899-12-30 + serial`` base is only correct there.
+    Serials 1–59 (1900-01-01 … 1900-02-28) need base 1899-12-31, and
+    serial 60 — a date that never existed — clamps to 1900-02-28
+    (the convention openpyxl/LibreOffice use when reading)."""
+    s = int(serial)
+    if s < 60:
+        return date(1899, 12, 31) + timedelta(days=s)
+    if s == 60:
+        return date(1900, 2, 28)
+    return date(1899, 12, 30) + timedelta(days=s)
 
 
 def _shared_strings(zf: zipfile.ZipFile) -> list[str]:

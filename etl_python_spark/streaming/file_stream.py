@@ -15,12 +15,15 @@ import uuid
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql.types import LongType
 
 
 def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """readStream over the events parquet with the same nanos-ts
-    normalization as the batch reader."""
+    """readStream over the events parquet with the same ts
+    normalization as the batch reader (``normalize_event_ts`` handles
+    INT64 nanos, TIMESTAMP_NTZ, and TimestampType alike — watermarks
+    require plain TimestampType)."""
+    from ..sources.tables import normalize_event_ts
+
     path = os.path.join(sf_dir, "events.parquet")
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     schema = spark.read.parquet(path).schema
@@ -31,11 +34,7 @@ def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf_dir)
     )
-    if isinstance(schema["ts"].dataType, LongType):
-        stream = stream.withColumn(
-            "ts", F.timestamp_micros(F.floor(F.col("ts") / 1000).cast("long"))
-        )
-    return stream
+    return normalize_event_ts(stream)
 
 
 def _drain_to_memory(

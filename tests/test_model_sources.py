@@ -152,6 +152,40 @@ def test_promote_header_keeps_duplicate_rows(spark):
     assert sorted(rows) == [("ANA", "SP"), ("ANA", "SP"), ("nome", "uf")]
 
 
+def test_promote_header_null_and_duplicate_names(spark):
+    """Null header cells become positional _c{i} names and repeated
+    names get a _2/_3 suffix — columns must stay addressable (no
+    AMBIGUOUS_REFERENCE downstream)."""
+    from etl_python_spark.sources.readers import promote_header
+
+    df = spark.createDataFrame(
+        [("valor", None, "valor", "valor"), ("1", "2", "3", "4")],
+        "c0 string, c1 string, c2 string, c3 string",
+    )
+    out = promote_header(df)
+    assert out.columns == ["valor", "_c1", "valor_2", "valor_3"]
+    row = out.collect()[0]
+    assert (row["valor"], row["_c1"], row["valor_2"], row["valor_3"]) == (
+        "1", "2", "3", "4",
+    )
+
+
+def test_excel_serial_to_date_1900_leap_bug():
+    """Serials 1-59 predate Excel's fictitious 1900-02-29 (serial 60)
+    and use the unshifted base; 60 clamps to 1900-02-28; 61+ carry the
+    historical off-by-one."""
+    import datetime
+
+    from etl_python_spark.sources.xlsx import excel_serial_to_date
+
+    assert excel_serial_to_date(1) == datetime.date(1900, 1, 1)
+    assert excel_serial_to_date(59) == datetime.date(1900, 2, 28)
+    assert excel_serial_to_date(60) == datetime.date(1900, 2, 28)
+    assert excel_serial_to_date(61) == datetime.date(1900, 3, 1)
+    # modern serials unchanged by the fix
+    assert excel_serial_to_date(45000) == datetime.date(2023, 3, 15)
+
+
 def test_sniffer_tolerates_multibyte_cut_at_probe_boundary(tmp_path):
     """A UTF-8 file whose probe window ends mid-character must still
     sniff as UTF-8, not fall through to cp1252."""

@@ -36,7 +36,10 @@ def canon(v):
     if isinstance(v, decimal.Decimal):
         return canon(float(v))
     if isinstance(v, datetime.datetime):
-        return v.strftime("%Y-%m-%d %H:%M:%S")
+        # Microsecond precision: the driver gate hashes exact values; a
+        # second-precision canon let round 2's 1-µs timestamp drift pass
+        # locally and fail the round (round-3 verdict task 4).
+        return v.isoformat(sep=" ", timespec="microseconds")
     if isinstance(v, datetime.date):
         return v.strftime("%Y-%m-%d")
     if isinstance(v, (list, tuple)):
