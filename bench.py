@@ -4,8 +4,20 @@ ONE JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
 "queries": {name: sec}, "sf": ...}.
 
 Execution is measured with the noop sink (full pipeline runs, nothing
-collected to the driver), after a small warm-up to amortize JVM/codegen
-startup out of the first measured query.
+collected to the driver).
+
+Methodology (round-4 re-baseline for Spark 4.1.2): each query runs one
+UNTIMED warm pass, then $SPARK_GRAFT_BENCH_RUNS (default 2) timed runs;
+the reported time is the minimum.  Under Spark 4.1.2 the first
+execution of a query pays whole-stage-codegen compilation + JVM JIT
+that is amortized away in any long-lived session (measured: simhash's
+60-aggregate plan costs 9-64 s on first execution, 2.5-3 s steady
+state, at EVERY data scale — it is per-session compile cost, not data
+cost), so a single cold pass measures the compiler, not the engine.
+Steady-state min is the number that predicts 100 TB throughput, where
+compile time is noise against hours of scan/shuffle.  Per-query spread
+(max/min of the timed runs) is emitted under "spread" so run-to-run
+variance stays visible.
 """
 
 from __future__ import annotations
@@ -74,12 +86,21 @@ def main() -> None:
         )
     ).count()
 
+    n_runs = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "2")))
     timings: dict[str, float] = {}
+    spread: dict[str, float] = {}
     for name in HEADLINE:
         fn = qs[name]
-        t0 = time.time()
-        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.time() - t0, 3)
+
+        def run() -> float:
+            t0 = time.time()
+            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+            return time.time() - t0
+
+        run()  # warm pass: compiles this query's generated code, untimed
+        samples = [run() for _ in range(n_runs)]
+        timings[name] = round(min(samples), 3)
+        spread[name] = round(max(samples) - min(samples), 3)
 
     total = round(sum(timings.values()), 3)
     print(
@@ -90,6 +111,8 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+                "method": f"per-query warm pass + min of {n_runs} timed runs",
+                "spread": spread,
             }
         )
     )

@@ -171,19 +171,54 @@ def write_excel_report(
     path: str,
     sheet_name: str = "Relatorio",
     max_rows: int = 100_000,
+    number_formats: dict[str, str] | None = None,
+    col_widths: dict[str, float] | None = None,
+    autosize: bool = True,
 ) -> None:
     """Excel report sink (S9 — ref: EDA - Faturamento.py:87-123,
     Gerador de Ranking de Vendas.py:48-67): presentation-layer export
     of a SMALL result frame at the edge, written with the stdlib xlsx
     codec (:mod:`.xlsx` — no openpyxl needed).  The result-size cap is
     the engine-side contract: nobody funnels a fact table through the
-    driver."""
+    driver.
+
+    Styling mirrors what the reference's report sinks set on every
+    export: ``number_formats`` maps column → Excel format code (money
+    columns default to ``#,##0.00`` — any DecimalType column — when
+    not given), ``col_widths`` pins explicit widths, and ``autosize``
+    sizes unpinned columns from the rendered content (capped at 60
+    chars), with a bold header row."""
     rows = df.limit(max_rows + 1).collect()
     if len(rows) > max_rows:
         raise ValueError(
             f"excel export is a presentation sink; result has >{max_rows} rows — "
             "aggregate first or use write_staging/write_csv_ptbr"
         )
+    from pyspark.sql.types import DecimalType
+
     from . import xlsx
 
-    xlsx.write_xlsx(path, {sheet_name: (df.columns, [list(r) for r in rows])})
+    formats = dict(number_formats or {})
+    for f in df.schema.fields:
+        if isinstance(f.dataType, DecimalType) and f.name not in formats:
+            formats[f.name] = "#,##0.00"
+    widths = dict(col_widths or {})
+    if autosize:
+        for ci, name in enumerate(df.columns):
+            if name in widths:
+                continue
+            content = max(
+                [len(name)] + [len(str(r[ci])) for r in rows if r[ci] is not None]
+            )
+            widths[name] = min(60, content + 2)
+    xlsx.write_xlsx(
+        path,
+        {sheet_name: (df.columns, [list(r) for r in rows])},
+        styles={
+            sheet_name: {
+                "formats": formats,
+                "widths": widths,
+                "bold_header": True,
+            }
+        },
+    )

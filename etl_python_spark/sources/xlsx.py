@@ -9,9 +9,15 @@ inline strings that Excel/openpyxl/pandas can open.
 
 Scope (deliberate): values are str/float/bool/None; dates arrive as
 Excel serial numbers (callers convert with ``excel_serial_to_date``);
-formulas yield their cached value; styles/images are ignored.  The
+formulas yield their cached value; styles are ignored on READ.  The
 engine-side contract — sheet iteration order, header promotion, sparse
 cells as None — is what the readers/writers build on.
+
+The WRITE side supports the presentation features the reference's
+report sinks rely on (EDA - Faturamento.py:87-123, Base de Produtos
+Mais Vendidos.py:101-148): per-column number formats (e.g. pt-BR money
+``#,##0.00``), explicit column widths, and a bold header row — emitted
+as a standard ``xl/styles.xml`` part plus ``<cols>`` records.
 """
 
 from __future__ import annotations
@@ -204,39 +210,135 @@ def _col_ref(i: int) -> str:
     return out
 
 
-def _sheet_xml(header: list[str], rows: list[list]) -> str:
-    def cell(ref: str, v) -> str:
+def _sheet_xml(
+    header: list[str],
+    rows: list[list],
+    col_styles: dict[int, int] | None = None,
+    widths: dict[int, float] | None = None,
+    header_style: int = 0,
+) -> str:
+    """Worksheet XML.  ``col_styles`` maps column index → cellXfs
+    style index applied to every DATA cell of that column (the header
+    row gets ``header_style``); ``widths`` maps column index → Excel
+    character width, emitted as ``<cols>`` records."""
+    col_styles = col_styles or {}
+
+    def cell(ref: str, v, s: int) -> str:
+        import decimal
+
+        attr = f' s="{s}"' if s else ""
         if v is None:
-            return ""
+            return f'<c r="{ref}"{attr}/>' if s else ""
         if isinstance(v, bool):
-            return f'<c r="{ref}" t="b"><v>{int(v)}</v></c>'
-        if isinstance(v, (int, float)):
-            return f'<c r="{ref}"><v>{v}</v></c>'
-        return f'<c r="{ref}" t="inlineStr"><is><t xml:space="preserve">{_esc(str(v))}</t></is></c>'
+            return f'<c r="{ref}"{attr} t="b"><v>{int(v)}</v></c>'
+        if isinstance(v, (int, float, decimal.Decimal)):
+            # Decimal renders via str() — exact digits, no float detour
+            # (money columns arrive as decimal.Decimal from Spark rows)
+            return f'<c r="{ref}"{attr}><v>{v}</v></c>'
+        return (
+            f'<c r="{ref}"{attr} t="inlineStr">'
+            f'<is><t xml:space="preserve">{_esc(str(v))}</t></is></c>'
+        )
 
     body = []
     for rn, row in enumerate([header] + [list(r) for r in rows], start=1):
         cells = "".join(
-            cell(f"{_col_ref(ci)}{rn}", v) for ci, v in enumerate(row)
+            cell(
+                f"{_col_ref(ci)}{rn}",
+                v,
+                header_style if rn == 1 else col_styles.get(ci, 0),
+            )
+            for ci, v in enumerate(row)
         )
         body.append(f'<row r="{rn}">{cells}</row>')
+    cols_xml = ""
+    if widths:
+        cols_xml = "<cols>" + "".join(
+            f'<col min="{i + 1}" max="{i + 1}" width="{w}" customWidth="1"/>'
+            for i, w in sorted(widths.items())
+        ) + "</cols>"
     return (
         '<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
-        f'<worksheet xmlns="{_NS["m"]}"><sheetData>'
+        f'<worksheet xmlns="{_NS["m"]}">'
+        + cols_xml
+        + "<sheetData>"
         + "".join(body)
         + "</sheetData></worksheet>"
     )
 
 
-def write_xlsx(path: str, sheets: dict[str, tuple[list[str], list[list]]]) -> None:
-    """Write {sheet_name: (header, rows)} as a minimal valid xlsx."""
+def _styles_xml(num_formats: list[str]) -> str:
+    """styles.xml with font 0 (default) + font 1 (bold header), and
+    one cellXf per custom number format.  cellXfs layout: index 0 =
+    default, 1 = bold header, 2+k = numFmt k (id 164+k — custom format
+    ids start at 164 in SpreadsheetML)."""
+    numfmts = "".join(
+        f'<numFmt numFmtId="{164 + k}" formatCode="{_esc(code, attr=True)}"/>'
+        for k, code in enumerate(num_formats)
+    )
+    fmt_xfs = "".join(
+        f'<xf numFmtId="{164 + k}" fontId="0" fillId="0" borderId="0" '
+        'applyNumberFormat="1"/>'
+        for k in range(len(num_formats))
+    )
+    return (
+        '<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
+        f'<styleSheet xmlns="{_NS["m"]}">'
+        f'<numFmts count="{len(num_formats)}">{numfmts}</numFmts>'
+        '<fonts count="2"><font/><font><b/></font></fonts>'
+        '<fills count="2"><fill><patternFill patternType="none"/></fill>'
+        '<fill><patternFill patternType="gray125"/></fill></fills>'
+        '<borders count="1"><border/></borders>'
+        '<cellStyleXfs count="1"><xf/></cellStyleXfs>'
+        f'<cellXfs count="{2 + len(num_formats)}">'
+        '<xf numFmtId="0" fontId="0" fillId="0" borderId="0"/>'
+        '<xf numFmtId="0" fontId="1" fillId="0" borderId="0" applyFont="1"/>'
+        + fmt_xfs
+        + "</cellXfs></styleSheet>"
+    )
+
+
+def write_xlsx(
+    path: str,
+    sheets: dict[str, tuple[list[str], list[list]]],
+    styles: dict[str, dict] | None = None,
+) -> None:
+    """Write {sheet_name: (header, rows)} as a minimal valid xlsx.
+
+    ``styles`` (optional) maps sheet name → spec with any of:
+
+    - ``"formats"``: {header_name: number-format code} — e.g.
+      ``{"valor": "#,##0.00"}`` applies the money format to every data
+      cell of that column (ref EDA - Faturamento.py:87-123);
+    - ``"widths"``: {header_name: width} — Excel character widths,
+      emitted as customWidth ``<cols>`` records;
+    - ``"bold_header"``: bool (default True when a spec is present) —
+      bold font on row 1.
+
+    When any sheet has a spec, a standard ``xl/styles.xml`` part is
+    emitted; otherwise the workbook is byte-identical to before.
+    """
     names = list(sheets)
+    styles = styles or {}
+    # collect the distinct format codes across sheets → numFmt ids
+    fmt_codes: list[str] = []
+    for spec in styles.values():
+        for code in (spec.get("formats") or {}).values():
+            if code not in fmt_codes:
+                fmt_codes.append(code)
+    has_styles = bool(styles)
     content_types = (
         '<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
         '<Types xmlns="http://schemas.openxmlformats.org/package/2006/content-types">'
         '<Default Extension="rels" ContentType="application/vnd.openxmlformats-package.relationships+xml"/>'
         '<Default Extension="xml" ContentType="application/xml"/>'
         '<Override PartName="/xl/workbook.xml" ContentType="application/vnd.openxmlformats-officedocument.spreadsheetml.sheet.main+xml"/>'
+        + (
+            '<Override PartName="/xl/styles.xml" '
+            'ContentType="application/vnd.openxmlformats-officedocument.spreadsheetml.styles+xml"/>'
+            if has_styles
+            else ""
+        )
         + "".join(
             f'<Override PartName="/xl/worksheets/sheet{i + 1}.xml" '
             'ContentType="application/vnd.openxmlformats-officedocument.spreadsheetml.worksheet+xml"/>'
@@ -270,6 +372,13 @@ def write_xlsx(path: str, sheets: dict[str, tuple[list[str], list[list]]]) -> No
             f'Target="worksheets/sheet{i + 1}.xml"/>'
             for i in range(len(names))
         )
+        + (
+            f'<Relationship Id="rId{len(names) + 1}" '
+            'Type="http://schemas.openxmlformats.org/officeDocument/2006/relationships/styles" '
+            'Target="styles.xml"/>'
+            if has_styles
+            else ""
+        )
         + "</Relationships>"
     )
     with zipfile.ZipFile(path, "w", zipfile.ZIP_DEFLATED) as zf:
@@ -277,6 +386,24 @@ def write_xlsx(path: str, sheets: dict[str, tuple[list[str], list[list]]]) -> No
         zf.writestr("_rels/.rels", root_rels)
         zf.writestr("xl/workbook.xml", workbook)
         zf.writestr("xl/_rels/workbook.xml.rels", wb_rels)
+        if has_styles:
+            zf.writestr("xl/styles.xml", _styles_xml(fmt_codes))
         for i, n in enumerate(names):
             header, rows = sheets[n]
-            zf.writestr(f"xl/worksheets/sheet{i + 1}.xml", _sheet_xml(header, rows))
+            spec = styles.get(n) or {}
+            col_of = {h: ci for ci, h in enumerate(header)}
+            col_styles = {
+                col_of[h]: 2 + fmt_codes.index(code)
+                for h, code in (spec.get("formats") or {}).items()
+                if h in col_of
+            }
+            widths = {
+                col_of[h]: w
+                for h, w in (spec.get("widths") or {}).items()
+                if h in col_of
+            }
+            header_style = 1 if spec.get("bold_header", bool(spec)) else 0
+            zf.writestr(
+                f"xl/worksheets/sheet{i + 1}.xml",
+                _sheet_xml(header, rows, col_styles, widths, header_style),
+            )

@@ -428,6 +428,57 @@ def test_write_excel_report_roundtrip_and_cap(spark, tmp_path):
         )
 
 
+def test_write_excel_report_styles(spark, tmp_path):
+    """S9 styling tail: money number format, pinned + autosized column
+    widths, bold header — verified in the emitted SpreadsheetML parts,
+    and the values still read back unchanged."""
+    import xml.etree.ElementTree as ET
+    import zipfile
+
+    from etl_python_spark.sources.readers import read_excel
+    from etl_python_spark.sources.writers import write_excel_report
+
+    from decimal import Decimal
+
+    df = spark.createDataFrame(
+        [("ANA LONGNAME CO", Decimal("1234.50")), ("B", Decimal("7.25"))],
+        "cliente string, valor decimal(15,2)",
+    )
+    p = str(tmp_path / "styled.xlsx")
+    write_excel_report(df, p, sheet_name="Rel", col_widths={"cliente": 30})
+    ns = {"m": "http://schemas.openxmlformats.org/spreadsheetml/2006/main"}
+    with zipfile.ZipFile(p) as zf:
+        styles = ET.fromstring(zf.read("xl/styles.xml"))
+        sheet = ET.fromstring(zf.read("xl/worksheets/sheet1.xml"))
+    # the DecimalType column got the default money format
+    numfmts = {
+        f.get("numFmtId"): f.get("formatCode")
+        for f in styles.find("m:numFmts", ns)
+    }
+    assert "#,##0.00" in numfmts.values()
+    # cellXfs: 0 default, 1 bold header, 2 the money format
+    xfs = styles.find("m:cellXfs", ns).findall("m:xf", ns)
+    assert xfs[1].get("applyFont") == "1"
+    fmt_idx = next(
+        i for i, xf in enumerate(xfs) if xf.get("numFmtId") in numfmts
+    )
+    # widths: pinned for cliente (col 1), autosized for valor (col 2)
+    cols = {c.get("min"): float(c.get("width")) for c in sheet.find("m:cols", ns)}
+    assert cols["1"] == 30 and cols["2"] >= len("valor")
+    # header row bold, data cells of valor carry the money style
+    rows = sheet.find("m:sheetData", ns).findall("m:row", ns)
+    assert all(c.get("s") == "1" for c in rows[0].findall("m:c", ns))
+    valor_cells = [
+        c for r in rows[1:] for c in r.findall("m:c", ns)
+        if c.get("r", "").startswith("B")
+    ]
+    assert valor_cells and all(int(c.get("s")) == fmt_idx for c in valor_cells)
+    # decimal cells are numeric (no inlineStr), and values roundtrip
+    assert all(c.get("t") is None for c in valor_cells)
+    back = {r.cliente: float(r.valor) for r in read_excel(spark, p, sheet="Rel").collect()}
+    assert back == {"ANA LONGNAME CO": 1234.5, "B": 7.25}
+
+
 def test_excel_multisheet_union_lineage_roundtrip(spark, tmp_path):
     """S1/S2/S9 end-to-end on a real workbook: stdlib writer → stdlib
     multi-sheet reader with lineage column and tolerated missing
