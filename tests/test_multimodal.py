@@ -46,7 +46,35 @@ def test_frame_sample_slices_real_bytes(spark):
 
 
 def test_decode_real_is_a_stub():
-    with pytest.raises(NotImplementedError):
-        mm.decode_media_real(b"\x00\x01", "image")
+    # video has no codec wired anywhere yet
     with pytest.raises(NotImplementedError):
         mm.decode_media_real(b"\x00\x01", "video")
+    if not _has_pil():
+        with pytest.raises(NotImplementedError):
+            mm.decode_media_real(b"\x00\x01", "image")
+
+
+def _has_pil() -> bool:
+    try:
+        import PIL  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+@pytest.mark.skipif(not _has_pil(), reason="PIL not installed in this container")
+def test_decode_real_image_with_codec():
+    """Exercises the real-codec seam where PIL exists (skips here):
+    a 1×1 PNG decodes through the same entry point the fake decoder
+    stands in for, pinning the seam's contract (payload bytes in,
+    image object with .size out)."""
+    import base64
+
+    # smallest valid 1x1 black PNG
+    png = base64.b64decode(
+        "iVBORw0KGgoAAAANSUhEUgAAAAEAAAABCAYAAAAfFcSJAAAADUlEQVR4nGNg"
+        "YGBgAAAABQABh6FO1AAAAABJRU5ErkJggg=="
+    )
+    img = mm.decode_media_real(png, "image")
+    assert img.size == (1, 1)
