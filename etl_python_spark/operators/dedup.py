@@ -432,8 +432,19 @@ def q_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .dropDuplicates(["doc_a", "doc_b"])
     )
 
-    sh_a = with_sh.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
-    sh_b = with_sh.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
+    # Verification needs shingle arrays ONLY for candidate docs: prune
+    # with a semi-join BEFORE re-shingling, so the second shingling
+    # pass covers the (small) candidate set, not the whole corpus —
+    # at 100 TB the unpruned form re-runs the regex shingler over
+    # every document twice just to verify a few thousand pairs.
+    cand_ids = (
+        cand.select(F.col("doc_a").alias("doc_id"))
+        .union(cand.select(F.col("doc_b").alias("doc_id")))
+        .distinct()
+    )
+    sh_cand = with_shingles(docs.join(cand_ids, "doc_id", "left_semi"))
+    sh_a = sh_cand.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
+    sh_b = sh_cand.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
     verified = cand.join(sh_a, "doc_a").join(sh_b, "doc_b")
     inter = F.size(F.array_intersect("sh_a", "sh_b"))
     union = F.size("sh_a") + F.size("sh_b") - inter

@@ -174,6 +174,7 @@ def write_excel_report(
     number_formats: dict[str, str] | None = None,
     col_widths: dict[str, float] | None = None,
     autosize: bool = True,
+    images: list[dict] | None = None,
 ) -> None:
     """Excel report sink (S9 — ref: EDA - Faturamento.py:87-123,
     Gerador de Ranking de Vendas.py:48-67): presentation-layer export
@@ -187,7 +188,10 @@ def write_excel_report(
     columns default to ``#,##0.00`` — any DecimalType column — when
     not given), ``col_widths`` pins explicit widths, and ``autosize``
     sizes unpinned columns from the rendered content (capped at 60
-    chars), with a bold header row."""
+    chars), with a bold header row; ``images`` is a list of
+    anchored-picture specs (``{"cell", "data", "ext", "width",
+    "height"}``) embedded into the sheet (ref Base de Produtos Mais
+    Vendidos.py:139-145)."""
     rows = df.limit(max_rows + 1).collect()
     if len(rows) > max_rows:
         raise ValueError(
@@ -221,4 +225,5 @@ def write_excel_report(
                 "bold_header": True,
             }
         },
+        images={sheet_name: images} if images else None,
     )

@@ -216,6 +216,7 @@ def _sheet_xml(
     col_styles: dict[int, int] | None = None,
     widths: dict[int, float] | None = None,
     header_style: int = 0,
+    has_drawing: bool = False,
 ) -> str:
     """Worksheet XML.  ``col_styles`` maps column index → cellXfs
     style index applied to every DATA cell of that column (the header
@@ -257,14 +258,59 @@ def _sheet_xml(
             f'<col min="{i + 1}" max="{i + 1}" width="{w}" customWidth="1"/>'
             for i, w in sorted(widths.items())
         ) + "</cols>"
+    # the sheet's rels part holds only the drawing relationship → rId1
+    drawing_xml = '<drawing r:id="rId1"/>' if has_drawing else ""
+    r_ns = (
+        ' xmlns:r="http://schemas.openxmlformats.org/officeDocument/2006/relationships"'
+        if has_drawing
+        else ""
+    )
     return (
         '<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
-        f'<worksheet xmlns="{_NS["m"]}">'
+        f'<worksheet xmlns="{_NS["m"]}"{r_ns}>'
         + cols_xml
         + "<sheetData>"
         + "".join(body)
-        + "</sheetData></worksheet>"
+        + "</sheetData>"
+        + drawing_xml
+        + "</worksheet>"
     )
+
+
+_EMU_PER_PX = 9525  # English Metric Units per CSS pixel (96 dpi)
+
+
+def _drawing_xml(anchors: list[dict]) -> str:
+    """drawing{k}.xml: one ``oneCellAnchor`` picture per image spec,
+    anchored at the spec's cell with a fixed pixel extent (ref
+    Base de Produtos Mais Vendidos.py:139-145 anchors 100×100 product
+    photos at column D cells)."""
+    xdr = "http://schemas.openxmlformats.org/drawingml/2006/spreadsheetDrawing"
+    a = "http://schemas.openxmlformats.org/drawingml/2006/main"
+    r = "http://schemas.openxmlformats.org/officeDocument/2006/relationships"
+    parts = [f'<xdr:wsDr xmlns:xdr="{xdr}" xmlns:a="{a}" xmlns:r="{r}">']
+    for k, spec in enumerate(anchors):
+        m = _CELL_REF.match(spec["cell"].upper())
+        col = _col_index(spec["cell"].upper())
+        row = int(m.group(2)) - 1 if m else 0
+        cx = int(spec.get("width", 100)) * _EMU_PER_PX
+        cy = int(spec.get("height", 100)) * _EMU_PER_PX
+        parts.append(
+            "<xdr:oneCellAnchor>"
+            f"<xdr:from><xdr:col>{col}</xdr:col><xdr:colOff>0</xdr:colOff>"
+            f"<xdr:row>{row}</xdr:row><xdr:rowOff>0</xdr:rowOff></xdr:from>"
+            f'<xdr:ext cx="{cx}" cy="{cy}"/>'
+            "<xdr:pic><xdr:nvPicPr>"
+            f'<xdr:cNvPr id="{k + 1}" name="img{k + 1}"/><xdr:cNvPicPr/>'
+            "</xdr:nvPicPr><xdr:blipFill>"
+            f'<a:blip r:embed="rId{k + 1}"/><a:stretch><a:fillRect/></a:stretch>'
+            "</xdr:blipFill><xdr:spPr>"
+            '<a:prstGeom prst="rect"><a:avLst/></a:prstGeom>'
+            "</xdr:spPr></xdr:pic><xdr:clientData/>"
+            "</xdr:oneCellAnchor>"
+        )
+    parts.append("</xdr:wsDr>")
+    return '<?xml version="1.0" encoding="UTF-8" standalone="yes"?>' + "".join(parts)
 
 
 def _styles_xml(num_formats: list[str]) -> str:
@@ -302,6 +348,7 @@ def write_xlsx(
     path: str,
     sheets: dict[str, tuple[list[str], list[list]]],
     styles: dict[str, dict] | None = None,
+    images: dict[str, list[dict]] | None = None,
 ) -> None:
     """Write {sheet_name: (header, rows)} as a minimal valid xlsx.
 
@@ -315,11 +362,18 @@ def write_xlsx(
     - ``"bold_header"``: bool (default True when a spec is present) —
       bold font on row 1.
 
+    ``images`` (optional) maps sheet name → list of image specs
+    ``{"cell": "D3", "data": <png/jpeg bytes>, "ext": "png",
+    "width": 100, "height": 100}`` — each embedded as a
+    ``oneCellAnchor`` picture at that cell (ref Base de Produtos Mais
+    Vendidos.py:139-145, 100×100 product photos anchored per row).
+
     When any sheet has a spec, a standard ``xl/styles.xml`` part is
     emitted; otherwise the workbook is byte-identical to before.
     """
     names = list(sheets)
     styles = styles or {}
+    images = images or {}
     # collect the distinct format codes across sheets → numFmt ids
     fmt_codes: list[str] = []
     for spec in styles.values():
@@ -327,17 +381,37 @@ def write_xlsx(
             if code not in fmt_codes:
                 fmt_codes.append(code)
     has_styles = bool(styles)
+    # sheets with images, in workbook order → drawing part numbers
+    drawing_of = {
+        n: k + 1 for k, n in enumerate(n for n in names if images.get(n))
+    }
+    img_exts = sorted(
+        {
+            (spec.get("ext") or "png").lower().lstrip(".")
+            for specs in images.values()
+            for spec in specs
+        }
+    )
     content_types = (
         '<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
         '<Types xmlns="http://schemas.openxmlformats.org/package/2006/content-types">'
         '<Default Extension="rels" ContentType="application/vnd.openxmlformats-package.relationships+xml"/>'
         '<Default Extension="xml" ContentType="application/xml"/>'
-        '<Override PartName="/xl/workbook.xml" ContentType="application/vnd.openxmlformats-officedocument.spreadsheetml.sheet.main+xml"/>'
+        + "".join(
+            f'<Default Extension="{e}" ContentType="image/{"jpeg" if e in ("jpg", "jpeg") else e}"/>'
+            for e in img_exts
+        )
+        + '<Override PartName="/xl/workbook.xml" ContentType="application/vnd.openxmlformats-officedocument.spreadsheetml.sheet.main+xml"/>'
         + (
             '<Override PartName="/xl/styles.xml" '
             'ContentType="application/vnd.openxmlformats-officedocument.spreadsheetml.styles+xml"/>'
             if has_styles
             else ""
+        )
+        + "".join(
+            f'<Override PartName="/xl/drawings/drawing{k}.xml" '
+            'ContentType="application/vnd.openxmlformats-officedocument.drawing+xml"/>'
+            for k in drawing_of.values()
         )
         + "".join(
             f'<Override PartName="/xl/worksheets/sheet{i + 1}.xml" '
@@ -388,6 +462,8 @@ def write_xlsx(
         zf.writestr("xl/_rels/workbook.xml.rels", wb_rels)
         if has_styles:
             zf.writestr("xl/styles.xml", _styles_xml(fmt_codes))
+        rel_type = "http://schemas.openxmlformats.org/officeDocument/2006/relationships"
+        img_no = 0
         for i, n in enumerate(names):
             header, rows = sheets[n]
             spec = styles.get(n) or {}
@@ -403,7 +479,39 @@ def write_xlsx(
                 if h in col_of
             }
             header_style = 1 if spec.get("bold_header", bool(spec)) else 0
+            dk = drawing_of.get(n)
             zf.writestr(
                 f"xl/worksheets/sheet{i + 1}.xml",
-                _sheet_xml(header, rows, col_styles, widths, header_style),
+                _sheet_xml(
+                    header, rows, col_styles, widths, header_style,
+                    has_drawing=dk is not None,
+                ),
+            )
+            if dk is None:
+                continue
+            anchors = images[n]
+            zf.writestr(
+                f"xl/worksheets/_rels/sheet{i + 1}.xml.rels",
+                '<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
+                f'<Relationships xmlns="{_REL_NS["r"]}">'
+                f'<Relationship Id="rId1" Type="{rel_type}/drawing" '
+                f'Target="../drawings/drawing{dk}.xml"/></Relationships>',
+            )
+            zf.writestr(f"xl/drawings/drawing{dk}.xml", _drawing_xml(anchors))
+            draw_rels = []
+            for k, img in enumerate(anchors):
+                img_no += 1
+                ext = (img.get("ext") or "png").lower().lstrip(".")
+                media = f"image{img_no}.{ext}"
+                zf.writestr(f"xl/media/{media}", img["data"])
+                draw_rels.append(
+                    f'<Relationship Id="rId{k + 1}" Type="{rel_type}/image" '
+                    f'Target="../media/{media}"/>'
+                )
+            zf.writestr(
+                f"xl/drawings/_rels/drawing{dk}.xml.rels",
+                '<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
+                f'<Relationships xmlns="{_REL_NS["r"]}">'
+                + "".join(draw_rels)
+                + "</Relationships>",
             )

@@ -479,6 +479,60 @@ def test_write_excel_report_styles(spark, tmp_path):
     assert back == {"ANA LONGNAME CO": 1234.5, "B": 7.25}
 
 
+def test_write_excel_report_embedded_images(spark, tmp_path):
+    """S9 image tail (ref Base de Produtos Mais Vendidos.py:139-145):
+    pictures anchored per data row via oneCellAnchor drawings — parts,
+    relationships, anchors, and payload bytes all verified in the
+    emitted package; values still read back."""
+    import base64
+    import xml.etree.ElementTree as ET
+    import zipfile
+
+    from etl_python_spark.sources.readers import read_excel
+    from etl_python_spark.sources.writers import write_excel_report
+
+    png = base64.b64decode(
+        "iVBORw0KGgoAAAANSUhEUgAAAAEAAAABCAYAAAAfFcSJAAAADUlEQVR4nGNg"
+        "YGBgAAAABQABh6FO1AAAAABJRU5ErkJggg=="
+    )
+    df = spark.createDataFrame(
+        [(101, "PROD A"), (102, "PROD B")], "cod int, descricao string"
+    )
+    p = str(tmp_path / "fotos.xlsx")
+    write_excel_report(
+        df,
+        p,
+        sheet_name="Relatorio",
+        images=[
+            {"cell": "C2", "data": png, "ext": "png", "width": 100, "height": 100},
+            {"cell": "C3", "data": png, "ext": "png"},
+        ],
+    )
+    xdr = "{http://schemas.openxmlformats.org/drawingml/2006/spreadsheetDrawing}"
+    with zipfile.ZipFile(p) as zf:
+        names = set(zf.namelist())
+        assert {"xl/drawings/drawing1.xml", "xl/media/image1.png",
+                "xl/media/image2.png",
+                "xl/worksheets/_rels/sheet1.xml.rels",
+                "xl/drawings/_rels/drawing1.xml.rels"} <= names
+        assert zf.read("xl/media/image1.png") == png
+        # content types declare the png default + the drawing part
+        ct = zf.read("[Content_Types].xml").decode()
+        assert 'Extension="png"' in ct and "drawing+xml" in ct
+        # worksheet references the drawing
+        assert "<drawing" in zf.read("xl/worksheets/sheet1.xml").decode()
+        drawing = ET.fromstring(zf.read("xl/drawings/drawing1.xml"))
+    anchors = drawing.findall(f"{xdr}oneCellAnchor")
+    assert len(anchors) == 2
+    frm = anchors[0].find(f"{xdr}from")
+    assert frm.find(f"{xdr}col").text == "2"  # C → 2
+    assert frm.find(f"{xdr}row").text == "1"  # row 2 → 1
+    assert anchors[0].find(f"{xdr}ext").get("cx") == str(100 * 9525)
+    # data cells unaffected by the drawing part
+    back = {int(r.cod): r.descricao for r in read_excel(spark, p, sheet="Relatorio").collect()}
+    assert back == {101: "PROD A", 102: "PROD B"}
+
+
 def test_excel_multisheet_union_lineage_roundtrip(spark, tmp_path):
     """S1/S2/S9 end-to-end on a real workbook: stdlib writer → stdlib
     multi-sheet reader with lineage column and tolerated missing
