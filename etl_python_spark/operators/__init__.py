@@ -35,9 +35,12 @@ VERIFY_PRIORITY = (
     "props_extract",
     "hourly_event_counts",
     "sliding_event_counts",
-    # (b) oracles added this round (were rows-only through r3)
+    # (b) new queries / oracles added this round
     "media_features",
     "rolling_chunks",
+    "decontaminate",
+    "sample_stratified",
+    "stream_dedup_exact",
     # (c) the 34 queries whose only driver verdict is round 1 (outside
     #     the 50-entry window in r2/r3) — every one gets an r4 verdict.
     "mom_growth",
@@ -75,11 +78,9 @@ VERIFY_PRIORITY = (
     "asof_rate_enrichment",
     "churn_kpi",
     # (d) r3-green flagships to keep one fresh verdict per family
+    # (minhash_lsh_pairs changed this round: candidate-prune semi-join)
     "pricing_summary",
-    "faturamento_rollup",
-    "dedup_exact",
     "minhash_lsh_pairs",
-    "calendar_dim",
 )
 
 
@@ -105,6 +106,7 @@ def _modules():
         analytics_joins,
         analytics_windows,
         catalog,
+        corpus,
         dedup,
         events,
         multimodal,
@@ -119,6 +121,7 @@ def _modules():
         analytics_joins,
         analytics_windows,
         catalog,
+        corpus,
         dedup,
         events,
         multimodal,

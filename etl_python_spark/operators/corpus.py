@@ -1,0 +1,168 @@
+"""Corpus-curation operators for training-data pipelines:
+benchmark decontamination and deterministic stratified sampling.
+
+Beyond the reference inventory (its closest analogue is blacklist
+filtering, `Códigos Úteis SQL/`, covered by `blacklist_filter`); part
+of the training-data extension surface (SURVEY.md §7.8).  Both
+operators are pure Catalyst expression pipelines with engine-agnostic
+hashing, so DuckDB restates them value-for-value.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..sources.tables import load_table
+from .dedup import _norm_text, hash60, sql_hash60
+
+# GPT-3/The-Pile-style decontamination: a training doc is contaminated
+# if it shares any 13-word-gram with the held-out benchmark set.
+DECON_K = 13
+BENCH_MOD = 20  # doc_id % 20 == 0 stands in for the external eval set
+
+
+def _kgrams(toks, k: int):
+    """Distinct k-word grams from a token array; short docs fall back
+    to one whole-text gram (same rule as the dedup shingler)."""
+    n = F.size(toks)
+    idx = F.sequence(F.lit(1), F.greatest(n - k + 1, F.lit(1)))
+    grams = F.transform(
+        idx,
+        lambda i: F.concat_ws(
+            " ", *[F.element_at(toks, i + F.lit(j)) for j in range(k)]
+        ),
+    )
+    return F.array_distinct(
+        F.when(n >= k, grams).otherwise(F.array(F.concat_ws(" ", toks)))
+    )
+
+
+def _doc_grams(docs: DataFrame, k: int) -> DataFrame:
+    toked = docs.select(
+        "doc_id", F.split(_norm_text(F.col("text")), " ").alias("toks")
+    )
+    return toked.select(
+        "doc_id", F.explode_outer(_kgrams(F.col("toks"), k)).alias("g")
+    ).filter(F.col("g").isNotNull())
+
+
+def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training docs that share ≥1 13-gram with the benchmark slice
+    (GPT-3 §5 / The Pile decontamination), with the hit count.
+
+    Scale shape: the benchmark gram set is eval-set sized (tiny next
+    to a 100 TB corpus) — build it once, ``broadcast`` it, and stream
+    the corpus grams through a broadcast inner join; the only shuffle
+    is the final doc-keyed count.  No corpus self-join anywhere, and
+    the corpus side never materializes gram lists (explode feeds the
+    join row-by-row)."""
+    docs = load_table(spark, sf_dir, "documents")
+    grams = _doc_grams(docs, DECON_K)
+    bench = (
+        grams.filter(F.col("doc_id") % BENCH_MOD == 0)
+        .select("g")
+        .distinct()
+    )
+    train = grams.filter(F.col("doc_id") % BENCH_MOD != 0)
+    return (
+        train.join(F.broadcast(bench), "g")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("gram_hits"))
+    )
+
+
+ORACLE_DECONTAMINATE = f"""
+WITH norm AS (
+  SELECT doc_id, regexp_replace(lower(trim(text)), '\\s+', ' ', 'g') AS t
+  FROM documents
+), toks AS (
+  SELECT doc_id, string_split(t, ' ') AS w, t FROM norm
+), grams AS (
+  SELECT doc_id, unnest(list_distinct(
+    CASE WHEN len(w) >= {DECON_K}
+         THEN list_transform(range(1, len(w) - {DECON_K} + 2),
+                             i -> array_to_string(w[i:i+{DECON_K}-1], ' '))
+         ELSE [t] END)) AS g
+  FROM toks
+), bench AS (
+  SELECT DISTINCT g FROM grams WHERE doc_id % {BENCH_MOD} = 0
+)
+SELECT gr.doc_id, COUNT(*) AS gram_hits
+FROM grams gr JOIN bench b USING (g)
+WHERE gr.doc_id % {BENCH_MOD} != 0
+GROUP BY gr.doc_id
+"""
+
+
+# Deterministic stratified sampling: per-stratum keep rates applied via
+# an engine-agnostic hash of the doc id — reproducible across runs,
+# engines, and cluster sizes (no RNG state, no partition sensitivity).
+STRATA_RATES = {"short": 20, "medium": 50, "long": 100}  # % kept
+_SHORT_MAX = 60  # words
+_MEDIUM_MAX = 90
+
+
+def q_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-mixing sampler: bucket docs by length stratum, keep a
+    per-stratum percentage chosen by ``hash60(doc_id) % 100`` — the
+    standard deterministic downsampling shape for corpus mixing
+    (upweight long documents, thin out short ones).
+
+    Scale shape: stateless per-row expressions only — no shuffle, no
+    RNG; the filter composes with scan pushdown and the sample is
+    stable under repartitioning (the hash depends on the row, not the
+    partition)."""
+    docs = load_table(spark, sf_dir, "documents")
+    n_words = F.size(F.split(_norm_text(F.col("text")), " "))
+    stratum = (
+        F.when(n_words <= _SHORT_MAX, F.lit("short"))
+        .when(n_words <= _MEDIUM_MAX, F.lit("medium"))
+        .otherwise(F.lit("long"))
+    )
+    rate = F.create_map(
+        *[x for k, v in STRATA_RATES.items() for x in (F.lit(k), F.lit(v))]
+    )[stratum]
+    bucket = hash60(F.col("doc_id").cast("string")) % 100
+    return (
+        docs.select(
+            "doc_id",
+            stratum.alias("stratum"),
+            n_words.alias("n_words"),
+            bucket.alias("bucket"),
+        )
+        .filter(F.col("bucket") < rate)
+        .select("doc_id", "stratum", "n_words")
+    )
+
+
+ORACLE_SAMPLE_STRATIFIED = f"""
+WITH base AS (
+  SELECT doc_id,
+         len(string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ')) AS n_words
+  FROM documents
+), tagged AS (
+  SELECT doc_id, n_words,
+         CASE WHEN n_words <= {_SHORT_MAX} THEN 'short'
+              WHEN n_words <= {_MEDIUM_MAX} THEN 'medium'
+              ELSE 'long' END AS stratum,
+         {sql_hash60("CAST(doc_id AS VARCHAR)")} % 100 AS bucket
+  FROM base
+)
+SELECT doc_id, stratum, CAST(n_words AS INT) AS n_words
+FROM tagged
+WHERE bucket < CASE stratum WHEN 'short' THEN {STRATA_RATES['short']}
+                            WHEN 'medium' THEN {STRATA_RATES['medium']}
+                            ELSE {STRATA_RATES['long']} END
+"""
+
+
+QUERIES = {
+    "decontaminate": q_decontaminate,
+    "sample_stratified": q_sample_stratified,
+}
+
+ORACLES = {
+    "decontaminate": ORACLE_DECONTAMINATE,
+    "sample_stratified": ORACLE_SAMPLE_STRATIFIED,
+}

@@ -304,12 +304,42 @@ WHERE v.event_type = 'view' AND p.event_type = 'purchase'
 """
 
 
+def stream_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming exact dedup — the ingest-side form of the corpus
+    dedup ladder: collapse repeated (user, event_type, minute) keys as
+    events arrive, with ``dropDuplicatesWithinWatermark`` so the dedup
+    state EXPIRES once the watermark passes (plain ``dropDuplicates``
+    on a stream accumulates key state forever — the unbounded-state
+    cliff at production scale).  Output carries only the key columns,
+    making the result deterministic (which physical row survives a
+    dup group is arbitrary, the key set is not) and batch-equivalent
+    to ``SELECT DISTINCT``."""
+    stream = _events_stream(spark, sf_dir)
+    keyed = stream.select(
+        "user_id",
+        "event_type",
+        F.date_trunc("minute", F.col("ts")).alias("minuto"),
+        F.col("ts"),
+    ).withWatermark("ts", "2 hours")
+    deduped = keyed.dropDuplicatesWithinWatermark(
+        ["user_id", "event_type", "minuto"]
+    ).select("user_id", "event_type", "minuto")
+    return _drain_to_memory(deduped, "dedup", "append")
+
+
+ORACLE_STREAM_DEDUP = """
+SELECT DISTINCT user_id, event_type, date_trunc('minute', ts) AS minuto
+FROM events
+"""
+
+
 QUERIES = {
     "stream_hourly_counts": hourly_counts_stream,
     "stream_static_enriched": stream_static_enriched,
     "stream_sessionize": session_window_stream,
     "stream_user_totals": stateful_user_totals_stream,
     "stream_stream_join": stream_stream_join,
+    "stream_dedup_exact": stream_dedup_exact,
 }
 
 ORACLES = {
@@ -318,4 +348,5 @@ ORACLES = {
     "stream_sessionize": ORACLE_STREAM_SESSIONS,
     "stream_user_totals": ORACLE_STREAM_USER_TOTALS,
     "stream_stream_join": ORACLE_STREAM_STREAM_JOIN,
+    "stream_dedup_exact": ORACLE_STREAM_DEDUP,
 }

@@ -75,3 +75,69 @@ def test_late_row_for_finalized_window_is_dropped(spark, tmp_path):
     # must not have been emitted
     assert "2026-01-01 12:00:00" not in by_start, by_start
     assert "2026-01-01 13:00:00" not in by_start, by_start
+
+
+def test_dedup_within_watermark_drops_in_window_dups(spark, tmp_path):
+    """dropDuplicatesWithinWatermark guarantees: a duplicate key
+    arriving within the watermark delay of the first occurrence is
+    dropped (exactly-one emission), and distinct keys always emit.
+    (A re-occurrence AFTER state expiry may or may not be re-emitted —
+    state cleanup is bounded-state plumbing, not an observable
+    contract — so that is deliberately not pinned.)"""
+    import glob
+    import os
+    import shutil
+    import time
+    import uuid
+
+    src = tmp_path / "dedup_src"
+    src.mkdir()
+
+    def write_file(name, rows, mtime):
+        df = spark.createDataFrame(rows, "ts string, k string").select(
+            F.to_timestamp("ts").alias("ts"), "k"
+        )
+        staging = str(tmp_path / f"_stg_{name}")
+        df.coalesce(1).write.mode("overwrite").parquet(staging)
+        (part,) = glob.glob(os.path.join(staging, "part-*.parquet"))
+        dest = str(src / f"{name}.parquet")
+        shutil.move(part, dest)
+        os.utime(dest, (mtime, mtime))
+
+    now = time.time()
+    # batch 0: key A first seen; batch 1: duplicate A 10 min later
+    # (inside the 1 h delay) → dropped
+    write_file("f1", [("2026-01-01 10:00:00", "A")], now - 100)
+    write_file("f2", [("2026-01-01 10:10:00", "A")], now - 50)
+    # batch 2: watermark jumps to 23:00 (expires A's state), then
+    # batch 3 re-emits A far outside the original window
+    write_file("f3", [("2026-01-02 00:00:00", "B")], now - 25)
+    write_file("f4", [("2026-01-02 00:30:00", "A")], now)
+
+    stream = (
+        spark.readStream.schema("ts timestamp, k string")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(src))
+    )
+    deduped = (
+        stream.withWatermark("ts", "1 hour")
+        .dropDuplicatesWithinWatermark(["k"])
+        .select("k", "ts")
+    )
+    name = f"dedup_{uuid.uuid4().hex[:8]}"
+    q = (
+        deduped.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt_dedup"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = sorted((r.k, str(r.ts)) for r in spark.table(name).collect())
+    # the in-window duplicate (10:10) was dropped: the first A emitted
+    # exactly once, and never with the duplicate's timestamp
+    a_rows = [ts for k, ts in rows if k == "A" and ts.startswith("2026-01-01")]
+    assert a_rows == ["2026-01-01 10:00:00"], rows
+    # distinct keys always emit
+    assert ("B", "2026-01-02 00:00:00") in rows, rows
