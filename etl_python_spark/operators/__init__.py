@@ -41,6 +41,7 @@ VERIFY_PRIORITY = (
     "decontaminate",
     "sample_stratified",
     "stream_dedup_exact",
+    "pack_sequences",
     # (c) the 34 queries whose only driver verdict is round 1 (outside
     #     the 50-entry window in r2/r3) — every one gets an r4 verdict.
     "mom_growth",
@@ -77,9 +78,7 @@ VERIFY_PRIORITY = (
     "catalog_integrity",
     "asof_rate_enrichment",
     "churn_kpi",
-    # (d) r3-green flagships to keep one fresh verdict per family
-    # (minhash_lsh_pairs changed this round: candidate-prune semi-join)
-    "pricing_summary",
+    # (d) changed this round: candidate-prune semi-join
     "minhash_lsh_pairs",
 )
 

@@ -157,12 +157,77 @@ WHERE bucket < CASE stratum WHEN 'short' THEN {STRATA_RATES['short']}
 """
 
 
+# Sequence packing: concatenate-and-chunk the token stream into
+# fixed-length training sequences, sharded so the prefix sum stays a
+# partitioned window (a GLOBAL cumsum would serialize onto one
+# partition — the sharded form is how packing runs in practice, one
+# deterministic shard per worker).
+SEQ_LEN = 512
+PACK_SHARDS = 32
+
+
+def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map each doc to its span of fixed-length training sequences
+    under concatenate-and-chunk packing (docs split across sequence
+    boundaries, the standard pretraining layout): within each shard,
+    the running token offset places a doc at sequences
+    ``[offset/L, (offset+n-1)/L]``.
+
+    Scale shape: ONE window partitioned by the deterministic shard key
+    (doc_id % PACK_SHARDS) ordered by doc_id — embarrassingly parallel
+    across shards, no global ordering, no driver round-trip; output is
+    deterministic because both shard and order derive from doc_id."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    n_tokens = F.size(F.split(_norm_text(F.col("text")), " "))
+    w = (
+        Window.partitionBy("shard")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    base = docs.select(
+        "doc_id",
+        (F.col("doc_id") % PACK_SHARDS).alias("shard"),
+        n_tokens.alias("n_tokens"),
+    )
+    cum = base.withColumn("cum", F.sum("n_tokens").over(w))
+    offset = F.col("cum") - F.col("n_tokens")
+    return cum.select(
+        "doc_id",
+        "shard",
+        "n_tokens",
+        F.floor(offset / SEQ_LEN).cast("int").alias("start_seq"),
+        F.floor((F.col("cum") - 1) / SEQ_LEN).cast("int").alias("end_seq"),
+    )
+
+
+ORACLE_PACK_SEQUENCES = f"""
+WITH base AS (
+  SELECT doc_id, doc_id % {PACK_SHARDS} AS shard,
+         len(string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ')) AS n_tokens
+  FROM documents
+), cum AS (
+  SELECT doc_id, shard, n_tokens,
+         SUM(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+                             ROWS UNBOUNDED PRECEDING) AS c
+  FROM base
+)
+SELECT doc_id, shard, CAST(n_tokens AS INT) AS n_tokens,
+       CAST(floor((c - n_tokens) / {SEQ_LEN}) AS INT) AS start_seq,
+       CAST(floor((c - 1) / {SEQ_LEN}) AS INT) AS end_seq
+FROM cum
+"""
+
+
 QUERIES = {
     "decontaminate": q_decontaminate,
     "sample_stratified": q_sample_stratified,
+    "pack_sequences": q_pack_sequences,
 }
 
 ORACLES = {
     "decontaminate": ORACLE_DECONTAMINATE,
     "sample_stratified": ORACLE_SAMPLE_STRATIFIED,
+    "pack_sequences": ORACLE_PACK_SEQUENCES,
 }
