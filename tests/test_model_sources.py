@@ -560,3 +560,41 @@ def test_excel_multisheet_union_lineage_roundtrip(spark, tmp_path):
     # projection at scan (usecols) keeps only requested columns
     only = read_excel(spark, p, sheet="Ana", usecols=["cliente"])
     assert only.columns == ["cliente"]
+
+
+def test_normalize_event_ts_all_physical_shapes(spark):
+    """normalize_event_ts canonicalizes every physical shape the
+    events table has shipped in.  The nanos case uses a value where
+    float64 division by 1000 rounds UP a microsecond
+    (1600000000123456875 ns: float gives ...457 µs, integer DIV gives
+    ...456) — the exact 1-µs drift that failed round 2's driver hashes
+    must stay fixed by integer arithmetic."""
+    import datetime
+
+    from pyspark.sql import functions as F
+
+    from etl_python_spark.sources.tables import normalize_event_ts
+
+    # LongType epoch-nanos, adversarial for float division
+    ns = spark.createDataFrame([(1600000000123456875,)], "ts long")
+    out = normalize_event_ts(ns)
+    assert out.schema["ts"].dataType.typeName() == "timestamp"
+    micros = out.select(
+        (F.unix_timestamp("ts") * 1_000_000
+         + F.date_format("ts", "SSSSSS").cast("long")).alias("us")
+    ).collect()[0]["us"]
+    assert micros == 1600000000123456, micros
+
+    # TIMESTAMP_NTZ → TimestampType, value preserved (session TZ UTC)
+    ntz = spark.createDataFrame(
+        [(datetime.datetime(2026, 3, 1, 12, 30, 0, 123456),)], "ts timestamp_ntz"
+    )
+    out2 = normalize_event_ts(ntz)
+    assert out2.schema["ts"].dataType.typeName() == "timestamp"
+    assert out2.collect()[0]["ts"] == datetime.datetime(2026, 3, 1, 12, 30, 0, 123456)
+
+    # already TimestampType → untouched passthrough
+    ts = spark.createDataFrame(
+        [(datetime.datetime(2026, 3, 1, 12, 0, 0),)], "ts timestamp"
+    )
+    assert normalize_event_ts(ts) is ts
