@@ -13,7 +13,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..sources.tables import load_table
+from ..sources.tables import load_table, spread
 from .dedup import _norm_text, hash60, sql_hash60
 
 # GPT-3/The-Pile-style decontamination: a training doc is contaminated
@@ -39,7 +39,11 @@ def _kgrams(toks, k: int):
 
 
 def _doc_grams(docs: DataFrame, k: int) -> DataFrame:
-    toked = docs.select(
+    # spread() before the CPU-bound gram assembly — a small parquet
+    # arrives as ONE split and would k-gram single-core (same pitfall
+    # with_shingles documents); the token array materializes in its
+    # own projection so the HOF lambda never re-splits per element
+    toked = spread(docs, "doc_id").select(
         "doc_id", F.split(_norm_text(F.col("text")), " ").alias("toks")
     )
     return toked.select(
