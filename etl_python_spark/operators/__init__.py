@@ -34,7 +34,9 @@ VERIFY_PRIORITY = (
     "sessionize",
     "props_extract",
     "hourly_event_counts",
-    "sliding_event_counts",
+    # (sliding_event_counts also reads events but is r3-green and its
+    #  normalization change is value-identity — yielded its slot to
+    #  corpus_mix under the 50-entry cap; local sweep covers it)
     # (b) new queries / oracles added this round
     "media_features",
     "rolling_chunks",
@@ -42,6 +44,7 @@ VERIFY_PRIORITY = (
     "sample_stratified",
     "stream_dedup_exact",
     "pack_sequences",
+    "corpus_mix",
     # (c) the 34 queries whose only driver verdict is round 1 (outside
     #     the 50-entry window in r2/r3) — every one gets an r4 verdict.
     "mom_growth",

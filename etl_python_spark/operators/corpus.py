@@ -224,14 +224,59 @@ FROM cum
 """
 
 
+def q_corpus_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-mixing report: per (source, lang) document and token
+    counts with each cell's share of total tokens — the table a
+    mixture-weight decision reads (what sample_stratified then
+    enforces).
+
+    Scale shape: one hash aggregate on (source, lang) plus a
+    broadcast-friendly windowed total over the tiny aggregate
+    (cells = |sources|×|langs|, never data-sized)."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    n_tokens = F.size(F.split(_norm_text(F.col("text")), " "))
+    cells = (
+        docs.select("source", "lang", n_tokens.alias("n"))
+        .groupBy("source", "lang")
+        .agg(F.count("*").alias("docs"), F.sum("n").alias("tokens"))
+    )
+    total = F.sum("tokens").over(Window.partitionBy())
+    return cells.select(
+        "source",
+        "lang",
+        "docs",
+        "tokens",
+        F.round(F.col("tokens") / total * 100, 4).alias("token_pct"),
+    )
+
+
+ORACLE_CORPUS_MIX = """
+WITH base AS (
+  SELECT source, lang,
+         len(string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ')) AS n
+  FROM documents
+), cells AS (
+  SELECT source, lang, COUNT(*) AS docs, SUM(n) AS tokens
+  FROM base GROUP BY source, lang
+)
+SELECT source, lang, docs, CAST(tokens AS BIGINT) AS tokens,
+       ROUND(CAST(tokens AS DOUBLE) / SUM(tokens) OVER () * 100, 4) AS token_pct
+FROM cells
+"""
+
+
 QUERIES = {
     "decontaminate": q_decontaminate,
     "sample_stratified": q_sample_stratified,
     "pack_sequences": q_pack_sequences,
+    "corpus_mix": q_corpus_mix,
 }
 
 ORACLES = {
     "decontaminate": ORACLE_DECONTAMINATE,
     "sample_stratified": ORACLE_SAMPLE_STRATIFIED,
     "pack_sequences": ORACLE_PACK_SEQUENCES,
+    "corpus_mix": ORACLE_CORPUS_MIX,
 }
