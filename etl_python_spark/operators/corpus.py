@@ -170,40 +170,46 @@ SEQ_LEN = 512
 PACK_SHARDS = 32
 
 
-def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Map each doc to its span of fixed-length training sequences
-    under concatenate-and-chunk packing (docs split across sequence
-    boundaries, the standard pretraining layout): within each shard,
-    the running token offset places a doc at sequences
-    ``[offset/L, (offset+n-1)/L]``.
-
-    Scale shape: ONE window partitioned by the deterministic shard key
-    (doc_id % PACK_SHARDS) ordered by doc_id — embarrassingly parallel
-    across shards, no global ordering, no driver round-trip; output is
-    deterministic because both shard and order derive from doc_id."""
+def pack_spans(sized: DataFrame, seq_len: int = SEQ_LEN) -> DataFrame:
+    """(doc_id, shard, n_tokens) → packed sequence spans: within each
+    shard the running token offset places a doc at sequences
+    ``[offset/L, (offset+n-1)/L]``.  One window partitioned by shard,
+    ordered by doc_id — embarrassingly parallel across shards."""
     from pyspark.sql import Window
 
-    docs = load_table(spark, sf_dir, "documents")
-    n_tokens = F.size(F.split(_norm_text(F.col("text")), " "))
     w = (
         Window.partitionBy("shard")
         .orderBy("doc_id")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    base = docs.select(
-        "doc_id",
-        (F.col("doc_id") % PACK_SHARDS).alias("shard"),
-        n_tokens.alias("n_tokens"),
-    )
-    cum = base.withColumn("cum", F.sum("n_tokens").over(w))
+    cum = sized.withColumn("cum", F.sum("n_tokens").over(w))
     offset = F.col("cum") - F.col("n_tokens")
     return cum.select(
         "doc_id",
         "shard",
         "n_tokens",
-        F.floor(offset / SEQ_LEN).cast("int").alias("start_seq"),
-        F.floor((F.col("cum") - 1) / SEQ_LEN).cast("int").alias("end_seq"),
+        F.floor(offset / seq_len).cast("int").alias("start_seq"),
+        F.floor((F.col("cum") - 1) / seq_len).cast("int").alias("end_seq"),
     )
+
+
+def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map each doc to its span of fixed-length training sequences
+    under concatenate-and-chunk packing (docs split across sequence
+    boundaries, the standard pretraining layout).
+
+    Scale shape: ONE window partitioned by the deterministic shard key
+    (doc_id % PACK_SHARDS) ordered by doc_id — no global ordering, no
+    driver round-trip; output is deterministic because both shard and
+    order derive from doc_id."""
+    docs = load_table(spark, sf_dir, "documents")
+    n_tokens = F.size(F.split(_norm_text(F.col("text")), " "))
+    base = docs.select(
+        "doc_id",
+        (F.col("doc_id") % PACK_SHARDS).alias("shard"),
+        n_tokens.alias("n_tokens"),
+    )
+    return pack_spans(base)
 
 
 ORACLE_PACK_SEQUENCES = f"""

@@ -113,3 +113,35 @@ def test_week_of_month_matches_ceil_rule(spark, dates):
     got = {r.i: r.w for r in df.select("i", week_of_month("d").alias("w")).collect()}
     for i, d in enumerate(dates):
         assert got[i] == math.ceil(d.day / 7), (d, got[i])
+
+
+@settings(**SETTINGS)
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 10_000), st.integers(1, 2000)),
+        min_size=1,
+        max_size=60,
+        unique_by=lambda t: t[0],
+    )
+)
+def test_pack_spans_invariants(spark, rows):
+    """Sequence-packing invariants against a Python reference: within
+    each shard the spans tile the concatenated token stream exactly —
+    start = floor(offset/L), end = floor((offset+n-1)/L), offsets
+    accumulate in doc_id order with no gaps or overlaps."""
+    from etl_python_spark.operators.corpus import pack_spans
+
+    L = 128
+    data = [(doc_id, doc_id % 4, n) for doc_id, n in rows]
+    df = spark.createDataFrame(data, "doc_id long, shard long, n_tokens int")
+    got = {r.doc_id: r for r in pack_spans(df, seq_len=L).collect()}
+
+    offsets: dict[int, int] = {}
+    for doc_id, shard, n in sorted(data):
+        off = offsets.get(shard, 0)
+        r = got[doc_id]
+        assert (r.start_seq, r.end_seq) == (off // L, (off + n - 1) // L), (
+            doc_id, off, n, r,
+        )
+        assert r.start_seq <= r.end_seq
+        offsets[shard] = off + n
