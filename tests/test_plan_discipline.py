@@ -66,6 +66,19 @@ def test_ngram_df_filter_precedes_posting_collect(spark):
     assert tree.index("ObjectHashAggregate") < tree.index("LeftSemi")
 
 
+def test_minhash_single_corpus_pass(spark):
+    from etl_python_spark.operators.dedup import q_minhash_lsh_pairs
+
+    plan = _plan(q_minhash_lsh_pairs(spark, SF_SMOKE))
+    # The corpus is scanned + shingled exactly once, into the eager
+    # localCheckpoint; everything downstream (banding, candidate join,
+    # verification) must read the checkpointed relation — a parquet
+    # scan in the final plan means the round-4 double shingle-pass
+    # (BENCH_r04: 3.77 s vs 1.89 s baseline) has crept back.
+    assert "parquet" not in plan.lower()
+    assert plan.count("Scan ExistingRDD") >= 1
+
+
 def test_partitioned_staging_prunes_partitions(spark, tmp_path):
     from pyspark.sql import functions as F
 
