@@ -207,7 +207,9 @@ def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 # (~1e-16), absorbed by ROUND(..., 4).
 ORACLE_MEDIA_FEATURES = """
 WITH d AS (
-  SELECT doc_id, text, length(text) AS n FROM documents
+  SELECT doc_id, coalesce(text, '') AS text,
+         length(coalesce(text, '')) AS n
+  FROM documents
 ),
 bytes AS (
   SELECT doc_id, n,
@@ -224,13 +226,23 @@ per_doc AS (
          GREATEST(1, CAST(floor(sqrt(CAST(n AS DOUBLE))) AS BIGINT)) AS width
   FROM hist
   GROUP BY doc_id, n
+),
+-- left join back to d: an empty/NULL payload yields no bytes rows
+-- (range(1, 1) is empty) so the doc would vanish from per_doc, while
+-- the decoder emits mean_byte=0 / entropy=0 / width=1 for it
+all_docs AS (
+  SELECT d.doc_id,
+         coalesce(p.mean_byte, 0.0) AS mean_byte,
+         coalesce(p.entropy, 0.0) AS entropy,
+         coalesce(p.width, 1) AS width
+  FROM d LEFT JOIN per_doc p USING (doc_id)
 )
 SELECT ['image', 'audio', 'video'][CAST(doc_id % 3 AS INT) + 1] AS modality,
        COUNT(*) AS n_objects,
        ROUND(AVG(mean_byte), 4) AS avg_mean_byte,
        ROUND(AVG(entropy), 4) AS avg_entropy,
        CAST(MAX(width) AS INT) AS max_width
-FROM per_doc
+FROM all_docs
 GROUP BY 1
 """
 

@@ -423,7 +423,12 @@ _RH_POWERS_SQL = ", ".join(
 
 ORACLE_ROLLING_CHUNKS = f"""
 WITH d AS (
-  SELECT doc_id, text, length(text) AS n FROM documents
+  -- coalesce: the numpy path maps NULL text to b'' and emits
+  -- (doc_id, 1, 0, 0); length(NULL) is NULL and would fail BOTH
+  -- branch predicates, silently dropping the doc
+  SELECT doc_id, coalesce(text, '') AS text,
+         length(coalesce(text, '')) AS n
+  FROM documents
 ),
 small AS (
   SELECT doc_id, 1 AS n_chunks, n AS max_chunk, n AS min_chunk

@@ -25,7 +25,15 @@ def main(argv: list[str]) -> int:
     qs = all_queries()
     if not names:
         import importlib
+        from pathlib import Path
 
+        # the default list lives in bench.py at the repo root, which is
+        # only importable when cwd is the root — pin the root onto
+        # sys.path so `python -m etl_python_spark.pipelines` works from
+        # any directory
+        repo_root = str(Path(__file__).resolve().parents[2])
+        if repo_root not in sys.path:
+            sys.path.insert(0, repo_root)
         names = [
             n
             for n in importlib.import_module("bench").HEADLINE

@@ -258,12 +258,26 @@ def promote_header(df: DataFrame) -> DataFrame:
     # suffix — otherwise the select would raise AMBIGUOUS_REFERENCE on
     # the first downstream column lookup.
     names: list[str] = []
+    taken: set[str] = set()
     seen: dict[str, int] = {}
+    header_cells = {
+        str(first[c]) for c in df.columns if first[c] is not None
+    }
     for i, c in enumerate(df.columns):
         base = str(first[c]) if first[c] is not None else f"_c{i}"
         n = seen.get(base, 0) + 1
         seen[base] = n
-        names.append(base if n == 1 else f"{base}_{n}")
+        name = base if n == 1 else f"{base}_{n}"
+        # a suffixed name can still collide with a literal header cell
+        # (['valor','valor','valor_2'] → 'valor_2' twice); keep
+        # incrementing until the name is unique against both the
+        # already-assigned names and every literal header value
+        while name in taken or (name != base and name in header_cells):
+            n += 1
+            seen[base] = n
+            name = f"{base}_{n}"
+        taken.add(name)
+        names.append(name)
     return rest.select(
         *[F.col(c).alias(name) for c, name in zip(df.columns, names)]
     )

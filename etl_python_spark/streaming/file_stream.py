@@ -327,6 +327,12 @@ def stream_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _drain_to_memory(deduped, "dedup", "append")
 
 
+# Batch-DISTINCT equivalence relies on the events source draining as a
+# SINGLE microbatch (one file, no maxFilesPerTrigger): with multiple
+# batches, a key recurring after its 2h watermark state expired would
+# re-emit, making the stream output a strict superset of DISTINCT.  If
+# the source ever splits into multiple files/triggers, this oracle (and
+# the driver hash) breaks — revisit the dedup key horizon then.
 ORACLE_STREAM_DEDUP = """
 SELECT DISTINCT user_id, event_type, date_trunc('minute', ts) AS minuto
 FROM events

@@ -170,6 +170,23 @@ def test_promote_header_null_and_duplicate_names(spark):
     )
 
 
+def test_promote_header_suffix_collides_with_literal_header(spark):
+    """A generated _2 suffix can collide with a literal header cell
+    (['valor','valor','valor_2'] once yielded 'valor_2' twice); the
+    suffix loop must keep incrementing until unique."""
+    from etl_python_spark.sources.readers import promote_header
+
+    df = spark.createDataFrame(
+        [("valor", "valor", "valor_2"), ("1", "2", "3")],
+        "c0 string, c1 string, c2 string",
+    )
+    out = promote_header(df)
+    assert len(set(out.columns)) == 3, out.columns
+    assert out.columns == ["valor", "valor_3", "valor_2"]
+    row = out.collect()[0]
+    assert (row["valor"], row["valor_3"], row["valor_2"]) == ("1", "2", "3")
+
+
 def test_excel_serial_to_date_1900_leap_bug():
     """Serials 1-59 predate Excel's fictitious 1900-02-29 (serial 60)
     and use the unshifted base; 60 clamps to 1900-02-28; 61+ carry the
