@@ -51,7 +51,21 @@ def _doc_grams(docs: DataFrame, k: int) -> DataFrame:
     ).filter(F.col("g").isNotNull())
 
 
-def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _parse_size_bytes(s: str) -> int:
+    """Parse a Spark size conf value ('10485760', '10MB', '1g', '-1')
+    to bytes; negative means broadcast disabled."""
+    t = str(s).strip().lower()
+    if t.endswith("b"):
+        t = t[:-1]
+    mult = 1
+    for suffix, m in (("k", 1024), ("m", 1024**2), ("g", 1024**3), ("t", 1024**4)):
+        if t.endswith(suffix):
+            t, mult = t[: -len(suffix)], m
+            break
+    return int(float(t)) * mult
+
+
+def decontaminate(docs: DataFrame, max_broadcast_bytes: int | None = None) -> DataFrame:
     """Training docs that share ≥1 13-gram with the benchmark slice
     (GPT-3 §5 / The Pile decontamination), with the hit count.
 
@@ -60,8 +74,16 @@ def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     the corpus grams through a broadcast inner join; the only shuffle
     is the final doc-keyed count.  No corpus self-join anywhere, and
     the corpus side never materializes gram lists (explode feeds the
-    join row-by-row)."""
-    docs = load_table(spark, sf_dir, "documents")
+    join row-by-row).
+
+    The eval-sized assumption is CHECKED, not assumed: the bench gram
+    set is measured (count + byte length — the bench filter is on
+    doc_id, so the stats job grams only the eval slice) and the
+    broadcast hint is applied only when the estimate fits
+    ``max_broadcast_bytes`` (default: the session's
+    autoBroadcastJoinThreshold).  Oversized eval sets fall back to a
+    plain shuffled join instead of OOMing the driver."""
+    spark = docs.sparkSession
     grams = _doc_grams(docs, DECON_K)
     bench = (
         grams.filter(F.col("doc_id") % BENCH_MOD == 0)
@@ -69,11 +91,31 @@ def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     train = grams.filter(F.col("doc_id") % BENCH_MOD != 0)
+    if max_broadcast_bytes is None:
+        max_broadcast_bytes = _parse_size_bytes(
+            spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10MB")
+        )
+    small = False
+    if max_broadcast_bytes > 0:
+        stats = bench.agg(
+            F.count("*").alias("n"),
+            F.coalesce(F.sum(F.octet_length("g")), F.lit(0)).alias("payload"),
+        ).first()
+        # ~24 bytes/row of UTF8String + hashed-relation overhead on top
+        # of the string payload
+        small = stats["payload"] + 24 * stats["n"] <= max_broadcast_bytes
     return (
-        train.join(F.broadcast(bench), "g")
+        train.join(F.broadcast(bench) if small else bench, "g")
         .groupBy("doc_id")
         .agg(F.count("*").alias("gram_hits"))
     )
+
+
+def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-facing decontamination query (see :func:`decontaminate`);
+    either join strategy yields the same rows, so the oracle hash is
+    strategy-independent."""
+    return decontaminate(load_table(spark, sf_dir, "documents"))
 
 
 ORACLE_DECONTAMINATE = f"""
@@ -193,23 +235,40 @@ def pack_spans(sized: DataFrame, seq_len: int = SEQ_LEN) -> DataFrame:
     )
 
 
-def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+def pack_sequences(
+    docs: DataFrame, seq_len: int = SEQ_LEN, shards: int | None = None
+) -> DataFrame:
     """Map each doc to its span of fixed-length training sequences
     under concatenate-and-chunk packing (docs split across sequence
     boundaries, the standard pretraining layout).
 
     Scale shape: ONE window partitioned by the deterministic shard key
-    (doc_id % PACK_SHARDS) ordered by doc_id — no global ordering, no
-    driver round-trip; output is deterministic because both shard and
-    order derive from doc_id."""
-    docs = load_table(spark, sf_dir, "documents")
+    (doc_id % shards) ordered by doc_id — no global ordering, no
+    driver round-trip; output is deterministic given ``shards``
+    because both shard and order derive from doc_id.  ``shards``
+    defaults to the session's ``defaultParallelism`` so the packing
+    window scales with the cluster (a fixed constant caps window
+    parallelism at that constant regardless of executor count); pass
+    an explicit value when reproducibility across cluster sizes
+    matters more than parallelism."""
+    if shards is None:
+        shards = docs.sparkSession.sparkContext.defaultParallelism
     n_tokens = F.size(F.split(_norm_text(F.col("text")), " "))
     base = docs.select(
         "doc_id",
-        (F.col("doc_id") % PACK_SHARDS).alias("shard"),
+        (F.col("doc_id") % F.lit(shards)).alias("shard"),
         n_tokens.alias("n_tokens"),
     )
-    return pack_spans(base)
+    return pack_spans(base, seq_len)
+
+
+def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-facing packing query, pinned at shards=PACK_SHARDS so
+    the result (and the DuckDB oracle hash) is identical regardless of
+    the machine the gate runs on; production callers use
+    :func:`pack_sequences` and inherit cluster-sized sharding."""
+    docs = load_table(spark, sf_dir, "documents")
+    return pack_sequences(docs, shards=PACK_SHARDS)
 
 
 ORACLE_PACK_SEQUENCES = f"""

@@ -79,6 +79,24 @@ def test_minhash_single_corpus_pass(spark):
     assert plan.count("Scan ExistingRDD") >= 1
 
 
+def test_decontaminate_broadcast_guard_falls_back(spark):
+    """The bench-gram broadcast is size-guarded: when the measured gram
+    set exceeds the cap the join must NOT carry a broadcast hint (AQE
+    may still choose broadcast from runtime stats — the bug was the
+    unconditional hint), and both strategies return identical rows."""
+    from etl_python_spark.operators.corpus import decontaminate
+    from etl_python_spark.sources.tables import load_table
+
+    docs = load_table(spark, SF_SMOKE, "documents")
+    hinted = decontaminate(docs, max_broadcast_bytes=1 << 30)
+    fallback = decontaminate(docs, max_broadcast_bytes=1)
+    assert "ResolvedHint" not in fallback._jdf.queryExecution().analyzed().toString()
+    assert "ResolvedHint" in hinted._jdf.queryExecution().analyzed().toString()
+    assert sorted(map(tuple, fallback.collect())) == sorted(
+        map(tuple, hinted.collect())
+    )
+
+
 def test_partitioned_staging_prunes_partitions(spark, tmp_path):
     from pyspark.sql import functions as F
 

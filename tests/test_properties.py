@@ -122,17 +122,19 @@ def test_week_of_month_matches_ceil_rule(spark, dates):
         min_size=1,
         max_size=60,
         unique_by=lambda t: t[0],
-    )
+    ),
+    st.integers(1, 9),
 )
-def test_pack_spans_invariants(spark, rows):
-    """Sequence-packing invariants against a Python reference: within
-    each shard the spans tile the concatenated token stream exactly —
-    start = floor(offset/L), end = floor((offset+n-1)/L), offsets
-    accumulate in doc_id order with no gaps or overlaps."""
+def test_pack_spans_invariants(spark, rows, n_shards):
+    """Sequence-packing invariants against a Python reference, for any
+    shard count: within each shard the spans tile the concatenated
+    token stream exactly — start = floor(offset/L),
+    end = floor((offset+n-1)/L), offsets accumulate in doc_id order
+    with no gaps or overlaps."""
     from etl_python_spark.operators.corpus import pack_spans
 
     L = 128
-    data = [(doc_id, doc_id % 4, n) for doc_id, n in rows]
+    data = [(doc_id, doc_id % n_shards, n) for doc_id, n in rows]
     df = spark.createDataFrame(data, "doc_id long, shard long, n_tokens int")
     got = {r.doc_id: r for r in pack_spans(df, seq_len=L).collect()}
 
@@ -145,3 +147,23 @@ def test_pack_spans_invariants(spark, rows):
         )
         assert r.start_seq <= r.end_seq
         offsets[shard] = off + n
+
+
+def test_pack_sequences_shards_follow_parallelism(spark):
+    """Without an explicit shard count the packing window must scale
+    with the cluster: shard keys span exactly defaultParallelism, and
+    pinning shards reproduces the fixed layout."""
+    from etl_python_spark.operators.corpus import pack_sequences
+
+    docs = spark.createDataFrame(
+        [(i, "w " * 40) for i in range(200)], "doc_id long, text string"
+    )
+    p = spark.sparkContext.defaultParallelism
+    auto = pack_sequences(docs)
+    assert {r.shard for r in auto.select("shard").distinct().collect()} == set(
+        range(min(p, 200))
+    )
+    pinned = pack_sequences(docs, shards=4)
+    assert {r.shard for r in pinned.select("shard").distinct().collect()} == set(
+        range(4)
+    )
