@@ -10,12 +10,17 @@ Vendidos.py:101-148``); this module is part of the training-data
 extension surface (SURVEY.md §7.8).
 
 Because no image/audio codec libraries ship in this container, the
-actual codec call is isolated in :func:`decode_media_real` (raises
-``NotImplementedError`` unless PIL is importable) and the pipelines
-run a **deterministic fake decoder** over the real bytes instead.
-Everything around that seam — binary columns through parquet scans,
-Arrow batch shape, output schema, per-modality partitioning — is real
-and is what the scale design depends on.
+actual codec call is isolated behind :func:`decode_media_real` — a
+registry keyed by (modality, container magic).  Uncompressed 24-bit
+BMP decodes with a pure-Python parser, so the real-codec path
+EXECUTES everywhere (tests drive real bytes through it, including via
+``mapInPandas``); PNG/JPEG slot in through PIL where it exists, and
+unknown containers raise ``NotImplementedError``.  The corpus
+pipelines still run a **deterministic fake decoder** over the real
+bytes (the test corpus payloads are text, not images).  Everything
+around the seam — binary columns through parquet scans, Arrow batch
+shape, output schema, per-modality partitioning — is real and is what
+the scale design depends on.
 
 Test media derives deterministically from ``documents``: payload =
 UTF-8 bytes of ``text``, modality = ``doc_id % 3`` → image/audio/video.
@@ -60,21 +65,110 @@ def as_media(docs: DataFrame) -> DataFrame:
     ).withColumn("n_bytes", F.length("payload"))
 
 
-def decode_media_real(payload: bytes, modality: str):  # pragma: no cover
-    """The real-codec seam.  Swap-in point for PIL / torchaudio /
-    pyav in an environment that has them; deliberately NOT exercised
-    by tests in this container."""
-    if modality == "image":
-        try:
-            import io
+class DecodedImage:
+    """Minimal decoded image with the PIL surface the pipelines touch
+    (``.size``, ``.getpixel``); rows are top-down (r, g, b) tuples."""
 
-            from PIL import Image  # noqa: F401  (absent in this container)
-        except ImportError as exc:
-            raise NotImplementedError(
-                "image decode requires PIL; container has no codec libs"
-            ) from exc
-        return Image.open(io.BytesIO(payload))
-    raise NotImplementedError(f"no codec wired for modality={modality!r}")
+    def __init__(self, width: int, height: int, rows: list[list[tuple]]):
+        self.size = (width, height)
+        self._rows = rows
+
+    def getpixel(self, xy: tuple[int, int]) -> tuple:
+        x, y = xy
+        return self._rows[y][x]
+
+
+def decode_bmp(payload: bytes) -> DecodedImage:
+    """Pure-Python decoder for uncompressed 24-bit BMP (the simplest
+    real container: BITMAPFILEHEADER + BITMAPINFOHEADER + BGR rows,
+    4-byte-padded, bottom-up unless height < 0).  Exists so the
+    real-codec seam executes in codec-less containers — anything
+    fancier (compression, other depths) belongs to a real codec lib."""
+    import struct
+
+    if len(payload) < 54 or payload[:2] != b"BM":
+        raise ValueError("not a BMP payload")
+    (data_off,) = struct.unpack_from("<I", payload, 10)
+    _, width, height, _planes, bpp, comp = struct.unpack_from("<IiiHHI", payload, 14)
+    if bpp != 24 or comp != 0:
+        raise NotImplementedError(
+            f"only uncompressed 24-bit BMP is wired (bpp={bpp}, compression={comp})"
+        )
+    bottom_up = height > 0
+    h = abs(height)
+    stride = (width * 3 + 3) & ~3
+    rows = []
+    for r in range(h):
+        src = h - 1 - r if bottom_up else r
+        base = data_off + src * stride
+        rows.append(
+            [
+                tuple(payload[base + 3 * x : base + 3 * x + 3][::-1])  # BGR → RGB
+                for x in range(width)
+            ]
+        )
+    return DecodedImage(width, h, rows)
+
+
+def _decode_image_pil(payload: bytes):  # pragma: no cover — PIL absent here
+    try:
+        import io
+
+        from PIL import Image
+    except ImportError as exc:
+        raise NotImplementedError(
+            "this container decode requires PIL; not installed here"
+        ) from exc
+    return Image.open(io.BytesIO(payload))
+
+
+# The real-codec registry: (container magic → decoder) per modality.
+# Production swaps in PIL / torchaudio / pyav entries; the BMP entry is
+# pure Python so the seam is executable (and tested) everywhere.
+MEDIA_CODECS: dict[str, list[tuple[bytes, object]]] = {
+    "image": [
+        (b"BM", decode_bmp),
+        (b"\x89PNG\r\n\x1a\n", _decode_image_pil),
+        (b"\xff\xd8\xff", _decode_image_pil),
+    ],
+}
+
+
+def decode_media_real(payload: bytes, modality: str):
+    """The real-codec seam: sniff the container magic and dispatch to
+    the registered decoder.  Raises ``NotImplementedError`` for
+    modalities/containers with no codec wired — pipelines that must
+    not decode use the metadata/fake-feature paths instead."""
+    for magic, codec in MEDIA_CODECS.get(modality, []):
+        if payload[: len(magic)] == magic:
+            return codec(payload)
+    raise NotImplementedError(
+        f"no codec wired for modality={modality!r}, container {payload[:4]!r}"
+    )
+
+
+DECODED_DIMS_SCHEMA = "media_id long, width int, height int"
+
+
+def decode_dims_real(df: DataFrame) -> DataFrame:
+    """Real-decode pass: (media_id, payload) → per-object dimensions
+    via ``mapInPandas`` calling :func:`decode_media_real` per object —
+    the production shape for a decode stage (Arrow ships opaque bytes
+    to Python, the codec runs per partition, nothing touches the
+    driver).  Unknown containers fail the task loudly rather than
+    emitting nulls; filter by magic upstream to route mixed lakes."""
+
+    def dims(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        for pdf in batches:
+            out = []
+            for media_id, payload in zip(pdf["media_id"], pdf["payload"]):
+                img = decode_media_real(bytes(payload), "image")
+                out.append((int(media_id), img.size[0], img.size[1]))
+            yield pd.DataFrame(out, columns=["media_id", "width", "height"])
+
+    return df.mapInPandas(dims, DECODED_DIMS_SCHEMA)
 
 
 # ---------------------------------------------------------------------------
