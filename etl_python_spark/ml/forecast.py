@@ -268,6 +268,74 @@ def q_forecast_horizon(spark: SparkSession, sf_dir: str) -> DataFrame:
     return forecast_to_horizon(spark, sf_dir, "2028-12", multiplicative=True)
 
 
+def q_horizon_spine(
+    spark: SparkSession, sf_dir: str, horizon_end: str = "2028-12"
+) -> DataFrame:
+    """The deterministic half of :func:`forecast_to_horizon`, split out
+    so it carries a full value oracle (round-4 verdict task 7): the
+    monthly date spine from last-observed-month+1 to the fixed horizon
+    end, each month's continued ordinal index (the ``t_f`` the fit
+    extrapolates on), its seasonality index (month number = the dummy
+    column the design matrix encodes), the median-scale factor
+    (Modelo de Previsão de Vendas.py:42-51) and the observation count
+    guard input.  Only the fitted ``previsao`` values remain rows-only
+    in ``ml_forecast_horizon``.
+
+    Pure Catalyst: one tiny aggregate (months are dozens of rows) and
+    a ``sequence`` explode — no Python stage."""
+    orders = load_table(spark, sf_dir, "orders")
+    monthly = orders.groupBy(
+        F.date_trunc("month", "o_orderdate").cast("date").alias("mes")
+    ).agg(dsum("o_totalprice").alias("faturamento"))
+    end = F.lit(f"{horizon_end}-01").cast("date")
+    stats = monthly.agg(
+        F.max("mes").alias("last_mes"),
+        F.count("*").alias("n_obs"),
+        F.median("faturamento").alias("med"),
+    )
+    start = F.add_months(F.col("last_mes"), 1)
+    months = F.when(
+        start <= end, F.sequence(start, end, F.expr("interval 1 month"))
+    ).otherwise(F.array().cast("array<date>"))
+    spine = stats.select("n_obs", "med", F.posexplode_outer(months))
+    return spine.filter(F.col("col").isNotNull()).select(
+        F.col("col").alias("mes"),
+        (F.col("n_obs") + F.col("pos")).cast("int").alias("mes_idx"),
+        F.month("col").cast("int").alias("mes_num"),
+        F.when(F.col("med") < 1000, F.lit(1000))
+        .otherwise(F.lit(1))
+        .cast("int")
+        .alias("fator_escala"),
+        F.col("n_obs").cast("int").alias("n_obs"),
+        F.lit("multiplicativa").alias("tipo"),
+    )
+
+
+ORACLE_HORIZON_SPINE = """
+WITH monthly AS (
+  SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS mes,
+         ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 2) AS faturamento
+  FROM orders GROUP BY 1
+), s AS (
+  SELECT MAX(mes) AS last_mes, COUNT(*) AS n_obs, median(faturamento) AS med
+  FROM monthly
+), spine AS (
+  SELECT s.n_obs, s.med, CAST(h.m AS DATE) AS mes,
+         ROW_NUMBER() OVER (ORDER BY h.m) - 1 AS pos
+  FROM s, unnest(generate_series(CAST(s.last_mes + INTERVAL 1 MONTH AS DATE),
+                                 DATE '2028-12-01', INTERVAL 1 MONTH)) AS h(m)
+  WHERE CAST(s.last_mes + INTERVAL 1 MONTH AS DATE) <= DATE '2028-12-01'
+)
+SELECT mes,
+       CAST(n_obs + pos AS INT) AS mes_idx,
+       CAST(month(mes) AS INT) AS mes_num,
+       CASE WHEN med < 1000 THEN 1000 ELSE 1 END AS fator_escala,
+       CAST(n_obs AS INT) AS n_obs,
+       'multiplicativa' AS tipo
+FROM spine
+"""
+
+
 def proxy_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Feature-prep rules the reference applies before fitting:
 
@@ -354,10 +422,13 @@ QUERIES = {
     "ml_proxy_features": proxy_features,
     "ml_forecast_per_group": forecast_per_group,
     "ml_forecast_horizon": q_forecast_horizon,
+    "ml_horizon_spine": q_horizon_spine,
 }
 
 ORACLES = {
     "ml_lag_features": ORACLE_FEATURES,
     "ml_proxy_features": ORACLE_PROXY,
-    # ml_forecast_per_group: model fit → rows-only check
+    "ml_horizon_spine": ORACLE_HORIZON_SPINE,
+    # ml_forecast_per_group / ml_forecast_horizon: model fits →
+    # rows-only check; their deterministic spine is ml_horizon_spine
 }

@@ -22,67 +22,70 @@ from pyspark.sql import DataFrame, SparkSession
 #     their round-1 verdict remains valid evidence).
 # Names absent from this tuple keep module order after the block.
 VERIFY_PRIORITY = (
-    # Round-4 rotation (round-3 verdict task 3).
-    # (a) changed this round: the events-ts normalization (Long nanos →
-    #     integer DIV 1000; TIMESTAMP_NTZ → cast) touches every query
-    #     that reads the events table — their r3 verdicts are stale.
-    "stream_hourly_counts",
-    "stream_sessionize",
-    "stream_stream_join",
-    "stream_static_enriched",
-    "stream_user_totals",
-    "sessionize",
-    "props_extract",
-    "hourly_event_counts",
-    # (sliding_event_counts also reads events but is r3-green and its
-    #  normalization change is value-identity — yielded its slot to
-    #  corpus_mix under the 50-entry cap; local sweep covers it)
-    # (b) new queries / oracles added this round
+    # Round-5 rotation (round-4 verdict task 2).
+    # (a) changed or new this round — no valid verdict exists:
+    #     minhash single-pass rewrite; kmeans_assign + ml_horizon_spine
+    #     are new value-oracled splits; media_features/rolling_chunks
+    #     oracles gained NULL/empty-text branches; corpus.py gained the
+    #     broadcast guard + parameterized shards; kmeans_embeddings was
+    #     refactored onto shared helpers; stream_dedup_exact's file was
+    #     touched (assumption note).
+    "minhash_lsh_pairs",
+    "kmeans_assign",
+    "ml_horizon_spine",
     "media_features",
     "rolling_chunks",
     "decontaminate",
-    "sample_stratified",
-    "stream_dedup_exact",
     "pack_sequences",
+    "sample_stratified",
     "corpus_mix",
-    # (c) the 34 queries whose only driver verdict is round 1 (outside
-    #     the 50-entry window in r2/r3) — every one gets an r4 verdict.
-    "mom_growth",
-    "yoy_same_month",
-    "year_pivot",
-    "share_of_priority",
-    "recency_buckets",
-    "reincidence",
-    "union_detail_total",
-    "rolling_metrics",
-    "last_quarter_revenue",
-    "profile_customer",
-    "geo_spine_zerofill",
-    "set_ops",
-    "left_enrichment",
-    "full_outer_coalesce",
-    "preagg_join",
-    "semi_join",
-    "anti_join",
-    "ordinal_alignment",
-    "latest_order_per_customer",
-    "blacklist_filter",
-    "global_topn",
-    "union_distinct_dims",
-    "cnpj_validate",
-    "customer_quartiles",
-    "custom_sort_field",
-    "lead_scoring",
-    "depara_standardize",
-    "grouping_sets_report",
-    "formatted_report",
-    "top_customers_per_nation",
-    "sla_leadtime",
-    "catalog_integrity",
-    "asof_rate_enrichment",
-    "churn_kpi",
-    # (d) changed this round: candidate-prune semi-join
-    "minhash_lsh_pairs",
+    "kmeans_embeddings",
+    "ml_forecast_horizon",
+    "stream_dedup_exact",
+    # (b) touched in r4 without a fresh driver verdict (round-4
+    #     verdict task 2 lead list)
+    "sliding_event_counts",
+    "multimodal_metadata",
+    "media_resize",
+    "frame_sample",
+    "ngram_jaccard_pairs",
+    # (c) the rest of the 39 queries whose latest verdict is r3 —
+    #     after this window no query's verdict is older than the last
+    #     code change to its file.
+    "pricing_summary",
+    "faturamento_rollup",
+    "faturamento_proc",
+    "cube_report",
+    "calendar_dim",
+    "value_counts",
+    "mix_monthly_pivot",
+    "json_export",
+    "shipping_priority",
+    "forecast_revenue_change",
+    "supplier_region_share",
+    "range_condition_join",
+    "pk_audit",
+    "dedup_exact",
+    "dedup_components",
+    "simhash",
+    "simhash_neardup",
+    "ann_bruteforce",
+    "ann_bruteforce_pandas",
+    "ann_lsh",
+    "ann_ivf",
+    "embedding_neardup",
+    "token_count",
+    "bpe_token_count",
+    "text_quality",
+    "quality_filter",
+    "repetition_metrics",
+    "lang_id",
+    "doc_fingerprint",
+    "ml_lag_features",
+    "ml_proxy_features",
+    "ml_forecast_per_group",
+    # (d) r4-green; its file saw a comment-only edit this round
+    "stream_hourly_counts",
 )
 
 

@@ -391,6 +391,82 @@ KMEANS_K = 8
 KMEANS_ITERS = 3
 
 
+def _kmeans_emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spread(load_table(spark, sf_dir, "embeddings"), "vec_id").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+
+
+def _kmeans_init(emb: DataFrame) -> list[list[float]]:
+    """Deterministic init: the first K vectors by id (K×dim floats to
+    the driver — the same kilobyte-sized round-trip every Lloyd's
+    implementation does)."""
+    return [
+        r.v for r in emb.filter(F.col("vec_id") < KMEANS_K).orderBy("vec_id").collect()
+    ]
+
+
+def _kmeans_assign(emb: DataFrame, centroids: list[list[float]]) -> DataFrame:
+    """Squared-L2 argmin against the K current centroids, evaluated as
+    broadcast literals inside one projection (no join, no shuffle for
+    the small side); distances rounded to 6dp before the argmin so the
+    tie-break (lowest cluster id) is engine-agnostic."""
+
+    def dist2(vec_col, centroid: list[float]):
+        c = F.array(*[F.lit(float(x)) for x in centroid])
+        return F.round(
+            F.aggregate(
+                F.zip_with(vec_col, c, lambda a, b: (a - b) * (a - b)),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ),
+            6,
+        )
+
+    d = F.array(*[dist2(F.col("v"), c) for c in centroids])
+    best = F.array_position(d, F.array_min(d)).cast("int") - 1
+    return emb.withColumn("cluster", best).withColumn("dist2", F.array_min(d))
+
+
+def q_kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ONE deterministic Lloyd assignment pass from the fixed init —
+    the value-oracled half of ``kmeans_embeddings`` (round-4 verdict
+    task 7): per-cluster sizes and rounded inertia that DuckDB
+    restates exactly (init centroids are raw data values, distances
+    are rounded before the argmin, inertia sums 6dp-rounded terms).
+    The 3-iteration fit stays rows-only."""
+    emb = _kmeans_emb(spark, sf_dir)
+    assigned = _kmeans_assign(emb, _kmeans_init(emb))
+    return assigned.groupBy("cluster").agg(
+        F.count("*").alias("n_members"),
+        F.round(F.sum("dist2"), 4).alias("inertia"),
+    )
+
+
+ORACLE_KMEANS_ASSIGN = f"""
+WITH emb AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+), cent AS (
+  SELECT vec_id AS c_id, v AS c FROM emb WHERE vec_id < {KMEANS_K}
+), d AS (
+  SELECT e.vec_id, c.c_id,
+         ROUND(list_sum(list_transform(range(1, len(e.v) + 1),
+               i -> (e.v[i] - c.c[i]) * (e.v[i] - c.c[i]))), 6) AS d2
+  FROM emb e CROSS JOIN cent c
+), best AS (
+  SELECT vec_id, c_id, d2,
+         ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2 ASC, c_id ASC) AS rnk
+  FROM d
+)
+SELECT CAST(c_id AS INT) AS cluster,
+       COUNT(*) AS n_members,
+       ROUND(SUM(d2), 4) AS inertia
+FROM best WHERE rnk = 1
+GROUP BY 1
+"""
+
+
 def q_kmeans_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distributed Lloyd's k-means over the embedding column — the
     representative iterative algorithm (and the real fit for the IVF
@@ -407,34 +483,13 @@ def q_kmeans_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Deterministic throughout: init = first K vectors, distances
     rounded to 6dp before the argmin tie-break on cluster id.
-    Iterative + engine-evaluated → rows-only check."""
-    emb = spread(load_table(spark, sf_dir, "embeddings"), "vec_id").select(
-        "vec_id", F.col("embedding").cast("array<double>").alias("v")
-    )
-    centroids = [
-        r.v for r in emb.filter(F.col("vec_id") < KMEANS_K).orderBy("vec_id").collect()
-    ]
-
-    def dist2(vec_col, centroid: list[float]):
-        c = F.array(*[F.lit(float(x)) for x in centroid])
-        return F.round(
-            F.aggregate(
-                F.zip_with(vec_col, c, lambda a, b: (a - b) * (a - b)),
-                F.lit(0.0),
-                lambda acc, x: acc + x,
-            ),
-            6,
-        )
-
-    def assign(df):
-        d = F.array(*[dist2(F.col("v"), c) for c in centroids])
-        best = F.array_position(d, F.array_min(d)).cast("int") - 1
-        return df.withColumn("cluster", best).withColumn(
-            "dist2", F.array_min(d)
-        )
+    Iterative + engine-evaluated → rows-only check (the single
+    assignment pass is value-oracled as ``kmeans_assign``)."""
+    emb = _kmeans_emb(spark, sf_dir)
+    centroids = _kmeans_init(emb)
 
     for _ in range(KMEANS_ITERS):
-        assigned = assign(emb)
+        assigned = _kmeans_assign(emb, centroids)
         dims = assigned.select(
             "cluster", F.posexplode("v").alias("pos", "val")
         )
@@ -454,7 +509,7 @@ def q_kmeans_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
         new_centroids = dict((r.cluster, list(r.centroid)) for r in means)
         centroids = [new_centroids.get(i, centroids[i]) for i in range(KMEANS_K)]
 
-    final = assign(emb)
+    final = _kmeans_assign(emb, centroids)
     return final.groupBy("cluster").agg(
         F.count("*").alias("n_members"),
         F.round(F.sum("dist2"), 4).alias("inertia"),
@@ -509,6 +564,7 @@ QUERIES = {
     "ann_lsh": q_ann_lsh,
     "ann_ivf": q_ann_ivf,
     "kmeans_embeddings": q_kmeans_embeddings,
+    "kmeans_assign": q_kmeans_assign,
     "embedding_neardup": q_embedding_neardup,
 }
 
@@ -518,4 +574,5 @@ ORACLES = {
     "ann_ivf": ORACLE_ANN_IVF,
     "embedding_neardup": ORACLE_EMB_NEARDUP,
     "ann_lsh": ORACLE_ANN_LSH,
+    "kmeans_assign": ORACLE_KMEANS_ASSIGN,
 }

@@ -64,6 +64,64 @@ def upsert_period(
     )
 
 
+def merge_upsert(
+    spark: SparkSession,
+    source: DataFrame,
+    path: str,
+    keys: list[str],
+    partition_col: str | None = None,
+) -> None:
+    """Row-keyed MERGE (the Delta ``MERGE INTO`` the SURVEY names) on a
+    plain parquet table: target rows whose key matches a source row are
+    replaced, unmatched source rows are inserted, everything else is
+    left byte-identical.
+
+    Strategy — copy-on-write, the same physical shape Delta/Iceberg
+    MERGE executes (minus the transaction log):
+
+    - **partitioned** (``partition_col``): enumerate the partitions the
+      source touches (one tiny distinct), read ONLY those partitions
+      (partition pruning at the scan), drop their matched keys with a
+      keyed anti-join, union the source, and dynamic-partition-
+      overwrite — cost scales with touched partitions, never the
+      table.  This is the only sane shape at 100 TB.
+    - **unpartitioned**: same merge, full-table rewrite.  Documented
+      boundary: without a transactional table format there is no
+      sub-file replace; point real lakes at a partitioned layout (or a
+      table format whose MERGE is this same keyed shuffle plus a log).
+
+    The merged frame is localCheckpointed before the write because the
+    write overwrites the very files the plan reads (Spark refuses the
+    read-overwrite cycle otherwise).  Idempotent: re-running the same
+    merge is a no-op in content terms."""
+    hpath = spark._jvm.org.apache.hadoop.fs.Path(path)
+    fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    if not fs.exists(hpath):
+        write_staging(
+            source, path, partition_by=[partition_col] if partition_col else None
+        )
+        return
+
+    target = spark.read.parquet(path)
+    source = source.select(*target.columns)  # align column order
+    if partition_col:
+        touched = [
+            r[0] for r in source.select(partition_col).distinct().collect()
+        ]
+        target = target.filter(F.col(partition_col).isin(touched))
+    kept = target.join(source.select(*keys).distinct(), keys, "left_anti")
+    merged = kept.unionByName(source).localCheckpoint(eager=True)
+    if partition_col:
+        (
+            merged.write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy(partition_col)
+            .parquet(path)
+        )
+    else:
+        merged.write.mode("overwrite").parquet(path)
+
+
 def write_csv_ptbr(df: DataFrame, path: str) -> None:
     """pt-BR CSV: ';' separator, plain UTF-8 (distributed, multi-part).
     For the reference's Excel-facing single-file export with a BOM

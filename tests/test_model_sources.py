@@ -119,6 +119,56 @@ def test_csv_ptbr_and_json_agg(spark, tmp_path):
     assert '"id":1' in payload["A"].replace(" ", "")
 
 
+def test_merge_upsert_keyed(spark, tmp_path):
+    """Row-keyed MERGE on a partitioned parquet table: matched keys are
+    replaced, new keys inserted, untouched partitions and unmatched
+    rows survive byte-identically; re-running the same merge is a
+    content no-op."""
+    from etl_python_spark.sources.writers import merge_upsert
+
+    path = str(tmp_path / "merged")
+    base = spark.createDataFrame(
+        [(1, 2024, "a"), (2, 2024, "b"), (3, 2025, "c"), (4, 2026, "d")],
+        "id long, ano int, v string",
+    )
+    merge_upsert(spark, base, path, keys=["id"], partition_col="ano")  # creates
+    src = spark.createDataFrame(
+        [(2, 2024, "B2"), (5, 2025, "e")], "id long, ano int, v string"
+    )
+    merge_upsert(spark, src, path, keys=["id"], partition_col="ano")
+    got = {r.id: (r.ano, r.v) for r in spark.read.parquet(path).collect()}
+    assert got == {
+        1: (2024, "a"),
+        2: (2024, "B2"),
+        3: (2025, "c"),
+        4: (2026, "d"),
+        5: (2025, "e"),
+    }
+    merge_upsert(spark, src, path, keys=["id"], partition_col="ano")  # idempotent
+    again = {r.id: (r.ano, r.v) for r in spark.read.parquet(path).collect()}
+    assert again == got
+
+
+def test_merge_upsert_unpartitioned(spark, tmp_path):
+    from etl_python_spark.sources.writers import merge_upsert
+
+    path = str(tmp_path / "merged_flat")
+    merge_upsert(
+        spark,
+        spark.createDataFrame([(1, "a"), (2, "b")], "id long, v string"),
+        path,
+        keys=["id"],
+    )
+    merge_upsert(
+        spark,
+        spark.createDataFrame([(2, "B"), (3, "c")], "id long, v string"),
+        path,
+        keys=["id"],
+    )
+    got = {r.id: r.v for r in spark.read.parquet(path).collect()}
+    assert got == {1: "a", 2: "B", 3: "c"}
+
+
 def test_upsert_does_not_leak_overwrite_mode(spark, tmp_path):
     """upsert_period must scope dynamic partition overwrite to its own
     write: a later write_staging full-replace has to actually replace —
