@@ -257,27 +257,37 @@ def promote_header(df: DataFrame) -> DataFrame:
     # header becomes a positional _c{i} name, and repeats get a _2/_3
     # suffix — otherwise the select would raise AMBIGUOUS_REFERENCE on
     # the first downstream column lookup.
+    cells = [
+        str(first[c]) if first[c] is not None else None for c in df.columns
+    ]
+    names = unique_column_names(cells)
+    return rest.select(
+        *[F.col(c).alias(name) for c, name in zip(df.columns, names)]
+    )
+
+
+def unique_column_names(cells: list[str | None]) -> list[str]:
+    """Header cells → unique column names: None becomes a positional
+    ``_c{i}`` name, repeats get a ``_2``/``_3`` suffix — otherwise the
+    select would raise AMBIGUOUS_REFERENCE on the first downstream
+    column lookup.  A generated suffix can itself collide with a
+    literal header cell (['valor','valor','valor_2'] once yielded
+    'valor_2' twice), so the suffix keeps incrementing until the name
+    is unique against both the already-assigned names and every
+    literal header value."""
     names: list[str] = []
     taken: set[str] = set()
     seen: dict[str, int] = {}
-    header_cells = {
-        str(first[c]) for c in df.columns if first[c] is not None
-    }
-    for i, c in enumerate(df.columns):
-        base = str(first[c]) if first[c] is not None else f"_c{i}"
+    header_cells = {c for c in cells if c is not None}
+    for i, cell in enumerate(cells):
+        base = cell if cell is not None else f"_c{i}"
         n = seen.get(base, 0) + 1
         seen[base] = n
         name = base if n == 1 else f"{base}_{n}"
-        # a suffixed name can still collide with a literal header cell
-        # (['valor','valor','valor_2'] → 'valor_2' twice); keep
-        # incrementing until the name is unique against both the
-        # already-assigned names and every literal header value
         while name in taken or (name != base and name in header_cells):
             n += 1
             seen[base] = n
             name = f"{base}_{n}"
         taken.add(name)
         names.append(name)
-    return rest.select(
-        *[F.col(c).alias(name) for c, name in zip(df.columns, names)]
-    )
+    return names

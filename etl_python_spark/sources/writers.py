@@ -93,7 +93,14 @@ def merge_upsert(
     The merged frame is localCheckpointed before the write because the
     write overwrites the very files the plan reads (Spark refuses the
     read-overwrite cycle otherwise).  Idempotent: re-running the same
-    merge is a no-op in content terms."""
+    merge is a no-op in content terms.
+
+    Caveat (shared with every partition-scoped MERGE, Delta included
+    when the key isn't the partition): if a key MOVES partitions — the
+    source carries it under a new ``partition_col`` value — the old
+    row survives in its untouched partition and the key is duplicated.
+    Use a partition column that is stable per key (entity partitioning)
+    or include the key's old partition in the source."""
     hpath = spark._jvm.org.apache.hadoop.fs.Path(path)
     fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
     if not fs.exists(hpath):

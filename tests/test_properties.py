@@ -149,6 +149,34 @@ def test_pack_spans_invariants(spark, rows, n_shards):
         offsets[shard] = off + n
 
 
+@settings(max_examples=200, deadline=None)
+@given(
+    st.lists(
+        st.one_of(
+            st.none(),
+            st.from_regex(r"[a-z]{1,4}(_[0-9]{1,2})?", fullmatch=True),
+        ),
+        min_size=1,
+        max_size=12,
+    )
+)
+def test_unique_column_names_always_unique(cells):
+    """Pure property (no Spark): for ANY header row — nulls, repeats,
+    literal cells that look like generated suffixes — the promoted
+    names are pairwise unique and non-null preserved cells keep their
+    text as a prefix."""
+    from etl_python_spark.sources.readers import unique_column_names
+
+    names = unique_column_names(cells)
+    assert len(names) == len(cells)
+    assert len(set(names)) == len(names), (cells, names)
+    for i, (cell, name) in enumerate(zip(cells, names)):
+        if cell is None:
+            assert name.startswith(f"_c{i}")
+        else:
+            assert name == cell or name.startswith(cell + "_"), (cells, names)
+
+
 def test_pack_sequences_shards_follow_parallelism(spark):
     """Without an explicit shard count the packing window must scale
     with the cluster: shard keys span exactly defaultParallelism, and
