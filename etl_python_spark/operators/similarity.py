@@ -482,9 +482,12 @@ def q_kmeans_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
       driver round-trip any Lloyd's implementation does per step).
 
     Deterministic throughout: init = first K vectors, distances
-    rounded to 6dp before the argmin tie-break on cluster id.
-    Iterative + engine-evaluated → rows-only check (the single
-    assignment pass is value-oracled as ``kmeans_assign``)."""
+    rounded to 6dp before the argmin tie-break on cluster id, and the
+    updated centroid means rounded to 6dp (round 5) — the rounding
+    absorbs the ~1e-15 summation-order difference between engines, so
+    the WHOLE 3-iteration fit carries a full DuckDB value oracle
+    (generated per-iteration CTEs, empty-cluster keep-previous
+    fallback included) instead of a rows-only check."""
     emb = _kmeans_emb(spark, sf_dir)
     centroids = _kmeans_init(emb)
 
@@ -495,7 +498,7 @@ def q_kmeans_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         means = (
             dims.groupBy("cluster", "pos")
-            .agg(F.avg("val").alias("m"))
+            .agg(F.round(F.avg("val"), 6).alias("m"))
             .groupBy("cluster")
             .agg(
                 F.transform(
@@ -514,6 +517,79 @@ def q_kmeans_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_members"),
         F.round(F.sum("dist2"), 4).alias("inertia"),
     )
+
+
+def _kmeans_full_oracle() -> str:
+    """Generate the DuckDB restatement of the full Lloyd fit: for each
+    of the KMEANS_ITERS iterations, an assignment CTE (rounded squared-
+    L2 argmin, lowest-cluster tie-break) and a centroid-update CTE
+    (per-dim 6dp-rounded means, keep-previous fallback for empty
+    clusters), then a final assignment aggregated to sizes+inertia —
+    value-for-value the Spark pipeline."""
+
+    def d2(v: str, c: str) -> str:
+        return (
+            f"ROUND(list_sum(list_transform(range(1, {EMB_DIM} + 1), "
+            f"i -> ({v}[i] - {c}[i]) * ({v}[i] - {c}[i]))), 6)"
+        )
+
+    parts = [
+        f"""
+WITH emb AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+), ks AS (
+  SELECT unnest(range(0, {KMEANS_K})) AS k
+), cent_0 AS (
+  SELECT vec_id AS k, v AS c FROM emb WHERE vec_id < {KMEANS_K}
+)"""
+    ]
+    cur = "cent_0"
+    for it in range(1, KMEANS_ITERS + 1):
+        parts.append(
+            f"""
+, d_{it} AS (
+  SELECT e.vec_id, e.v, c.k, {d2('e.v', 'c.c')} AS d2
+  FROM emb e CROSS JOIN {cur} c
+), assign_{it} AS (
+  SELECT vec_id, v, k FROM (
+    SELECT vec_id, v, k,
+           ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2 ASC, k ASC) AS rnk
+    FROM d_{it}
+  ) WHERE rnk = 1
+), means_{it} AS (
+  SELECT k, list(m ORDER BY j) AS c FROM (
+    SELECT a.k, t.j, ROUND(AVG(a.v[t.j]), 6) AS m
+    FROM assign_{it} a, (SELECT unnest(range(1, {EMB_DIM} + 1)) AS j) t
+    GROUP BY a.k, t.j
+  ) GROUP BY k
+), cent_{it} AS (
+  SELECT ks.k, COALESCE(m.c, p.c) AS c
+  FROM ks LEFT JOIN means_{it} m ON ks.k = m.k
+  JOIN {cur} p ON ks.k = p.k
+)"""
+        )
+        cur = f"cent_{it}"
+    parts.append(
+        f"""
+, final AS (
+  SELECT vec_id, k, d2 FROM (
+    SELECT e.vec_id, c.k, {d2('e.v', 'c.c')} AS d2,
+           ROW_NUMBER() OVER (PARTITION BY e.vec_id
+             ORDER BY {d2('e.v', 'c.c')} ASC, c.k ASC) AS rnk
+    FROM emb e CROSS JOIN {cur} c
+  ) WHERE rnk = 1
+)
+SELECT CAST(k AS INT) AS cluster,
+       COUNT(*) AS n_members,
+       ROUND(SUM(d2), 4) AS inertia
+FROM final GROUP BY 1
+"""
+    )
+    return "".join(parts)
+
+
+ORACLE_KMEANS_FULL = _kmeans_full_oracle()
 
 
 def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -575,4 +651,5 @@ ORACLES = {
     "embedding_neardup": ORACLE_EMB_NEARDUP,
     "ann_lsh": ORACLE_ANN_LSH,
     "kmeans_assign": ORACLE_KMEANS_ASSIGN,
+    "kmeans_embeddings": ORACLE_KMEANS_FULL,
 }
