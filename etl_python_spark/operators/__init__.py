@@ -84,8 +84,9 @@ VERIFY_PRIORITY = (
     "ml_lag_features",
     "ml_proxy_features",
     "ml_forecast_per_group",
-    # (d) r4-green; its file saw a comment-only edit this round
-    "stream_hourly_counts",
+    # (d) new this round (displaces stream_hourly_counts, which is
+    #     r4-green and whose file saw only a comment edit)
+    "tfidf_top_terms",
 )
 
 

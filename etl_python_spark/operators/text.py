@@ -471,6 +471,83 @@ FROM small
 """
 
 
+TFIDF_TOP_K = 5
+
+
+def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document top-5 terms by smoothed TF-IDF — the retrieval /
+    keyword-extraction primitive (idf = ln((N+1)/(df+1)) + 1, the
+    sklearn-style smooth variant).
+
+    Scale shape: term frequencies are ONE (doc, term) hash aggregate;
+    document frequencies reuse those rows with a term-keyed aggregate
+    (vocab-sized output); N arrives as a broadcast 1-row aggregate (no
+    driver round-trip); the tf⨝idf join is term-keyed (AQE broadcasts
+    a small vocab, shuffles a lake-scale one) and the top-k cut is one
+    per-doc window.  idf is rounded to 6dp and the score to 4dp BEFORE
+    ranking, with ties broken on term text, so the ranking — not just
+    the values — is engine-agnostic and the DuckDB oracle restates the
+    whole pipeline."""
+    from pyspark.sql import Window
+
+    docs = spread(load_table(spark, sf_dir, "documents"), "doc_id")
+    toked = docs.select(
+        "doc_id", F.explode_outer(_tokens(F.col("text"))).alias("term")
+    ).filter(F.col("term").isNotNull() & (F.col("term") != ""))
+    tf = toked.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    ndocs = docs.agg(F.count("*").alias("n_docs"))
+    idf = (
+        tf.groupBy("term")
+        .agg(F.count("*").alias("df"))
+        .crossJoin(F.broadcast(ndocs))
+        .select(
+            "term",
+            F.round(
+                F.log((F.col("n_docs") + 1) / (F.col("df") + 1)) + 1.0, 6
+            ).alias("idf"),
+        )
+    )
+    scored = tf.join(idf, "term").select(
+        "doc_id",
+        "term",
+        "tf",
+        F.round(F.col("tf") * F.col("idf"), 4).alias("tfidf"),
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("tfidf"), F.asc("term"))
+    return scored.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= TFIDF_TOP_K
+    )
+
+
+ORACLE_TFIDF = f"""
+WITH toks AS (
+  SELECT doc_id, t.term
+  FROM (SELECT doc_id,
+               regexp_split_to_array(lower(trim(text)), '\\s+') AS w
+        FROM documents),
+       unnest(w) AS t(term)
+  WHERE t.term <> ''
+), tf AS (
+  SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY 1, 2
+), nd AS (
+  SELECT COUNT(*) AS n_docs FROM documents
+), idf AS (
+  SELECT term,
+         ROUND(ln(CAST(n.n_docs + 1 AS DOUBLE) / CAST(df + 1 AS DOUBLE)) + 1.0, 6) AS idf
+  FROM (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1), nd n
+), scored AS (
+  SELECT f.doc_id, f.term, f.tf, ROUND(f.tf * i.idf, 4) AS tfidf
+  FROM tf f JOIN idf i USING (term)
+), ranked AS (
+  SELECT doc_id, term, tf, tfidf,
+         CAST(ROW_NUMBER() OVER (PARTITION BY doc_id
+              ORDER BY tfidf DESC, term ASC) AS INT) AS rank
+  FROM scored
+)
+SELECT doc_id, term, tf, tfidf, rank FROM ranked WHERE rank <= {TFIDF_TOP_K}
+"""
+
+
 QUERIES = {
     "token_count": q_token_count,
     "rolling_chunks": q_rolling_chunks,
@@ -480,6 +557,7 @@ QUERIES = {
     "repetition_metrics": q_repetition_metrics,
     "lang_id": q_lang_id,
     "doc_fingerprint": q_doc_fingerprint,
+    "tfidf_top_terms": q_tfidf_top_terms,
 }
 
 ORACLES = {
@@ -491,4 +569,5 @@ ORACLES = {
     "repetition_metrics": ORACLE_REPETITION,
     "lang_id": ORACLE_LANG_ID,
     "doc_fingerprint": ORACLE_FINGERPRINT,
+    "tfidf_top_terms": ORACLE_TFIDF,
 }
