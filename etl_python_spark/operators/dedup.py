@@ -424,6 +424,10 @@ def q_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Materialize once; both branches below read these partitions.
     # Per-invocation cost (each bench run recomputes — no cross-run
     # cache flattery); size is docs × (32 longs + hashed set).
+    # localCheckpoint is executor-local and not fault-tolerant (lost
+    # executor → failed job, lineage is truncated); on a long-lived
+    # production cluster prefer .persist(MEMORY_AND_DISK) — same
+    # compute-once sharing, recomputable — or stage to a temp table.
     per_doc = per_doc.localCheckpoint(eager=True)
 
     rows_per_band = MINHASH_K // LSH_BANDS
