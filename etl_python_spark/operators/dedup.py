@@ -283,6 +283,28 @@ FROM comp c
 """
 )
 
+ORACLE_DEDUP_KEEP = (
+    "WITH RECURSIVE "
+    + _SQL_PAIRS_BODY
+    + """
+, verts AS (SELECT doc_a AS v FROM pairs UNION SELECT doc_b FROM pairs),
+undirected AS (
+  SELECT doc_a AS u, doc_b AS w FROM pairs
+  UNION SELECT doc_b, doc_a FROM pairs
+),
+reach AS (
+  SELECT v, v AS r FROM verts
+  UNION
+  SELECT e.u AS v, reach.r FROM undirected e JOIN reach ON e.w = reach.v
+),
+comp AS (SELECT v AS doc_id, MIN(r) AS component_id FROM reach GROUP BY v)
+SELECT d.doc_id,
+       COALESCE(c.doc_id = c.component_id, TRUE) AS manter,
+       c.component_id
+FROM documents d LEFT JOIN comp c USING (doc_id)
+"""
+)
+
 
 # ---------------------------------------------------------------------------
 # Near-dup clustering: connected components over the pair graph
@@ -355,6 +377,25 @@ def q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         "component_id",
         F.count("*").over(w).alias("cluster_size"),
         (F.col("doc_id") == F.col("component_id")).alias("canonical"),
+    )
+
+
+def q_dedup_keep_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dedup endgame a corpus job actually executes: the per-doc
+    keep/drop decision.  Docs in no near-dup cluster keep; inside a
+    cluster only the canonical (min reachable doc_id) member keeps.
+    One left join of the corpus ids against the (cluster-members-only)
+    component table — at 100 TB the component side is pair-graph-sized,
+    orders of magnitude below the corpus, so AQE broadcasts it and the
+    corpus is never shuffled."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    comp = q_dedup_components(spark, sf_dir).select(
+        "doc_id", "component_id", "canonical"
+    )
+    return docs.join(comp, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce("canonical", F.lit(True)).alias("manter"),
+        "component_id",
     )
 
 
@@ -648,6 +689,7 @@ QUERIES = {
     "dedup_exact": q_dedup_exact,
     "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
     "dedup_components": q_dedup_components,
+    "dedup_keep_canonical": q_dedup_keep_canonical,
     "minhash_lsh_pairs": q_minhash_lsh_pairs,
     "simhash": q_simhash,
     "simhash_neardup": q_simhash_neardup,
@@ -676,6 +718,7 @@ ORACLES = {
     "dedup_exact": ORACLE_DEDUP_EXACT,
     "ngram_jaccard_pairs": ORACLE_NGRAM_JACCARD,
     "dedup_components": ORACLE_DEDUP_COMPONENTS,
+    "dedup_keep_canonical": ORACLE_DEDUP_KEEP,
     "minhash_lsh_pairs": ORACLE_MINHASH_LSH,
     "simhash": ORACLE_SIMHASH,
     "simhash_neardup": ORACLE_SIMHASH_NEARDUP,
