@@ -6,9 +6,10 @@ Four tiers, matching the standard training-data pipeline ladder:
 - ngram-jaccard: shingle inverted index → candidate pairs → exact
                  Jaccard (the shuffle is on shingles, never on pairs —
                  no O(n²) stage; hot shingles capped)
-- minhash-lsh  : k minhashes → bands → bucket join → verify (rows-only
-                 oracle: hash functions are engine-specific)
-- simhash      : 64-bit weighted bit votes, hamming buckets
+- minhash-lsh  : k minhashes → bands → bucket join → verify (fully
+                 value-oracled: every hash is md5-derived, see below)
+- simhash      : 60-bit weighted bit votes, hamming buckets
+- endgame      : connected components → per-doc keep/drop decision
 
 At 100 TB the first two are the workhorses: both are single-shuffle
 shapes keyed by content hash / shingle, which partitions evenly for

@@ -430,11 +430,10 @@ def _kmeans_assign(emb: DataFrame, centroids: list[list[float]]) -> DataFrame:
 
 def q_kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ONE deterministic Lloyd assignment pass from the fixed init —
-    the value-oracled half of ``kmeans_embeddings`` (round-4 verdict
-    task 7): per-cluster sizes and rounded inertia that DuckDB
-    restates exactly (init centroids are raw data values, distances
-    are rounded before the argmin, inertia sums 6dp-rounded terms).
-    The 3-iteration fit stays rows-only."""
+    per-cluster sizes and rounded inertia that DuckDB restates exactly
+    (init centroids are raw data values, distances are rounded before
+    the argmin, inertia sums 6dp-rounded terms).  Kept alongside the
+    fully-oracled 3-iteration fit as the cheap single-pass probe."""
     emb = _kmeans_emb(spark, sf_dir)
     assigned = _kmeans_assign(emb, _kmeans_init(emb))
     return assigned.groupBy("cluster").agg(
