@@ -95,6 +95,10 @@ def merge_upsert(
     read-overwrite cycle otherwise).  Idempotent: re-running the same
     merge is a no-op in content terms.
 
+    Source rows with a NULL ``partition_col`` merge into the null
+    partition (``__HIVE_DEFAULT_PARTITION__``) like any other value:
+    its existing unmatched rows are read back and kept.
+
     Caveat (shared with every partition-scoped MERGE, Delta included
     when the key isn't the partition): if a key MOVES partitions — the
     source carries it under a new ``partition_col`` value — the old
@@ -115,7 +119,18 @@ def merge_upsert(
         touched = [
             r[0] for r in source.select(partition_col).distinct().collect()
         ]
-        target = target.filter(F.col(partition_col).isin(touched))
+        non_null = [v for v in touched if v is not None]
+        # isin() is three-valued: a NULL partition value never matches,
+        # so a plain isin(touched) filter would drop the target's
+        # null-partition rows from `kept` while dynamic overwrite still
+        # rewrites __HIVE_DEFAULT_PARTITION__ — silently deleting the
+        # unmatched keys that lived there.  Match NULL explicitly.
+        cond = (
+            F.col(partition_col).isin(non_null) if non_null else F.lit(False)
+        )
+        if len(non_null) < len(touched):
+            cond = cond | F.col(partition_col).isNull()
+        target = target.filter(cond)
     kept = target.join(source.select(*keys).distinct(), keys, "left_anti")
     merged = kept.unionByName(source).localCheckpoint(eager=True)
     if partition_col:

@@ -149,6 +149,35 @@ def test_merge_upsert_keyed(spark, tmp_path):
     assert again == got
 
 
+def test_merge_upsert_null_partition(spark, tmp_path):
+    """Source rows with a NULL partition value must MERGE into the null
+    partition, not wipe it: pre-existing unmatched keys living under
+    __HIVE_DEFAULT_PARTITION__ survive the dynamic overwrite."""
+    from etl_python_spark.sources.writers import merge_upsert
+
+    path = str(tmp_path / "merged_null")
+    base = spark.createDataFrame(
+        [(1, 2024, "a"), (2, None, "b"), (3, None, "c")],
+        "id long, ano int, v string",
+    )
+    merge_upsert(spark, base, path, keys=["id"], partition_col="ano")
+    src = spark.createDataFrame([(2, None, "B2")], "id long, ano int, v string")
+    merge_upsert(spark, src, path, keys=["id"], partition_col="ano")
+    got = {r.id: (r.ano, r.v) for r in spark.read.parquet(path).collect()}
+    # id=3 (unmatched, null partition) must survive; id=1's partition untouched
+    assert got == {1: (2024, "a"), 2: (None, "B2"), 3: (None, "c")}
+    # NULL-only source must not touch non-null partitions at all
+    src2 = spark.createDataFrame([(4, None, "d")], "id long, ano int, v string")
+    merge_upsert(spark, src2, path, keys=["id"], partition_col="ano")
+    again = {r.id: (r.ano, r.v) for r in spark.read.parquet(path).collect()}
+    assert again == {
+        1: (2024, "a"),
+        2: (None, "B2"),
+        3: (None, "c"),
+        4: (None, "d"),
+    }
+
+
 def test_merge_upsert_unpartitioned(spark, tmp_path):
     from etl_python_spark.sources.writers import merge_upsert
 
