@@ -24,6 +24,12 @@ from ..sources.tables import load_table
 
 MIN_OBS = 6  # skip groups with fewer monthly observations (ref :92-102)
 
+# Fixed forecast horizon of the reference's Prophet job (Modelo de
+# Previsão de Vendas.py:69-83).  Single source of truth for the query
+# defaults AND the oracle SQL below — a non-default call would
+# otherwise silently diverge from the oracle.
+HORIZON_END = "2028-12"
+
 
 def monthly_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-nation monthly revenue with lag-1, 3-month and 6-month
@@ -56,11 +62,66 @@ _FORECAST_SCHEMA = (
 )
 
 
+def _round_away(x, p: int):
+    """Mirror of DuckDB's ROUND(double, p): scale, round half AWAY from
+    zero, unscale.  Python's round()/np.round are banker's (half to
+    even), which disagrees with the oracle engine exactly on the tie
+    values this fit systematically produces (2dp-quantized inputs make
+    residual means land on half-cent boundaries).  trunc(v ± 0.5)
+    equals C's round(v) whenever v ± 0.5 is exact, true for every
+    |v·10^p| < 2^52 here; fuzz-verified bit-equal vs DuckDB over
+    random + tie-structured values."""
+    import numpy as np
+
+    power = 10.0 ** p
+    scaled = np.multiply(x, power)
+    return np.trunc(scaled + np.copysign(0.5, scaled)) / power
+
+
+def _trend_fit(t, y, prec: int):
+    """Population-moment OLS of y on t, rounded to ``prec`` decimals —
+    numerically the same quantities DuckDB's ``regr_slope`` /
+    ``regr_intercept`` aggregates compute, so the fitted parameters are
+    restatable SQL-side.  The rounding quantum absorbs the two engines'
+    float summation-order drift (~1e-9 here), the same trick the
+    k-means oracle uses (similarity.py: 6dp centroid means)."""
+    t_mean = t.mean()
+    y_mean = y.mean()
+    slope_raw = float(
+        ((t - t_mean) * (y - y_mean)).sum() / ((t - t_mean) ** 2).sum()
+    )
+    # intercept from the UNROUNDED slope, like regr_intercept, THEN round
+    icept = float(_round_away(y_mean - slope_raw * t_mean, prec))
+    return float(_round_away(slope_raw, prec)), icept
+
+
+def _seasonal_means(resid, months, prec: int = 6) -> dict[int, float]:
+    """Per-calendar-month mean residual (the seasonal component of the
+    decomposition), rounded at 6dp: for 2dp-rational residuals divided
+    by small per-month counts, an exact tie at the 6dp boundary is
+    arithmetically impossible (2·10^4·c = d·odd has no solution for
+    d ≤ 10), so the engines' summation-order drift cannot flip a
+    digit — unlike 2dp, where means land exactly on half-cents."""
+    import numpy as np
+
+    return {
+        int(m): float(_round_away(resid[months == m].mean(), prec))
+        for m in np.unique(months)
+    }
+
+
 def _fit_predict_group(pdf: pd.DataFrame) -> pd.DataFrame:
-    """Deterministic per-group trend+seasonality fit, executed on the
-    executor via Arrow.  Least-squares on (t, month-dummies); forecast
-    3 months past the last observation; in-sample MAE reported
-    (ref ML.py:106,150 persists per-seller MAE)."""
+    """Deterministic per-group seasonal-decomposition fit, executed on
+    the executor via Arrow: linear trend (population OLS on the month
+    ordinal) + per-calendar-month mean residual, forecast 3 months past
+    the last observation, in-sample MAE reported (ref ML.py:106,150
+    persists per-seller MAE; the RF regressor itself lives in
+    :func:`forecast_per_group_rf` — this fit is the deterministic
+    stand-in whose every number a SQL oracle can restate via
+    ``regr_slope``/``regr_intercept`` + a month-grouped AVG).
+
+    Parameters are rounded to 2dp (currency scale) at fixed points so
+    both engines derive bit-identical downstream doubles."""
     import numpy as np
 
     pdf = pdf.sort_values("mes").reset_index(drop=True)
@@ -70,34 +131,30 @@ def _fit_predict_group(pdf: pd.DataFrame) -> pd.DataFrame:
             columns=["n_name", "mes", "previsao", "mae", "n_obs"]
         ).astype({"previsao": "float64", "mae": "float64", "n_obs": "int32"})
     y = pdf["faturamento"].to_numpy(dtype="float64")
-    t = np.arange(len(y), dtype="float64")
+    n = len(y)
+    t = np.arange(n, dtype="float64")
     months = pd.to_datetime(pdf["mes"]).dt.month.to_numpy()
-    X = np.column_stack(
-        [np.ones_like(t), t]
-        + [(months == m).astype("float64") for m in range(2, 13)]
-    )
-    beta, *_ = np.linalg.lstsq(X, y, rcond=None)
-    fitted = X @ beta
-    mae = float(np.abs(fitted - y).mean())
+    slope, icept = _trend_fit(t, y, prec=2)
+    resid = y - (icept + slope * t)
+    seas = _seasonal_means(resid, months)
+    s_in = np.array([seas[int(m)] for m in months])
+    fitted = icept + slope * t + s_in
+    mae = float(_round_away(np.abs(y - fitted).mean(), 2))
 
     last = pd.to_datetime(pdf["mes"].iloc[-1])
     horizon = pd.date_range(
         last + pd.offsets.MonthBegin(1), periods=3, freq="MS"
     )
-    t_f = np.arange(len(y), len(y) + 3, dtype="float64")
-    m_f = horizon.month.to_numpy()
-    X_f = np.column_stack(
-        [np.ones_like(t_f), t_f]
-        + [(m_f == m).astype("float64") for m in range(2, 13)]
-    )
-    pred = X_f @ beta
+    t_f = np.arange(n, n + 3, dtype="float64")
+    s_f = np.array([seas.get(int(m), 0.0) for m in horizon.month])
+    pred = icept + slope * t_f + s_f
     return pd.DataFrame(
         {
             "n_name": name,
             "mes": horizon.date,
-            "previsao": np.round(pred, 2),
-            "mae": round(mae, 2),
-            "n_obs": len(y),
+            "previsao": _round_away(pred, 2),
+            "mae": mae,
+            "n_obs": n,
         }
     )
 
@@ -194,7 +251,7 @@ _HORIZON_SCHEMA = "mes date, previsao double, tipo string, fator_escala int"
 def forecast_to_horizon(
     spark: SparkSession,
     sf_dir: str,
-    horizon_end: str = "2028-12",
+    horizon_end: str = HORIZON_END,
     multiplicative: bool = True,
 ) -> DataFrame:
     """Whole-series monthly forecast to a FIXED end date with optional
@@ -204,9 +261,13 @@ def forecast_to_horizon(
     the Spark shape: the series is aggregated in Catalyst (tiny), the
     fit runs once inside a single-group ``applyInPandas``.
 
-    Multiplicative mode fits trend+seasonality on log(y) and
-    exponentiates back (the standard decomposition equivalence);
-    additive mode is the plain lstsq fit."""
+    Multiplicative mode fits the seasonal decomposition (population-OLS
+    trend + per-month mean residual) on ln(y) and exponentiates back —
+    the standard equivalence, and every fitted parameter is restatable
+    in SQL (``regr_slope``/``regr_intercept`` over ln(y)), so the whole
+    forecast carries a value oracle; additive mode fits y directly.
+    Parameters round to 6dp on the ln scale (2dp additive) so the
+    engines' summation-order drift can't flip a downstream digit."""
     orders = load_table(spark, sf_dir, "orders")
     monthly = (
         orders.groupBy(F.date_trunc("month", "o_orderdate").cast("date").alias("mes"))
@@ -220,17 +281,16 @@ def forecast_to_horizon(
 
         pdf = pdf.sort_values("mes").reset_index(drop=True)
         y_raw = pdf["faturamento"].to_numpy(dtype="float64")
+        n = len(y_raw)
         # scale auto-correction by median heuristic (:42-51)
         fator = 1000 if float(np.median(y_raw)) < 1_000.0 else 1
         y = y_raw * fator
         months = pd.to_datetime(pdf["mes"]).dt.month.to_numpy()
-        t = np.arange(len(y), dtype="float64")
-        target = np.log(np.maximum(y, 1e-9)) if multiplicative else y
-        X = np.column_stack(
-            [np.ones_like(t), t]
-            + [(months == m).astype("float64") for m in range(2, 13)]
-        )
-        beta, *_ = np.linalg.lstsq(X, target, rcond=None)
+        t = np.arange(n, dtype="float64")
+        target = np.log(y) if multiplicative else y
+        prec = 6 if multiplicative else 2
+        slope, icept = _trend_fit(t, target, prec=prec)
+        seas = _seasonal_means(target - (icept + slope * t), months)
         last = pd.to_datetime(pdf["mes"].iloc[-1])
         horizon = pd.date_range(
             last + pd.offsets.MonthBegin(1), end, freq="MS"
@@ -239,19 +299,15 @@ def forecast_to_horizon(
             return pd.DataFrame(
                 columns=["mes", "previsao", "tipo", "fator_escala"]
             ).astype({"previsao": "float64", "fator_escala": "int32"})
-        t_f = np.arange(len(y), len(y) + len(horizon), dtype="float64")
-        m_f = horizon.month.to_numpy()
-        X_f = np.column_stack(
-            [np.ones_like(t_f), t_f]
-            + [(m_f == m).astype("float64") for m in range(2, 13)]
-        )
-        pred = X_f @ beta
+        t_f = np.arange(n, n + len(horizon), dtype="float64")
+        s_f = np.array([seas.get(int(m), 0.0) for m in horizon.month])
+        pred = icept + slope * t_f + s_f
         if multiplicative:
             pred = np.exp(pred)
         return pd.DataFrame(
             {
                 "mes": horizon.date,
-                "previsao": np.round(pred / fator, 2),
+                "previsao": _round_away(pred / fator, 2),
                 "tipo": "multiplicativa" if multiplicative else "aditiva",
                 "fator_escala": fator,
             }
@@ -265,7 +321,7 @@ def forecast_to_horizon(
 
 
 def q_forecast_horizon(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return forecast_to_horizon(spark, sf_dir, "2028-12", multiplicative=True)
+    return forecast_to_horizon(spark, sf_dir, HORIZON_END, multiplicative=True)
 
 
 def q_horizon_spine(
@@ -311,7 +367,7 @@ def q_horizon_spine(
     )
 
 
-ORACLE_HORIZON_SPINE = """
+ORACLE_HORIZON_SPINE = f"""
 WITH monthly AS (
   SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS mes,
          ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 2) AS faturamento
@@ -323,8 +379,8 @@ WITH monthly AS (
   SELECT s.n_obs, s.med, CAST(h.m AS DATE) AS mes,
          ROW_NUMBER() OVER (ORDER BY h.m) - 1 AS pos
   FROM s, unnest(generate_series(CAST(s.last_mes + INTERVAL 1 MONTH AS DATE),
-                                 DATE '2028-12-01', INTERVAL 1 MONTH)) AS h(m)
-  WHERE CAST(s.last_mes + INTERVAL 1 MONTH AS DATE) <= DATE '2028-12-01'
+                                 DATE '{HORIZON_END}-01', INTERVAL 1 MONTH)) AS h(m)
+  WHERE CAST(s.last_mes + INTERVAL 1 MONTH AS DATE) <= DATE '{HORIZON_END}-01'
 )
 SELECT mes,
        CAST(n_obs + pos AS INT) AS mes_idx,
@@ -333,6 +389,106 @@ SELECT mes,
        CAST(n_obs AS INT) AS n_obs,
        'multiplicativa' AS tipo
 FROM spine
+"""
+
+
+# DuckDB restatement of the per-group seasonal-decomposition fit:
+# regr_slope/regr_intercept ARE the population-moment OLS the Python
+# fit computes, each parameter rounded at the same point (2dp) so both
+# engines continue from bit-identical doubles.
+ORACLE_FORECAST_PER_GROUP = f"""
+WITH monthly AS (
+  SELECT n.n_name, CAST(date_trunc('month', o.o_orderdate) AS DATE) AS mes,
+         ROUND(CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 2) AS y
+  FROM orders o
+  JOIN customer c ON o.o_custkey = c.c_custkey
+  JOIN nation n ON c.c_nationkey = n.n_nationkey
+  GROUP BY 1, 2
+), idx AS (
+  SELECT n_name, mes, y,
+         CAST(ROW_NUMBER() OVER (PARTITION BY n_name ORDER BY mes) - 1 AS DOUBLE) AS t,
+         month(mes) AS m
+  FROM monthly
+), fit AS (
+  SELECT n_name,
+         ROUND(regr_slope(y, t), 2) AS slope,
+         ROUND(regr_intercept(y, t), 2) AS icept,
+         COUNT(*) AS n_obs, MAX(mes) AS last_mes
+  FROM idx GROUP BY 1 HAVING COUNT(*) >= {MIN_OBS}
+), resid AS (
+  SELECT i.n_name, i.m, i.t, i.y, f.icept, f.slope,
+         i.y - (f.icept + f.slope * i.t) AS r
+  FROM idx i JOIN fit f USING (n_name)
+), seas AS (
+  SELECT n_name, m, ROUND(AVG(r), 6) AS s FROM resid GROUP BY 1, 2
+), err AS (
+  SELECT r.n_name,
+         ROUND(AVG(ABS(r.y - (r.icept + r.slope * r.t + s.s))), 2) AS mae
+  FROM resid r JOIN seas s ON s.n_name = r.n_name AND s.m = r.m
+  GROUP BY 1
+), future AS (
+  SELECT f.n_name, f.slope, f.icept, f.n_obs,
+         CAST(f.last_mes + to_months(k.k) AS DATE) AS mes,
+         CAST(f.n_obs - 1 + k.k AS DOUBLE) AS t_f
+  FROM fit f CROSS JOIN (VALUES (1), (2), (3)) k(k)
+)
+SELECT fu.n_name, fu.mes,
+       ROUND(fu.icept + fu.slope * fu.t_f + COALESCE(s.s, 0.0), 2) AS previsao,
+       e.mae,
+       CAST(fu.n_obs AS INT) AS n_obs
+FROM future fu
+LEFT JOIN seas s ON s.n_name = fu.n_name AND s.m = month(fu.mes)
+JOIN err e ON e.n_name = fu.n_name
+"""
+
+
+# Whole-series multiplicative fit: the same decomposition on ln(y·fator)
+# (6dp parameter rounding on the ln scale), exponentiated back over the
+# fixed horizon spine.  exp() may differ between engines by ~1 ulp of
+# the result; the 2dp rounding of ~1e7-scale predictions leaves ~9
+# orders of magnitude of margin.
+ORACLE_FORECAST_HORIZON = f"""
+WITH monthly AS (
+  SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS mes,
+         ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 2) AS y
+  FROM orders GROUP BY 1
+), idx AS (
+  SELECT mes, y,
+         CAST(ROW_NUMBER() OVER (ORDER BY mes) - 1 AS DOUBLE) AS t,
+         month(mes) AS m
+  FROM monthly
+), st AS (
+  SELECT COUNT(*) AS n_obs, MAX(mes) AS last_mes,
+         CASE WHEN median(y) < 1000 THEN 1000 ELSE 1 END AS fator
+  FROM monthly
+), idx2 AS (
+  SELECT i.mes, i.t, i.m, ln(i.y * st.fator) AS ly,
+         st.n_obs, st.last_mes, st.fator
+  FROM idx i CROSS JOIN st
+), fit AS (
+  SELECT ROUND(regr_slope(ly, t), 6) AS slope,
+         ROUND(regr_intercept(ly, t), 6) AS icept,
+         ANY_VALUE(n_obs) AS n_obs, ANY_VALUE(last_mes) AS last_mes,
+         ANY_VALUE(fator) AS fator
+  FROM idx2
+), seas AS (
+  SELECT i.m, ROUND(AVG(i.ly - (f.icept + f.slope * i.t)), 6) AS s
+  FROM idx2 i CROSS JOIN fit f GROUP BY 1
+), spine AS (
+  SELECT CAST(h.m AS DATE) AS mes,
+         CAST(f.n_obs - 1 + ROW_NUMBER() OVER (ORDER BY h.m) AS DOUBLE) AS t_f,
+         f.slope, f.icept, f.fator
+  FROM fit f,
+       unnest(generate_series(CAST(f.last_mes + INTERVAL 1 MONTH AS DATE),
+                              DATE '{HORIZON_END}-01', INTERVAL 1 MONTH)) AS h(m)
+  WHERE CAST(f.last_mes + INTERVAL 1 MONTH AS DATE) <= DATE '{HORIZON_END}-01'
+)
+SELECT sp.mes,
+       ROUND(exp(sp.icept + sp.slope * sp.t_f + COALESCE(se.s, 0.0)) / sp.fator, 2)
+         AS previsao,
+       'multiplicativa' AS tipo,
+       CAST(sp.fator AS INT) AS fator_escala
+FROM spine sp LEFT JOIN seas se ON se.m = month(sp.mes)
 """
 
 
@@ -429,6 +585,7 @@ ORACLES = {
     "ml_lag_features": ORACLE_FEATURES,
     "ml_proxy_features": ORACLE_PROXY,
     "ml_horizon_spine": ORACLE_HORIZON_SPINE,
-    # ml_forecast_per_group / ml_forecast_horizon: model fits →
-    # rows-only check; their deterministic spine is ml_horizon_spine
+    "ml_forecast_per_group": ORACLE_FORECAST_PER_GROUP,
+    "ml_forecast_horizon": ORACLE_FORECAST_HORIZON,
+    # forecast_per_group_rf (sklearn seam) stays rows-only by design
 }
