@@ -419,9 +419,20 @@ def _sql_band_key(names) -> str:
     return expr
 
 
-def q_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_minhash_lsh_pairs(
+    spark: SparkSession, sf_dir: str, persist_mode: str = "checkpoint"
+) -> DataFrame:
     """Near-dup pairs via MinHash signatures + LSH banding, verified
     with exact Jaccard ≥ 0.2 over hashed shingle sets.
+
+    ``persist_mode`` picks how the shared per-doc relation is
+    materialized: ``"checkpoint"`` (default, the bench shape) uses an
+    eager ``localCheckpoint`` — fastest, but executor-local and NOT
+    fault-tolerant (a lost executor fails the job, lineage is
+    truncated); ``"persist"`` uses ``persist(MEMORY_AND_DISK)`` — the
+    production default on a long-lived cluster: same compute-once
+    sharing, and a lost block is recomputed from lineage instead of
+    failing the job.  Both return identical rows.
 
     k=32 universal-hash minhashes per doc — mh_i = min over shingles of
     (a_i·H + b_i) mod P, where H is the engine-agnostic 60-bit md5
@@ -466,11 +477,16 @@ def q_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Materialize once; both branches below read these partitions.
     # Per-invocation cost (each bench run recomputes — no cross-run
     # cache flattery); size is docs × (32 longs + hashed set).
-    # localCheckpoint is executor-local and not fault-tolerant (lost
-    # executor → failed job, lineage is truncated); on a long-lived
-    # production cluster prefer .persist(MEMORY_AND_DISK) — same
-    # compute-once sharing, recomputable — or stage to a temp table.
-    per_doc = per_doc.localCheckpoint(eager=True)
+    if persist_mode == "checkpoint":
+        per_doc = per_doc.localCheckpoint(eager=True)
+    elif persist_mode == "persist":
+        from pyspark import StorageLevel
+
+        per_doc = per_doc.persist(StorageLevel.MEMORY_AND_DISK)
+    else:
+        raise ValueError(
+            f"persist_mode must be 'checkpoint' or 'persist', got {persist_mode!r}"
+        )
 
     rows_per_band = MINHASH_K // LSH_BANDS
     band_cols = []
