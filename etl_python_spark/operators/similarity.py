@@ -406,24 +406,27 @@ def _kmeans_init(emb: DataFrame) -> list[list[float]]:
     ]
 
 
+def _dist2_lit(vec_col, centroid: list[float]):
+    """6dp-rounded squared-L2 distance to a centroid LITERAL — the
+    rounding happens before any argmin/rank so the engines' float fold
+    orders can't flip a near-tie."""
+    c = F.array(*[F.lit(float(x)) for x in centroid])
+    return F.round(
+        F.aggregate(
+            F.zip_with(vec_col, c, lambda a, b: (a - b) * (a - b)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ),
+        6,
+    )
+
+
 def _kmeans_assign(emb: DataFrame, centroids: list[list[float]]) -> DataFrame:
     """Squared-L2 argmin against the K current centroids, evaluated as
     broadcast literals inside one projection (no join, no shuffle for
     the small side); distances rounded to 6dp before the argmin so the
     tie-break (lowest cluster id) is engine-agnostic."""
-
-    def dist2(vec_col, centroid: list[float]):
-        c = F.array(*[F.lit(float(x)) for x in centroid])
-        return F.round(
-            F.aggregate(
-                F.zip_with(vec_col, c, lambda a, b: (a - b) * (a - b)),
-                F.lit(0.0),
-                lambda acc, x: acc + x,
-            ),
-            6,
-        )
-
-    d = F.array(*[dist2(F.col("v"), c) for c in centroids])
+    d = F.array(*[_dist2_lit(F.col("v"), c) for c in centroids])
     best = F.array_position(d, F.array_min(d)).cast("int") - 1
     return emb.withColumn("cluster", best).withColumn("dist2", F.array_min(d))
 
@@ -488,8 +491,19 @@ def q_kmeans_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     (generated per-iteration CTEs, empty-cluster keep-previous
     fallback included) instead of a rows-only check."""
     emb = _kmeans_emb(spark, sf_dir)
-    centroids = _kmeans_init(emb)
+    final = _kmeans_assign(emb, _kmeans_fit(emb))
+    return final.groupBy("cluster").agg(
+        F.count("*").alias("n_members"),
+        F.round(F.sum("dist2"), 4).alias("inertia"),
+    )
 
+
+def _kmeans_fit(emb: DataFrame) -> list[list[float]]:
+    """KMEANS_ITERS rounds of Lloyd's from the fixed init (see
+    :func:`q_kmeans_embeddings` for the distributed shape and the
+    determinism contract).  Returns the final K centroids — the coarse
+    quantizer both the cluster report and the fitted IVF index share."""
+    centroids = _kmeans_init(emb)
     for _ in range(KMEANS_ITERS):
         assigned = _kmeans_assign(emb, centroids)
         dims = assigned.select(
@@ -510,28 +524,84 @@ def q_kmeans_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         new_centroids = dict((r.cluster, list(r.centroid)) for r in means)
         centroids = [new_centroids.get(i, centroids[i]) for i in range(KMEANS_K)]
+    return centroids
 
-    final = _kmeans_assign(emb, centroids)
-    return final.groupBy("cluster").agg(
-        F.count("*").alias("n_members"),
-        F.round(F.sum("dist2"), 4).alias("inertia"),
+
+def q_ann_ivf_fitted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF with a REAL coarse quantizer: the k-means centroids from
+    :func:`_kmeans_fit` (not a vec_id sample like :func:`q_ann_ivf`)
+    become the IVF cells — fit → broadcast centroid literals →
+    squared-L2 posting lists → probe the N_PROBE nearest cells → exact
+    cosine top-k among candidates.  This is the composition a 100 TB
+    deployment runs: the fit's K×dim result is driver-side kilobytes,
+    the corpus assignment is ONE projection (argmin over centroid
+    literals — no join, no shuffle), and the posting-list cell id is
+    the partition key every query batch reuses.
+
+    Every candidate pair appears at most once (each corpus vector
+    lives in exactly one cell), so no dedup step is needed.  Fully
+    value-oracled: the oracle restates the 3-iteration fit CTEs the
+    kmeans oracle already carries, then the same posting/probe/rank
+    pipeline."""
+    emb = _kmeans_emb(spark, sf_dir)
+    centroids = _kmeans_fit(emb)
+
+    posting = _kmeans_assign(emb, centroids).select(
+        F.col("vec_id").alias("n_id"),
+        F.col("v").alias("n_emb"),
+        F.col("cluster").alias("c_id"),
+    )
+
+    cells = F.array(
+        *[
+            F.struct(F.lit(k).alias("c_id"), _dist2_lit(F.col("v"), c).alias("d2"))
+            for k, c in enumerate(centroids)
+        ]
+    )
+    w_probe = Window.partitionBy("q_id").orderBy(F.asc("d2"), F.asc("c_id"))
+    probes = (
+        emb.filter(F.col("vec_id") < N_QUERY)
+        .select(
+            F.col("vec_id").alias("q_id"),
+            F.col("v").alias("q_emb"),
+            F.explode(cells).alias("dc"),
+        )
+        .select("q_id", "q_emb", F.col("dc.c_id").alias("c_id"), F.col("dc.d2").alias("d2"))
+        .withColumn("rnk", F.row_number().over(w_probe))
+        .filter(F.col("rnk") <= N_PROBE)
+        .select("q_id", "q_emb", "c_id")
+    )
+
+    cand = posting.join(F.broadcast(probes), "c_id").filter(
+        F.col("q_id") != F.col("n_id")
+    )
+    cos = F.round(
+        _dot(F.col("q_emb"), F.col("n_emb"))
+        / F.nullif(_norm(F.col("q_emb")) * _norm(F.col("n_emb")), F.lit(0.0)),
+        4,
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("cosine"), F.asc("n_id"))
+    return (
+        cand.select("q_id", "n_id", cos.alias("cosine"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_K)
     )
 
 
-def _kmeans_full_oracle() -> str:
-    """Generate the DuckDB restatement of the full Lloyd fit: for each
-    of the KMEANS_ITERS iterations, an assignment CTE (rounded squared-
-    L2 argmin, lowest-cluster tie-break) and a centroid-update CTE
+def _sql_d2(v: str, c: str) -> str:
+    return (
+        f"ROUND(list_sum(list_transform(range(1, {EMB_DIM} + 1), "
+        f"i -> ({v}[i] - {c}[i]) * ({v}[i] - {c}[i]))), 6)"
+    )
+
+
+def _kmeans_fit_ctes() -> str:
+    """The shared DuckDB restatement of the Lloyd fit: for each of the
+    KMEANS_ITERS iterations, an assignment CTE (rounded squared-L2
+    argmin, lowest-cluster tie-break) and a centroid-update CTE
     (per-dim 6dp-rounded means, keep-previous fallback for empty
-    clusters), then a final assignment aggregated to sizes+inertia —
-    value-for-value the Spark pipeline."""
-
-    def d2(v: str, c: str) -> str:
-        return (
-            f"ROUND(list_sum(list_transform(range(1, {EMB_DIM} + 1), "
-            f"i -> ({v}[i] - {c}[i]) * ({v}[i] - {c}[i]))), 6)"
-        )
-
+    clusters).  Ends with the ``cent_{KMEANS_ITERS}`` CTE both the
+    kmeans report oracle and the fitted-IVF oracle build on."""
     parts = [
         f"""
 WITH emb AS (
@@ -548,7 +618,7 @@ WITH emb AS (
         parts.append(
             f"""
 , d_{it} AS (
-  SELECT e.vec_id, e.v, c.k, {d2('e.v', 'c.c')} AS d2
+  SELECT e.vec_id, e.v, c.k, {_sql_d2('e.v', 'c.c')} AS d2
   FROM emb e CROSS JOIN {cur} c
 ), assign_{it} AS (
   SELECT vec_id, v, k FROM (
@@ -569,14 +639,20 @@ WITH emb AS (
 )"""
         )
         cur = f"cent_{it}"
-    parts.append(
-        f"""
+    return "".join(parts)
+
+
+_CENT_FINAL = f"cent_{KMEANS_ITERS}"
+
+ORACLE_KMEANS_FULL = (
+    _kmeans_fit_ctes()
+    + f"""
 , final AS (
   SELECT vec_id, k, d2 FROM (
-    SELECT e.vec_id, c.k, {d2('e.v', 'c.c')} AS d2,
+    SELECT e.vec_id, c.k, {_sql_d2('e.v', 'c.c')} AS d2,
            ROW_NUMBER() OVER (PARTITION BY e.vec_id
-             ORDER BY {d2('e.v', 'c.c')} ASC, c.k ASC) AS rnk
-    FROM emb e CROSS JOIN {cur} c
+             ORDER BY {_sql_d2('e.v', 'c.c')} ASC, c.k ASC) AS rnk
+    FROM emb e CROSS JOIN {_CENT_FINAL} c
   ) WHERE rnk = 1
 )
 SELECT CAST(k AS INT) AS cluster,
@@ -584,11 +660,39 @@ SELECT CAST(k AS INT) AS cluster,
        ROUND(SUM(d2), 4) AS inertia
 FROM final GROUP BY 1
 """
-    )
-    return "".join(parts)
+)
 
-
-ORACLE_KMEANS_FULL = _kmeans_full_oracle()
+ORACLE_ANN_IVF_FITTED = (
+    _kmeans_fit_ctes()
+    + f"""
+, corpus_cells AS (
+  SELECT vec_id AS n_id, v AS n_emb, k AS c_id FROM (
+    SELECT e.vec_id, e.v, c.k,
+           ROW_NUMBER() OVER (PARTITION BY e.vec_id
+             ORDER BY {_sql_d2('e.v', 'c.c')} ASC, c.k ASC) AS rnk
+    FROM emb e CROSS JOIN {_CENT_FINAL} c
+  ) WHERE rnk = 1
+), probes AS (
+  SELECT q_id, q_emb, c_id FROM (
+    SELECT e.vec_id AS q_id, e.v AS q_emb, c.k AS c_id,
+           ROW_NUMBER() OVER (PARTITION BY e.vec_id
+             ORDER BY {_sql_d2('e.v', 'c.c')} ASC, c.k ASC) AS rnk
+    FROM emb e CROSS JOIN {_CENT_FINAL} c
+    WHERE e.vec_id < {N_QUERY}
+  ) WHERE rnk <= {N_PROBE}
+), scored AS (
+  SELECT p.q_id, cc.n_id,
+         ROUND({_DK_COS.format(a='p.q_emb', b='cc.n_emb')}, 4) AS cosine
+  FROM probes p JOIN corpus_cells cc ON p.c_id = cc.c_id
+  WHERE p.q_id <> cc.n_id
+), ranked AS (
+  SELECT q_id, n_id, cosine,
+         ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cosine DESC, n_id ASC) AS rank
+  FROM scored
+)
+SELECT q_id, n_id, cosine, rank FROM ranked WHERE rank <= {TOP_K}
+"""
+)
 
 
 def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -638,6 +742,7 @@ QUERIES = {
     "ann_bruteforce_pandas": q_ann_bruteforce_pandas,
     "ann_lsh": q_ann_lsh,
     "ann_ivf": q_ann_ivf,
+    "ann_ivf_fitted": q_ann_ivf_fitted,
     "kmeans_embeddings": q_kmeans_embeddings,
     "kmeans_assign": q_kmeans_assign,
     "embedding_neardup": q_embedding_neardup,
@@ -647,6 +752,7 @@ ORACLES = {
     "ann_bruteforce": ORACLE_ANN_BRUTEFORCE,
     "ann_bruteforce_pandas": ORACLE_ANN_BRUTEFORCE,
     "ann_ivf": ORACLE_ANN_IVF,
+    "ann_ivf_fitted": ORACLE_ANN_IVF_FITTED,
     "embedding_neardup": ORACLE_EMB_NEARDUP,
     "ann_lsh": ORACLE_ANN_LSH,
     "kmeans_assign": ORACLE_KMEANS_ASSIGN,
