@@ -141,3 +141,75 @@ def test_dedup_within_watermark_drops_in_window_dups(spark, tmp_path):
     assert a_rows == ["2026-01-01 10:00:00"], rows
     # distinct keys always emit
     assert ("B", "2026-01-02 00:00:00") in rows, rows
+
+
+def test_dedup_reemit_after_watermark_expiry(spark, tmp_path):
+    """Pins the single-microbatch assumption the stream_dedup_exact
+    oracle documents (file_stream.py, ORACLE_STREAM_DEDUP comment):
+    under a multi-batch source (maxFilesPerTrigger=1), a key recurring
+    AFTER its watermark state expired is re-emitted, so the stream
+    output becomes a strict SUPERSET of batch DISTINCT.  The driver's
+    events source drains as one file today; if a testdata regeneration
+    ever splits it into several files, the oracle hash breaks through
+    exactly this mechanism — this test is the tripwire that names it."""
+    import glob
+    import os
+    import shutil
+    import time
+    import uuid
+
+    src = tmp_path / "reemit_src"
+    src.mkdir()
+
+    def write_file(name, rows, mtime):
+        df = spark.createDataFrame(rows, "ts string, k string").select(
+            F.to_timestamp("ts").alias("ts"), "k"
+        )
+        staging = str(tmp_path / f"_stg_{name}")
+        df.coalesce(1).write.mode("overwrite").parquet(staging)
+        (part,) = glob.glob(os.path.join(staging, "part-*.parquet"))
+        dest = str(src / f"{name}.parquet")
+        shutil.move(part, dest)
+        os.utime(dest, (mtime, mtime))
+
+    now = time.time()
+    # batch 0: A first seen.  batch 1: watermark jumps a day ahead
+    # (10:00 + 1 h delay < new watermark).  batch 2: eviction runs
+    # under the advanced watermark (cleanup lags one batch — the
+    # watermark updates at batch END, and in-batch dup checks see
+    # state before cleanup).  batch 3: A recurs → no state left →
+    # RE-EMITTED.
+    write_file("f1", [("2026-01-01 10:00:00", "A")], now - 100)
+    write_file("f2", [("2026-01-02 00:00:00", "B")], now - 75)
+    write_file("f3", [("2026-01-02 00:05:00", "C")], now - 50)
+    write_file("f4", [("2026-01-02 00:30:00", "A")], now)
+
+    stream = (
+        spark.readStream.schema("ts timestamp, k string")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(src))
+    )
+    deduped = (
+        stream.withWatermark("ts", "1 hour")
+        .dropDuplicatesWithinWatermark(["k"])
+        .select("k", "ts")
+    )
+    name = f"reemit_{uuid.uuid4().hex[:8]}"
+    q = (
+        deduped.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt_reemit"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = sorted((r.k, str(r.ts)) for r in spark.table(name).collect())
+    # A emitted TWICE — once per expiry window — while batch DISTINCT
+    # over the key column alone would keep one: strict superset.
+    assert rows == [
+        ("A", "2026-01-01 10:00:00"),
+        ("A", "2026-01-02 00:30:00"),
+        ("B", "2026-01-02 00:00:00"),
+        ("C", "2026-01-02 00:05:00"),
+    ], rows
