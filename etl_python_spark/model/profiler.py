@@ -82,10 +82,20 @@ def profile(df: DataFrame, exact_distinct: bool = True) -> list[Row]:
     return out
 
 
-def suggest_primary_key(df: DataFrame, max_cols: int = 2) -> list[str] | None:
+def suggest_primary_key(
+    df: DataFrame, max_cols: int = 2, max_rows: int = 10_000_000
+) -> list[str] | None:
     """PK suggestion (ref :237-255): first single column with full
     uniqueness; else the first unique 2-column combination among key
-    candidates."""
+    candidates.
+
+    DIM-SCALE ONLY: the pair search runs one ``distinct().count()``
+    job — a full shuffle — per candidate pair, which is fine for the
+    dimension/catalog audits it targets and pathological pointed at a
+    fact table (dozens of fact-wide shuffles).  The ``max_rows`` guard
+    makes that misuse fail fast; raise it deliberately if you really
+    mean it, or key-audit a fact table with one explicit
+    ``groupBy(keys).count()`` instead."""
     stats = profile(df)
     n = stats[0].rows if stats else 0
     singles = [s.column for s in stats if s.distinct == n and s.nulls == 0]
@@ -93,6 +103,13 @@ def suggest_primary_key(df: DataFrame, max_cols: int = 2) -> list[str] | None:
         return [singles[0]]
     if max_cols < 2:
         return None
+    if n > max_rows:
+        raise ValueError(
+            f"suggest_primary_key pair search is dim-scale-only: {n} rows "
+            f"> max_rows={max_rows} would run a full shuffle per candidate "
+            "pair; pass a larger max_rows deliberately or audit the key "
+            "with an explicit groupBy(keys).count()"
+        )
     candidates = [s.column for s in stats if s.uniqueness > 0.5 and s.nulls == 0]
     for i, a in enumerate(candidates):
         for b in candidates[i + 1 :]:

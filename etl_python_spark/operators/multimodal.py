@@ -97,6 +97,18 @@ def decode_bmp(payload: bytes) -> DecodedImage:
     bottom_up = height > 0
     h = abs(height)
     stride = (width * 3 + 3) & ~3
+    # Bounds validation: Python slices never raise, so without this a
+    # truncated payload (or a data_off pointing past the end) would
+    # silently yield short/empty pixel tuples and plausible-looking
+    # dims over garbage — fail loudly instead.
+    if width <= 0 or h <= 0:
+        raise ValueError(f"invalid BMP dimensions {width}x{height}")
+    if data_off < 54 or data_off + stride * h > len(payload):
+        raise ValueError(
+            f"truncated BMP: need {data_off + stride * h} bytes "
+            f"({width}x{h}, stride {stride}, data at {data_off}), "
+            f"payload has {len(payload)}"
+        )
     rows = []
     for r in range(h):
         src = h - 1 - r if bottom_up else r

@@ -274,19 +274,29 @@ def unique_column_names(cells: list[str | None]) -> list[str]:
     literal header cell (['valor','valor','valor_2'] once yielded
     'valor_2' twice), so the suffix keeps incrementing until the name
     is unique against both the already-assigned names and every
-    literal header value."""
+    literal header value.  A GENERATED ``_c{i}`` has no claim on its
+    base either: when some literal cell is also ``_c{i}``, the literal
+    keeps its exact name and the positional one takes a suffix —
+    otherwise the None cell would steal the literal's name and push it
+    to ``_c{i}_2``."""
     names: list[str] = []
     taken: set[str] = set()
-    seen: dict[str, int] = {}
     header_cells = {c for c in cells if c is not None}
     for i, cell in enumerate(cells):
+        generated = cell is None
         base = cell if cell is not None else f"_c{i}"
-        n = seen.get(base, 0) + 1
-        seen[base] = n
-        name = base if n == 1 else f"{base}_{n}"
-        while name in taken or (name != base and name in header_cells):
-            n += 1
-            seen[base] = n
+        # a literal's own text is never blocked by the header set (its
+        # first occurrence keeps it); everything else must dodge both
+        # assigned names and every literal header value
+        blocked = taken | (
+            header_cells if generated else header_cells - {base}
+        )
+        if base not in blocked:
+            name = base
+        else:
+            n = 2
+            while f"{base}_{n}" in blocked:
+                n += 1
             name = f"{base}_{n}"
         taken.add(name)
         names.append(name)

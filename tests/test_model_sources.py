@@ -53,6 +53,26 @@ def test_profiler_roles(spark):
     assert pk == ["c_custkey"]
 
 
+def test_suggest_pk_pair_search_guard(spark):
+    """The 2-column pair search (one distinct().count() shuffle per
+    candidate pair) is dim-scale-only: fact-sized input without a
+    single-column key must fail fast instead of launching dozens of
+    fact-wide shuffles.  A single-column key short-circuits before the
+    guard regardless of size."""
+    import pytest
+
+    # no single unique column, two >0.5-uniqueness candidates whose
+    # combination IS unique → reaches the pair search → guarded
+    a_vals = [0, 1, 2, 3, 4, 4, 4, 4]
+    b_vals = [0, 0, 0, 3, 4, 5, 6, 7]
+    dup = spark.createDataFrame(
+        [(a, b, 1.0) for a, b in zip(a_vals, b_vals)], "a int, b int, v double"
+    )
+    with pytest.raises(ValueError, match="dim-scale-only"):
+        suggest_primary_key(dup, max_rows=4)
+    assert suggest_primary_key(dup, max_rows=1000) == ["a", "b"]
+
+
 def test_star_builder(spark):
     orders = spark.read.parquet(f"{SF_SMOKE}/orders.parquet").limit(200)
     fact, dims = build_star(orders, {"status": ["o_orderstatus"]})

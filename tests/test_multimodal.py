@@ -87,6 +87,27 @@ def test_decode_real_bmp_executes_everywhere():
             assert img.getpixel((x, y)) == px
 
 
+def test_decode_bmp_truncation_fails_loudly():
+    """Bounds validation: a truncated payload, a data offset pointing
+    past the end, or nonsense dimensions must raise — Python slices
+    would otherwise silently yield short pixel rows and plausible dims
+    over garbage."""
+    import struct
+
+    good = _encode_bmp([[(1, 2, 3), (4, 5, 6)], [(7, 8, 9), (10, 11, 12)]])
+    assert mm.decode_bmp(good).size == (2, 2)
+    with pytest.raises(ValueError, match="truncated"):
+        mm.decode_bmp(good[:-3])  # body cut short
+    # data_off pointing past the end of the payload
+    bad_off = good[:10] + struct.pack("<I", len(good) + 40) + good[14:]
+    with pytest.raises(ValueError, match="truncated"):
+        mm.decode_bmp(bad_off)
+    # zero-width image
+    bad_w = good[:18] + struct.pack("<i", 0) + good[22:]
+    with pytest.raises(ValueError, match="dimensions"):
+        mm.decode_bmp(bad_w)
+
+
 def test_decode_dims_real_through_spark(spark):
     """Real decode through the Spark plumbing: BMP payloads in a binary
     column, decoded per Arrow batch by mapInPandas via the same

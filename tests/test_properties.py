@@ -154,7 +154,7 @@ def test_pack_spans_invariants(spark, rows, n_shards):
     st.lists(
         st.one_of(
             st.none(),
-            st.from_regex(r"[a-z]{1,4}(_[0-9]{1,2})?", fullmatch=True),
+            st.from_regex(r"(_c[0-9]|[a-z]{1,4})(_[0-9]{1,2})?", fullmatch=True),
         ),
         min_size=1,
         max_size=12,
@@ -162,19 +162,38 @@ def test_pack_spans_invariants(spark, rows, n_shards):
 )
 def test_unique_column_names_always_unique(cells):
     """Pure property (no Spark): for ANY header row — nulls, repeats,
-    literal cells that look like generated suffixes — the promoted
-    names are pairwise unique and non-null preserved cells keep their
-    text as a prefix."""
+    literal cells that look like generated ``_c{i}`` names or suffixes
+    — the promoted names are pairwise unique, non-null cells keep
+    their text as a prefix, and the FIRST occurrence of every literal
+    keeps its exact text (a generated positional name never steals
+    it)."""
     from etl_python_spark.sources.readers import unique_column_names
 
     names = unique_column_names(cells)
     assert len(names) == len(cells)
     assert len(set(names)) == len(names), (cells, names)
+    first_seen: set = set()
     for i, (cell, name) in enumerate(zip(cells, names)):
         if cell is None:
             assert name.startswith(f"_c{i}")
         else:
             assert name == cell or name.startswith(cell + "_"), (cells, names)
+            if cell not in first_seen:
+                assert name == cell, (cells, names)
+                first_seen.add(cell)
+
+
+def test_unique_column_names_generated_never_steals_literal():
+    """Regression: a None header at position 0 must not claim '_c0'
+    when a later literal cell IS '_c0'."""
+    from etl_python_spark.sources.readers import unique_column_names
+
+    assert unique_column_names([None, "_c0"]) == ["_c0_2", "_c0"]
+    assert unique_column_names(["valor", "valor", "valor_2"]) == [
+        "valor",
+        "valor_3",
+        "valor_2",
+    ]
 
 
 def test_pack_sequences_shards_follow_parallelism(spark):
