@@ -22,50 +22,19 @@ from pyspark.sql import DataFrame, SparkSession
 #     their round-1 verdict remains valid evidence).
 # Names absent from this tuple keep module order after the block.
 VERIFY_PRIORITY = (
-    # Round-5 rotation (round-4 verdict task 2).
-    # (a) changed or new this round — no valid verdict exists:
-    #     minhash single-pass rewrite; kmeans_assign + ml_horizon_spine
-    #     are new value-oracled splits; media_features/rolling_chunks
-    #     oracles gained NULL/empty-text branches; corpus.py gained the
-    #     broadcast guard + parameterized shards; kmeans_embeddings was
-    #     refactored onto shared helpers; stream_dedup_exact's file was
-    #     touched (assumption note).
+    # Round-6 rotation (round-5 verdict task 2).
+    # (a) never driver-verified, or new this round:
+    "dedup_keep_canonical",   # added r5 one slot past the window — zero verdicts ever
+    "ann_ivf_fitted",         # new r6: fitted-centroid IVF composition
+    "ml_forecast_per_group",  # r6 rewrite: seasonal-decomposition fit, first value oracle
+    "ml_forecast_horizon",    # r6 rewrite: same — was err:no_oracle through r5
+    # (b) files changed in r6, so the r5/r4 verdicts are stale:
+    #     dedup.py (persist_mode switch), similarity.py (fitted-IVF
+    #     refactor shares helpers), ml/forecast.py (oracle rewrite),
+    #     multimodal.py (BMP bounds validation).
     "minhash_lsh_pairs",
-    "kmeans_assign",
-    "ml_horizon_spine",
-    "media_features",
-    "rolling_chunks",
-    "decontaminate",
-    "pack_sequences",
-    "sample_stratified",
-    "corpus_mix",
-    "kmeans_embeddings",
-    "ml_forecast_horizon",
-    "stream_dedup_exact",
-    # (b) touched in r4 without a fresh driver verdict (round-4
-    #     verdict task 2 lead list)
-    "sliding_event_counts",
-    "multimodal_metadata",
-    "media_resize",
-    "frame_sample",
-    "ngram_jaccard_pairs",
-    # (c) the rest of the 39 queries whose latest verdict is r3 —
-    #     after this window no query's verdict is older than the last
-    #     code change to its file.
-    "pricing_summary",
-    "faturamento_rollup",
-    "faturamento_proc",
-    "cube_report",
-    "calendar_dim",
-    "value_counts",
-    "mix_monthly_pivot",
-    "json_export",
-    "shipping_priority",
-    "forecast_revenue_change",
-    "supplier_region_share",
-    "range_condition_join",
-    "pk_audit",
     "dedup_exact",
+    "ngram_jaccard_pairs",
     "dedup_components",
     "simhash",
     "simhash_neardup",
@@ -74,19 +43,47 @@ VERIFY_PRIORITY = (
     "ann_lsh",
     "ann_ivf",
     "embedding_neardup",
-    "token_count",
-    "bpe_token_count",
-    "text_quality",
-    "quality_filter",
-    "repetition_metrics",
-    "lang_id",
-    "doc_fingerprint",
+    "kmeans_embeddings",
+    "kmeans_assign",
     "ml_lag_features",
     "ml_proxy_features",
-    "ml_forecast_per_group",
-    # (d) new this round (displaces stream_hourly_counts, which is
-    #     r4-green and whose file saw only a comment edit)
-    "tfidf_top_terms",
+    "ml_horizon_spine",
+    "multimodal_metadata",
+    "media_features",
+    "media_resize",
+    "frame_sample",
+    # (c) displaced from the r5 window (file unchanged since its r4
+    #     verdict, but the r5 verdict flagged it as rotation debt):
+    "stream_hourly_counts",
+    # (d) oldest-latest-verdict slice: these 25 are r4-green with
+    #     unchanged files; refreshing them keeps every verdict at most
+    #     two rounds old.  The r5-green corpus/text/streaming names
+    #     (files untouched in r6) rotate out; their r5 verdicts stand.
+    "grouping_sets_report",
+    "formatted_report",
+    "top_customers_per_nation",
+    "mom_growth",
+    "yoy_same_month",
+    "year_pivot",
+    "share_of_priority",
+    "recency_buckets",
+    "reincidence",
+    "union_detail_total",
+    "rolling_metrics",
+    "last_quarter_revenue",
+    "profile_customer",
+    "sla_leadtime",
+    "geo_spine_zerofill",
+    "set_ops",
+    "left_enrichment",
+    "full_outer_coalesce",
+    "preagg_join",
+    "semi_join",
+    "anti_join",
+    "ordinal_alignment",
+    "latest_order_per_customer",
+    "blacklist_filter",
+    "global_topn",
 )
 
 
