@@ -81,9 +81,11 @@ VERIFY_PRIORITY = (
     "semi_join",
     "anti_join",
     "ordinal_alignment",
-    "latest_order_per_customer",
-    "blacklist_filter",
-    "global_topn",
+    # (e) new curation operators this round — never verified, so they
+    #     displace three (d)-slice refreshes whose r4 verdicts stand:
+    "passage_dedup",
+    "pii_mask",
+    "token_budget_mix",
 )
 
 
@@ -110,6 +112,7 @@ def _modules():
         analytics_windows,
         catalog,
         corpus,
+        curation,
         dedup,
         events,
         multimodal,
@@ -125,6 +128,7 @@ def _modules():
         analytics_windows,
         catalog,
         corpus,
+        curation,
         dedup,
         events,
         multimodal,

@@ -1,0 +1,290 @@
+"""Corpus-curation operators, part two: exact passage-level dedup,
+PII scrubbing, and token-budget mixture sampling.
+
+Training-data extension surface (SURVEY.md §7.8) beyond the reference
+inventory; the closest reference analogues are its text-clean scalar
+helpers (`Códigos Úteis Python/Tratamento de Dados.py`) and blacklist
+filtering (`Códigos Úteis SQL/`), which stop at whole-row operations.
+These three operators act *inside* the value: duplicated passages,
+embedded identifiers, and per-source token budgets.
+
+All three are pure Catalyst expression pipelines with engine-agnostic
+hashing, so DuckDB restates them value-for-value.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..sources.tables import load_table, spread
+from .dedup import _norm_text, hash60, sql_hash60
+
+# ---------------------------------------------------------------------------
+# Exact passage dedup (duplicated k-gram occurrences, keep-first).
+#
+# The dedup ladder in dedup.py decides about whole documents; this
+# operator finds *repeated passages* — every positional word-k-gram
+# whose exact text already occurred earlier in the corpus (earlier
+# doc, or earlier position in the same doc).  A doc whose text is
+# mostly such re-runs is boilerplate and is dropped.  This is the
+# counting half of exact-substring training-data dedup; the reference
+# has no analogue (its pandas dedup is drop_duplicates on whole rows).
+
+PASSAGE_K = 8
+# Positional ordinal = doc_id * ORD_BASE + pos.  Caps documents at
+# ~1.07e9 tokens and doc_ids at ~8.6e9 before BIGINT overflow — far
+# beyond any real corpus row; a doc over the cap should be chunked
+# upstream (rolling_chunks) anyway.
+ORD_BASE = 1 << 30
+DUP_FRAC_MAX = 0.5
+
+
+def _positional_grams(docs: DataFrame, k: int) -> DataFrame:
+    """(doc_id, pos, gh): every positional word-k-gram, 60-bit hashed.
+
+    Unlike corpus._kgrams this keeps positions and does NOT dedupe —
+    occurrence counts are the point.  Docs shorter than k contribute
+    one whole-text gram at pos 1 (same fallback rule as the shingler).
+    The token array materializes in its own projection so the
+    higher-order-function lambda never re-splits per element.
+    """
+    toked = spread(docs, "doc_id").select(
+        "doc_id",
+        F.split(_norm_text(F.coalesce(F.col("text"), F.lit(""))), " ").alias("toks"),
+    )
+    n = F.size(F.col("toks"))
+    idx = F.sequence(F.lit(1), F.greatest(n - k + 1, F.lit(1)))
+    grams = F.transform(
+        idx, lambda i: F.concat_ws(" ", F.slice(F.col("toks"), i, k))
+    )
+    return toked.select(
+        "doc_id", F.posexplode(grams).alias("pos0", "g")
+    ).select(
+        "doc_id",
+        (F.col("pos0") + 1).alias("pos"),
+        hash60(F.col("g")).alias("gh"),
+    )
+
+
+def q_passage_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc duplicated-passage stats + keep/drop decision.
+
+    An occurrence (doc, pos) of a k-gram is *duplicate* iff the same
+    gram text occurred at a smaller (doc_id, pos) — corpus order,
+    keep-first.  Emits n_grams / dup_grams / dup_frac and
+    ``keep = dup_frac <= DUP_FRAC_MAX``.
+
+    Scale shape: min-aggregate per gram hash (map-side partial combine
+    — each input split pre-collapses its local occurrences before the
+    shuffle), then one hash join of occurrences against the first-seen
+    table and one final agg by doc_id.  No window sort over the gram
+    stream, no collect; skewed grams (stopword runs) land on AQE's
+    skew-join splitting.  ~3 shuffles total, all keyed.
+    """
+    occ = _positional_grams(
+        load_table(spark, sf_dir, "documents"), PASSAGE_K
+    ).withColumn("ordpos", F.col("doc_id") * ORD_BASE + F.col("pos"))
+    firsts = occ.groupBy("gh").agg(F.min("ordpos").alias("first_ord"))
+    per_doc = (
+        occ.join(firsts, "gh")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("int").alias("n_grams"),
+            F.sum((F.col("ordpos") != F.col("first_ord")).cast("int"))
+            .cast("int")
+            .alias("dup_grams"),
+        )
+    )
+    dup_frac = F.col("dup_grams") / F.col("n_grams")
+    return per_doc.select(
+        "doc_id",
+        "n_grams",
+        "dup_grams",
+        F.round(dup_frac, 4).alias("dup_frac"),
+        (dup_frac <= DUP_FRAC_MAX).alias("keep"),
+    )
+
+
+ORACLE_PASSAGE_DEDUP = f"""
+WITH norm AS (
+  SELECT doc_id, regexp_replace(lower(trim(coalesce(text,''))), '\\s+', ' ', 'g') AS t
+  FROM documents
+), toks AS (
+  SELECT doc_id, string_split(t, ' ') AS w, t FROM norm
+), occ AS (
+  SELECT doc_id,
+         unnest(CASE WHEN len(w) >= {PASSAGE_K}
+                THEN range(1, len(w) - {PASSAGE_K} + 2)
+                ELSE [CAST(1 AS BIGINT)] END) AS pos,
+         unnest(CASE WHEN len(w) >= {PASSAGE_K}
+                THEN list_transform(range(1, len(w) - {PASSAGE_K} + 2),
+                                    i -> array_to_string(w[i:i+{PASSAGE_K}-1], ' '))
+                ELSE [t] END) AS g
+  FROM toks
+), hashed AS (
+  SELECT doc_id, {sql_hash60("g")} AS gh,
+         doc_id * {ORD_BASE} + pos AS ordpos
+  FROM occ
+), firsts AS (
+  SELECT gh, min(ordpos) AS first_ord FROM hashed GROUP BY gh
+), per_doc AS (
+  SELECT h.doc_id,
+         COUNT(*) AS n_grams,
+         SUM(CASE WHEN h.ordpos != f.first_ord THEN 1 ELSE 0 END) AS dup_grams
+  FROM hashed h JOIN firsts f USING (gh)
+  GROUP BY h.doc_id
+)
+SELECT doc_id,
+       CAST(n_grams AS INT) AS n_grams,
+       CAST(dup_grams AS INT) AS dup_grams,
+       ROUND(CAST(dup_grams AS DOUBLE) / n_grams, 4) AS dup_frac,
+       CAST(dup_grams AS DOUBLE) / n_grams <= {DUP_FRAC_MAX} AS keep
+FROM per_doc
+"""
+
+
+# ---------------------------------------------------------------------------
+# PII scrubbing: mask embedded numeric identifiers.
+#
+# Standard pre-training scrub: any digit run of PII_MIN_RUN+ characters
+# is an identifier (account number, document id, phone); mask it but
+# keep the last 2 digits for joinability audits.  Patterns are kept to
+# the RE2-compatible subset (no lookaround) so the Spark (java.util
+# .regex) and DuckDB (RE2) executions are textually provable equal —
+# greedy '{4,}' quantifiers resolve identically in both.
+
+PII_MIN_RUN = 6
+# '[0-9]{4,}([0-9]{2})': >=6-digit run, greedy head + captured last 2.
+_ID_MASK_PATTERN = r"[0-9]{4,}([0-9]{2})"
+_ID_RUN_PATTERN = r"[0-9]{6,}"
+_MASK = "###"
+
+
+def mask_numeric_ids(col, keep_tail: bool = True):
+    """Column expr: every >=6-digit run becomes '###' (+ its last two
+    digits when keep_tail).  Reusable scrubber for any string column."""
+    if keep_tail:
+        return F.regexp_replace(col, _ID_MASK_PATTERN, f"{_MASK}$1")
+    return F.regexp_replace(col, _ID_RUN_PATTERN, _MASK)
+
+
+def q_pii_mask(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scrub numeric identifiers from customer names.
+
+    Emits the masked value plus audit columns: how many id runs were
+    masked, total digit count, and whether the row carried any long id.
+
+    Scale shape: stateless per-row regex projections — zero shuffle,
+    composes with scan pushdown, stable under repartitioning.
+    """
+    cust = load_table(spark, sf_dir, "customer")
+    name = F.col("c_name")
+    # split with limit -1 keeps trailing empties — matches DuckDB's
+    # regexp_split_to_array, so run counting agrees between engines
+    n_runs = (F.size(F.split(name, _ID_RUN_PATTERN, -1)) - 1).cast("int")
+    n_digits = (
+        F.length(name) - F.length(F.regexp_replace(name, r"[0-9]", ""))
+    ).cast("int")
+    return cust.select(
+        "c_custkey",
+        mask_numeric_ids(name).alias("masked_name"),
+        n_runs.alias("n_id_runs"),
+        n_digits.alias("n_digits"),
+        (n_runs > 0).alias("has_long_id"),
+    )
+
+
+ORACLE_PII_MASK = f"""
+SELECT c_custkey,
+       regexp_replace(c_name, '{_ID_MASK_PATTERN}', '{_MASK}\\1', 'g') AS masked_name,
+       CAST(len(regexp_split_to_array(c_name, '{_ID_RUN_PATTERN}')) - 1 AS INT) AS n_id_runs,
+       CAST(length(c_name) - length(regexp_replace(c_name, '[0-9]', '', 'g')) AS INT) AS n_digits,
+       len(regexp_split_to_array(c_name, '{_ID_RUN_PATTERN}')) - 1 > 0 AS has_long_id
+FROM customer
+"""
+
+
+# ---------------------------------------------------------------------------
+# Token-budget mixture sampling.
+#
+# Corpus mixing by token budget rather than row rate (the complement
+# of sample_stratified): each source contributes at most a fixed token
+# budget, filled greedily in deterministic hash-priority order.  The
+# budget is split across fixed shards so every (source, shard) window
+# is independent — the 100 TB shape, where a single per-source cumsum
+# would serialize one reducer per source.
+
+MIX_SHARDS = 8
+MIX_BUDGET_PER_SHARD = 100  # tokens; total per source = 8 * 100
+
+
+def q_token_budget_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy per-(source, shard) token-budget fill.
+
+    Docs are ordered by an engine-agnostic hash priority (salted so it
+    is independent of the shard hash); a doc is kept while the budget
+    has room *before* it — so the first doc of a shard is always kept
+    even if it alone overflows the budget (standard greedy fill).
+
+    Scale shape: one window shuffle keyed by (source, shard); shards
+    bound each partition's sort to corpus_size / (sources * shards)
+    regardless of source skew.  Tokens are whitespace-word counts
+    (token_count's cheap path).
+    """
+    docs = spread(load_table(spark, sf_dir, "documents"), "doc_id")
+    tok = F.size(F.split(_norm_text(F.coalesce(F.col("text"), F.lit(""))), " "))
+    sized = docs.select(
+        "doc_id",
+        "source",
+        tok.cast("int").alias("n_tokens"),
+        (hash60(F.col("doc_id").cast("string")) % MIX_SHARDS).cast("int").alias("shard"),
+        hash60(F.concat(F.lit("prio|"), F.col("doc_id").cast("string"))).alias("prio"),
+    )
+    w = (
+        Window.partitionBy("source", "shard")
+        .orderBy("prio", "doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = F.sum("n_tokens").over(w)
+    return sized.select(
+        "doc_id",
+        "source",
+        "shard",
+        "n_tokens",
+        cum.cast("long").alias("cum_tokens"),
+        ((cum - F.col("n_tokens")) < MIX_BUDGET_PER_SHARD).alias("keep"),
+    )
+
+
+ORACLE_TOKEN_BUDGET_MIX = f"""
+WITH sized AS (
+  SELECT doc_id, source,
+         len(string_split(regexp_replace(lower(trim(coalesce(text,''))), '\\s+', ' ', 'g'), ' ')) AS n_tokens,
+         {sql_hash60("CAST(doc_id AS VARCHAR)")} % {MIX_SHARDS} AS shard,
+         {sql_hash60("'prio|' || CAST(doc_id AS VARCHAR)")} AS prio
+  FROM documents
+), filled AS (
+  SELECT doc_id, source, shard, n_tokens,
+         SUM(n_tokens) OVER (PARTITION BY source, shard ORDER BY prio, doc_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_tokens
+  FROM sized
+)
+SELECT doc_id, source, CAST(shard AS INT) AS shard, CAST(n_tokens AS INT) AS n_tokens,
+       CAST(cum_tokens AS BIGINT) AS cum_tokens,
+       cum_tokens - n_tokens < {MIX_BUDGET_PER_SHARD} AS keep
+FROM filled
+"""
+
+
+QUERIES = {
+    "passage_dedup": q_passage_dedup,
+    "pii_mask": q_pii_mask,
+    "token_budget_mix": q_token_budget_mix,
+}
+
+ORACLES = {
+    "passage_dedup": ORACLE_PASSAGE_DEDUP,
+    "pii_mask": ORACLE_PII_MASK,
+    "token_budget_mix": ORACLE_TOKEN_BUDGET_MIX,
+}

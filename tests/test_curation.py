@@ -1,0 +1,85 @@
+"""Semantic edge cases for the curation operators (passage dedup, PII
+masking, token-budget mixing); engine-parity runs in test_queries_smoke
+and tools/check_correctness.py."""
+
+from pyspark.sql import functions as F
+
+from etl_python_spark.operators.curation import (
+    MIX_BUDGET_PER_SHARD,
+    PASSAGE_K,
+    _positional_grams,
+    mask_numeric_ids,
+    q_token_budget_mix,
+)
+from tests.conftest import SF_SMOKE
+
+
+def test_positional_grams_counts_and_fallback(spark):
+    nine = " ".join("abcdefghi")  # 9 tokens -> 2 overlapping 8-grams
+    df = spark.createDataFrame(
+        [(1, nine), (2, "short doc"), (3, None)], "doc_id long, text string"
+    )
+    occ = _positional_grams(df, PASSAGE_K).collect()
+    by_doc = {}
+    for r in occ:
+        by_doc.setdefault(r.doc_id, []).append(r.pos)
+    assert sorted(by_doc[1]) == [1, 2]
+    # short and NULL docs fall back to one whole-text gram at pos 1
+    assert by_doc[2] == [1]
+    assert by_doc[3] == [1]
+
+
+def test_positional_grams_keep_first_within_doc(spark):
+    # 16 identical tokens -> 9 positional 8-grams, all the same text;
+    # only the pos-1 occurrence is first, the rest are duplicates
+    df = spark.createDataFrame([(7, " ".join(["x"] * 16))], "doc_id long, text string")
+    occ = _positional_grams(df, PASSAGE_K)
+    firsts = occ.groupBy("gh").agg(F.min("pos").alias("p"))
+    assert occ.count() == 9
+    assert firsts.count() == 1
+    assert firsts.collect()[0].p == 1
+
+
+def test_mask_numeric_ids_variants(spark):
+    df = spark.createDataFrame(
+        [
+            ("acct 123456789 end",),
+            ("no long ids 123 here",),
+            ("two 111111 and 222222222",),
+        ],
+        "s string",
+    )
+    tail = [r.m for r in df.select(mask_numeric_ids(F.col("s")).alias("m")).collect()]
+    assert tail == [
+        "acct ###89 end",
+        "no long ids 123 here",
+        "two ###11 and ###22",
+    ]
+    full = [
+        r.m
+        for r in df.select(
+            mask_numeric_ids(F.col("s"), keep_tail=False).alias("m")
+        ).collect()
+    ]
+    assert full == ["acct ### end", "no long ids 123 here", "two ### and ###"]
+
+
+def test_token_budget_mix_greedy_invariants(spark):
+    rows = q_token_budget_mix(spark, SF_SMOKE).collect()
+    groups = {}
+    for r in rows:
+        groups.setdefault((r.source, r.shard), []).append(r)
+    mixed_groups = 0
+    for grp in groups.values():
+        for r in grp:
+            assert r.keep == (r.cum_tokens - r.n_tokens < MIX_BUDGET_PER_SHARD), r
+        # the window is gapless: the least cum_tokens row starts at 0,
+        # so the first doc of every shard is kept
+        first = min(grp, key=lambda r: r.cum_tokens)
+        assert first.cum_tokens == first.n_tokens and first.keep
+        if any(r.keep for r in grp) and any(not r.keep for r in grp):
+            mixed_groups += 1
+    # the budget actually bites: a solid share of groups keep some
+    # docs and drop others (groups are small at sf0.001, so a group
+    # can also be all-kept when its docs fit the budget)
+    assert mixed_groups > len(groups) / 4
