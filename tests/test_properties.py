@@ -214,3 +214,36 @@ def test_pack_sequences_shards_follow_parallelism(spark):
     assert {r.shard for r in pinned.select("shard").distinct().collect()} == set(
         range(4)
     )
+
+
+_pii_token = st.one_of(
+    st.from_regex(r"[0-9]{1,10}", fullmatch=True),
+    st.from_regex(r"[a-zA-Z#*\-. ]{1,8}", fullmatch=True),
+)
+
+
+@settings(**SETTINGS)
+@given(st.lists(st.lists(_pii_token, max_size=8).map("".join), min_size=1, max_size=30))
+def test_mask_numeric_ids_matches_python_re(spark, strings):
+    """The Spark (java.util.regex) masker must agree with an
+    independent Python re implementation on arbitrary digit/word
+    soup, and full masking must leave no 6+-digit run behind."""
+    import re
+
+    from pyspark.sql import functions as F
+
+    from etl_python_spark.operators.curation import mask_numeric_ids
+
+    df = spark.createDataFrame([(i, s) for i, s in enumerate(strings)], "i long, s string")
+    got = {
+        r.i: (r.tail, r.full)
+        for r in df.select(
+            "i",
+            mask_numeric_ids(F.col("s")).alias("tail"),
+            mask_numeric_ids(F.col("s"), keep_tail=False).alias("full"),
+        ).collect()
+    }
+    for i, s in enumerate(strings):
+        assert got[i][0] == re.sub(r"[0-9]{4,}([0-9]{2})", r"###\1", s), s
+        assert got[i][1] == re.sub(r"[0-9]{6,}", "###", s), s
+        assert re.search(r"[0-9]{6,}", got[i][1]) is None
