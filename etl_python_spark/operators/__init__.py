@@ -80,12 +80,12 @@ VERIFY_PRIORITY = (
     "preagg_join",
     "semi_join",
     "anti_join",
-    "ordinal_alignment",
-    # (e) new curation operators this round — never verified, so they
-    #     displace three (d)-slice refreshes whose r4 verdicts stand:
+    # (e) new operators this round — never verified, so they displace
+    #     four (d)-slice refreshes whose r4 verdicts stand:
     "passage_dedup",
     "pii_mask",
     "token_budget_mix",
+    "semantic_dedup",
 )
 
 

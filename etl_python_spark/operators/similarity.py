@@ -737,6 +737,92 @@ SELECT label, id_a, id_b, cosine FROM pairs WHERE cosine >= 0.2
 """
 
 
+# SemDeDup-style semantic dedup (Abbas et al. 2023, arXiv:2303.09540):
+# cluster the embedding space with the fitted k-means, then inside each
+# cluster drop every vector that is a near-duplicate (cosine >= T) of a
+# lower-id vector.  The leader-by-id rule ("j drops iff some i < j in
+# its cluster has cos(i,j) >= T") is deterministic and restatable in
+# SQL, unlike the paper's random-representative choice.
+SEMDEDUP_T = 0.4
+
+
+def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-vector semantic-dedup decision over the fitted k-means
+    clusters: keep iff no lower-id vector in the same cluster has
+    cosine >= SEMDEDUP_T; emits the duplicate-neighbor count and the
+    max cosine seen (audit columns).
+
+    Scale shape: the pairwise pass is confined to one cluster at a
+    time (join keyed on cluster id — the SemDeDup design point: K
+    grows with the corpus so cluster sizes stay bounded, n²/K not n²);
+    the corpus-side assignment is a centroid-literal projection with
+    no join, and the final keep decision is one left join of the
+    corpus against the cluster-pair aggregate."""
+    emb = _kmeans_emb(spark, sf_dir)
+    assigned = _kmeans_assign(emb, _kmeans_fit(emb)).select("vec_id", "v", "cluster")
+
+    a = assigned.select(
+        F.col("vec_id").alias("id_a"), F.col("v").alias("v_a"), "cluster"
+    )
+    b = assigned.select(
+        F.col("vec_id").alias("id_b"), F.col("v").alias("v_b"), "cluster"
+    )
+    cos = F.round(
+        _dot(F.col("v_a"), F.col("v_b"))
+        / F.nullif(_norm(F.col("v_a")) * _norm(F.col("v_b")), F.lit(0.0)),
+        4,
+    )
+    dup_stats = (
+        a.join(b, "cluster")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_b", cos.alias("cosine"))
+        .groupBy("id_b")
+        .agg(
+            F.max("cosine").alias("max_cos"),
+            F.sum((F.col("cosine") >= SEMDEDUP_T).cast("int"))
+            .cast("int")
+            .alias("n_dups"),
+        )
+    )
+    return assigned.join(
+        dup_stats, assigned.vec_id == dup_stats.id_b, "left"
+    ).select(
+        "vec_id",
+        "cluster",
+        F.coalesce(F.col("n_dups"), F.lit(0)).cast("int").alias("n_dups"),
+        "max_cos",
+        (F.coalesce(F.col("n_dups"), F.lit(0)) == 0).alias("keep"),
+    )
+
+
+ORACLE_SEMANTIC_DEDUP = (
+    _kmeans_fit_ctes()
+    + f"""
+, assigned AS (
+  SELECT vec_id, v, k AS cluster FROM (
+    SELECT e.vec_id, e.v, c.k,
+           ROW_NUMBER() OVER (PARTITION BY e.vec_id
+             ORDER BY {_sql_d2('e.v', 'c.c')} ASC, c.k ASC) AS rnk
+    FROM emb e CROSS JOIN {_CENT_FINAL} c
+  ) WHERE rnk = 1
+), dup_stats AS (
+  SELECT b.vec_id AS id_b,
+         MAX(ROUND({_DK_COS.format(a='a.v', b='b.v')}, 4)) AS max_cos,
+         SUM(CASE WHEN ROUND({_DK_COS.format(a='a.v', b='b.v')}, 4) >= {SEMDEDUP_T}
+             THEN 1 ELSE 0 END) AS n_dups
+  FROM assigned a JOIN assigned b
+    ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+  GROUP BY b.vec_id
+)
+SELECT s.vec_id, CAST(s.cluster AS INT) AS cluster,
+       CAST(COALESCE(d.n_dups, 0) AS INT) AS n_dups,
+       d.max_cos,
+       COALESCE(d.n_dups, 0) = 0 AS keep
+FROM assigned s LEFT JOIN dup_stats d ON s.vec_id = d.id_b
+"""
+)
+
+
 QUERIES = {
     "ann_bruteforce": q_ann_bruteforce,
     "ann_bruteforce_pandas": q_ann_bruteforce_pandas,
@@ -746,6 +832,7 @@ QUERIES = {
     "kmeans_embeddings": q_kmeans_embeddings,
     "kmeans_assign": q_kmeans_assign,
     "embedding_neardup": q_embedding_neardup,
+    "semantic_dedup": q_semantic_dedup,
 }
 
 ORACLES = {
@@ -757,4 +844,5 @@ ORACLES = {
     "ann_lsh": ORACLE_ANN_LSH,
     "kmeans_assign": ORACLE_KMEANS_ASSIGN,
     "kmeans_embeddings": ORACLE_KMEANS_FULL,
+    "semantic_dedup": ORACLE_SEMANTIC_DEDUP,
 }

@@ -83,3 +83,20 @@ def test_token_budget_mix_greedy_invariants(spark):
     # docs and drop others (groups are small at sf0.001, so a group
     # can also be all-kept when its docs fit the budget)
     assert mixed_groups > len(groups) / 4
+
+
+def test_semantic_dedup_leader_rule(spark):
+    """SemDeDup leader-by-id invariants: keep iff no duplicate
+    neighbor; each cluster's lowest-id vector has no lower-id
+    neighbors, so it always survives with null max_cos."""
+    from etl_python_spark.operators.similarity import q_semantic_dedup
+
+    rows = q_semantic_dedup(spark, SF_SMOKE).collect()
+    assert rows
+    leaders = {}
+    for r in rows:
+        assert r.keep == (r.n_dups == 0), r
+        if r.cluster not in leaders or r.vec_id < leaders[r.cluster].vec_id:
+            leaders[r.cluster] = r
+    for r in leaders.values():
+        assert r.keep and r.max_cos is None, r
