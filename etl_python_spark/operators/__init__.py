@@ -79,13 +79,13 @@ VERIFY_PRIORITY = (
     "full_outer_coalesce",
     "preagg_join",
     "semi_join",
-    "anti_join",
     # (e) new operators this round — never verified, so they displace
-    #     four (d)-slice refreshes whose r4 verdicts stand:
+    #     five (d)-slice refreshes whose r4 verdicts stand:
     "passage_dedup",
     "pii_mask",
     "token_budget_mix",
     "semantic_dedup",
+    "curation_pipeline",
 )
 
 

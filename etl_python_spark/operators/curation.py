@@ -277,10 +277,93 @@ FROM filled
 """
 
 
+# ---------------------------------------------------------------------------
+# The composed end-to-end curation pipeline: the order a real corpus
+# run applies the stages, with the FIRST failing stage as the per-doc
+# reason.  Every stage is one of the already-oracled operators, and
+# the oracle composes their oracle SQL verbatim as subqueries — the
+# composition itself is what this query verifies.
+
+PIPELINE_STAGES = ("benchmark", "quality", "duplicate", "contaminated", "sampled_out")
+
+
+def q_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc final curation decision: benchmark holdout → quality
+    rules → passage-level dedup → 13-gram decontamination → stratified
+    sampling; ``stage`` names the first stage that rejected the doc
+    ('kept' if none did).
+
+    Scale shape: inherits each component's audited plan (they are
+    called, not re-derived); the composition adds only doc_id-keyed
+    joins, which at lake scale co-locate on the corpus partitioning.
+    """
+    from .corpus import BENCH_MOD, q_decontaminate, q_sample_stratified
+    from .text import q_quality_filter
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    ql = q_quality_filter(spark, sf_dir).select("doc_id", F.col("manter").alias("q_ok"))
+    pdp = q_passage_dedup(spark, sf_dir).select("doc_id", F.col("keep").alias("d_ok"))
+    dec = q_decontaminate(spark, sf_dir).select(
+        "doc_id", F.lit(True).alias("contaminated")
+    )
+    smp = q_sample_stratified(spark, sf_dir).select(
+        "doc_id", F.lit(True).alias("sampled")
+    )
+    joined = (
+        docs.join(ql, "doc_id")
+        .join(pdp, "doc_id")
+        .join(dec, "doc_id", "left")
+        .join(smp, "doc_id", "left")
+    )
+    stage = (
+        F.when(F.col("doc_id") % BENCH_MOD == 0, F.lit("benchmark"))
+        .when(~F.col("q_ok"), F.lit("quality"))
+        .when(~F.col("d_ok"), F.lit("duplicate"))
+        .when(F.coalesce(F.col("contaminated"), F.lit(False)), F.lit("contaminated"))
+        .when(F.col("sampled").isNull(), F.lit("sampled_out"))
+        .otherwise(F.lit("kept"))
+    )
+    return joined.select(
+        "doc_id", stage.alias("stage"), (stage == "kept").alias("manter")
+    )
+
+
+def _oracle_curation_pipeline() -> str:
+    from .corpus import (
+        BENCH_MOD,
+        ORACLE_DECONTAMINATE,
+        ORACLE_SAMPLE_STRATIFIED,
+    )
+    from .text import ORACLE_QUALITY_FILTER
+
+    return f"""
+WITH ql AS ({ORACLE_QUALITY_FILTER}),
+pdp AS ({ORACLE_PASSAGE_DEDUP}),
+dec AS ({ORACLE_DECONTAMINATE}),
+smp AS ({ORACLE_SAMPLE_STRATIFIED}),
+staged AS (
+  SELECT d.doc_id,
+         CASE WHEN d.doc_id % {BENCH_MOD} = 0 THEN 'benchmark'
+              WHEN NOT ql.manter THEN 'quality'
+              WHEN NOT pdp.keep THEN 'duplicate'
+              WHEN dec.doc_id IS NOT NULL THEN 'contaminated'
+              WHEN smp.doc_id IS NULL THEN 'sampled_out'
+              ELSE 'kept' END AS stage
+  FROM documents d
+  JOIN ql ON d.doc_id = ql.doc_id
+  JOIN pdp ON d.doc_id = pdp.doc_id
+  LEFT JOIN dec ON d.doc_id = dec.doc_id
+  LEFT JOIN smp ON d.doc_id = smp.doc_id
+)
+SELECT doc_id, stage, stage = 'kept' AS manter FROM staged
+"""
+
+
 QUERIES = {
     "passage_dedup": q_passage_dedup,
     "pii_mask": q_pii_mask,
     "token_budget_mix": q_token_budget_mix,
+    "curation_pipeline": q_curation_pipeline,
 }
 
 ORACLES = {
@@ -288,3 +371,4 @@ ORACLES = {
     "pii_mask": ORACLE_PII_MASK,
     "token_budget_mix": ORACLE_TOKEN_BUDGET_MIX,
 }
+ORACLES["curation_pipeline"] = _oracle_curation_pipeline()

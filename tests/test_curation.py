@@ -100,3 +100,22 @@ def test_semantic_dedup_leader_rule(spark):
             leaders[r.cluster] = r
     for r in leaders.values():
         assert r.keep and r.max_cos is None, r
+
+
+def test_curation_pipeline_stage_order(spark):
+    """The composed pipeline reports the FIRST failing stage: every
+    benchmark doc (doc_id % 20 == 0) says 'benchmark' regardless of
+    later stages, and kept docs must also appear in the sampler's
+    output."""
+    from etl_python_spark.operators.corpus import q_sample_stratified
+    from etl_python_spark.operators.curation import q_curation_pipeline
+
+    rows = q_curation_pipeline(spark, SF_SMOKE).collect()
+    assert {r.stage for r in rows} >= {"benchmark", "kept"}
+    sampled = {r.doc_id for r in q_sample_stratified(spark, SF_SMOKE).collect()}
+    for r in rows:
+        if r.doc_id % 20 == 0:
+            assert r.stage == "benchmark", r
+        assert r.manter == (r.stage == "kept"), r
+        if r.stage == "kept":
+            assert r.doc_id in sampled
