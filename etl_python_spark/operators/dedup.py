@@ -143,14 +143,55 @@ GROUP BY 1
 # N-gram Jaccard near-dup pairs via shingle inverted index
 # ---------------------------------------------------------------------------
 
-def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _materialize(df: DataFrame, persist_mode: str) -> DataFrame:
+    """Compute-once sharing for a relation read by multiple branches:
+    ``"checkpoint"`` (bench default) eagerly localCheckpoints —
+    fastest, but executor-local and NOT fault-tolerant (a lost
+    executor fails the job, lineage is truncated); ``"persist"`` uses
+    ``persist(MEMORY_AND_DISK)`` — the production default on a
+    long-lived cluster: same sharing, and a lost block recomputes from
+    lineage instead of failing the job."""
+    if persist_mode == "checkpoint":
+        return df.localCheckpoint(eager=True)
+    if persist_mode == "persist":
+        from pyspark import StorageLevel
+
+        return df.persist(StorageLevel.MEMORY_AND_DISK)
+    raise ValueError(
+        f"persist_mode must be 'checkpoint' or 'persist', got {persist_mode!r}"
+    )
+
+
+def hashed_shingle_stream(docs: DataFrame) -> DataFrame:
+    """(doc_id, n_sh, h): one row per distinct shingle occurrence,
+    with the shingle 60-bit-hashed so everything downstream (df
+    counts, posting lists, co-occurrence joins) moves 8-byte longs
+    instead of k-word strings, and |doc| carried through the explode.
+    The oracle computes the SAME hashes, so Jaccard over the hashed
+    universe stays value-exact barring md5 collisions (~2^-60) — the
+    minhash pipeline already leans on the identical argument."""
+    with_sh = with_shingles(docs)
+    sh = with_sh.select(
+        "doc_id", F.size("sh").alias("n_sh"), F.explode_outer("sh").alias("shingle")
+    ).filter(F.col("shingle").isNotNull())
+    return sh.select("doc_id", "n_sh", hash60(F.col("shingle")).alias("h"))
+
+def q_ngram_jaccard_pairs(
+    spark: SparkSession, sf_dir: str, persist_mode: str = "checkpoint"
+) -> DataFrame:
     """Candidate pairs sharing ≥1 shingle, scored with exact Jaccard
     |A∩B| / (|A|+|B|−|A∩B|), threshold 0.2.
 
-    Plan shape — the shingle pipeline is computed ONCE and there is no
-    self-join at all:
-    - shingle once, carry |doc| (``size(sh)``) through the explode;
-    - document-frequency pass FIRST: ``groupBy(shingle).count()``
+    Plan shape — the corpus is scanned and shingled exactly ONCE and
+    there is no self-join at all:
+    - :func:`hashed_shingle_stream` builds (doc_id, n_sh, h) in one
+      pass and is materialized (``persist_mode`` as in
+      :func:`_materialize`), so the df-count branch and the
+      posting-collect branch read the same partitions instead of
+      re-running the regex shingler (round-6 fix: the unmaterialized
+      shape re-executed the shingle subtree on the count branch —
+      the same double-pass minhash shed in round 5);
+    - document-frequency pass FIRST: ``groupBy(h).count()``
       (fixed-width partial aggregate, no buffers), keep shingles with
       df in [2, MAX_DF], semi-join back — only THEN collect the
       posting lists.  Collecting before the df filter would
@@ -161,25 +202,22 @@ def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     - pairs are generated inside each posting list with array lambdas
       (i<j index walk), bounded by MAX_DF ⇒ ≤ MAX_DF²/2 pairs per
       shingle, then exploded and counted: |A∩B| = co-occurrence.
-    Three shuffles total (df count, semi-join+collect — the collect
-    groupBy reuses the join's shingle partitioning — and the pair
-    groupBy); cost is Σ df² over retained shingles, capped by
+    Three shuffles over 8-byte hash keys (df count, semi-join+collect
+    — the collect groupBy reuses the join's partitioning — and the
+    pair groupBy); cost is Σ df² over retained shingles, capped by
     MAX_DF.  ``tests/test_plan_discipline.py`` pins the
-    count-before-collect ordering."""
+    count-before-collect ordering and the single corpus pass."""
     docs = load_table(spark, sf_dir, "documents")
-    with_sh = with_shingles(docs)
-    sh = with_sh.select(
-        "doc_id", F.size("sh").alias("n_sh"), F.explode_outer("sh").alias("shingle")
-    ).filter(F.col("shingle").isNotNull())
+    sh = _materialize(hashed_shingle_stream(docs), persist_mode)
     kept = (
-        sh.groupBy("shingle")
+        sh.groupBy("h")
         .agg(F.count("*").alias("df"))
         .filter((F.col("df") >= 2) & (F.col("df") <= MAX_DF))
-        .select("shingle")
+        .select("h")
     )
     posting = (
-        sh.join(kept, "shingle", "left_semi")
-        .groupBy("shingle")
+        sh.join(kept, "h", "left_semi")
+        .groupBy("h")
         .agg(F.collect_list(F.struct("doc_id", "n_sh")).alias("docs"))
         .select(F.array_sort("docs").alias("docs"))
     )
@@ -241,12 +279,13 @@ _SQL_SHINGLES = "WITH " + _SQL_SHINGLES_BODY
 _SQL_PAIRS_BODY = (
     _SQL_SHINGLES_BODY
     + f"""
-, sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY 1),
-df AS (SELECT shingle, COUNT(*) AS df FROM sh GROUP BY 1),
-kept AS (SELECT s.doc_id, s.shingle FROM sh s JOIN df ON s.shingle = df.shingle WHERE df.df <= {MAX_DF}),
+, hsh AS (SELECT doc_id, {sql_hash60('shingle')} AS h FROM sh),
+sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY 1),
+df AS (SELECT h, COUNT(*) AS df FROM hsh GROUP BY 1),
+kept AS (SELECT s.doc_id, s.h FROM hsh s JOIN df ON s.h = df.h WHERE df.df <= {MAX_DF}),
 co AS (
   SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter
-  FROM kept a JOIN kept b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  FROM kept a JOIN kept b ON a.h = b.h AND a.doc_id < b.doc_id
   GROUP BY 1, 2
 ),
 pairs AS (
@@ -477,16 +516,7 @@ def q_minhash_lsh_pairs(
     # Materialize once; both branches below read these partitions.
     # Per-invocation cost (each bench run recomputes — no cross-run
     # cache flattery); size is docs × (32 longs + hashed set).
-    if persist_mode == "checkpoint":
-        per_doc = per_doc.localCheckpoint(eager=True)
-    elif persist_mode == "persist":
-        from pyspark import StorageLevel
-
-        per_doc = per_doc.persist(StorageLevel.MEMORY_AND_DISK)
-    else:
-        raise ValueError(
-            f"persist_mode must be 'checkpoint' or 'persist', got {persist_mode!r}"
-        )
+    per_doc = _materialize(per_doc, persist_mode)
 
     rows_per_band = MINHASH_K // LSH_BANDS
     band_cols = []

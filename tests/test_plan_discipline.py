@@ -40,13 +40,26 @@ def test_top_customers_single_window_after_aggregate(spark):
     assert "SortMergeJoin" not in plan
 
 
-def test_ngram_has_no_selfjoin_and_spreads_the_scan(spark):
+def test_ngram_has_no_selfjoin_and_single_corpus_pass(spark):
     plan = _plan(q_ngram_jaccard_pairs(spark, SF_SMOKE))
     # no pair-generating self-join: the only join is the df-cap
     # semi-join (stop-shingle filter), never doc×doc
     assert "LeftSemi" in plan
     assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
-    # the CPU-spreading repartition must survive optimization
+    # single corpus pass (round 6): the shingle stream is materialized
+    # once; a parquet scan in the final plan means the df-count branch
+    # re-runs the regex shingler over the corpus
+    assert "parquet" not in plan.lower()
+    assert plan.count("Scan ExistingRDD") >= 1
+
+
+def test_ngram_shingle_stream_spreads_the_scan(spark):
+    from etl_python_spark.operators.dedup import hashed_shingle_stream
+    from etl_python_spark.sources.tables import load_table
+
+    plan = _plan(hashed_shingle_stream(load_table(spark, SF_SMOKE, "documents")))
+    # the CPU-spreading repartition must survive optimization in the
+    # stream that feeds the checkpoint
     assert "REPARTITION_BY_NUM" in plan
     # and the inferred size()>0 filter must not sit below it (it would
     # re-inline the shingle expression pre-exchange, single-core)
