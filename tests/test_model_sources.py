@@ -714,3 +714,17 @@ def test_normalize_event_ts_all_physical_shapes(spark):
         [(datetime.datetime(2026, 3, 1, 12, 0, 0),)], "ts timestamp"
     )
     assert normalize_event_ts(ts) is ts
+
+
+def test_profiler_approx_distinct_close_to_exact(spark):
+    """The scale path (approx_count_distinct, default 5% rsd) must
+    track the exact profile closely on a dim-sized table and share
+    every non-cardinality stat exactly."""
+    cust = spark.read.parquet(f"{SF_SMOKE}/customer.parquet")
+    exact = {s.column: s for s in profile(cust)}
+    approx = {s.column: s for s in profile(cust, exact_distinct=False)}
+    assert set(exact) == set(approx)
+    for col, e in exact.items():
+        a = approx[col]
+        assert a.nulls == e.nulls and a.role == e.role, col
+        assert abs(a.distinct - e.distinct) <= max(3, 0.15 * e.distinct), col
