@@ -7,7 +7,7 @@ Execution is measured with the noop sink (full pipeline runs, nothing
 collected to the driver).
 
 Methodology (round-4 re-baseline for Spark 4.1.2): each query runs one
-UNTIMED warm pass, then $SPARK_GRAFT_BENCH_RUNS (default 2) timed runs;
+UNTIMED warm pass, then $SPARK_GRAFT_BENCH_RUNS (default 3) timed runs;
 the reported time is the minimum.  Under Spark 4.1.2 the first
 execution of a query pays whole-stage-codegen compilation + JVM JIT
 that is amortized away in any long-lived session (measured: simhash's
@@ -86,7 +86,10 @@ def main() -> None:
         )
     ).count()
 
-    n_runs = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "2")))
+    # default 3 since round 6: at min-of-2 the heavy dedup queries
+    # (ngram/minhash) showed 1-3 s run-to-run spread from GC timing —
+    # one extra sample stabilizes the min at ~30 s extra wall-clock
+    n_runs = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3")))
     timings: dict[str, float] = {}
     spread: dict[str, float] = {}
     for name in HEADLINE:
