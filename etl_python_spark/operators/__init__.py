@@ -78,10 +78,10 @@ VERIFY_PRIORITY = (
     "left_enrichment",
     "full_outer_coalesce",
     "preagg_join",
-    "semi_join",
     # (e) new operators this round — never verified, so they displace
-    #     five (d)-slice refreshes whose r4 verdicts stand:
+    #     six (d)-slice refreshes whose r4 verdicts stand:
     "passage_dedup",
+    "passage_scrub",
     "pii_mask",
     "token_budget_mix",
     "semantic_dedup",

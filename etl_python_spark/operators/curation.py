@@ -144,6 +144,120 @@ FROM per_doc
 """
 
 
+def q_passage_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The removal half of exact passage dedup: every token covered by
+    a *duplicate* k-gram occurrence (see :func:`q_passage_dedup`) is
+    dropped and the survivors are reassembled in order.  Emits
+    n_tokens / n_removed and the cleaned text ('' when the whole doc
+    was a re-run).
+
+    Scale shape: duplicate-start flags land on the token stream via a
+    doc+pos-keyed left join, and coverage is one window
+    ``max(flag) RANGE k-1 PRECEDING`` per doc ordered by pos — no
+    per-token scan of the duplicate list, no interval self-join.  The
+    reassembly is a doc-keyed sort_array(collect_list) aggregate, the
+    same bounded-by-doc-size buffer every string re-aggregation has.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    occ = _positional_grams(docs, PASSAGE_K).withColumn(
+        "ordpos", F.col("doc_id") * ORD_BASE + F.col("pos")
+    )
+    firsts = occ.groupBy("gh").agg(F.min("ordpos").alias("first_ord"))
+    dup_starts = (
+        occ.join(firsts, "gh")
+        .filter(F.col("ordpos") != F.col("first_ord"))
+        .select("doc_id", "pos", F.lit(1).alias("dup_start"))
+    )
+
+    toked = spread(docs, "doc_id").select(
+        "doc_id",
+        F.split(_norm_text(F.coalesce(F.col("text"), F.lit(""))), " ").alias("toks"),
+    )
+    tokens = toked.select(
+        "doc_id", F.posexplode("toks").alias("pos0", "tok")
+    ).select("doc_id", (F.col("pos0") + 1).alias("pos"), "tok")
+
+    w = (
+        Window.partitionBy("doc_id")
+        .orderBy("pos")
+        .rangeBetween(-(PASSAGE_K - 1), 0)
+    )
+    flagged = tokens.join(dup_starts, ["doc_id", "pos"], "left").withColumn(
+        "covered", F.max(F.coalesce(F.col("dup_start"), F.lit(0))).over(w)
+    )
+    cleaned = (
+        flagged.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("int").alias("n_tokens"),
+            F.sum("covered").cast("int").alias("n_removed"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.when(
+                                F.col("covered") == 0,
+                                F.struct("pos", "tok"),
+                            )
+                        )
+                    ),
+                    lambda s: s["tok"],
+                ),
+                " ",
+            ).alias("cleaned_text"),
+        )
+    )
+    return cleaned
+
+
+ORACLE_PASSAGE_SCRUB = f"""
+WITH norm AS (
+  SELECT doc_id, regexp_replace(lower(trim(coalesce(text,''))), '\\s+', ' ', 'g') AS t
+  FROM documents
+), toks AS (
+  SELECT doc_id, string_split(t, ' ') AS w, t FROM norm
+), occ AS (
+  SELECT doc_id,
+         unnest(CASE WHEN len(w) >= {PASSAGE_K}
+                THEN range(1, len(w) - {PASSAGE_K} + 2)
+                ELSE [CAST(1 AS BIGINT)] END) AS pos,
+         unnest(CASE WHEN len(w) >= {PASSAGE_K}
+                THEN list_transform(range(1, len(w) - {PASSAGE_K} + 2),
+                                    i -> array_to_string(w[i:i+{PASSAGE_K}-1], ' '))
+                ELSE [t] END) AS g
+  FROM toks
+), hashed AS (
+  SELECT doc_id, pos, {sql_hash60("g")} AS gh,
+         doc_id * {ORD_BASE} + pos AS ordpos
+  FROM occ
+), firsts AS (
+  SELECT gh, min(ordpos) AS first_ord FROM hashed GROUP BY gh
+), dup_starts AS (
+  SELECT h.doc_id, h.pos, 1 AS dup_start
+  FROM hashed h JOIN firsts f USING (gh)
+  WHERE h.ordpos != f.first_ord
+), tokens AS (
+  SELECT doc_id, unnest(range(1, len(w) + 1)) AS pos,
+         unnest(w) AS tok
+  FROM toks
+), flagged AS (
+  SELECT t.doc_id, t.pos, t.tok,
+         MAX(COALESCE(d.dup_start, 0)) OVER (
+           PARTITION BY t.doc_id ORDER BY t.pos
+           RANGE BETWEEN {PASSAGE_K - 1} PRECEDING AND CURRENT ROW
+         ) AS covered
+  FROM tokens t LEFT JOIN dup_starts d
+    ON t.doc_id = d.doc_id AND t.pos = d.pos
+)
+SELECT doc_id,
+       CAST(COUNT(*) AS INT) AS n_tokens,
+       CAST(SUM(covered) AS INT) AS n_removed,
+       COALESCE(string_agg(CASE WHEN covered = 0 THEN tok END, ' ' ORDER BY pos), '')
+         AS cleaned_text
+FROM flagged
+GROUP BY doc_id
+"""
+
+
 # ---------------------------------------------------------------------------
 # PII scrubbing: mask embedded numeric identifiers.
 #
@@ -361,6 +475,7 @@ SELECT doc_id, stage, stage = 'kept' AS manter FROM staged
 
 QUERIES = {
     "passage_dedup": q_passage_dedup,
+    "passage_scrub": q_passage_scrub,
     "pii_mask": q_pii_mask,
     "token_budget_mix": q_token_budget_mix,
     "curation_pipeline": q_curation_pipeline,
@@ -368,6 +483,7 @@ QUERIES = {
 
 ORACLES = {
     "passage_dedup": ORACLE_PASSAGE_DEDUP,
+    "passage_scrub": ORACLE_PASSAGE_SCRUB,
     "pii_mask": ORACLE_PII_MASK,
     "token_budget_mix": ORACLE_TOKEN_BUDGET_MIX,
 }

@@ -119,3 +119,26 @@ def test_curation_pipeline_stage_order(spark):
         assert r.manter == (r.stage == "kept"), r
         if r.stage == "kept":
             assert r.doc_id in sampled
+
+
+def test_passage_scrub_consistent_with_dedup(spark):
+    """Scrub and dedup agree doc-by-doc: a doc loses tokens iff it has
+    duplicate grams, a fully-duplicated doc scrubs to '', and an
+    untouched doc round-trips its normalized text."""
+    from etl_python_spark.operators.curation import (
+        q_passage_dedup,
+        q_passage_scrub,
+    )
+
+    dd = {r.doc_id: r for r in q_passage_dedup(spark, SF_SMOKE).collect()}
+    removed_any = 0
+    for r in q_passage_scrub(spark, SF_SMOKE).collect():
+        d = dd[r.doc_id]
+        assert (r.n_removed > 0) == (d.dup_grams > 0), (r, d)
+        assert 0 <= r.n_removed <= r.n_tokens
+        if d.dup_frac == 1.0:
+            assert r.cleaned_text == "", r
+        if r.n_removed == 0:
+            assert len(r.cleaned_text.split(" ")) == r.n_tokens
+        removed_any += r.n_removed > 0
+    assert removed_any  # the planted near-dup clones actually scrub
