@@ -398,8 +398,6 @@ FROM filled
 # the oracle composes their oracle SQL verbatim as subqueries — the
 # composition itself is what this query verifies.
 
-PIPELINE_STAGES = ("benchmark", "quality", "duplicate", "contaminated", "sampled_out")
-
 
 def q_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-doc final curation decision: benchmark holdout → quality

