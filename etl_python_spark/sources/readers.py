@@ -301,3 +301,77 @@ def unique_column_names(cells: list[str | None]) -> list[str]:
         taken.add(name)
         names.append(name)
     return names
+
+
+def read_text_corpus(
+    spark: SparkSession, path: str, source: str | None = None
+) -> DataFrame:
+    """Raw text files → documents-shaped table: one doc per non-empty
+    line, columns (doc_id, text, source, file, n_chars).
+
+    doc_id is the global line ordinal via ``zipWithIndex`` — stable
+    across runs because file-source input splits are enumerated in
+    (file path, offset) order, so the same input always yields the
+    same ids (``monotonically_increasing_id`` would not: its values
+    shift whenever partitioning changes).  This is one of the rare
+    per-partition imperative needs the DataFrame API cannot express;
+    zipWithIndex runs one lightweight count-per-partition job and no
+    data moves.  ``source`` tags the corpus (defaults to the path's
+    basename); per-file lineage rides in ``file``.
+    """
+    import os as _os
+
+    tag = source if source is not None else _os.path.basename(path.rstrip("/"))
+    lines = spark.read.text(path).select(
+        F.col("value").alias("text"),
+        F.col("_metadata.file_path").alias("file"),
+    )
+    indexed = lines.rdd.zipWithIndex().map(
+        lambda pair: (pair[1], pair[0]["text"], pair[0]["file"])
+    )
+    df = spark.createDataFrame(indexed, "doc_id long, text string, file string")
+    return df.filter(F.length(F.trim(F.col("text"))) > 0).select(
+        "doc_id",
+        "text",
+        F.lit(tag).alias("source"),
+        "file",
+        F.length("text").alias("n_chars"),
+    )
+
+
+def read_jsonl_corpus(
+    spark: SparkSession,
+    path: str,
+    text_field: str = "text",
+    id_field: str | None = None,
+) -> DataFrame:
+    """JSONL files → documents-shaped table (doc_id, text, source,
+    file, n_chars), keeping every other JSON field as-is.
+
+    ``id_field`` names an existing unique id column; without one the
+    doc_id is the 60-bit hash of the full record JSON — content-
+    addressed and partition-independent, but identical records
+    collide (they are exact duplicates anyway; run dedup_exact first
+    if byte-identical records must stay distinct).
+    """
+    from ..operators.dedup import hash60
+
+    raw = spark.read.json(path).withColumn(
+        "file", F.col("_metadata.file_path")
+    )
+    if id_field is not None:
+        doc_id = F.col(id_field).cast("long")
+    else:
+        others = [c for c in raw.columns if c != "file"]
+        doc_id = hash60(F.to_json(F.struct(*sorted(others))))
+    passthrough = [
+        c for c in raw.columns if c not in ("file", text_field, id_field)
+    ]
+    return raw.select(
+        doc_id.alias("doc_id"),
+        F.col(text_field).alias("text"),
+        F.lit("jsonl").alias("source"),
+        "file",
+        F.length(text_field).alias("n_chars"),
+        *passthrough,
+    )

@@ -728,3 +728,39 @@ def test_profiler_approx_distinct_close_to_exact(spark):
         a = approx[col]
         assert a.nulls == e.nulls and a.role == e.role, col
         assert abs(a.distinct - e.distinct) <= max(3, 0.15 * e.distinct), col
+
+
+def test_read_text_corpus_stable_ids_and_lineage(spark, tmp_path):
+    d = tmp_path / "corpus"
+    d.mkdir()
+    (d / "b.txt").write_text("gamma three\n\n")
+    (d / "a.txt").write_text("alpha one\nbeta two\n")
+    from etl_python_spark.sources.readers import read_text_corpus
+
+    first = read_text_corpus(spark, str(d)).collect()
+    again = read_text_corpus(spark, str(d)).collect()
+    assert sorted(map(tuple, first)) == sorted(map(tuple, again))  # stable ids
+    by_text = {r.text: r for r in first}
+    assert set(by_text) == {"alpha one", "beta two", "gamma three"}  # blank dropped
+    assert by_text["alpha one"].file.endswith("a.txt")
+    assert by_text["gamma three"].file.endswith("b.txt")
+    assert by_text["alpha one"].source == "corpus"
+    assert by_text["beta two"].doc_id == by_text["alpha one"].doc_id + 1
+    assert by_text["alpha one"].n_chars == 9
+
+
+def test_read_jsonl_corpus_id_modes(spark, tmp_path):
+    p = tmp_path / "docs.jsonl"
+    p.write_text(
+        '{"id": 7, "text": "hello world", "lang": "en"}\n'
+        '{"id": 9, "text": "ola mundo", "lang": "pt"}\n'
+    )
+    from etl_python_spark.sources.readers import read_jsonl_corpus
+
+    with_id = {r.doc_id: r for r in read_jsonl_corpus(spark, str(p), id_field="id").collect()}
+    assert set(with_id) == {7, 9}
+    assert with_id[7].text == "hello world" and with_id[7].lang == "en"
+    hashed = read_jsonl_corpus(spark, str(p)).collect()
+    assert len({r.doc_id for r in hashed}) == 2  # content-hash ids distinct
+    rerun = read_jsonl_corpus(spark, str(p)).collect()
+    assert {r.doc_id for r in hashed} == {r.doc_id for r in rerun}  # stable
