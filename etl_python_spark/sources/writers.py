@@ -307,3 +307,28 @@ def write_excel_report(
         },
         images={sheet_name: images} if images else None,
     )
+
+
+def write_training_shards(
+    df: DataFrame,
+    path: str,
+    shards: int,
+    shard_key: str = "doc_id",
+    fmt: str = "parquet",
+) -> None:
+    """Curated-corpus export in the layout a training dataloader
+    expects: exactly ``shards`` files, each holding the rows whose
+    ``hash(shard_key) % shards`` matches — so the doc→shard mapping is
+    deterministic and reproducible across runs/cluster sizes (plain
+    ``repartition(n)`` round-robins: same data, different shards every
+    run).  ``fmt`` is ``"parquet"`` (default) or ``"json"`` (JSONL,
+    one doc per line — the interchange format most tokenizer
+    pipelines read).
+
+    Scale shape: one hash-partition exchange, then each task writes
+    its own file; no driver collection, no global sort.
+    """
+    if fmt not in ("parquet", "json"):
+        raise ValueError(f"fmt must be 'parquet' or 'json', got {fmt!r}")
+    sharded = df.repartition(shards, F.col(shard_key))
+    sharded.write.mode("overwrite").format(fmt).save(path)

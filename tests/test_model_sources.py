@@ -764,3 +764,34 @@ def test_read_jsonl_corpus_id_modes(spark, tmp_path):
     assert len({r.doc_id for r in hashed}) == 2  # content-hash ids distinct
     rerun = read_jsonl_corpus(spark, str(p)).collect()
     assert {r.doc_id for r in hashed} == {r.doc_id for r in rerun}  # stable
+
+
+def test_write_training_shards_deterministic(spark, tmp_path):
+    from etl_python_spark.sources.writers import write_training_shards
+
+    df = spark.createDataFrame(
+        [(i, f"doc {i}") for i in range(100)], "doc_id long, text string"
+    )
+    out1, out2 = str(tmp_path / "s1"), str(tmp_path / "s2")
+    write_training_shards(df, out1, shards=4, fmt="json")
+    write_training_shards(df, out2, shards=4, fmt="json")
+
+    import glob, json
+
+    def shard_map(out):
+        m = {}
+        for f in sorted(glob.glob(f"{out}/part-*")):
+            with open(f) as fh:
+                ids = frozenset(json.loads(l)["doc_id"] for l in fh if l.strip())
+            if ids:
+                m[ids] = m.get(ids, 0) + 1
+        return m
+
+    m1, m2 = shard_map(out1), shard_map(out2)
+    assert sum(len(k) * v for k, v in m1.items()) == 100
+    assert m1 == m2  # same doc→shard assignment both runs
+    assert len(m1) == 4
+    import pytest
+
+    with pytest.raises(ValueError, match="fmt"):
+        write_training_shards(df, str(tmp_path / "bad"), shards=2, fmt="csvx")
