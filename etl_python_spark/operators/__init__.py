@@ -77,9 +77,9 @@ VERIFY_PRIORITY = (
     "set_ops",
     "left_enrichment",
     "full_outer_coalesce",
-    "preagg_join",
     # (e) new operators this round — never verified, so they displace
-    #     six (d)-slice refreshes whose r4 verdicts stand:
+    #     seven (d)-slice refreshes whose r4 verdicts stand:
+    "bpe_train",
     "passage_dedup",
     "passage_scrub",
     "pii_mask",
@@ -110,6 +110,7 @@ def _modules():
         analytics_core,
         analytics_joins,
         analytics_windows,
+        bpe,
         catalog,
         corpus,
         curation,
@@ -126,6 +127,7 @@ def _modules():
         analytics_core,
         analytics_joins,
         analytics_windows,
+        bpe,
         catalog,
         corpus,
         curation,

@@ -1,0 +1,150 @@
+"""Distributed BPE tokenizer training: learn the top-K merge rules
+from the corpus by iterative pair counting.
+
+Training-data extension surface (SURVEY.md §7.8 item 8); the reference
+has no tokenizer-training analogue (its closest text surface is the
+pandas cleaning scripts).  The classic algorithm (Sennrich et al.
+2016, public): start from character-level symbols, repeatedly count
+adjacent symbol pairs across the weighted vocabulary and merge the
+most frequent pair.  Spark shape: the pair count of every iteration is
+a distributed hash aggregate over the (distinct-word, count)
+vocabulary; ONLY the 1-row argmax comes to the driver per iteration —
+the same kilobyte-scale round trip every Lloyd's/BPE implementation
+does.  Merges apply as a ``replace`` over the space-separated symbol
+string, which resolves non-overlapping left-to-right identically in
+Spark and DuckDB (probed: ' a a a ' → ' aa a ' in both), so the whole
+K-iteration training run restates as generated per-iteration CTEs and
+is fully value-oracled — the kmeans-oracle pattern.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..sources.tables import load_table, spread
+from .dedup import _norm_text
+
+BPE_MERGES = 8
+
+
+def _word_vocab(docs: DataFrame) -> DataFrame:
+    """(w, n): distinct whitespace words with occurrence counts."""
+    return (
+        spread(docs, "doc_id")
+        .select(
+            F.explode(
+                F.split(_norm_text(F.coalesce(F.col("text"), F.lit(""))), " ")
+            ).alias("w")
+        )
+        .filter(F.length("w") > 0)
+        .groupBy("w")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+def _char_spaced(col):
+    """'hello' → ' h e l l o ' (leading + trailing space, so every
+    symbol occurrence — first and last included — matches the padded
+    ' a b ' search pattern)."""
+    return F.concat(F.lit(" "), F.regexp_replace(col, "(.)", "$1 "))
+
+
+def _adjacent_pairs(s_col):
+    """Space-separated symbol string → array of 'a b' adjacent-pair
+    strings (empty for single-symbol words)."""
+    syms = F.split(F.trim(s_col), " ")
+    n = F.size(syms)
+    idx = F.sequence(F.lit(1), n - 1)
+    pairs = F.transform(
+        idx,
+        lambda i: F.concat(
+            F.element_at(syms, i), F.lit(" "), F.element_at(syms, i + 1)
+        ),
+    )
+    return F.when(n >= 2, pairs).otherwise(F.array().cast("array<string>"))
+
+
+def bpe_train(docs: DataFrame, k: int = BPE_MERGES) -> list[tuple[int, str, str, int]]:
+    """Learn k merge rules; returns [(rank, 'a b', 'ab', count)].
+
+    Each iteration runs one distributed pair-count aggregate over the
+    cached vocabulary and collects exactly one row (the argmax, ties
+    broken by pair text so the run is engine-agnostic); the merge is
+    applied lazily as a string ``replace`` on the symbol column, so
+    iteration i+1's count job evaluates a chain of i replaces — K is
+    small by construction (real tokenizers checkpoint every few
+    hundred merges; same shape)."""
+    sp = docs.select(_char_spaced(F.col("w")).alias("s"), "n")
+    sp = sp.persist()
+    merges: list[tuple[int, str, str, int]] = []
+    cur = sp
+    for rank in range(1, k + 1):
+        top = (
+            cur.select(F.explode(_adjacent_pairs(F.col("s"))).alias("p"), "n")
+            .groupBy("p")
+            .agg(F.sum("n").alias("c"))
+            .orderBy(F.desc("c"), F.asc("p"))
+            .limit(1)
+            .collect()
+        )
+        if not top:
+            break
+        pair, cnt = top[0].p, int(top[0].c)
+        merged = pair.replace(" ", "")
+        merges.append((rank, pair, merged, cnt))
+        cur = cur.select(
+            F.replace(
+                F.col("s"), F.lit(f" {pair} "), F.lit(f" {merged} ")
+            ).alias("s"),
+            "n",
+        )
+    sp.unpersist()
+    return merges
+
+
+def q_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-facing BPE training query: the learned merge table."""
+    docs = load_table(spark, sf_dir, "documents")
+    merges = bpe_train(_word_vocab(docs))
+    return spark.createDataFrame(
+        merges, "rank int, pair string, merged string, cnt long"
+    )
+
+
+def _oracle_bpe_train(k: int = BPE_MERGES) -> str:
+    parts = [
+        """
+WITH words AS (
+  SELECT w, COUNT(*) AS n FROM (
+    SELECT unnest(string_split(regexp_replace(lower(trim(coalesce(text,''))), '\\s+', ' ', 'g'), ' ')) AS w
+    FROM documents
+  ) WHERE w != '' GROUP BY w
+), sp_0 AS (
+  SELECT ' ' || regexp_replace(w, '(.)', '\\1 ', 'g') AS s, n FROM words
+)"""
+    ]
+    for i in range(1, k + 1):
+        parts.append(
+            f"""
+, pc_{i} AS (
+  SELECT p, SUM(n) AS c FROM (
+    SELECT unnest(list_transform(range(1, len(sy)), j -> sy[j] || ' ' || sy[j+1])) AS p, n
+    FROM (SELECT string_split(trim(s), ' ') AS sy, n FROM sp_{i-1})
+  ) GROUP BY p
+), top_{i} AS (
+  SELECT p, c, replace(p, ' ', '') AS m FROM pc_{i} ORDER BY c DESC, p ASC LIMIT 1
+), sp_{i} AS (
+  SELECT replace(sp.s, ' ' || t.p || ' ', ' ' || t.m || ' ') AS s, sp.n
+  FROM sp_{i-1} sp CROSS JOIN top_{i} t
+)"""
+        )
+    selects = "\nUNION ALL ".join(
+        f"SELECT CAST({i} AS INT) AS rank, p AS pair, m AS merged, CAST(c AS BIGINT) AS cnt FROM top_{i}"
+        for i in range(1, k + 1)
+    )
+    return "".join(parts) + "\n" + selects
+
+
+QUERIES = {"bpe_train": q_bpe_train}
+ORACLES = {"bpe_train": _oracle_bpe_train()}
