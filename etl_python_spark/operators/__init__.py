@@ -76,10 +76,10 @@ VERIFY_PRIORITY = (
     "geo_spine_zerofill",
     "set_ops",
     "left_enrichment",
-    "full_outer_coalesce",
     # (e) new operators this round — never verified, so they displace
     #     seven (d)-slice refreshes whose r4 verdicts stand:
     "bpe_train",
+    "bpe_encode",
     "passage_dedup",
     "passage_scrub",
     "pii_mask",

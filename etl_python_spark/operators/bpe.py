@@ -112,7 +112,10 @@ def q_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _oracle_bpe_train(k: int = BPE_MERGES) -> str:
+def _oracle_bpe_ctes(k: int = BPE_MERGES) -> str:
+    """The WITH-chain shared by the train and encode oracles: vocab,
+    char-spaced symbols, and per-iteration (pair count, argmax, merge
+    application) CTEs ending at ``sp_{k}`` / ``top_{k}``."""
     parts = [
         """
 WITH words AS (
@@ -121,7 +124,7 @@ WITH words AS (
     FROM documents
   ) WHERE w != '' GROUP BY w
 ), sp_0 AS (
-  SELECT ' ' || regexp_replace(w, '(.)', '\\1 ', 'g') AS s, n FROM words
+  SELECT w, ' ' || regexp_replace(w, '(.)', '\\1 ', 'g') AS s, n FROM words
 )"""
     ]
     for i in range(1, k + 1):
@@ -135,16 +138,82 @@ WITH words AS (
 ), top_{i} AS (
   SELECT p, c, replace(p, ' ', '') AS m FROM pc_{i} ORDER BY c DESC, p ASC LIMIT 1
 ), sp_{i} AS (
-  SELECT replace(sp.s, ' ' || t.p || ' ', ' ' || t.m || ' ') AS s, sp.n
+  SELECT sp.w, replace(sp.s, ' ' || t.p || ' ', ' ' || t.m || ' ') AS s, sp.n
   FROM sp_{i-1} sp CROSS JOIN top_{i} t
 )"""
         )
+    return "".join(parts)
+
+
+def _oracle_bpe_train(k: int = BPE_MERGES) -> str:
     selects = "\nUNION ALL ".join(
         f"SELECT CAST({i} AS INT) AS rank, p AS pair, m AS merged, CAST(c AS BIGINT) AS cnt FROM top_{i}"
         for i in range(1, k + 1)
     )
-    return "".join(parts) + "\n" + selects
+    return _oracle_bpe_ctes(k) + "\n" + selects
 
 
-QUERIES = {"bpe_train": q_bpe_train}
-ORACLES = {"bpe_train": _oracle_bpe_train()}
+def q_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fit→apply composition: train the BPE merges, tokenize the
+    VOCABULARY once through the merge chain (the way real tokenizers
+    encode — per distinct word, not per occurrence), then join the
+    per-word symbol counts back onto the corpus word stream for
+    per-doc BPE token counts.
+
+    Scale shape: the merge chain evaluates over the distinct-word
+    vocabulary (corpus-vocabulary-sized, not corpus-sized); the
+    per-doc rollup is one join keyed on the word plus one doc-keyed
+    aggregate.  At lake scale the vocabulary side broadcast-joins for
+    any natural-language corpus (vocab ≪ corpus)."""
+    docs = load_table(spark, sf_dir, "documents")
+    vocab = _word_vocab(docs)
+    merges = bpe_train(vocab, BPE_MERGES)
+    s = _char_spaced(F.col("w"))
+    for _rank, pair, merged, _cnt in merges:
+        s = F.replace(s, F.lit(f" {pair} "), F.lit(f" {merged} "))
+    vocab_sym = vocab.select(
+        "w", F.size(F.split(F.trim(s), " ")).alias("n_sym")
+    )
+    doc_words = (
+        spread(docs, "doc_id")
+        .select(
+            "doc_id",
+            F.explode(
+                F.split(_norm_text(F.coalesce(F.col("text"), F.lit(""))), " ")
+            ).alias("w"),
+        )
+        .filter(F.length("w") > 0)
+    )
+    return (
+        doc_words.join(vocab_sym, "w")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("int").alias("n_words"),
+            F.sum("n_sym").cast("int").alias("bpe_tokens"),
+        )
+    )
+
+
+ORACLE_BPE_ENCODE = (
+    _oracle_bpe_ctes()
+    + f"""
+, vocab_sym AS (
+  SELECT w, len(string_split(trim(s), ' ')) AS n_sym FROM sp_{BPE_MERGES}
+), doc_words AS (
+  SELECT doc_id, w FROM (
+    SELECT doc_id,
+           unnest(string_split(regexp_replace(lower(trim(coalesce(text,''))), '\\s+', ' ', 'g'), ' ')) AS w
+    FROM documents
+  ) WHERE w != ''
+)
+SELECT d.doc_id,
+       CAST(COUNT(*) AS INT) AS n_words,
+       CAST(SUM(v.n_sym) AS INT) AS bpe_tokens
+FROM doc_words d JOIN vocab_sym v USING (w)
+GROUP BY d.doc_id
+"""
+)
+
+
+QUERIES = {"bpe_train": q_bpe_train, "bpe_encode": q_bpe_encode}
+ORACLES = {"bpe_train": _oracle_bpe_train(), "bpe_encode": ORACLE_BPE_ENCODE}

@@ -23,3 +23,23 @@ def test_bpe_train_sennrich_example(spark):
 def test_bpe_train_single_char_vocab_stops(spark):
     vocab = spark.createDataFrame([("a", 3), ("b", 2)], "w string, n long")
     assert bpe_train(vocab, k=4) == []
+
+
+def test_bpe_encode_bounds(spark):
+    """Each word encodes to at least 1 and at most len(word) symbols,
+    so per-doc: n_words <= bpe_tokens <= total word chars; and merges
+    actually compress (some doc has bpe_tokens < chars)."""
+    from tests.conftest import SF_SMOKE
+    from etl_python_spark.operators.bpe import q_bpe_encode
+    from etl_python_spark.operators.text import QUERIES as TEXT_QUERIES
+
+    enc = {r.doc_id: r for r in q_bpe_encode(spark, SF_SMOKE).collect()}
+    tc = {r.doc_id: r for r in TEXT_QUERIES["token_count"](spark, SF_SMOKE).collect()}
+    compressed = 0
+    for doc_id, r in enc.items():
+        assert r.n_words <= r.bpe_tokens, r
+        chars = tc[doc_id].n_chars_norm if hasattr(tc[doc_id], "n_chars_norm") else None
+        if chars is not None:
+            assert r.bpe_tokens <= chars
+        compressed += r.bpe_tokens < r.n_words * 10
+    assert compressed
