@@ -75,11 +75,11 @@ VERIFY_PRIORITY = (
     "sla_leadtime",
     "geo_spine_zerofill",
     "set_ops",
-    "left_enrichment",
     # (e) new operators this round — never verified, so they displace
     #     seven (d)-slice refreshes whose r4 verdicts stand:
     "bpe_train",
     "bpe_encode",
+    "lm_perplexity",
     "passage_dedup",
     "passage_scrub",
     "pii_mask",

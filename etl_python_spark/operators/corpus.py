@@ -332,11 +332,88 @@ FROM cells
 """
 
 
+# CCNet-style perplexity filtering (public description in Wenzek et
+# al. 2020): score every doc by the cross-entropy of a unigram LM
+# trained on a held-in corpus slice; high-NLL docs are out-of-domain
+# or garbage.  Add-1 smoothing covers OOV words; per-word log-probs
+# round to 6dp BEFORE the per-doc average (the kmeans/_dist2_lit
+# pattern) so the ln() of both engines cannot diverge in the hash.
+LM_HOLDIN_MOD = 5  # doc_id % 5 != 0 trains the LM; every doc is scored
+
+
+def q_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc unigram negative log-likelihood against a held-in LM.
+
+    Scale shape: the LM is one hash aggregate over the held-in word
+    stream (vocabulary-sized result); N and V are a 1-row aggregate
+    cross-joined as literals; scoring is a word-keyed join of the
+    corpus stream against the vocabulary (broadcast at natural-corpus
+    vocab sizes) plus one doc-keyed average.  No driver collect.
+    """
+    docs = spread(load_table(spark, sf_dir, "documents"), "doc_id")
+    words = docs.select(
+        "doc_id",
+        F.explode(
+            F.split(_norm_text(F.coalesce(F.col("text"), F.lit(""))), " ")
+        ).alias("w"),
+    ).filter(F.length("w") > 0)
+
+    train = words.filter(F.col("doc_id") % LM_HOLDIN_MOD != 0)
+    vocab = train.groupBy("w").agg(F.count("*").alias("n"))
+    # distinct names: Spark resolves case-insensitively by default, so
+    # totals' N would collide with vocab's n
+    totals = vocab.agg(
+        F.sum("n").alias("tok_total"), F.count("*").alias("vocab_size")
+    )
+
+    scored = (
+        words.join(vocab, "w", "left")
+        .crossJoin(F.broadcast(totals))
+        .select(
+            "doc_id",
+            F.round(
+                F.log(
+                    (F.coalesce(F.col("n"), F.lit(0)) + 1)
+                    / (F.col("tok_total") + F.col("vocab_size")).cast("double")
+                ),
+                6,
+            ).alias("logp"),
+        )
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("int").alias("n_words"),
+        F.round(-F.avg("logp"), 4).alias("nll"),
+    )
+
+
+ORACLE_LM_PERPLEXITY = f"""
+WITH words AS (
+  SELECT doc_id,
+         unnest(string_split(regexp_replace(lower(trim(coalesce(text,''))), '\\s+', ' ', 'g'), ' ')) AS w
+  FROM documents
+), wf AS (
+  SELECT doc_id, w FROM words WHERE w != ''
+), vocab AS (
+  SELECT w, COUNT(*) AS n FROM wf WHERE doc_id % {LM_HOLDIN_MOD} != 0 GROUP BY w
+), totals AS (
+  SELECT SUM(n) AS N, COUNT(*) AS V FROM vocab
+), scored AS (
+  SELECT wf.doc_id,
+         ROUND(ln((COALESCE(v.n, 0) + 1) / CAST(t.N + t.V AS DOUBLE)), 6) AS logp
+  FROM wf LEFT JOIN vocab v USING (w) CROSS JOIN totals t
+)
+SELECT doc_id, CAST(COUNT(*) AS INT) AS n_words, ROUND(-AVG(logp), 4) AS nll
+FROM scored
+GROUP BY doc_id
+"""
+
+
 QUERIES = {
     "decontaminate": q_decontaminate,
     "sample_stratified": q_sample_stratified,
     "pack_sequences": q_pack_sequences,
     "corpus_mix": q_corpus_mix,
+    "lm_perplexity": q_lm_perplexity,
 }
 
 ORACLES = {
@@ -344,4 +421,5 @@ ORACLES = {
     "sample_stratified": ORACLE_SAMPLE_STRATIFIED,
     "pack_sequences": ORACLE_PACK_SEQUENCES,
     "corpus_mix": ORACLE_CORPUS_MIX,
+    "lm_perplexity": ORACLE_LM_PERPLEXITY,
 }
