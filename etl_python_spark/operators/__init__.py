@@ -74,12 +74,12 @@ VERIFY_PRIORITY = (
     "profile_customer",
     "sla_leadtime",
     "geo_spine_zerofill",
-    "set_ops",
     # (e) new operators this round — never verified, so they displace
     #     seven (d)-slice refreshes whose r4 verdicts stand:
     "bpe_train",
     "bpe_encode",
     "lm_perplexity",
+    "pack_manifest",
     "passage_dedup",
     "passage_scrub",
     "pii_mask",

@@ -289,6 +289,116 @@ FROM cum
 """
 
 
+def q_pack_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The inverse view of :func:`pack_sequences`, in the shape a
+    training dataloader actually consumes: for every (shard, seq)
+    training sequence, the ordered manifest of document segments that
+    fill it — 'doc_id:start-end' entries with 0-based within-sequence
+    token bounds — plus fill stats (every sequence is exactly SEQ_LEN
+    full except each shard's final partial one).
+
+    Scale shape: the same single sharded prefix-sum window as packing,
+    one explode bounded by each doc's sequence span, and one
+    (shard, seq)-keyed aggregate.  Manifest entries order by segment
+    start, so the string is engine-agnostic."""
+    docs = load_table(spark, sf_dir, "documents")
+    n_tokens = F.size(F.split(_norm_text(F.col("text")), " "))
+    base = docs.select(
+        "doc_id",
+        (F.col("doc_id") % F.lit(PACK_SHARDS)).alias("shard"),
+        n_tokens.alias("n_tokens"),
+    )
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy("shard")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = base.withColumn("cum", F.sum("n_tokens").over(w)).withColumn(
+        "off", F.col("cum") - F.col("n_tokens")
+    )
+    seqs = cum.select(
+        "doc_id",
+        "shard",
+        "cum",
+        "off",
+        F.explode(
+            F.sequence(
+                F.floor(F.col("off") / SEQ_LEN).cast("int"),
+                F.floor((F.col("cum") - 1) / SEQ_LEN).cast("int"),
+            )
+        ).alias("seq"),
+    )
+    seg_start = F.greatest(F.col("off") - F.col("seq") * SEQ_LEN, F.lit(0)).cast("int")
+    seg_end = (
+        F.least(F.col("cum") - F.col("seq") * SEQ_LEN, F.lit(SEQ_LEN)) - 1
+    ).cast("int")
+    entries = seqs.select(
+        "shard",
+        "seq",
+        seg_start.alias("a"),
+        (seg_end - seg_start + 1).alias("seg_len"),
+        F.concat_ws(
+            "", F.col("doc_id").cast("string"), F.lit(":"),
+            seg_start.cast("string"), F.lit("-"), seg_end.cast("string"),
+        ).alias("entry"),
+    )
+    return (
+        entries.groupBy("shard", "seq")
+        .agg(
+            F.count(F.lit(1)).cast("int").alias("n_docs"),
+            F.sum("seg_len").cast("int").alias("filled"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("a", "entry"))),
+                    lambda s: s["entry"],
+                ),
+                ",",
+            ).alias("manifest"),
+        )
+        .select(
+            F.col("shard").cast("int").alias("shard"),
+            F.col("seq").cast("int").alias("seq"),
+            "n_docs",
+            "filled",
+            "manifest",
+        )
+    )
+
+
+ORACLE_PACK_MANIFEST = f"""
+WITH base AS (
+  SELECT doc_id, doc_id % {PACK_SHARDS} AS shard,
+         len(string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ')) AS n_tokens
+  FROM documents
+), cum AS (
+  SELECT doc_id, shard, n_tokens,
+         SUM(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+                             ROWS UNBOUNDED PRECEDING) AS c
+  FROM base
+), seqs AS (
+  SELECT doc_id, shard, c, c - n_tokens AS off,
+         unnest(range(CAST(floor((c - n_tokens) / {SEQ_LEN}) AS BIGINT),
+                      CAST(floor((c - 1) / {SEQ_LEN}) AS BIGINT) + 1)) AS seq
+  FROM cum
+), segs AS (
+  SELECT shard, seq,
+         CAST(greatest(off - seq * {SEQ_LEN}, 0) AS INT) AS a,
+         CAST(least(c - seq * {SEQ_LEN}, {SEQ_LEN}) - 1 AS INT) AS b,
+         doc_id
+  FROM seqs
+)
+SELECT CAST(shard AS INT) AS shard, CAST(seq AS INT) AS seq,
+       CAST(COUNT(*) AS INT) AS n_docs,
+       CAST(SUM(b - a + 1) AS INT) AS filled,
+       string_agg(CAST(doc_id AS VARCHAR) || ':' || CAST(a AS VARCHAR) || '-' || CAST(b AS VARCHAR),
+                  ',' ORDER BY a) AS manifest
+FROM segs
+GROUP BY shard, seq
+"""
+
+
 def q_corpus_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Data-mixing report: per (source, lang) document and token
     counts with each cell's share of total tokens — the table a
@@ -412,6 +522,7 @@ QUERIES = {
     "decontaminate": q_decontaminate,
     "sample_stratified": q_sample_stratified,
     "pack_sequences": q_pack_sequences,
+    "pack_manifest": q_pack_manifest,
     "corpus_mix": q_corpus_mix,
     "lm_perplexity": q_lm_perplexity,
 }
@@ -420,6 +531,7 @@ ORACLES = {
     "decontaminate": ORACLE_DECONTAMINATE,
     "sample_stratified": ORACLE_SAMPLE_STRATIFIED,
     "pack_sequences": ORACLE_PACK_SEQUENCES,
+    "pack_manifest": ORACLE_PACK_MANIFEST,
     "corpus_mix": ORACLE_CORPUS_MIX,
     "lm_perplexity": ORACLE_LM_PERPLEXITY,
 }

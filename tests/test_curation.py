@@ -142,3 +142,33 @@ def test_passage_scrub_consistent_with_dedup(spark):
             assert len(r.cleaned_text.split(" ")) == r.n_tokens
         removed_any += r.n_removed > 0
     assert removed_any  # the planted near-dup clones actually scrub
+
+
+def test_pack_manifest_fills_every_sequence(spark):
+    """Manifest invariants vs pack_sequences: every sequence is
+    exactly SEQ_LEN tokens full except each shard's final one, and
+    segment bounds tile the sequence without gaps or overlaps."""
+    from etl_python_spark.operators.corpus import SEQ_LEN, q_pack_manifest
+
+    rows = q_pack_manifest(spark, SF_SMOKE).collect()
+    by_shard = {}
+    for r in rows:
+        by_shard.setdefault(r.shard, []).append(r)
+    for shard, seqs in by_shard.items():
+        seqs.sort(key=lambda r: r.seq)
+        assert [r.seq for r in seqs] == list(range(len(seqs)))  # gapless
+        for i, r in enumerate(seqs):
+            segs = []
+            for ent in r.manifest.split(","):
+                doc, ab = ent.split(":")
+                a, b = map(int, ab.split("-"))
+                segs.append((a, b))
+            assert len(segs) == r.n_docs
+            assert sum(b - a + 1 for a, b in segs) == r.filled
+            # tiling: starts at 0, contiguous, ends at filled-1
+            assert segs[0][0] == 0
+            for (a1, b1), (a2, b2) in zip(segs, segs[1:]):
+                assert a2 == b1 + 1
+            assert segs[-1][1] == r.filled - 1
+            if i < len(seqs) - 1:
+                assert r.filled == SEQ_LEN, r
