@@ -823,6 +823,213 @@ FROM assigned s LEFT JOIN dup_stats d ON s.vec_id = d.id_b
 )
 
 
+# Product quantization (Jégou et al. 2011, "Product Quantization for
+# Nearest Neighbor Search"): split each vector into PQ_M subvectors,
+# quantize every subvector against a tiny per-subspace codebook, and
+# answer queries with asymmetric distance computation (ADC) — a sum of
+# PQ_M lookup-table entries instead of a full-dimension scan.  This is
+# the compression tier under IVF in the standard IVF-PQ index: at
+# 100 TB the corpus is stored as PQ_M small ints per vector (here
+# 8 codes ≈ 8 bytes vs 256 bytes of floats), and candidate scoring
+# never touches the raw vectors.
+PQ_M = 8        # subspaces
+PQ_DSUB = EMB_DIM // PQ_M
+PQ_KS = 4       # codes per subspace
+PQ_SAMPLE_BASE = 200  # codebook = subvectors of vec_ids 200..203
+
+
+def _pq_codebook(emb: DataFrame) -> list[list[list[float]]]:
+    """codebook[m][k] = the m-th subvector of sample vector k.
+
+    Deterministic sample codebook (the same device :func:`q_ann_ivf`
+    uses for its coarse centroids) so the WHOLE pipeline is restatable
+    in the oracle; production fits per-subspace k-means exactly the way
+    :func:`q_ann_ivf_fitted` fits its coarse quantizer.  PQ_KS×dim
+    floats to the driver — kilobytes, same round-trip as k-means init."""
+    rows = (
+        emb.filter(
+            (F.col("vec_id") >= PQ_SAMPLE_BASE)
+            & (F.col("vec_id") < PQ_SAMPLE_BASE + PQ_KS)
+        )
+        .orderBy("vec_id")
+        .collect()
+    )
+    return [
+        [list(r.v[m * PQ_DSUB : (m + 1) * PQ_DSUB]) for r in rows]
+        for m in range(PQ_M)
+    ]
+
+
+def _pq_assign(emb: DataFrame, codebook) -> DataFrame:
+    """(vec_id, m, code, err2): per-subspace argmin against the code
+    literals — ONE projection + explode, no join, no shuffle (the same
+    broadcast-literal pattern as :func:`_kmeans_assign`); distances are
+    6dp-rounded before the argmin, ties break toward the lowest code."""
+    entries = []
+    for m in range(PQ_M):
+        sub = F.slice(F.col("v"), m * PQ_DSUB + 1, PQ_DSUB)
+        d = F.array(*[_dist2_lit(sub, c) for c in codebook[m]])
+        best = (F.array_position(d, F.array_min(d)) - 1).cast("int")
+        entries.append(
+            F.struct(
+                F.lit(m).alias("m"),
+                best.alias("code"),
+                F.array_min(d).alias("err2"),
+            )
+        )
+    return emb.select("vec_id", F.explode(F.array(*entries)).alias("e")).select(
+        "vec_id",
+        F.col("e.m").alias("m"),
+        F.col("e.code").alias("code"),
+        F.col("e.err2").alias("err2"),
+    )
+
+
+def q_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ-encode the corpus: one row per (vector, subspace) with the
+    chosen code and its 6dp-rounded squared-L2 quantization error.
+    The encode pass is a single corpus scan with centroid-literal
+    arithmetic — the shape that turns a 100 TB float corpus into a
+    compact code table once, reused by every query batch."""
+    emb = _kmeans_emb(spark, sf_dir)
+    return _pq_assign(emb, _pq_codebook(emb))
+
+
+def q_ann_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate top-k by asymmetric distance computation: each query
+    precomputes a PQ_M×PQ_KS lookup table of subspace distances (tiny,
+    broadcast), and every corpus vector's approximate distance is the
+    sum of PQ_M table entries keyed by its stored codes — the scan
+    never touches raw corpus floats.  Candidate scoring is one
+    broadcast equi-join on (m, code) + a hash aggregate; ranking is
+    ascending approximate distance with the id tie-break."""
+    emb = _kmeans_emb(spark, sf_dir)
+    cb = _pq_codebook(emb)
+    posting = _pq_assign(emb, cb).select(
+        F.col("vec_id").alias("n_id"), "m", "code"
+    )
+    entries = []
+    for m in range(PQ_M):
+        sub = F.slice(F.col("v"), m * PQ_DSUB + 1, PQ_DSUB)
+        for k, c in enumerate(cb[m]):
+            entries.append(
+                F.struct(
+                    F.lit(m).alias("m"),
+                    F.lit(k).alias("code"),
+                    _dist2_lit(sub, c).alias("d2"),
+                )
+            )
+    lut = (
+        emb.filter(F.col("vec_id") < N_QUERY)
+        .select(F.col("vec_id").alias("q_id"), F.explode(F.array(*entries)).alias("e"))
+        .select("q_id", "e.m", "e.code", "e.d2")
+    )
+    cand = posting.join(F.broadcast(lut), ["m", "code"]).filter(
+        F.col("q_id") != F.col("n_id")
+    )
+    adist = cand.groupBy("q_id", "n_id").agg(
+        F.round(F.sum("d2"), 6).alias("adist")
+    )
+    w = Window.partitionBy("q_id").orderBy(F.asc("adist"), F.asc("n_id"))
+    return adist.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= TOP_K
+    )
+
+
+def _sql_sub(v: str, m: str) -> str:
+    return f"list_slice({v}, {m} * {PQ_DSUB} + 1, {m} * {PQ_DSUB} + {PQ_DSUB})"
+
+
+_PQ_CTES = f"""
+WITH emb AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+), cb AS (
+  SELECT vec_id - {PQ_SAMPLE_BASE} AS code, v FROM emb
+  WHERE vec_id >= {PQ_SAMPLE_BASE} AND vec_id < {PQ_SAMPLE_BASE + PQ_KS}
+), ms AS (
+  SELECT unnest(range(0, {PQ_M})) AS m
+), cbsub AS (
+  SELECT c.code, ms.m, {_sql_sub('c.v', 'ms.m')} AS cs FROM cb c CROSS JOIN ms
+), sub AS (
+  SELECT e.vec_id, ms.m, {_sql_sub('e.v', 'ms.m')} AS s FROM emb e CROSS JOIN ms
+), d AS (
+  SELECT sub.vec_id, sub.m, cbsub.code,
+         ROUND(list_sum(list_transform(range(1, {PQ_DSUB} + 1),
+               i -> (sub.s[i] - cbsub.cs[i]) * (sub.s[i] - cbsub.cs[i]))), 6) AS d2
+  FROM sub JOIN cbsub ON sub.m = cbsub.m
+), codes AS (
+  SELECT vec_id, m, code, d2 FROM (
+    SELECT vec_id, m, code, d2,
+           ROW_NUMBER() OVER (PARTITION BY vec_id, m
+             ORDER BY d2 ASC, code ASC) AS rnk
+    FROM d
+  ) WHERE rnk = 1
+)"""
+
+ORACLE_PQ_CODES = (
+    _PQ_CTES
+    + """
+SELECT vec_id, CAST(m AS INT) AS m, CAST(code AS INT) AS code, d2 AS err2
+FROM codes
+"""
+)
+
+ORACLE_ANN_PQ_ADC = (
+    _PQ_CTES
+    + f"""
+, adist AS (
+  SELECT l.vec_id AS q_id, c.vec_id AS n_id, ROUND(SUM(l.d2), 6) AS adist
+  FROM codes c JOIN d l ON l.m = c.m AND l.code = c.code
+  WHERE l.vec_id < {N_QUERY} AND l.vec_id <> c.vec_id
+  GROUP BY 1, 2
+), ranked AS (
+  SELECT q_id, n_id, adist,
+         ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY adist ASC, n_id ASC) AS rank
+  FROM adist
+)
+SELECT q_id, n_id, adist, rank FROM ranked WHERE rank <= {TOP_K}
+"""
+)
+
+
+def q_embedding_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension corpus statistics (mean / sample stddev / min /
+    max) over the embedding column — the profiling pass that feeds
+    normalization and whitening decisions before any similarity index
+    is built.  ``posexplode`` + one hash aggregate keyed by dimension:
+    map-side partial aggregation does almost all the work, and the
+    shuffle moves only EMB_DIM × partial-state rows regardless of
+    corpus size.  Mean/std rounded at 6dp (the k-means precedent) so
+    the engines' summation-order drift can't flip a digit; min/max are
+    exact float values needing no rounding."""
+    emb = _kmeans_emb(spark, sf_dir)
+    return (
+        emb.select(F.posexplode("v").alias("dim", "val"))
+        .groupBy("dim")
+        .agg(
+            F.round(F.avg("val"), 6).alias("mean"),
+            F.round(F.stddev_samp("val"), 6).alias("std"),
+            F.min("val").alias("vmin"),
+            F.max("val").alias("vmax"),
+        )
+    )
+
+
+ORACLE_EMBEDDING_STATS = f"""
+WITH emb AS (
+  SELECT list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings
+)
+SELECT CAST(t.j - 1 AS INT) AS dim,
+       ROUND(AVG(v[t.j]), 6) AS mean,
+       ROUND(stddev_samp(v[t.j]), 6) AS std,
+       MIN(v[t.j]) AS vmin,
+       MAX(v[t.j]) AS vmax
+FROM emb, (SELECT unnest(range(1, {EMB_DIM} + 1)) AS j) t
+GROUP BY 1
+"""
+
+
 QUERIES = {
     "ann_bruteforce": q_ann_bruteforce,
     "ann_bruteforce_pandas": q_ann_bruteforce_pandas,
@@ -833,6 +1040,9 @@ QUERIES = {
     "kmeans_assign": q_kmeans_assign,
     "embedding_neardup": q_embedding_neardup,
     "semantic_dedup": q_semantic_dedup,
+    "pq_codes": q_pq_codes,
+    "ann_pq_adc": q_ann_pq_adc,
+    "embedding_stats": q_embedding_stats,
 }
 
 ORACLES = {
@@ -845,4 +1055,7 @@ ORACLES = {
     "kmeans_assign": ORACLE_KMEANS_ASSIGN,
     "kmeans_embeddings": ORACLE_KMEANS_FULL,
     "semantic_dedup": ORACLE_SEMANTIC_DEDUP,
+    "pq_codes": ORACLE_PQ_CODES,
+    "ann_pq_adc": ORACLE_ANN_PQ_ADC,
+    "embedding_stats": ORACLE_EMBEDDING_STATS,
 }

@@ -61,3 +61,19 @@ def _canon_set(cols, rows):
     cols = [c.lower() for c in cols]
     order = sorted(range(len(cols)), key=lambda i: cols[i])
     return sorted("|".join(canon(r[i]) for i in order) for r in rows)
+
+
+def test_pq_invariants(spark):
+    """PQ encode: every vector gets exactly PQ_M codes in [0, PQ_KS);
+    the codebook sample vectors quantize to themselves with zero error."""
+    from etl_python_spark.operators import similarity as sim
+
+    df = sim.q_pq_codes(spark, SF_SMOKE)
+    rows = df.collect()
+    n_vecs = len({r.vec_id for r in rows})
+    assert len(rows) == n_vecs * sim.PQ_M
+    assert all(0 <= r.code < sim.PQ_KS for r in rows)
+    assert all(0 <= r.m < sim.PQ_M for r in rows)
+    own = [r for r in rows if sim.PQ_SAMPLE_BASE <= r.vec_id < sim.PQ_SAMPLE_BASE + sim.PQ_KS]
+    assert own and all(r.err2 == 0.0 for r in own)
+    assert all(r.code == r.vec_id - sim.PQ_SAMPLE_BASE for r in own)
