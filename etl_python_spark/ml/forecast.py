@@ -573,12 +573,71 @@ SELECT n_name, mes, faturamento,
 FROM monthly
 """
 
+def q_ts_autocorr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-nation autocorrelation of monthly revenue at lags 1–3 — the
+    seasonality/persistence diagnostic run before choosing the
+    forecast model's lag features (the reference feeds lag-1 plus 3/6
+    month means into its RF; this measures whether those lags carry
+    signal).  One window pass produces all three lagged series, a
+    ``stack`` unpivots them, and one hash aggregate computes Pearson
+    r per (nation, lag) — the shuffle moves only the tiny monthly
+    aggregate, never order rows.  r rounded at 6dp (engines' co-moment
+    fold order differs at ~1e-15)."""
+    monthly = monthly_features(spark, sf_dir).select(
+        "n_name", "mes", "faturamento"
+    )
+    w = Window.partitionBy("n_name").orderBy("mes")
+    lagged = monthly.select(
+        "n_name",
+        F.col("faturamento").alias("y"),
+        F.lag("faturamento", 1).over(w).alias("l1"),
+        F.lag("faturamento", 2).over(w).alias("l2"),
+        F.lag("faturamento", 3).over(w).alias("l3"),
+    )
+    stacked = lagged.select(
+        "n_name",
+        "y",
+        F.expr("stack(3, 1, l1, 2, l2, 3, l3) as (lag, y_lag)"),
+    )
+    return stacked.groupBy("n_name", "lag").agg(
+        F.round(F.corr("y", "y_lag"), 6).alias("autocorr"),
+        F.count("y_lag").cast("int").alias("n_pairs"),
+    )
+
+
+ORACLE_TS_AUTOCORR = """
+WITH monthly AS (
+  SELECT n.n_name, CAST(date_trunc('month', o.o_orderdate) AS DATE) AS mes,
+         ROUND(CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 2) AS faturamento
+  FROM orders o
+  JOIN customer c ON o.o_custkey = c.c_custkey
+  JOIN nation n ON c.c_nationkey = n.n_nationkey
+  GROUP BY 1, 2
+), lagged AS (
+  SELECT n_name, faturamento AS y,
+         LAG(faturamento, 1) OVER (PARTITION BY n_name ORDER BY mes) AS l1,
+         LAG(faturamento, 2) OVER (PARTITION BY n_name ORDER BY mes) AS l2,
+         LAG(faturamento, 3) OVER (PARTITION BY n_name ORDER BY mes) AS l3
+  FROM monthly
+), stacked AS (
+  SELECT n_name, 1 AS lag, y, l1 AS y_lag FROM lagged
+  UNION ALL SELECT n_name, 2, y, l2 FROM lagged
+  UNION ALL SELECT n_name, 3, y, l3 FROM lagged
+)
+SELECT n_name, lag,
+       ROUND(corr(y, y_lag), 6) AS autocorr,
+       CAST(COUNT(y_lag) AS INT) AS n_pairs
+FROM stacked GROUP BY 1, 2
+"""
+
+
 QUERIES = {
     "ml_lag_features": monthly_features,
     "ml_proxy_features": proxy_features,
     "ml_forecast_per_group": forecast_per_group,
     "ml_forecast_horizon": q_forecast_horizon,
     "ml_horizon_spine": q_horizon_spine,
+    "ts_autocorr": q_ts_autocorr,
 }
 
 ORACLES = {
@@ -587,5 +646,6 @@ ORACLES = {
     "ml_horizon_spine": ORACLE_HORIZON_SPINE,
     "ml_forecast_per_group": ORACLE_FORECAST_PER_GROUP,
     "ml_forecast_horizon": ORACLE_FORECAST_HORIZON,
+    "ts_autocorr": ORACLE_TS_AUTOCORR,
     # forecast_per_group_rf (sklearn seam) stays rows-only by design
 }

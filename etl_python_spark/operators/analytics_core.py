@@ -1068,6 +1068,49 @@ GROUP BY c_custkey
 """
 
 
+def q_revenue_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact order-value percentile report per priority class (p25 /
+    p50 / p75 / p90, linear interpolation) plus count and mean — the
+    distribution profile behind SLA thresholds and outlier cutoffs.
+
+    ``percentile`` here is the EXACT aggregate (it buffers each
+    group's values), which is fine when the group count is tiny and
+    bounded (5 priority classes) but is the wrong tool for
+    high-cardinality groups at 100 TB — there the one-line swap is
+    ``approx_percentile(col, p, accuracy)`` (t-digest, bounded error,
+    constant memory), and this query is the audit baseline for
+    choosing its accuracy knob.  4dp rounding absorbs the two
+    engines' interpolation-arithmetic drift."""
+    orders = load_table(spark, sf_dir, "orders")
+
+    def pct(p: float, name: str):
+        return F.round(
+            F.expr(f"percentile(o_totalprice, {p})"), 4
+        ).alias(name)
+
+    return orders.groupBy("o_orderpriority").agg(
+        F.count("*").alias("n_orders"),
+        F.round(F.avg("o_totalprice"), 4).alias("media"),
+        pct(0.25, "p25"),
+        pct(0.5, "p50"),
+        pct(0.75, "p75"),
+        pct(0.9, "p90"),
+    )
+
+
+ORACLE_REVENUE_PERCENTILES = """
+SELECT o_orderpriority,
+       COUNT(*) AS n_orders,
+       ROUND(AVG(o_totalprice), 4) AS media,
+       ROUND(quantile_cont(o_totalprice, 0.25), 4) AS p25,
+       ROUND(quantile_cont(o_totalprice, 0.5), 4) AS p50,
+       ROUND(quantile_cont(o_totalprice, 0.75), 4) AS p75,
+       ROUND(quantile_cont(o_totalprice, 0.9), 4) AS p90
+FROM orders
+GROUP BY 1
+"""
+
+
 QUERIES = {
     "faturamento_rollup": q_faturamento_rollup,
     "faturamento_proc": q_faturamento_proc,
@@ -1091,6 +1134,7 @@ QUERIES = {
     "rolling_metrics": q_rolling_metrics,
     "last_quarter_revenue": q_last_quarter_revenue,
     "profile_customer": q_profile_customer,
+    "revenue_percentiles": q_revenue_percentiles,
 }
 
 ORACLES = {
@@ -1116,4 +1160,5 @@ ORACLES = {
     "rolling_metrics": ORACLE_ROLLING,
     "last_quarter_revenue": ORACLE_LAST_QUARTER,
     "profile_customer": ORACLE_PROFILE,
+    "revenue_percentiles": ORACLE_REVENUE_PERCENTILES,
 }

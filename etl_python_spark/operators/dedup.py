@@ -717,6 +717,73 @@ def q_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# Incremental dedup: a new batch against an existing corpus snapshot
+# ---------------------------------------------------------------------------
+
+def incremental_dedup(base: DataFrame, incoming: DataFrame) -> DataFrame:
+    """Classify every incoming document against an existing corpus
+    snapshot: ``dup_within`` (a lower-id incoming row has the same
+    normalized-text hash), ``dup_base`` (first incoming occurrence, but
+    the hash already exists in the snapshot), or ``new`` — the daily
+    ingest step of a continuously-crawled corpus.
+
+    Scale shape: both the within-batch window and the snapshot join
+    key on ``content_hash``, so Catalyst reuses ONE hash shuffle of
+    the incoming batch for both steps; the snapshot side is reduced to
+    distinct hashes before the join (a 100 TB snapshot contributes
+    only its fingerprint column through an exchange, and Spark's
+    runtime bloom-filter injection —
+    ``spark.sql.optimizer.runtime.bloomFilter.enabled`` — prunes
+    definite-new hashes before that shuffle).  No collect, no
+    driver-side membership set."""
+    h = F.md5(_norm_text(F.col("text")))
+    base_h = base.select(h.alias("content_hash")).distinct().withColumn(
+        "in_base", F.lit(True)
+    )
+    inc = incoming.select("doc_id", h.alias("content_hash"))
+    w = Window.partitionBy("content_hash").orderBy("doc_id")
+    ranked = inc.withColumn("rn", F.row_number().over(w))
+    status = (
+        F.when(F.col("rn") > 1, F.lit("dup_within"))
+        .when(F.col("in_base"), F.lit("dup_base"))
+        .otherwise(F.lit("new"))
+    )
+    return ranked.join(base_h, "content_hash", "left").select(
+        "doc_id", "content_hash", status.alias("status")
+    )
+
+
+def q_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver entry: snapshot = doc_id % 10 < 8 (the corpus already
+    ingested), incoming = the remaining 20% (today's batch)."""
+    docs = spread(load_table(spark, sf_dir, "documents"), "doc_id")
+    return incremental_dedup(
+        docs.filter(F.col("doc_id") % 10 < 8),
+        docs.filter(F.col("doc_id") % 10 >= 8),
+    )
+
+
+ORACLE_INCREMENTAL_DEDUP = """
+WITH hashed AS (
+  SELECT doc_id,
+         md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS h
+  FROM documents
+), base AS (
+  SELECT DISTINCT h FROM hashed WHERE doc_id % 10 < 8
+), inc AS (
+  SELECT doc_id, h,
+         ROW_NUMBER() OVER (PARTITION BY h ORDER BY doc_id) AS rn
+  FROM hashed WHERE doc_id % 10 >= 8
+)
+SELECT i.doc_id, i.h AS content_hash,
+       CASE WHEN i.rn > 1 THEN 'dup_within'
+            WHEN b.h IS NOT NULL THEN 'dup_base'
+            ELSE 'new' END AS status
+FROM inc i LEFT JOIN base b ON i.h = b.h
+"""
+
+
 QUERIES = {
     "dedup_exact": q_dedup_exact,
     "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
@@ -725,6 +792,7 @@ QUERIES = {
     "minhash_lsh_pairs": q_minhash_lsh_pairs,
     "simhash": q_simhash,
     "simhash_neardup": q_simhash_neardup,
+    "incremental_dedup": q_incremental_dedup,
 }
 
 _SQL_SIMHASH_BANDS = "\n  UNION ALL ".join(
@@ -754,4 +822,5 @@ ORACLES = {
     "minhash_lsh_pairs": ORACLE_MINHASH_LSH,
     "simhash": ORACLE_SIMHASH,
     "simhash_neardup": ORACLE_SIMHASH_NEARDUP,
+    "incremental_dedup": ORACLE_INCREMENTAL_DEDUP,
 }

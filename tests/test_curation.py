@@ -172,3 +172,24 @@ def test_pack_manifest_fills_every_sequence(spark):
             assert segs[-1][1] == r.filled - 1
             if i < len(seqs) - 1:
                 assert r.filled == SEQ_LEN, r
+
+
+def test_incremental_dedup_statuses(spark):
+    """Constructed batch: within-dup beats base-dup for non-first rows;
+    first occurrence of a base hash is dup_base; unseen text is new."""
+    from etl_python_spark.operators.dedup import incremental_dedup
+
+    base = spark.createDataFrame(
+        [(1, "alpha beta"), (2, "gamma")], "doc_id long, text string"
+    )
+    incoming = spark.createDataFrame(
+        [
+            (10, "alpha  beta "),   # normalizes to a base hash -> dup_base
+            (11, "alpha beta"),     # second incoming copy -> dup_within
+            (12, "delta"),          # unseen -> new
+            (13, "delta"),          # within-dup of an otherwise-new text
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r.status for r in incremental_dedup(base, incoming).collect()}
+    assert out == {10: "dup_base", 11: "dup_within", 12: "new", 13: "dup_within"}
