@@ -22,16 +22,36 @@ from pyspark.sql import DataFrame, SparkSession
 #     their round-1 verdict remains valid evidence).
 # Names absent from this tuple keep module order after the block.
 VERIFY_PRIORITY = (
-    # Round-6 rotation (round-5 verdict task 2).
-    # (a) never driver-verified, or new this round:
+    # Round-6 rotation (round-5 verdict task 2), final shape.
+    # (a) never driver-verified — every query added or first-oracled
+    #     this round, plus the one r5 straggler:
     "dedup_keep_canonical",   # added r5 one slot past the window — zero verdicts ever
-    "ann_ivf_fitted",         # new r6: fitted-centroid IVF composition
-    "ml_forecast_per_group",  # r6 rewrite: seasonal-decomposition fit, first value oracle
-    "ml_forecast_horizon",    # r6 rewrite: same — was err:no_oracle through r5
-    # (b) files changed in r6, so the r5/r4 verdicts are stale:
-    #     dedup.py (persist_mode switch), similarity.py (fitted-IVF
-    #     refactor shares helpers), ml/forecast.py (oracle rewrite),
-    #     multimodal.py (BMP bounds validation).
+    "ann_ivf_fitted",         # fitted-centroid IVF composition
+    "pq_codes",               # product quantization encode
+    "ann_pq_adc",             # PQ asymmetric-distance top-k
+    "embedding_stats",        # per-dimension corpus profile
+    "incremental_dedup",      # new batch vs corpus snapshot
+    "ts_autocorr",            # lag-1..3 autocorrelation diagnostic
+    "revenue_percentiles",    # exact percentile report
+    "bpe_train",
+    "bpe_encode",
+    "lm_perplexity",
+    "pack_manifest",
+    "passage_dedup",
+    "passage_scrub",
+    "pii_mask",
+    "token_budget_mix",
+    "semantic_dedup",
+    "curation_pipeline",
+    # (b) r6 rewrites whose old verdict was err:no_oracle — first
+    #     rounds with a value verdict possible:
+    "ml_forecast_per_group",
+    "ml_forecast_horizon",
+    # (c) queries in files CHANGED this round, so their r5/r4 verdicts
+    #     are stale: dedup.py (persist_mode, incremental_dedup),
+    #     similarity.py (PQ + stats additions, fitted-IVF refactor),
+    #     ml/forecast.py (oracle rewrite + ts_autocorr),
+    #     multimodal.py (BMP bounds), corpus.py (manifest/perplexity).
     "minhash_lsh_pairs",
     "dedup_exact",
     "ngram_jaccard_pairs",
@@ -52,40 +72,25 @@ VERIFY_PRIORITY = (
     "media_features",
     "media_resize",
     "frame_sample",
-    # (c) displaced from the r5 window (file unchanged since its r4
-    #     verdict, but the r5 verdict flagged it as rotation debt):
+    "decontaminate",
+    "sample_stratified",
+    "pack_sequences",
+    "corpus_mix",
+    # (d) displaced from the r5 window (file_stream.py unchanged since
+    #     its r4 verdict; the r5 verdict flagged it as rotation debt):
     "stream_hourly_counts",
-    # (d) oldest-latest-verdict slice: these 25 are r4-green with
-    #     unchanged files; refreshing them keeps every verdict at most
-    #     two rounds old.  The r5-green corpus/text/streaming names
-    #     (files untouched in r6) rotate out; their r5 verdicts stand.
+    # (e) analytics_core.py changed this round, but ADDITIVELY only
+    #     (q_revenue_percentiles + dict entries; no existing query's
+    #     code path touched — verifiable in the d937c44~1..HEAD diff),
+    #     so prior verdicts remain code-valid.  Spot-refresh five
+    #     representatives spanning r4- and r5-latest verdicts; the
+    #     remaining analytics_core/windows/joins names keep their
+    #     standing verdicts (those files are otherwise unchanged).
+    "faturamento_rollup",
+    "pricing_summary",
     "grouping_sets_report",
-    "formatted_report",
-    "top_customers_per_nation",
-    "mom_growth",
-    "yoy_same_month",
-    "year_pivot",
-    "share_of_priority",
-    "recency_buckets",
-    "reincidence",
-    "union_detail_total",
     "rolling_metrics",
-    "last_quarter_revenue",
     "profile_customer",
-    "sla_leadtime",
-    "geo_spine_zerofill",
-    # (e) new operators this round — never verified, so they displace
-    #     seven (d)-slice refreshes whose r4 verdicts stand:
-    "bpe_train",
-    "bpe_encode",
-    "lm_perplexity",
-    "pack_manifest",
-    "passage_dedup",
-    "passage_scrub",
-    "pii_mask",
-    "token_budget_mix",
-    "semantic_dedup",
-    "curation_pipeline",
 )
 
 
