@@ -31,6 +31,8 @@ VERIFY_PRIORITY = (
     "ann_pq_adc",             # PQ asymmetric-distance top-k
     "embedding_stats",        # per-dimension corpus profile
     "incremental_dedup",      # new batch vs corpus snapshot
+    "dedup_keep_best",        # quality-aware canonical selection
+    "stream_incremental_dedup",  # streaming form (stream-static anti join)
     "ts_autocorr",            # lag-1..3 autocorrelation diagnostic
     "revenue_percentiles",    # exact percentile report
     "bpe_train",
@@ -89,8 +91,6 @@ VERIFY_PRIORITY = (
     "faturamento_rollup",
     "pricing_summary",
     "grouping_sets_report",
-    "rolling_metrics",
-    "profile_customer",
 )
 
 

@@ -764,6 +764,71 @@ def q_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-aware canonical selection: inside each near-dup cluster
+    keep the member with the MOST tokens (tie → lowest doc_id) instead
+    of the min-id member — the curation policy that keeps the fullest
+    copy of a boilerplate-trimmed page rather than an arbitrary one.
+
+    Same scale shape as :func:`q_dedup_keep_canonical`: the score
+    window runs only over cluster MEMBERS (pair-graph-sized), never
+    the corpus; the corpus contributes one projected column and one
+    left join that AQE broadcasts."""
+    docs = spread(load_table(spark, sf_dir, "documents"), "doc_id").select(
+        "doc_id",
+        F.size(F.split(_norm_text(F.col("text")), " ")).alias("n_tokens"),
+    )
+    comp = q_dedup_components(spark, sf_dir).select("doc_id", "component_id")
+    members = comp.join(docs, "doc_id")
+    w = Window.partitionBy("component_id").orderBy(
+        F.desc("n_tokens"), F.asc("doc_id")
+    )
+    best = members.withColumn("rnk", F.row_number().over(w))
+    return docs.join(
+        best.select("doc_id", "component_id", "rnk"), "doc_id", "left"
+    ).select(
+        "doc_id",
+        "n_tokens",
+        F.coalesce(F.col("rnk") == 1, F.lit(True)).alias("manter"),
+        "component_id",
+    )
+
+
+ORACLE_DEDUP_KEEP_BEST = (
+    "WITH RECURSIVE "
+    + _SQL_PAIRS_BODY
+    + """
+, verts AS (SELECT doc_a AS v FROM pairs UNION SELECT doc_b FROM pairs),
+undirected AS (
+  SELECT doc_a AS u, doc_b AS w FROM pairs
+  UNION SELECT doc_b, doc_a FROM pairs
+),
+reach AS (
+  SELECT v, v AS r FROM verts
+  UNION
+  SELECT e.u AS v, reach.r FROM undirected e JOIN reach ON e.w = reach.v
+),
+comp AS (SELECT v AS doc_id, MIN(r) AS component_id FROM reach GROUP BY v),
+scored AS (
+  SELECT doc_id,
+         len(string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' '))
+           AS n_tokens
+  FROM documents
+),
+ranked AS (
+  SELECT c.doc_id, c.component_id, s.n_tokens,
+         ROW_NUMBER() OVER (PARTITION BY c.component_id
+           ORDER BY s.n_tokens DESC, c.doc_id ASC) AS rnk
+  FROM comp c JOIN scored s USING (doc_id)
+)
+SELECT s.doc_id, CAST(s.n_tokens AS INT) AS n_tokens,
+       COALESCE(r.rnk = 1, TRUE) AS manter,
+       r.component_id
+FROM scored s LEFT JOIN ranked r USING (doc_id)
+"""
+)
+
+
 ORACLE_INCREMENTAL_DEDUP = """
 WITH hashed AS (
   SELECT doc_id,
@@ -793,6 +858,7 @@ QUERIES = {
     "simhash": q_simhash,
     "simhash_neardup": q_simhash_neardup,
     "incremental_dedup": q_incremental_dedup,
+    "dedup_keep_best": q_dedup_keep_best,
 }
 
 _SQL_SIMHASH_BANDS = "\n  UNION ALL ".join(
@@ -823,4 +889,5 @@ ORACLES = {
     "simhash": ORACLE_SIMHASH,
     "simhash_neardup": ORACLE_SIMHASH_NEARDUP,
     "incremental_dedup": ORACLE_INCREMENTAL_DEDUP,
+    "dedup_keep_best": ORACLE_DEDUP_KEEP_BEST,
 }

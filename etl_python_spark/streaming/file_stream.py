@@ -339,6 +339,63 @@ FROM events
 """
 
 
+def stream_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming ingest-side incremental dedup — the continuous form
+    of ``operators.dedup.q_incremental_dedup``: a document stream is
+    deduped within itself (``dropDuplicates`` on the normalized-text
+    hash) and then LEFT-ANTI joined per micro-batch against the static
+    corpus-snapshot hash set, so only hashes never seen before — in
+    this stream or in the snapshot — survive to the sink.  This is the
+    stream-static ANTI join pattern (the inner variant is
+    :func:`stream_static_enriched`); the static side re-resolves each
+    batch, picking up snapshot refreshes without a restart.
+
+    Output carries only ``content_hash`` (which physical doc survives
+    a within-stream dup group is arbitrary; the surviving KEY SET is
+    deterministic).  The hash-dedup state is deliberately NOT
+    watermark-bounded: content dedup has no event-time horizon — at
+    production scale the state store holds one compact hash per
+    distinct doc (RocksDB-backed), and the horizon decision (e.g.
+    expire after N days) belongs to the snapshot-compaction job, not
+    the stream."""
+    from ..operators.dedup import _norm_text
+    from ..sources.tables import load_table
+
+    path = os.path.join(sf_dir, "documents.parquet")
+    schema = spark.read.parquet(path).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(sf_dir)
+    )
+    h = F.md5(_norm_text(F.col("text")))
+    inc = stream.filter(F.col("doc_id") % 10 >= 8).select(
+        h.alias("content_hash")
+    )
+    base = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % 10 < 8)
+        .select(h.alias("content_hash"))
+        .distinct()
+    )
+    out = inc.dropDuplicates(["content_hash"]).join(
+        base, "content_hash", "left_anti"
+    )
+    return _drain_to_memory(out, "incdedup", "append")
+
+
+ORACLE_STREAM_INCREMENTAL = """
+WITH hashed AS (
+  SELECT doc_id,
+         md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS content_hash
+  FROM documents
+)
+SELECT DISTINCT content_hash FROM hashed
+WHERE doc_id % 10 >= 8
+  AND content_hash NOT IN (SELECT content_hash FROM hashed WHERE doc_id % 10 < 8)
+"""
+
+
 QUERIES = {
     "stream_hourly_counts": hourly_counts_stream,
     "stream_static_enriched": stream_static_enriched,
@@ -346,6 +403,7 @@ QUERIES = {
     "stream_user_totals": stateful_user_totals_stream,
     "stream_stream_join": stream_stream_join,
     "stream_dedup_exact": stream_dedup_exact,
+    "stream_incremental_dedup": stream_incremental_dedup,
 }
 
 ORACLES = {
@@ -355,4 +413,5 @@ ORACLES = {
     "stream_user_totals": ORACLE_STREAM_USER_TOTALS,
     "stream_stream_join": ORACLE_STREAM_STREAM_JOIN,
     "stream_dedup_exact": ORACLE_STREAM_DEDUP,
+    "stream_incremental_dedup": ORACLE_STREAM_INCREMENTAL,
 }
