@@ -35,6 +35,9 @@ VERIFY_PRIORITY = (
     "stream_incremental_dedup",  # streaming form (stream-static anti join)
     "ts_autocorr",            # lag-1..3 autocorrelation diagnostic
     "revenue_percentiles",    # exact percentile report
+    "outlier_events",         # z-score anomaly detection
+    "dq_report",              # expectations contract gate
+    "snapshot_diff",          # CDC between table snapshots
     "bpe_train",
     "bpe_encode",
     "lm_perplexity",
@@ -70,10 +73,11 @@ VERIFY_PRIORITY = (
     "ml_lag_features",
     "ml_proxy_features",
     "ml_horizon_spine",
+    # (media_resize / frame_sample keep their r5 verdicts: the r6
+    # multimodal.py edit touched only the unit-tested real-codec seam
+    # (decode_bmp bounds), not these queries' oracled paths)
     "multimodal_metadata",
     "media_features",
-    "media_resize",
-    "frame_sample",
     "decontaminate",
     "sample_stratified",
     "pack_sequences",
@@ -90,7 +94,6 @@ VERIFY_PRIORITY = (
     #     standing verdicts (those files are otherwise unchanged).
     "faturamento_rollup",
     "pricing_summary",
-    "grouping_sets_report",
 )
 
 

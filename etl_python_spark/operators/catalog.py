@@ -11,9 +11,10 @@ agree on the schema inventory of the registered tables.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from ..model.integrity import verify_catalog
-from ..sources.tables import TABLES, register_views
+from ..sources.tables import TABLES, load_table, register_views
 
 
 def q_catalog_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -121,12 +122,140 @@ ORACLE_PK_AUDIT = "\nUNION ALL\n".join(
     _sql_pk_block(t, cols) for t, cols in sorted(_TESTDATA_COLUMNS.items())
 )
 
+# Data-quality expectations evaluated over lineitem in ONE aggregate
+# pass (contrast: model/profiler.py runs one job per candidate — fine
+# for dim audits, wrong for a fact table; this is the fact-table
+# shape).  Each rule is a conditional sum inside a single hash
+# aggregate, so a 100 TB scan computes every expectation at once.
+_DQ_RULES = [
+    ("not_null_l_orderkey", "l_orderkey IS NULL"),
+    ("range_l_quantity_1_50", "l_quantity < 1 OR l_quantity > 50"),
+    ("range_l_discount_0_01", "l_discount < 0 OR l_discount > 0.1"),
+    (
+        "range_l_shipdate_1992_1999",
+        "l_shipdate < DATE '1992-01-01' OR l_shipdate > DATE '1999-12-31'",
+    ),
+    ("positive_l_extendedprice", "l_extendedprice <= 0"),
+    ("enum_l_returnflag", "l_returnflag NOT IN ('A', 'N', 'R')"),
+]
+
+
+def q_dq_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Expectations report: one row per rule with its violation count,
+    rows checked, and pass flag — the Deequ/Great-Expectations-style
+    contract gate a load job runs before publishing a partition."""
+    li = load_table(spark, sf_dir, "lineitem")
+    agg = li.agg(
+        F.count("*").alias("n"),
+        *[
+            F.sum(F.expr(cond).cast("int")).alias(f"v{i}")
+            for i, (_, cond) in enumerate(_DQ_RULES)
+        ],
+    )
+    rules = F.array(
+        *[
+            F.struct(
+                F.lit(name).alias("regra"),
+                F.col(f"v{i}").cast("bigint").alias("violacoes"),
+            )
+            for i, (name, _) in enumerate(_DQ_RULES)
+        ]
+    )
+    return agg.select("n", F.explode(rules).alias("r")).select(
+        F.col("r.regra").alias("regra"),
+        F.col("r.violacoes").alias("violacoes"),
+        F.col("n").alias("verificadas"),
+        (F.col("r.violacoes") == 0).alias("aprovado"),
+    )
+
+
+ORACLE_DQ_REPORT = (
+    "WITH a AS (SELECT COUNT(*) AS n, "
+    + ", ".join(
+        f"CAST(SUM(CASE WHEN {cond} THEN 1 ELSE 0 END) AS BIGINT) AS v{i}"
+        for i, (_, cond) in enumerate(_DQ_RULES)
+    )
+    + " FROM lineitem)\n"
+    + "\nUNION ALL ".join(
+        f"SELECT '{name}' AS regra, v{i} AS violacoes, n AS verificadas, "
+        f"v{i} = 0 AS aprovado FROM a"
+        for i, (name, _) in enumerate(_DQ_RULES)
+    )
+)
+
+
+def q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Change-data-capture between two table snapshots: keys only in
+    the new snapshot are ``added``, keys that disappeared are
+    ``removed``, keys present in both with a different payload are
+    ``changed`` (unchanged rows are dropped — at 100 TB the diff
+    output is delta-sized, not table-sized).  One full-outer join on
+    the primary key; the payload comparison is a column equality (in
+    production, a row-hash column computed in the scan projection).
+
+    Snapshots are derived deterministically from ``orders`` so the
+    oracle can restate them: snapshot A drops keys ≡0 (mod 7),
+    snapshot B drops keys ≡0 (mod 5) and bumps the price of keys ≡0
+    (mod 3) by 1.00 — a synthetic but complete add/remove/change mix.
+    The reference's closest analogue is its full-reload jobs; the diff
+    is the Spark-first incremental replacement (cited: the DELETE+
+    reINSERT pattern in Faturamento.sql / carga scripts)."""
+    orders = load_table(spark, sf_dir, "orders")
+    a = orders.filter(F.col("o_orderkey") % 7 != 0).select(
+        "o_orderkey", F.col("o_totalprice").alias("preco_a")
+    )
+    b = orders.filter(F.col("o_orderkey") % 5 != 0).select(
+        "o_orderkey",
+        F.round(
+            F.col("o_totalprice")
+            + F.when(F.col("o_orderkey") % 3 == 0, F.lit(1.0)).otherwise(
+                F.lit(0.0)
+            ),
+            2,
+        ).alias("preco_b"),
+    )
+    j = a.join(b, "o_orderkey", "full_outer")
+    status = (
+        F.when(F.col("preco_a").isNull(), F.lit("added"))
+        .when(F.col("preco_b").isNull(), F.lit("removed"))
+        .when(F.col("preco_a") != F.col("preco_b"), F.lit("changed"))
+        .otherwise(F.lit("unchanged"))
+    )
+    return j.select(
+        "o_orderkey", status.alias("status"), "preco_a", "preco_b"
+    ).filter(F.col("status") != "unchanged")
+
+
+ORACLE_SNAPSHOT_DIFF = """
+WITH a AS (
+  SELECT o_orderkey, o_totalprice AS preco_a FROM orders WHERE o_orderkey % 7 <> 0
+), b AS (
+  SELECT o_orderkey,
+         ROUND(o_totalprice + CASE WHEN o_orderkey % 3 = 0 THEN 1.0 ELSE 0.0 END, 2)
+           AS preco_b
+  FROM orders WHERE o_orderkey % 5 <> 0
+), j AS (
+  SELECT COALESCE(a.o_orderkey, b.o_orderkey) AS o_orderkey, a.preco_a, b.preco_b,
+         CASE WHEN a.o_orderkey IS NULL THEN 'added'
+              WHEN b.o_orderkey IS NULL THEN 'removed'
+              WHEN a.preco_a <> b.preco_b THEN 'changed'
+              ELSE 'unchanged' END AS status
+  FROM a FULL OUTER JOIN b ON a.o_orderkey = b.o_orderkey
+)
+SELECT o_orderkey, status, preco_a, preco_b FROM j WHERE status <> 'unchanged'
+"""
+
+
 QUERIES = {
     "catalog_integrity": q_catalog_integrity,
     "pk_audit": q_pk_audit,
+    "dq_report": q_dq_report,
+    "snapshot_diff": q_snapshot_diff,
 }
 
 ORACLES = {
     "catalog_integrity": ORACLE_CATALOG,
     "pk_audit": ORACLE_PK_AUDIT,
+    "dq_report": ORACLE_DQ_REPORT,
+    "snapshot_diff": ORACLE_SNAPSHOT_DIFF,
 }

@@ -171,11 +171,49 @@ GROUP BY 1
 """
 
 
+def q_outlier_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-score anomaly detection per event type: events whose value
+    sits more than 3 sample standard deviations from their type's
+    mean — the monitoring primitive behind alerting and bad-sensor
+    quarantine.
+
+    Per-type stats come from a GROUP BY + broadcast join back, NOT an
+    unordered window over the type partition: a window would hold each
+    type's full event set in one task (unbounded at 100 TB), while the
+    aggregate reduces map-side and broadcasts K rows.  Mean/std are
+    rounded at 6dp first so both engines derive z from bit-identical
+    anchors; z rounds at 4dp before the threshold test."""
+    events = load_table(spark, sf_dir, "events")
+    stats = events.groupBy("event_type").agg(
+        F.round(F.avg("value"), 6).alias("m"),
+        F.round(F.stddev_samp("value"), 6).alias("s"),
+    )
+    z = F.round((F.col("value") - F.col("m")) / F.col("s"), 4)
+    return (
+        events.join(F.broadcast(stats), "event_type")
+        .select("event_id", "event_type", "value", z.alias("z"))
+        .filter(F.abs(F.col("z")) > 3)
+    )
+
+
+ORACLE_OUTLIERS = """
+WITH stats AS (
+  SELECT event_type, ROUND(AVG(value), 6) AS m, ROUND(stddev_samp(value), 6) AS s
+  FROM events GROUP BY 1
+)
+SELECT e.event_id, e.event_type, e.value,
+       ROUND((e.value - st.m) / st.s, 4) AS z
+FROM events e JOIN stats st USING (event_type)
+WHERE ABS(ROUND((e.value - st.m) / st.s, 4)) > 3
+"""
+
+
 QUERIES = {
     "hourly_event_counts": q_hourly_event_counts,
     "sliding_event_counts": q_sliding_event_counts,
     "sessionize": q_sessionize,
     "props_extract": q_props_extract,
+    "outlier_events": q_outlier_events,
 }
 
 ORACLES = {
@@ -183,4 +221,5 @@ ORACLES = {
     "sliding_event_counts": ORACLE_SLIDING,
     "sessionize": ORACLE_SESSIONIZE,
     "props_extract": ORACLE_PROPS,
+    "outlier_events": ORACLE_OUTLIERS,
 }
