@@ -38,6 +38,8 @@ VERIFY_PRIORITY = (
     "outlier_events",         # z-score anomaly detection
     "dq_report",              # expectations contract gate
     "snapshot_diff",          # CDC between table snapshots
+    "minhash_recall_audit",   # LSH precision/recall vs exact ground truth
+    "shard_balance",          # hash-shard uniformity report
     "bpe_train",
     "bpe_encode",
     "lm_perplexity",
@@ -81,7 +83,6 @@ VERIFY_PRIORITY = (
     "decontaminate",
     "sample_stratified",
     "pack_sequences",
-    "corpus_mix",
     # (d) displaced from the r5 window (file_stream.py unchanged since
     #     its r4 verdict; the r5 verdict flagged it as rotation debt):
     "stream_hourly_counts",
@@ -93,7 +94,6 @@ VERIFY_PRIORITY = (
     #     remaining analytics_core/windows/joins names keep their
     #     standing verdicts (those files are otherwise unchanged).
     "faturamento_rollup",
-    "pricing_summary",
 )
 
 

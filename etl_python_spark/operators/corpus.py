@@ -518,6 +518,54 @@ GROUP BY doc_id
 """
 
 
+N_SHARDS_BALANCE = 16
+
+
+def q_shard_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Balance report for the hash-sharded training export
+    (``writers.write_training_shards`` uses the same
+    ``hash60(key) % N`` placement): docs and tokens per shard plus
+    each shard's share of the corpus — the audit that catches a
+    skewed shard before a 1000-worker dataloader does.  One hash
+    aggregate; the share window runs over N_SHARDS rows."""
+    docs = spread(load_table(spark, sf_dir, "documents"), "doc_id")
+    sharded = docs.select(
+        (hash60(F.col("doc_id").cast("string")) % N_SHARDS_BALANCE)
+        .cast("int")
+        .alias("shard"),
+        F.size(F.split(_norm_text(F.col("text")), " ")).alias("n_tokens"),
+    )
+    agg = sharded.groupBy("shard").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_tokens").alias("n_tokens"),
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy()
+    return agg.select(
+        "shard",
+        "n_docs",
+        "n_tokens",
+        F.round(F.col("n_docs") / F.sum("n_docs").over(w), 4).alias("doc_share"),
+    )
+
+
+ORACLE_SHARD_BALANCE = f"""
+WITH sharded AS (
+  SELECT CAST({sql_hash60('CAST(doc_id AS VARCHAR)')} % {N_SHARDS_BALANCE} AS INT) AS shard,
+         len(string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' '))
+           AS n_tokens
+  FROM documents
+), agg AS (
+  SELECT shard, COUNT(*) AS n_docs, CAST(SUM(n_tokens) AS BIGINT) AS n_tokens
+  FROM sharded GROUP BY 1
+)
+SELECT shard, n_docs, n_tokens,
+       ROUND(CAST(n_docs AS DOUBLE) / SUM(n_docs) OVER (), 4) AS doc_share
+FROM agg
+"""
+
+
 QUERIES = {
     "decontaminate": q_decontaminate,
     "sample_stratified": q_sample_stratified,
@@ -525,6 +573,7 @@ QUERIES = {
     "pack_manifest": q_pack_manifest,
     "corpus_mix": q_corpus_mix,
     "lm_perplexity": q_lm_perplexity,
+    "shard_balance": q_shard_balance,
 }
 
 ORACLES = {
@@ -534,4 +583,5 @@ ORACLES = {
     "pack_manifest": ORACLE_PACK_MANIFEST,
     "corpus_mix": ORACLE_CORPUS_MIX,
     "lm_perplexity": ORACLE_LM_PERPLEXITY,
+    "shard_balance": ORACLE_SHARD_BALANCE,
 }

@@ -557,9 +557,11 @@ _SQL_BAND_SELECTS = "\n  UNION ALL ".join(
     for b in range(LSH_BANDS)
 )
 
-ORACLE_MINHASH_LSH = (
-    _SQL_SHINGLES
-    + f"""
+# MinHash CTE chain from ``sh`` to the verified pair set ``mh_pairs``
+# — shared by the standalone oracle below and the recall-audit oracle
+# (CTE names are disjoint from _SQL_PAIRS_BODY's, so both chains can
+# hang off one shingle body).
+_SQL_MINHASH_BODY = f"""
 , hashed AS (
   SELECT doc_id, {sql_hash60('shingle')} % {HASH_P} AS h FROM sh
 ), sig AS (
@@ -574,19 +576,25 @@ ORACLE_MINHASH_LSH = (
   WHERE a.doc_id < b.doc_id
 ), doc_sh AS (
   SELECT doc_id, list(DISTINCT h) AS hset FROM hashed GROUP BY doc_id
+), mh_pairs AS (
+  SELECT c.doc_a, c.doc_b,
+         ROUND(CAST(len(list_intersect(sa.hset, sb.hset)) AS DOUBLE)
+               / CAST(len(sa.hset) + len(sb.hset)
+                      - len(list_intersect(sa.hset, sb.hset)) AS DOUBLE), 4)
+           AS jaccard
+  FROM cand c
+  JOIN doc_sh sa ON c.doc_a = sa.doc_id
+  JOIN doc_sh sb ON c.doc_b = sb.doc_id
+  WHERE ROUND(CAST(len(list_intersect(sa.hset, sb.hset)) AS DOUBLE)
+              / CAST(len(sa.hset) + len(sb.hset)
+                     - len(list_intersect(sa.hset, sb.hset)) AS DOUBLE), 4) >= 0.2
 )
-SELECT c.doc_a, c.doc_b,
-       ROUND(CAST(len(list_intersect(sa.hset, sb.hset)) AS DOUBLE)
-             / CAST(len(sa.hset) + len(sb.hset)
-                    - len(list_intersect(sa.hset, sb.hset)) AS DOUBLE), 4)
-         AS jaccard
-FROM cand c
-JOIN doc_sh sa ON c.doc_a = sa.doc_id
-JOIN doc_sh sb ON c.doc_b = sb.doc_id
-WHERE ROUND(CAST(len(list_intersect(sa.hset, sb.hset)) AS DOUBLE)
-            / CAST(len(sa.hset) + len(sb.hset)
-                   - len(list_intersect(sa.hset, sb.hset)) AS DOUBLE), 4) >= 0.2
 """
+
+ORACLE_MINHASH_LSH = (
+    _SQL_SHINGLES
+    + _SQL_MINHASH_BODY
+    + "SELECT doc_a, doc_b, jaccard FROM mh_pairs"
 )
 
 
@@ -849,6 +857,68 @@ FROM inc i LEFT JOIN base b ON i.h = b.h
 """
 
 
+# ---------------------------------------------------------------------------
+# Approximation audit: MinHash+LSH vs the exact-Jaccard ground truth
+# ---------------------------------------------------------------------------
+
+def q_minhash_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Measure, don't guess: precision/recall of the MinHash+LSH pair
+    generator against the exact inverted-index Jaccard pairs as ground
+    truth — the audit that justifies (or re-tunes) the band/row
+    configuration before trusting the approximate path at 100 TB,
+    where only the approximate path is affordable.  One full-outer
+    join of the two pair sets on (doc_a, doc_b) and a single count
+    aggregate; both inputs are the already-bounded pair relations,
+    never the corpus."""
+    ex = q_ngram_jaccard_pairs(spark, sf_dir).select(
+        "doc_a", "doc_b", F.lit(True).alias("in_ex")
+    )
+    mh = q_minhash_lsh_pairs(spark, sf_dir).select(
+        "doc_a", "doc_b", F.lit(True).alias("in_mh")
+    )
+    j = mh.join(ex, ["doc_a", "doc_b"], "full_outer").select(
+        F.coalesce("in_mh", F.lit(False)).alias("in_mh"),
+        F.coalesce("in_ex", F.lit(False)).alias("in_ex"),
+    )
+    tp = F.sum((F.col("in_mh") & F.col("in_ex")).cast("int")).cast("bigint")
+    fp = F.sum((F.col("in_mh") & ~F.col("in_ex")).cast("int")).cast("bigint")
+    fn = F.sum((~F.col("in_mh") & F.col("in_ex")).cast("int")).cast("bigint")
+    return j.agg(
+        tp.alias("tp"), fp.alias("fp"), fn.alias("fn")
+    ).select(
+        "tp",
+        "fp",
+        "fn",
+        F.round(F.col("tp") / F.nullif(F.col("tp") + F.col("fp"), F.lit(0)), 4)
+        .alias("precision"),
+        F.round(F.col("tp") / F.nullif(F.col("tp") + F.col("fn"), F.lit(0)), 4)
+        .alias("recall"),
+    )
+
+
+ORACLE_MINHASH_RECALL = (
+    "WITH "
+    + _SQL_PAIRS_BODY
+    + _SQL_MINHASH_BODY
+    + """
+, j AS (
+  SELECT m.doc_a IS NOT NULL AS in_mh, e.doc_a IS NOT NULL AS in_ex
+  FROM mh_pairs m FULL OUTER JOIN pairs e
+    ON m.doc_a = e.doc_a AND m.doc_b = e.doc_b
+), agg AS (
+  SELECT CAST(SUM(CASE WHEN in_mh AND in_ex THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+         CAST(SUM(CASE WHEN in_mh AND NOT in_ex THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+         CAST(SUM(CASE WHEN NOT in_mh AND in_ex THEN 1 ELSE 0 END) AS BIGINT) AS fn
+  FROM j
+)
+SELECT tp, fp, fn,
+       ROUND(CAST(tp AS DOUBLE) / NULLIF(tp + fp, 0), 4) AS precision,
+       ROUND(CAST(tp AS DOUBLE) / NULLIF(tp + fn, 0), 4) AS recall
+FROM agg
+"""
+)
+
+
 QUERIES = {
     "dedup_exact": q_dedup_exact,
     "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
@@ -859,6 +929,7 @@ QUERIES = {
     "simhash_neardup": q_simhash_neardup,
     "incremental_dedup": q_incremental_dedup,
     "dedup_keep_best": q_dedup_keep_best,
+    "minhash_recall_audit": q_minhash_recall_audit,
 }
 
 _SQL_SIMHASH_BANDS = "\n  UNION ALL ".join(
@@ -890,4 +961,5 @@ ORACLES = {
     "simhash_neardup": ORACLE_SIMHASH_NEARDUP,
     "incremental_dedup": ORACLE_INCREMENTAL_DEDUP,
     "dedup_keep_best": ORACLE_DEDUP_KEEP_BEST,
+    "minhash_recall_audit": ORACLE_MINHASH_RECALL,
 }
