@@ -40,6 +40,8 @@ VERIFY_PRIORITY = (
     "snapshot_diff",          # CDC between table snapshots
     "minhash_recall_audit",   # LSH precision/recall vs exact ground truth
     "shard_balance",          # hash-shard uniformity report
+    "funnel_conversion",      # ordered view→click→purchase funnel
+    "cohort_retention",       # weekly cohort retention table
     "bpe_train",
     "bpe_encode",
     "lm_perplexity",
@@ -81,8 +83,6 @@ VERIFY_PRIORITY = (
     "multimodal_metadata",
     "media_features",
     "decontaminate",
-    "sample_stratified",
-    "pack_sequences",
     # (d) displaced from the r5 window (file_stream.py unchanged since
     #     its r4 verdict; the r5 verdict flagged it as rotation debt):
     "stream_hourly_counts",
@@ -92,7 +92,9 @@ VERIFY_PRIORITY = (
     #     so prior verdicts remain code-valid.  Spot-refresh five
     #     representatives spanning r4- and r5-latest verdicts; the
     #     remaining analytics_core/windows/joins names keep their
-    #     standing verdicts (those files are otherwise unchanged).
+    #     standing verdicts (those files are otherwise unchanged), and
+    #     faturamento_rollup additionally gets the driver's entry()
+    #     smoke every round.
     "faturamento_rollup",
 )
 

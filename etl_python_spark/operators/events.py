@@ -208,12 +208,139 @@ WHERE ABS(ROUND((e.value - st.m) / st.s, 4)) > 3
 """
 
 
+def q_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel (view → click → purchase): each user's first
+    view, first click AT OR AFTER that view, and first purchase at or
+    after that click, rolled up by first-view day with step counts and
+    conversion rates — the product-analytics staple.
+
+    Three min-aggregations keyed on user_id and two user-keyed joins;
+    every shuffle is on the user key, so at 100 TB the funnel costs
+    three passes over a (user, type, ts) projection and no step ever
+    materializes more than one row per user."""
+    events = load_table(spark, sf_dir, "events")
+
+    def first_at_or_after(df, etype, bound_col, out):
+        cond = F.col("event_type") == etype
+        src = events.filter(cond).select("user_id", F.col("ts").alias("t"))
+        j = src.join(df, "user_id").filter(F.col("t") >= F.col(bound_col))
+        return (
+            j.groupBy("user_id", bound_col)
+            .agg(F.min("t").alias(out))
+        )
+
+    views = (
+        events.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("first_view"))
+    )
+    clicks = first_at_or_after(views, "click", "first_view", "first_click")
+    purchases = first_at_or_after(clicks, "purchase", "first_click", "first_purchase")
+
+    funnel = (
+        views.join(
+            clicks.select("user_id", "first_click"), "user_id", "left"
+        ).join(purchases.select("user_id", "first_purchase"), "user_id", "left")
+    )
+    per_day = funnel.groupBy(
+        F.to_date("first_view").alias("dia")
+    ).agg(
+        F.count("*").alias("viewers"),
+        F.count("first_click").alias("clickers"),
+        F.count("first_purchase").alias("buyers"),
+    )
+    return per_day.select(
+        "dia",
+        "viewers",
+        "clickers",
+        "buyers",
+        F.round(F.col("clickers") / F.col("viewers"), 4).alias("view_to_click"),
+        F.round(
+            F.col("buyers") / F.nullif(F.col("clickers"), F.lit(0)), 4
+        ).alias("click_to_buy"),
+    )
+
+
+ORACLE_FUNNEL = """
+WITH views AS (
+  SELECT user_id, MIN(ts) AS first_view FROM events
+  WHERE event_type = 'view' GROUP BY 1
+), clicks AS (
+  SELECT e.user_id, v.first_view, MIN(e.ts) AS first_click
+  FROM events e JOIN views v ON e.user_id = v.user_id
+  WHERE e.event_type = 'click' AND e.ts >= v.first_view
+  GROUP BY 1, 2
+), purchases AS (
+  SELECT e.user_id, MIN(e.ts) AS first_purchase
+  FROM events e JOIN clicks c ON e.user_id = c.user_id
+  WHERE e.event_type = 'purchase' AND e.ts >= c.first_click
+  GROUP BY 1
+), funnel AS (
+  SELECT v.user_id, v.first_view, c.first_click, p.first_purchase
+  FROM views v
+  LEFT JOIN clicks c ON v.user_id = c.user_id
+  LEFT JOIN purchases p ON v.user_id = p.user_id
+), per_day AS (
+  SELECT CAST(first_view AS DATE) AS dia,
+         COUNT(*) AS viewers,
+         COUNT(first_click) AS clickers,
+         COUNT(first_purchase) AS buyers
+  FROM funnel GROUP BY 1
+)
+SELECT dia, viewers, clickers, buyers,
+       ROUND(CAST(clickers AS DOUBLE) / viewers, 4) AS view_to_click,
+       ROUND(CAST(buyers AS DOUBLE) / NULLIF(clickers, 0), 4) AS click_to_buy
+FROM per_day
+"""
+
+
+def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort retention: users grouped by the week of their
+    first event, counted as active in each subsequent week — the
+    cohort table behind every retention curve.  One min-aggregate for
+    the cohort assignment, one distinct (user, week) activity
+    relation, one user-keyed join; output is cohorts × offsets rows
+    (tiny) regardless of event volume."""
+    events = load_table(spark, sf_dir, "events")
+    cohorts = events.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).cast("date").alias("cohort_week")
+    )
+    activity = events.select(
+        "user_id", F.date_trunc("week", "ts").cast("date").alias("wk")
+    ).distinct()
+    j = activity.join(cohorts, "user_id")
+    return (
+        j.groupBy(
+            "cohort_week",
+            ((F.datediff("wk", "cohort_week")) / 7).cast("int").alias("week_offset"),
+        )
+        .agg(F.count_distinct("user_id").alias("active_users"))
+    )
+
+
+ORACLE_COHORT = """
+WITH cohorts AS (
+  SELECT user_id, CAST(date_trunc('week', MIN(ts)) AS DATE) AS cohort_week
+  FROM events GROUP BY 1
+), activity AS (
+  SELECT DISTINCT user_id, CAST(date_trunc('week', ts) AS DATE) AS wk FROM events
+)
+SELECT c.cohort_week,
+       CAST((a.wk - c.cohort_week) / 7 AS INT) AS week_offset,
+       COUNT(DISTINCT a.user_id) AS active_users
+FROM activity a JOIN cohorts c ON a.user_id = c.user_id
+GROUP BY 1, 2
+"""
+
+
 QUERIES = {
     "hourly_event_counts": q_hourly_event_counts,
     "sliding_event_counts": q_sliding_event_counts,
     "sessionize": q_sessionize,
     "props_extract": q_props_extract,
     "outlier_events": q_outlier_events,
+    "funnel_conversion": q_funnel_conversion,
+    "cohort_retention": q_cohort_retention,
 }
 
 ORACLES = {
@@ -222,4 +349,6 @@ ORACLES = {
     "sessionize": ORACLE_SESSIONIZE,
     "props_extract": ORACLE_PROPS,
     "outlier_events": ORACLE_OUTLIERS,
+    "funnel_conversion": ORACLE_FUNNEL,
+    "cohort_retention": ORACLE_COHORT,
 }
