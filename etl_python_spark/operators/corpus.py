@@ -476,6 +476,17 @@ def q_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n").alias("tok_total"), F.count("*").alias("vocab_size")
     )
 
+    # Per-word log-probs quantize to INTEGER micro-nats (round(ln·1e6)
+    # as BIGINT) and the doc aggregate sums integers — exact in both
+    # engines — before one final integer-round to 4dp.  A 6dp-rounded
+    # DOUBLE mean (the previous shape) can land exactly on a 4dp half
+    # boundary (Σ(k·1e-6)/n terminating at the 5th decimal), where the
+    # engines' float representations disagree on the rounding
+    # direction: sf0.1 hit exactly that (3.40235 → 3.4023 vs 3.4024).
+    # Integer sums have no such representation ambiguity; the only
+    # float op left is one division of exact integers, bit-identical
+    # in both engines, and the .5 integer-round boundary is exactly
+    # representable so both engines' away-from-zero rule agrees.
     scored = (
         words.join(vocab, "w", "left")
         .crossJoin(F.broadcast(totals))
@@ -485,14 +496,20 @@ def q_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.log(
                     (F.coalesce(F.col("n"), F.lit(0)) + 1)
                     / (F.col("tok_total") + F.col("vocab_size")).cast("double")
-                ),
-                6,
-            ).alias("logp"),
+                )
+                * F.lit(1e6)
+            )
+            .cast("long")
+            .alias("lp_micro"),
         )
     )
+    n_words = F.count(F.lit(1))
     return scored.groupBy("doc_id").agg(
-        F.count(F.lit(1)).cast("int").alias("n_words"),
-        F.round(-F.avg("logp"), 4).alias("nll"),
+        n_words.cast("int").alias("n_words"),
+        (
+            F.round((-F.sum("lp_micro")).cast("double") / (n_words * F.lit(100.0)))
+            / F.lit(10000.0)
+        ).alias("nll"),
     )
 
 
@@ -509,10 +526,12 @@ WITH words AS (
   SELECT SUM(n) AS N, COUNT(*) AS V FROM vocab
 ), scored AS (
   SELECT wf.doc_id,
-         ROUND(ln((COALESCE(v.n, 0) + 1) / CAST(t.N + t.V AS DOUBLE)), 6) AS logp
+         CAST(ROUND(ln((COALESCE(v.n, 0) + 1) / CAST(t.N + t.V AS DOUBLE)) * 1000000) AS BIGINT)
+           AS lp_micro
   FROM wf LEFT JOIN vocab v USING (w) CROSS JOIN totals t
 )
-SELECT doc_id, CAST(COUNT(*) AS INT) AS n_words, ROUND(-AVG(logp), 4) AS nll
+SELECT doc_id, CAST(COUNT(*) AS INT) AS n_words,
+       ROUND(CAST(-SUM(lp_micro) AS DOUBLE) / (COUNT(*) * 100.0)) / 10000.0 AS nll
 FROM scored
 GROUP BY doc_id
 """
