@@ -503,6 +503,15 @@ def q_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("lp_micro"),
         )
     )
+    return nll_from_micro(scored)
+
+
+def nll_from_micro(scored: DataFrame) -> DataFrame:
+    """(doc_id, lp_micro) → (doc_id, n_words, nll): integer micro-nat
+    sum, one exact-integer division, away-from-zero round to 4dp —
+    the tie-safe aggregation (see the quantization note above); split
+    out so the regression test can drive it over constructed
+    half-boundary sums."""
     n_words = F.count(F.lit(1))
     return scored.groupBy("doc_id").agg(
         n_words.cast("int").alias("n_words"),

@@ -193,3 +193,35 @@ def test_incremental_dedup_statuses(spark):
     )
     out = {r.doc_id: r.status for r in incremental_dedup(base, incoming).collect()}
     assert out == {10: "dup_base", 11: "dup_within", 12: "new", 13: "dup_within"}
+
+
+def test_nll_micro_rounding_ties_match_duckdb(spark, duck):
+    """Regression for the sf0.1 lm_perplexity divergence: doc means
+    landing EXACTLY on a 4dp half boundary must round identically in
+    Spark and DuckDB.  Constructed sums: -K/(100·n) = 2.5, 3.5 (exact
+    integer-half ties) plus an off-tie control."""
+    from etl_python_spark.operators.corpus import nll_from_micro
+
+    rows = [
+        # doc 1: n=2, K=-500 -> -K/(100*2)=2.5 -> away-from-zero -> 3 -> 0.0003
+        (1, -250), (1, -250),
+        # doc 2: n=2, K=-700 -> 3.5 -> 4 -> 0.0004
+        (2, -350), (2, -350),
+        # doc 3: off-tie control: K=-123456, n=3 -> 411.52 -> 412 -> 0.0412
+        (3, -41152), (3, -41152), (3, -41152),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, lp_micro long")
+    got = {r.doc_id: (r.n_words, r.nll) for r in nll_from_micro(df).collect()}
+    assert got == {1: (2, 0.0003), 2: (2, 0.0004), 3: (3, 0.0412)}
+
+    duck.execute("CREATE OR REPLACE TEMP TABLE t (doc_id BIGINT, lp_micro BIGINT)")
+    duck.executemany("INSERT INTO t VALUES (?, ?)", rows)
+    dk = {
+        r[0]: (r[1], r[2])
+        for r in duck.execute(
+            "SELECT doc_id, CAST(COUNT(*) AS INT), "
+            "ROUND(CAST(-SUM(lp_micro) AS DOUBLE) / (COUNT(*) * 100.0)) / 10000.0 "
+            "FROM t GROUP BY doc_id"
+        ).fetchall()
+    }
+    assert dk == got
