@@ -10,6 +10,9 @@ Four tiers, matching the standard training-data pipeline ladder:
                  value-oracled: every hash is md5-derived, see below)
 - simhash      : 60-bit weighted bit votes, hamming buckets
 - endgame      : connected components → per-doc keep/drop decision
+                 (min-id canonical, or quality-aware keep-the-fullest)
+- operations   : incremental new-batch-vs-snapshot classification;
+                 LSH precision/recall audit vs the exact ground truth
 
 At 100 TB the first two are the workhorses: both are single-shuffle
 shapes keyed by content hash / shingle, which partitions evenly for

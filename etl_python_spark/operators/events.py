@@ -3,7 +3,9 @@
 Batch expressions of the streaming semantics (the same logic runs
 under Structured Streaming in ``streaming/`` with
 ``trigger(availableNow=True)`` — see SURVEY.md §2.9): tumbling
-windows, sessionization, and semi-structured JSON props extraction.
+windows, sessionization, and semi-structured JSON props extraction;
+plus the product-analytics staples (ordered funnel conversion, weekly
+cohort retention) and per-type z-score anomaly detection.
 """
 
 from __future__ import annotations
