@@ -77,3 +77,39 @@ class DatasetSchema:
         if self.required:
             out = out.na.drop(subset=self.required)
         return out
+
+
+def schema_drift(
+    before: T.StructType, after: T.StructType
+) -> list[dict[str, str]]:
+    """Classify schema evolution between two table versions — the
+    guard an ingest job runs before appending a new extract onto an
+    existing staging table: ``added`` (new column), ``removed``
+    (column gone), ``type_changed`` (same name, different type).
+    Name matching is case-insensitive (Spark's resolution default);
+    the returned kinds drive the policy — fail on ``type_changed``,
+    backfill NULLs on ``added``, project away on ``removed`` (the
+    latter two are what :meth:`DatasetSchema.apply` already does).
+
+    Pure driver-side metadata comparison: no data is read."""
+    b = {f.name.lower(): f for f in before.fields}
+    a = {f.name.lower(): f for f in after.fields}
+    report: list[dict[str, str]] = []
+    for name in sorted(set(a) - set(b)):
+        report.append(
+            {"column": a[name].name, "kind": "added",
+             "type": a[name].dataType.simpleString()}
+        )
+    for name in sorted(set(b) - set(a)):
+        report.append(
+            {"column": b[name].name, "kind": "removed",
+             "type": b[name].dataType.simpleString()}
+        )
+    for name in sorted(set(b) & set(a)):
+        tb, ta = b[name].dataType, a[name].dataType
+        if tb != ta:
+            report.append(
+                {"column": a[name].name, "kind": "type_changed",
+                 "type": f"{tb.simpleString()} -> {ta.simpleString()}"}
+            )
+    return report

@@ -332,3 +332,83 @@ def write_training_shards(
         raise ValueError(f"fmt must be 'parquet' or 'json', got {fmt!r}")
     sharded = df.repartition(shards, F.col(shard_key))
     sharded.write.mode("overwrite").format(fmt).save(path)
+
+
+def compact_table(
+    spark: SparkSession,
+    path: str,
+    target_file_bytes: int = 128 * 1024 * 1024,
+    partition_by: list[str] | None = None,
+) -> dict:
+    """Small-file compaction — the lake-maintenance job that keeps a
+    continuously-appended table scannable: rewrite a parquet directory
+    into size-targeted files and atomically swap it in (write to a
+    sibling temp dir, delete + rename — the same move-based commit the
+    parquet committer uses).
+
+    - **unpartitioned**: target file count = ceil(total_bytes /
+      target_file_bytes), one ``repartition(n)`` exchange.  A no-op
+      (stats only, no rewrite) when the table already has ≤ that many
+      files — compaction must be safe to run on a schedule.
+    - **partitioned**: ``repartition(partition_cols)`` hash-routes each
+      partition's rows to one task → one file per partition value
+      (small-file count collapses from files×partitions to
+      partitions).  Size-splitting within a huge partition is the
+      writer's ``maxRecordsPerFile`` knob, deliberately not re-derived
+      here.
+
+    Returns ``{"files_before", "files_after", "bytes", "rewritten"}``.
+    Not transactional: a reader racing the delete+rename window sees a
+    missing directory — schedule in the maintenance window or use a
+    table format with a log (the documented merge_upsert boundary).
+    """
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+
+    def data_files():
+        out = []
+        it = fs.listFiles(hpath, True)
+        while it.hasNext():
+            st = it.next()
+            name = st.getPath().getName()
+            if not name.startswith(("_", ".")):
+                out.append((str(st.getPath()), st.getLen()))
+        return out
+
+    files = data_files()
+    total = sum(sz for _, sz in files)
+    df = spark.read.parquet(path)
+    if partition_by:
+        n_target = None
+        compacted = df.repartition(*[F.col(c) for c in partition_by])
+    else:
+        import math
+
+        n_target = max(1, math.ceil(total / target_file_bytes))
+        if n_target >= len(files):
+            return {
+                "files_before": len(files),
+                "files_after": len(files),
+                "bytes": total,
+                "rewritten": False,
+            }
+        compacted = df.repartition(n_target)
+
+    tmp = path.rstrip("/") + "__compact_tmp"
+    writer = compacted.write.mode("overwrite")
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.parquet(tmp)
+
+    tmp_path = jvm.org.apache.hadoop.fs.Path(tmp)
+    fs.delete(hpath, True)
+    if not fs.rename(tmp_path, hpath):
+        raise IOError(f"compact_table: rename {tmp} -> {path} failed")
+    after = len(data_files())
+    return {
+        "files_before": len(files),
+        "files_after": after,
+        "bytes": total,
+        "rewritten": True,
+    }

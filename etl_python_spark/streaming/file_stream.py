@@ -396,6 +396,61 @@ WHERE doc_id % 10 >= 8
 """
 
 
+def stream_upsert_sink(
+    spark: SparkSession,
+    landing_dir: str,
+    target_path: str,
+    timeout_s: int = 300,
+) -> None:
+    """Streaming CDC ingest into an idempotent keyed table:
+    ``foreachBatch`` reduces each micro-batch to its latest row per
+    user (argmax on event time within the batch) and MERGEs it into a
+    plain-parquet state table via :func:`sources.writers.merge_upsert`
+    — the standard stream→serving-table sink when the lake has no
+    transactional format.  Batch semantics are last-writer-wins per
+    key, which is correct when the source is ordered per key (the CDC
+    contract); ``availableNow`` drains the landing directory with
+    ``maxFilesPerTrigger=1`` so every file replays as its own batch,
+    exactly how an arrival-ordered landing zone behaves.
+
+    At scale: each batch's merge touches only the partitions its keys
+    live in (merge_upsert prunes), and the per-batch argmax is one
+    keyed aggregate over the batch, never the table."""
+    from pyspark.sql import Window
+
+    from ..sources.tables import normalize_event_ts
+    from ..sources.writers import merge_upsert
+
+    schema = spark.read.parquet(landing_dir).schema
+
+    def upsert_batch(batch_df: DataFrame, batch_id: int) -> None:
+        w = Window.partitionBy("user_id").orderBy(
+            F.desc("ts"), F.desc("event_id")
+        )
+        latest = (
+            batch_df.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .drop("_rn")
+        )
+        merge_upsert(spark, latest, target_path, keys=["user_id"])
+
+    stream = normalize_event_ts(
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(landing_dir)
+    )
+    ckpt = tempfile.mkdtemp(prefix="ckpt_upsert_")
+    q = (
+        stream.writeStream.foreachBatch(upsert_batch)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    if not q.awaitTermination(timeout_s):
+        q.stop()
+        raise TimeoutError(f"stream_upsert_sink did not finish in {timeout_s}s")
+
+
 QUERIES = {
     "stream_hourly_counts": hourly_counts_stream,
     "stream_static_enriched": stream_static_enriched,

@@ -795,3 +795,67 @@ def test_write_training_shards_deterministic(spark, tmp_path):
 
     with pytest.raises(ValueError, match="fmt"):
         write_training_shards(df, str(tmp_path / "bad"), shards=2, fmt="csvx")
+
+
+def test_compact_table_unpartitioned(spark, tmp_path):
+    """50 tiny files collapse to the byte-targeted count; content is
+    byte-identical; a second run is a stats-only no-op."""
+    from etl_python_spark.sources.writers import compact_table
+
+    path = str(tmp_path / "frag")
+    df = spark.range(0, 10_000).withColumn("v", F.col("id") * 2)
+    df.repartition(50).write.parquet(path)
+
+    stats = compact_table(spark, path, target_file_bytes=512 * 1024 * 1024)
+    assert stats["rewritten"] and stats["files_before"] == 50
+    assert stats["files_after"] < 50
+    got = sorted(r.id for r in spark.read.parquet(path).collect())
+    assert got == list(range(10_000))
+
+    again = compact_table(spark, path, target_file_bytes=512 * 1024 * 1024)
+    assert not again["rewritten"]
+    assert again["files_before"] == again["files_after"] == stats["files_after"]
+
+
+def test_compact_table_partitioned(spark, tmp_path):
+    """Partitioned compaction: one data file per partition value."""
+    from etl_python_spark.sources.writers import compact_table
+
+    path = str(tmp_path / "frag_part")
+    df = spark.range(0, 3_000).withColumn("p", (F.col("id") % 3).cast("int"))
+    df.repartition(20).write.partitionBy("p").parquet(path)
+
+    stats = compact_table(spark, path, partition_by=["p"])
+    assert stats["rewritten"]
+    assert stats["files_after"] == 3  # one per partition value
+    out = spark.read.parquet(path)
+    assert out.count() == 3_000
+    assert sorted(r.p for r in out.select("p").distinct().collect()) == [0, 1, 2]
+
+
+def test_schema_drift_classification(spark):
+    from pyspark.sql import types as T
+
+    from etl_python_spark.model.registry import schema_drift
+
+    before = T.StructType(
+        [
+            T.StructField("id", T.LongType()),
+            T.StructField("Nome", T.StringType()),
+            T.StructField("valor", T.DoubleType()),
+        ]
+    )
+    after = T.StructType(
+        [
+            T.StructField("id", T.LongType()),
+            T.StructField("nome", T.StringType()),      # case-only: no drift
+            T.StructField("valor", T.StringType()),     # type change
+            T.StructField("extra", T.DateType()),       # added
+        ]
+    )
+    report = schema_drift(before, after)
+    kinds = {(r["column"], r["kind"]) for r in report}
+    assert kinds == {("extra", "added"), ("valor", "type_changed")}
+    tc = next(r for r in report if r["kind"] == "type_changed")
+    assert tc["type"] == "double -> string"
+    assert schema_drift(before, before) == []

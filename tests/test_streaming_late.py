@@ -213,3 +213,44 @@ def test_dedup_reemit_after_watermark_expiry(spark, tmp_path):
         ("B", "2026-01-02 00:00:00"),
         ("C", "2026-01-02 00:05:00"),
     ], rows
+
+
+def test_stream_upsert_sink_last_writer_wins(spark, tmp_path):
+    """foreachBatch CDC sink: two landing files replay as two ordered
+    micro-batches; the state table ends at the per-user argmax because
+    the split is by time (every batch-1 row outdates batch-0)."""
+    from pyspark.sql import Window
+
+    from tests.conftest import SF_SMOKE
+    from etl_python_spark.sources.tables import load_table
+    from etl_python_spark.streaming.file_stream import stream_upsert_sink
+
+    ev = load_table(spark, SF_SMOKE, "events")
+    cut = F.lit("2024-01-15").cast("timestamp")
+    landing = tmp_path / "landing"
+    landing.mkdir()
+    now = time.time()
+    for i, flt in enumerate([F.col("ts") < cut, F.col("ts") >= cut]):
+        staging = str(tmp_path / f"_stg_upsert_{i}")
+        ev.filter(flt).coalesce(1).write.mode("overwrite").parquet(staging)
+        (part,) = glob.glob(os.path.join(staging, "part-*.parquet"))
+        dest = str(landing / f"f{i}.parquet")
+        shutil.copy(part, dest)
+        os.utime(dest, (now - 100 + i * 10, now - 100 + i * 10))
+
+    target = str(tmp_path / "state")
+    stream_upsert_sink(spark, str(landing), target)
+
+    got = {
+        (r.user_id, r.event_id)
+        for r in spark.read.parquet(target).select("user_id", "event_id").collect()
+    }
+    w = Window.partitionBy("user_id").orderBy(F.desc("ts"), F.desc("event_id"))
+    expected = {
+        (r.user_id, r.event_id)
+        for r in ev.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("user_id", "event_id")
+        .collect()
+    }
+    assert got == expected and len(got) > 0
