@@ -412,3 +412,31 @@ def compact_table(
         "bytes": total,
         "rewritten": True,
     }
+
+
+def write_range_sorted(
+    df: DataFrame,
+    path: str,
+    sort_cols: list[str],
+    n_files: int | None = None,
+) -> None:
+    """Layout-for-data-skipping writer: range-partition the rows on
+    ``sort_cols`` and sort within each task before writing, so every
+    output file covers a DISJOINT key range and its parquet footer
+    min/max statistics prune whole files at scan time — a point
+    predicate on the sort key reads ONE file instead of all of them
+    (Spark evaluates ``PushedFilters`` against row-group stats).
+
+    This is the poor-man's clustering/Z-ORDER for a plain parquet
+    lake: one range exchange (samples the key distribution to build
+    balanced boundaries) + an in-task sort, no global sort.  For
+    multi-dimensional skipping a real Z-ORDER interleave is the
+    upgrade; for a single dominant predicate column this layout is
+    optimal and a 100 TB scan's first defense."""
+    cols = [F.col(c) for c in sort_cols]
+    ranged = (
+        df.repartitionByRange(n_files, *cols)
+        if n_files
+        else df.repartitionByRange(*cols)
+    )
+    ranged.sortWithinPartitions(*cols).write.mode("overwrite").parquet(path)

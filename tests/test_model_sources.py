@@ -859,3 +859,37 @@ def test_schema_drift_classification(spark):
     tc = next(r for r in report if r["kind"] == "type_changed")
     assert tc["type"] == "double -> string"
     assert schema_drift(before, before) == []
+
+
+def test_write_range_sorted_files_have_disjoint_ranges(spark, tmp_path):
+    """Range-sorted layout: every output file's parquet footer min/max
+    on the sort key is disjoint from every other file's, so a point
+    predicate prunes to exactly one file."""
+    import glob as _glob
+
+    import pyarrow.parquet as pq
+
+    from etl_python_spark.sources.writers import write_range_sorted
+
+    path = str(tmp_path / "sorted")
+    df = spark.range(0, 20_000).withColumn("k", (F.col("id") * 7919) % 20011)
+    write_range_sorted(df, path, sort_cols=["k"], n_files=8)
+
+    ranges = []
+    for f in _glob.glob(path + "/part-*.parquet"):
+        md = pq.ParquetFile(f).metadata
+        ks = [
+            (md.row_group(i).column(c).statistics.min,
+             md.row_group(i).column(c).statistics.max)
+            for i in range(md.num_row_groups)
+            for c in range(md.num_columns)
+            if md.row_group(i).column(c).path_in_schema == "k"
+        ]
+        ranges.append((min(lo for lo, _ in ks), max(hi for _, hi in ks)))
+    assert len(ranges) == 8
+    ranges.sort()
+    for (_, hi_prev), (lo_next, _) in zip(ranges, ranges[1:]):
+        assert hi_prev < lo_next  # disjoint key ranges across files
+
+    # content survives the layout rewrite
+    assert spark.read.parquet(path).count() == 20_000
