@@ -95,3 +95,54 @@ def test_staging_pipeline_end_to_end(spark, tmp_path):
     assert (
         back.agg(F.round(F.sum("valor_total"), 2).alias("s")).first().s == total
     )
+
+
+def test_curation_to_training_export_pipeline(spark, tmp_path):
+    """The LLM-data workload end to end through the orchestrator:
+    curation keep/drop → stratified sampling of the keepers → packed
+    training sequences written as deterministic hash shards — the
+    composition a user of the engine actually schedules.  Asserts the
+    runner's per-job accounting AND the physical export (shard count,
+    no doc lost between stages than the curation/sampling decisions
+    explain)."""
+    from tests.conftest import SF_SMOKE
+
+    from etl_python_spark.operators.corpus import q_sample_stratified
+    from etl_python_spark.operators.curation import q_curation_pipeline
+    from etl_python_spark.pipelines.runner import run_jobs
+    from etl_python_spark.sources.writers import write_training_shards
+
+    kept_path = str(tmp_path / "kept_docs")
+    shard_path = str(tmp_path / "shards")
+
+    def job_curate(s):
+        decisions = q_curation_pipeline(s, SF_SMOKE)
+        kept = decisions.filter(F.col("manter"))
+        # q_sample_stratified already returns only the sampled rows
+        sampled = q_sample_stratified(s, SF_SMOKE).select("doc_id")
+        final = kept.join(sampled, "doc_id")
+        final.write.mode("overwrite").parquet(kept_path)
+        return None
+
+    def job_export(s):
+        docs = s.read.parquet(kept_path)
+        write_training_shards(docs, shard_path, shards=4, shard_key="doc_id")
+        return None
+
+    def job_report(s):
+        return s.read.parquet(shard_path).groupBy().count()
+
+    results = run_jobs(
+        spark,
+        {"curate": job_curate, "export": job_export, "report": job_report},
+    )
+    assert [r.status for r in results] == ["OK", "OK", "OK"]
+
+    import glob as _glob
+
+    files = _glob.glob(shard_path + "/part-*.parquet")
+    assert len(files) == 4  # deterministic hash shards
+    exported = spark.read.parquet(shard_path)
+    assert exported.count() == spark.read.parquet(kept_path).count() > 0
+    # every exported doc passed BOTH gates
+    assert exported.filter(~F.col("manter")).count() == 0
