@@ -375,3 +375,61 @@ def read_jsonl_corpus(
         F.length(text_field).alias("n_chars"),
         *passthrough,
     )
+
+
+def read_incremental(
+    spark: SparkSession,
+    source_dir: str,
+    manifest_path: str,
+    fmt: str = "parquet",
+) -> tuple[DataFrame | None, list[str]]:
+    """Batch-mode incremental ingest: read only the data files in
+    ``source_dir`` that no previous run has processed, tracked by a
+    JSONL manifest of (path, size, mtime) records — the batch
+    counterpart of a streaming checkpoint for jobs that run on a
+    scheduler instead of a stream (the reference's watchdog
+    folder-monitor + full re-run becomes process-only-the-new-files).
+
+    A file reappears as new if its size OR mtime changed (partial
+    uploads that settle re-ingest on the next run).  Returns
+    ``(frame_or_None, new_paths)`` and appends the new records to the
+    manifest only AFTER the caller's frame is constructed — callers
+    that fail before acting simply reprocess the same files (at-least-
+    once, same contract as a streaming sink without an idempotent
+    write; pair with ``writers.merge_upsert`` for exactly-once
+    content).
+
+    The manifest is driver-side JSONL, one record per landed file —
+    metadata-scale by construction (file counts, not rows)."""
+    import json
+    import os
+
+    seen: set[tuple[str, int, int]] = set()
+    if os.path.exists(manifest_path):
+        with open(manifest_path, encoding="utf-8") as f:
+            for line in f:
+                r = json.loads(line)
+                seen.add((r["path"], r["size"], r["mtime_ns"]))
+
+    records = []
+    for name in sorted(os.listdir(source_dir)):
+        if name.startswith(("_", ".")):
+            continue
+        p = os.path.join(source_dir, name)
+        if not os.path.isfile(p):
+            continue
+        st = os.stat(p)
+        rec = (p, st.st_size, st.st_mtime_ns)
+        if rec not in seen:
+            records.append(rec)
+    new_paths = [p for p, _, _ in records]
+    if not new_paths:
+        return None, []
+
+    df = spark.read.format(fmt).load(new_paths)
+    with open(manifest_path, "a", encoding="utf-8") as f:
+        for p, size, mtime_ns in records:
+            f.write(
+                json.dumps({"path": p, "size": size, "mtime_ns": mtime_ns}) + "\n"
+            )
+    return df, new_paths

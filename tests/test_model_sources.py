@@ -893,3 +893,48 @@ def test_write_range_sorted_files_have_disjoint_ranges(spark, tmp_path):
 
     # content survives the layout rewrite
     assert spark.read.parquet(path).count() == 20_000
+
+
+def test_read_incremental_manifest(spark, tmp_path):
+    """Incremental batch ingest: second run sees only new files; a
+    rewritten (size/mtime-changed) file re-ingests; empty delta returns
+    None without touching the manifest."""
+    import os
+    import time as _time
+
+    from etl_python_spark.sources.readers import read_incremental
+
+    landing = tmp_path / "landing"
+    landing.mkdir()
+    manifest = str(tmp_path / "manifest.jsonl")
+
+    def land(name, ids):
+        staging = str(tmp_path / f"_stg_{name}")
+        spark.createDataFrame([(i,) for i in ids], "id long").coalesce(1) \
+            .write.mode("overwrite").parquet(staging)
+        import glob as _glob
+        (part,) = _glob.glob(staging + "/part-*.parquet")
+        import shutil as _sh
+        _sh.copy(part, str(landing / name))
+
+    land("a.parquet", [1, 2, 3])
+    df1, new1 = read_incremental(spark, str(landing), manifest)
+    assert sorted(r.id for r in df1.collect()) == [1, 2, 3]
+    assert len(new1) == 1
+
+    # no new files -> None, manifest untouched
+    df2, new2 = read_incremental(spark, str(landing), manifest)
+    assert df2 is None and new2 == []
+
+    # a second file -> only its rows
+    land("b.parquet", [10, 11])
+    df3, new3 = read_incremental(spark, str(landing), manifest)
+    assert sorted(r.id for r in df3.collect()) == [10, 11]
+    assert [os.path.basename(p) for p in new3] == ["b.parquet"]
+
+    # rewrite a.parquet with different content (size/mtime change) -> re-ingest
+    land("a.parquet", [7, 8, 9, 100])
+    os.utime(str(landing / "a.parquet"), None)
+    df4, new4 = read_incremental(spark, str(landing), manifest)
+    assert [os.path.basename(p) for p in new4] == ["a.parquet"]
+    assert sorted(r.id for r in df4.collect()) == [7, 8, 9, 100]
