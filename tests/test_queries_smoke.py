@@ -77,3 +77,23 @@ def test_pq_invariants(spark):
     own = [r for r in rows if sim.PQ_SAMPLE_BASE <= r.vec_id < sim.PQ_SAMPLE_BASE + sim.PQ_KS]
     assert own and all(r.err2 == 0.0 for r in own)
     assert all(r.code == r.vec_id - sim.PQ_SAMPLE_BASE for r in own)
+
+
+@pytest.mark.parametrize(
+    "name",
+    ["incremental_dedup", "shard_balance", "outlier_events", "dedup_keep_best"],
+)
+def test_partitioning_invariance(spark, name):
+    """Scale-correctness property: the result must not depend on the
+    shuffle-partition count — a query whose output changes with
+    partitioning cannot be trusted on a 1000-executor cluster."""
+    fn = QUERIES[name]
+    orig = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", "4")
+        a = sorted(map(str, fn(spark, SF_SMOKE).collect()))
+        spark.conf.set("spark.sql.shuffle.partitions", "13")
+        b = sorted(map(str, fn(spark, SF_SMOKE).collect()))
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", orig)
+    assert a == b and len(a) > 0
