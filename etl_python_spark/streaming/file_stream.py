@@ -401,6 +401,7 @@ def stream_upsert_sink(
     landing_dir: str,
     target_path: str,
     timeout_s: int = 300,
+    checkpoint_dir: str | None = None,
 ) -> None:
     """Streaming CDC ingest into an idempotent keyed table:
     ``foreachBatch`` reduces each micro-batch to its latest row per
@@ -415,7 +416,16 @@ def stream_upsert_sink(
 
     At scale: each batch's merge touches only the partitions its keys
     live in (merge_upsert prunes), and the per-batch argmax is one
-    keyed aggregate over the batch, never the table."""
+    keyed aggregate over the batch, never the table.
+
+    Pass a stable ``checkpoint_dir`` to make the job resumable AND
+    re-runnable: the file-source checkpoint records which landing
+    files each batch consumed, so a re-run over an unchanged landing
+    directory replays nothing (exactly-once file accounting), and a
+    run after new files arrive processes only those — the operational
+    contract a scheduled ingest needs.  The default fresh tempdir
+    reprocesses everything (merge keeps that idempotent in content
+    terms, but it re-reads the data)."""
     from pyspark.sql import Window
 
     from ..sources.tables import normalize_event_ts
@@ -439,7 +449,7 @@ def stream_upsert_sink(
         .option("maxFilesPerTrigger", "1")
         .parquet(landing_dir)
     )
-    ckpt = tempfile.mkdtemp(prefix="ckpt_upsert_")
+    ckpt = checkpoint_dir or tempfile.mkdtemp(prefix="ckpt_upsert_")
     q = (
         stream.writeStream.foreachBatch(upsert_batch)
         .option("checkpointLocation", ckpt)

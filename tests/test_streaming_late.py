@@ -254,3 +254,52 @@ def test_stream_upsert_sink_last_writer_wins(spark, tmp_path):
         .collect()
     }
     assert got == expected and len(got) > 0
+
+
+def test_stream_upsert_sink_checkpoint_exactly_once(spark, tmp_path):
+    """With a stable checkpoint, a re-run over an unchanged landing
+    dir replays NOTHING (target file set untouched), and a run after a
+    new file arrives processes only that file."""
+    from pyspark.sql import Window
+
+    from etl_python_spark.streaming.file_stream import stream_upsert_sink
+
+    landing = tmp_path / "landing_eo"
+    landing.mkdir()
+    now = time.time()
+
+    def land(name, rows, mtime):
+        df = spark.createDataFrame(
+            rows, "ts string, user_id long, event_id long, event_type string, value double, props string"
+        ).select(F.to_timestamp("ts").alias("ts"), "user_id", "event_id", "event_type", "value", "props")
+        staging = str(tmp_path / f"_stg_eo_{name}")
+        df.coalesce(1).write.mode("overwrite").parquet(staging)
+        (part,) = glob.glob(os.path.join(staging, "part-*.parquet"))
+        dest = str(landing / f"{name}.parquet")
+        shutil.copy(part, dest)
+        os.utime(dest, (mtime, mtime))
+
+    land("a", [("2024-01-01 10:00:00", 1, 100, "view", 1.0, "{}"),
+               ("2024-01-01 11:00:00", 2, 101, "view", 2.0, "{}")], now - 100)
+
+    target = str(tmp_path / "state_eo")
+    ckpt = str(tmp_path / "ckpt_eo")
+    stream_upsert_sink(spark, str(landing), target, checkpoint_dir=ckpt)
+
+    def file_set():
+        return {
+            (f, os.path.getmtime(os.path.join(target, f)))
+            for f in os.listdir(target)
+            if not f.startswith(("_", "."))
+        }
+
+    first = file_set()
+    # unchanged landing + same checkpoint -> zero reprocessing
+    stream_upsert_sink(spark, str(landing), target, checkpoint_dir=ckpt)
+    assert file_set() == first
+
+    # a new file arrives: only it is processed; user 1's newer row wins
+    land("b", [("2024-01-02 09:00:00", 1, 200, "purchase", 9.0, "{}")], now - 50)
+    stream_upsert_sink(spark, str(landing), target, checkpoint_dir=ckpt)
+    got = {(r.user_id, r.event_id) for r in spark.read.parquet(target).collect()}
+    assert got == {(1, 200), (2, 101)}
