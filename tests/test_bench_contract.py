@@ -1,0 +1,23 @@
+"""Driver-contract pin for bench.py: ONE parseable JSON line with the
+documented keys, every headline query present with a positive timing.
+Runs in-process at sf0.001 with a single timed run so it stays cheap;
+the driver runs the same entry point at sf0.1."""
+
+import json
+
+
+def test_bench_emits_one_json_line(spark, capsys, monkeypatch):
+    monkeypatch.setenv("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001")
+    monkeypatch.setenv("SPARK_GRAFT_BENCH_RUNS", "1")
+    import bench
+
+    bench.main()
+    out = [l for l in capsys.readouterr().out.strip().splitlines() if l.strip()]
+    assert len(out) == 1, "bench must print exactly one line"
+    doc = json.loads(out[0])
+    assert doc["metric"] == "headline_queries_total"
+    assert doc["unit"] == "sec" and doc["value"] > 0
+    assert doc["sf"] == 0.001
+    assert set(doc["queries"]) == set(bench.HEADLINE)
+    assert all(t >= 0 for t in doc["queries"].values())
+    assert set(doc["spread"]) == set(bench.HEADLINE)
