@@ -3,8 +3,10 @@ PII scrubbing, and token-budget mixture sampling.
 
 Training-data extension surface (SURVEY.md §7.8) beyond the reference
 inventory; the closest reference analogues are its text-clean scalar
-helpers (`Códigos Úteis Python/Tratamento de Dados.py`) and blacklist
-filtering (`Códigos Úteis SQL/`), which stop at whole-row operations.
+helpers (`CRM - Algorítimo de Limpeza e Edição de Dados.py`,
+`ETL - CRM.py:35-52`) and blacklist filtering
+(`scripts_sql/PainelSDR_Report.sql:33,52`), which stop at whole-row
+operations.
 These three operators act *inside* the value: duplicated passages,
 embedded identifiers, and per-source token budgets.
 

@@ -184,7 +184,13 @@ def q_outlier_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     type's full event set in one task (unbounded at 100 TB), while the
     aggregate reduces map-side and broadcasts K rows.  Mean/std are
     rounded at 6dp first so both engines derive z from bit-identical
-    anchors; z rounds at 4dp before the threshold test."""
+    anchors; z rounds at 4dp before the threshold test.
+
+    Degenerate groups (stddev rounds to 0 — near-constant types) are
+    excluded EXPLICITLY on both sides: Spark's x/0 is NULL while
+    DuckDB's IEEE float divide yields ±inf, which would pass
+    ABS(z) > 3 — the same query text would silently diverge between
+    engines exactly on those groups."""
     events = load_table(spark, sf_dir, "events")
     stats = events.groupBy("event_type").agg(
         F.round(F.avg("value"), 6).alias("m"),
@@ -193,6 +199,7 @@ def q_outlier_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     z = F.round((F.col("value") - F.col("m")) / F.col("s"), 4)
     return (
         events.join(F.broadcast(stats), "event_type")
+        .filter(F.col("s") != 0)
         .select("event_id", "event_type", "value", z.alias("z"))
         .filter(F.abs(F.col("z")) > 3)
     )
@@ -206,7 +213,8 @@ WITH stats AS (
 SELECT e.event_id, e.event_type, e.value,
        ROUND((e.value - st.m) / st.s, 4) AS z
 FROM events e JOIN stats st USING (event_type)
-WHERE ABS(ROUND((e.value - st.m) / st.s, 4)) > 3
+WHERE st.s <> 0
+  AND ABS(ROUND((e.value - st.m) / st.s, 4)) > 3
 """
 
 

@@ -377,12 +377,62 @@ def read_jsonl_corpus(
     )
 
 
+def _load_manifest(manifest_path: str) -> list[dict]:
+    """Read the incremental-ingest manifest, tolerating a torn tail:
+    a crash mid-append (pre-atomic-commit manifests) can leave a
+    partial final line — skip it, which simply re-ingests that file
+    (at-least-once).  A torn line anywhere BUT the tail means real
+    corruption and raises."""
+    import json
+    import os
+
+    records: list[dict] = []
+    if not os.path.exists(manifest_path):
+        return records
+    with open(manifest_path, encoding="utf-8") as f:
+        lines = f.readlines()
+    for i, line in enumerate(lines):
+        if not line.strip():
+            continue
+        try:
+            records.append(json.loads(line))
+        except json.JSONDecodeError:
+            if i == len(lines) - 1:
+                log.warning(
+                    "manifest %s: torn final line skipped (its file "
+                    "will re-ingest)", manifest_path
+                )
+                continue
+            raise
+    return records
+
+
+def commit_manifest(manifest_path: str, records: list[dict]) -> None:
+    """Atomically append ``records`` to the JSONL manifest: rewrite
+    the full manifest (metadata-scale — file counts, not rows) to a
+    sibling temp file, fsync, and ``os.replace`` over the original —
+    the manifest is never observable half-written, a crash before the
+    replace leaves the old manifest intact (the files re-ingest), and
+    a crash after it is a completed commit."""
+    import json
+    import os
+
+    merged = _load_manifest(manifest_path) + records
+    tmp = manifest_path + ".tmp"
+    with open(tmp, "w", encoding="utf-8") as f:
+        for r in merged:
+            f.write(json.dumps(r) + "\n")
+        f.flush()
+        os.fsync(f.fileno())
+    os.replace(tmp, manifest_path)
+
+
 def read_incremental(
     spark: SparkSession,
     source_dir: str,
     manifest_path: str,
     fmt: str = "parquet",
-) -> tuple[DataFrame | None, list[str]]:
+):
     """Batch-mode incremental ingest: read only the data files in
     ``source_dir`` that no previous run has processed, tracked by a
     JSONL manifest of (path, size, mtime) records — the batch
@@ -392,24 +442,24 @@ def read_incremental(
 
     A file reappears as new if its size OR mtime changed (partial
     uploads that settle re-ingest on the next run).  Returns
-    ``(frame_or_None, new_paths)`` and appends the new records to the
-    manifest only AFTER the caller's frame is constructed — callers
-    that fail before acting simply reprocess the same files (at-least-
-    once, same contract as a streaming sink without an idempotent
-    write; pair with ``writers.merge_upsert`` for exactly-once
-    content).
+    ``(frame_or_None, new_paths, commit)``: the manifest is NOT
+    touched here — the caller invokes ``commit()`` only after its
+    downstream action (write, merge) succeeds.  Committing eagerly
+    would mark files processed the moment the lazy frame existed, so
+    a failed downstream write + rerun would skip them forever (silent
+    data loss); with the deferred commit a caller that fails before
+    committing simply reprocesses the same files (at-least-once —
+    pair with ``writers.merge_upsert`` for exactly-once content).
+    ``commit()`` itself is atomic (write-temp + fsync + rename, see
+    :func:`commit_manifest`) so a crash can never tear the manifest.
 
     The manifest is driver-side JSONL, one record per landed file —
     metadata-scale by construction (file counts, not rows)."""
-    import json
     import os
 
-    seen: set[tuple[str, int, int]] = set()
-    if os.path.exists(manifest_path):
-        with open(manifest_path, encoding="utf-8") as f:
-            for line in f:
-                r = json.loads(line)
-                seen.add((r["path"], r["size"], r["mtime_ns"]))
+    seen = {
+        (r["path"], r["size"], r["mtime_ns"]) for r in _load_manifest(manifest_path)
+    }
 
     records = []
     for name in sorted(os.listdir(source_dir)):
@@ -424,12 +474,17 @@ def read_incremental(
             records.append(rec)
     new_paths = [p for p, _, _ in records]
     if not new_paths:
-        return None, []
+        return None, [], lambda: None
 
     df = spark.read.format(fmt).load(new_paths)
-    with open(manifest_path, "a", encoding="utf-8") as f:
-        for p, size, mtime_ns in records:
-            f.write(
-                json.dumps({"path": p, "size": size, "mtime_ns": mtime_ns}) + "\n"
-            )
-    return df, new_paths
+
+    def commit() -> None:
+        commit_manifest(
+            manifest_path,
+            [
+                {"path": p, "size": size, "mtime_ns": mtime_ns}
+                for p, size, mtime_ns in records
+            ],
+        )
+
+    return df, new_paths, commit

@@ -317,21 +317,31 @@ def write_training_shards(
     fmt: str = "parquet",
 ) -> None:
     """Curated-corpus export in the layout a training dataloader
-    expects: exactly ``shards`` files, each holding the rows whose
-    ``hash(shard_key) % shards`` matches — so the doc→shard mapping is
-    deterministic and reproducible across runs/cluster sizes (plain
-    ``repartition(n)`` round-robins: same data, different shards every
-    run).  ``fmt`` is ``"parquet"`` (default) or ``"json"`` (JSONL,
-    one doc per line — the interchange format most tokenizer
+    expects: one ``shard=K/`` directory per shard, each holding
+    exactly the rows whose ``hash60(shard_key) % shards`` is K — the
+    SAME explicit placement :func:`operators.corpus.q_shard_balance`
+    audits, so the balance report measures the real export (a plain
+    ``repartition(n, col)`` would place by Spark's internal Murmur3
+    instead, and the audit would be modeling a mapping the files
+    don't follow).  Deterministic and reproducible across runs and
+    cluster sizes.  ``fmt`` is ``"parquet"`` (default) or ``"json"``
+    (JSONL, one doc per line — the interchange format most tokenizer
     pipelines read).
 
-    Scale shape: one hash-partition exchange, then each task writes
-    its own file; no driver collection, no global sort.
+    Scale shape: one hash-partition exchange routes each shard value
+    to a single task, then ``partitionBy`` splits the task's rows
+    into per-shard directories — one file per shard, no driver
+    collection, no global sort.
     """
     if fmt not in ("parquet", "json"):
         raise ValueError(f"fmt must be 'parquet' or 'json', got {fmt!r}")
-    sharded = df.repartition(shards, F.col(shard_key))
-    sharded.write.mode("overwrite").format(fmt).save(path)
+    from ..operators.dedup import hash60
+
+    sharded = df.withColumn(
+        "shard",
+        (hash60(F.col(shard_key).cast("string")) % shards).cast("int"),
+    ).repartition(shards, F.col("shard"))
+    sharded.write.mode("overwrite").partitionBy("shard").format(fmt).save(path)
 
 
 def compact_table(

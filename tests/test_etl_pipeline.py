@@ -140,8 +140,9 @@ def test_curation_to_training_export_pipeline(spark, tmp_path):
 
     import glob as _glob
 
-    files = _glob.glob(shard_path + "/part-*.parquet")
-    assert len(files) == 4  # deterministic hash shards
+    files = _glob.glob(shard_path + "/shard=*/part-*.parquet")
+    assert 0 < len(files) <= 4  # deterministic hash shards, one file each
+    assert len(files) == len(_glob.glob(shard_path + "/shard=*"))
     exported = spark.read.parquet(shard_path)
     assert exported.count() == spark.read.parquet(kept_path).count() > 0
     # every exported doc passed BOTH gates

@@ -780,17 +780,33 @@ def test_write_training_shards_deterministic(spark, tmp_path):
 
     def shard_map(out):
         m = {}
-        for f in sorted(glob.glob(f"{out}/part-*")):
-            with open(f) as fh:
-                ids = frozenset(json.loads(l)["doc_id"] for l in fh if l.strip())
+        for d in sorted(glob.glob(f"{out}/shard=*")):
+            k = int(d.rsplit("=", 1)[1])
+            ids = set()
+            for f in glob.glob(f"{d}/part-*"):
+                with open(f) as fh:
+                    ids |= {json.loads(l)["doc_id"] for l in fh if l.strip()}
             if ids:
-                m[ids] = m.get(ids, 0) + 1
+                m[k] = frozenset(ids)
         return m
 
     m1, m2 = shard_map(out1), shard_map(out2)
-    assert sum(len(k) * v for k, v in m1.items()) == 100
+    assert sum(len(v) for v in m1.values()) == 100
     assert m1 == m2  # same doc→shard assignment both runs
     assert len(m1) == 4
+
+    # placement IS the audited mapping: hash60(doc_id) % shards
+    from etl_python_spark.operators.dedup import hash60
+
+    expected = {
+        r.doc_id: r.shard
+        for r in df.select(
+            "doc_id",
+            (hash60(F.col("doc_id").cast("string")) % 4).cast("int").alias("shard"),
+        ).collect()
+    }
+    for k, ids in m1.items():
+        assert all(expected[i] == k for i in ids)
     import pytest
 
     with pytest.raises(ValueError, match="fmt"):
@@ -918,23 +934,87 @@ def test_read_incremental_manifest(spark, tmp_path):
         _sh.copy(part, str(landing / name))
 
     land("a.parquet", [1, 2, 3])
-    df1, new1 = read_incremental(spark, str(landing), manifest)
+    df1, new1, commit1 = read_incremental(spark, str(landing), manifest)
     assert sorted(r.id for r in df1.collect()) == [1, 2, 3]
     assert len(new1) == 1
 
+    # the manifest commit is DEFERRED: before commit() a rerun sees the
+    # same files again (a failed downstream write must not lose them)
+    assert not os.path.exists(manifest)
+    df1b, new1b, commit1b = read_incremental(spark, str(landing), manifest)
+    assert [os.path.basename(p) for p in new1b] == ["a.parquet"]
+    commit1b()
+
     # no new files -> None, manifest untouched
-    df2, new2 = read_incremental(spark, str(landing), manifest)
+    df2, new2, _ = read_incremental(spark, str(landing), manifest)
     assert df2 is None and new2 == []
 
     # a second file -> only its rows
     land("b.parquet", [10, 11])
-    df3, new3 = read_incremental(spark, str(landing), manifest)
+    df3, new3, commit3 = read_incremental(spark, str(landing), manifest)
     assert sorted(r.id for r in df3.collect()) == [10, 11]
     assert [os.path.basename(p) for p in new3] == ["b.parquet"]
+    commit3()
 
     # rewrite a.parquet with different content (size/mtime change) -> re-ingest
     land("a.parquet", [7, 8, 9, 100])
     os.utime(str(landing / "a.parquet"), None)
-    df4, new4 = read_incremental(spark, str(landing), manifest)
+    df4, new4, commit4 = read_incremental(spark, str(landing), manifest)
     assert [os.path.basename(p) for p in new4] == ["a.parquet"]
     assert sorted(r.id for r in df4.collect()) == [7, 8, 9, 100]
+    commit4()
+    df5, new5, _ = read_incremental(spark, str(landing), manifest)
+    assert df5 is None and new5 == []
+
+
+def test_read_incremental_torn_manifest_recovery(spark, tmp_path):
+    """Crash-consistency of the ingest manifest: a torn final line
+    (crash mid-append) is skipped — that file simply re-ingests
+    (at-least-once) — while a commit() goes through write-temp+rename
+    and can never itself tear; corruption anywhere but the tail
+    raises instead of silently dropping history."""
+    import json
+    import os
+
+    import pytest
+
+    from etl_python_spark.sources.readers import (
+        _load_manifest,
+        commit_manifest,
+        read_incremental,
+    )
+
+    landing = tmp_path / "landing"
+    landing.mkdir()
+    manifest = str(tmp_path / "manifest.jsonl")
+
+    spark.createDataFrame([(1,)], "id long").coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(str(tmp_path / "stg"))
+    import glob as _glob
+    import shutil as _sh
+
+    (part,) = _glob.glob(str(tmp_path / "stg") + "/part-*.parquet")
+    _sh.copy(part, str(landing / "a.parquet"))
+
+    df, new, commit = read_incremental(spark, str(landing), manifest)
+    commit()
+    good = open(manifest).read()
+    assert len(_load_manifest(manifest)) == 1
+
+    # torn tail: crash mid-append left a partial record
+    with open(manifest, "a") as f:
+        f.write('{"path": "/x/b.parquet", "si')
+    df2, new2, _ = read_incremental(spark, str(landing), manifest)
+    assert df2 is None  # a.parquet record survived the torn tail
+    # a fresh commit heals the manifest (rewrites only valid records)
+    commit_manifest(manifest, [{"path": "/x/c", "size": 1, "mtime_ns": 2}])
+    recs = _load_manifest(manifest)
+    assert [os.path.basename(r["path"]) for r in recs] == ["a.parquet", "c"]
+    assert all(json.loads(l) for l in open(manifest) if l.strip())
+
+    # corruption NOT at the tail is an error, never silent loss
+    with open(manifest, "w") as f:
+        f.write('{"torn...\n' + good)
+    with pytest.raises(json.JSONDecodeError):
+        _load_manifest(manifest)
