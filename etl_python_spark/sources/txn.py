@@ -1,0 +1,400 @@
+"""Atomic-publish ("transactional") parquet tables: the commit
+protocol shared by the mutating writers.
+
+The reference ran its mutations inside MySQL transactions (per-batch
+commit/rollback, ETL - Venda B2B.py:336-354); a plain-parquet lake has
+no such log, so ``merge_upsert``/``compact_table`` previously published
+by overwrite or delete+rename — a reader racing the swap (or a crash
+inside it) could observe a partial table.  This module supplies the
+lake-native equivalent, the same design Structured Streaming's
+HDFSMetadataLog and every log-structured table format use:
+
+Layout of a transactional table at ``path/``::
+
+    path/
+      _commits/00000001          # commit record (small JSON), one per version
+      _commits/00000002
+      v-00000001-3f9a2c1d/       # immutable snapshot data dirs (parquet)
+      v-00000002-9b00c44e/
+
+* **Writers never mutate published data.**  Every operation stages a
+  brand-new ``v-<version>-<uuid>`` directory, then publishes a commit
+  record naming the data dirs that make up the new snapshot.
+* **Publish = one atomic rename** of the record into
+  ``_commits/<version>`` (write tmp → hsync → rename).  A reader
+  resolves the table by reading the HIGHEST committed version — it
+  sees the old snapshot or the new one, never a mix, because data dirs
+  are immutable and the pointer flip is a single filesystem metadata
+  op.  A crash before the rename leaves only an unreferenced staging
+  dir (garbage, removed by :func:`vacuum`); a crash after it is a
+  completed commit.
+* **Optimistic concurrency**: two writers racing publish the same next
+  version; rename-to-existing fails for the loser
+  (:class:`ConcurrentCommitError`) and its staged dir becomes garbage.
+  On HDFS the no-overwrite rename is atomic; on a POSIX local fs the
+  exists-check+rename leaves a tiny last-wins window (document: one
+  writer per table on raw local disks); on S3-class stores without
+  atomic rename use a real table format.
+* **Partition-scoped MERGE stays partition-scoped**: the commit record
+  is a manifest mapping each data dir to the partition values it OWNS.
+  A merge stages only the touched partitions into the new dir and the
+  new manifest points untouched partitions at their existing dirs — at
+  100 TB a merge costs the touched partitions, never the table, and
+  readers prune with ordinary partition filters.  :func:`txn_compact`
+  periodically collapses the dir list back to one snapshot dir.
+
+Old commit records stay on disk (bytes), so ``txn_read(version=N)``
+time-travels until :func:`vacuum` reclaims the data dirs that only old
+versions reference.
+"""
+
+from __future__ import annotations
+
+import json
+import logging
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+log = logging.getLogger(__name__)
+
+_COMMITS = "_commits"
+
+
+class ConcurrentCommitError(RuntimeError):
+    """Another writer published this version first; retry on the new base."""
+
+
+def _fs(spark: SparkSession, path: str):
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    return jvm, fs, hpath
+
+
+def _encode_val(v):
+    """Partition value → JSON-safe form with a type tag for temporals."""
+    import datetime as _dt
+
+    if isinstance(v, _dt.datetime):
+        return {"t": "timestamp", "v": v.isoformat(sep=" ")}
+    if isinstance(v, _dt.date):
+        return {"t": "date", "v": v.isoformat()}
+    if v is None or isinstance(v, (str, int, float, bool)):
+        return v
+    return {"t": "str", "v": str(v)}
+
+
+def _decode_lit(v):
+    if isinstance(v, dict):
+        lit = F.lit(v["v"])
+        return lit.cast(v["t"]) if v["t"] != "str" else lit
+    return F.lit(v)
+
+
+def _owned_pred(partition_col: str, vals: list):
+    """Filter keeping exactly the rows whose partition value is in
+    ``vals`` (NULL handled explicitly — isin is three-valued)."""
+    non_null = [v for v in vals if v is not None]
+    pred = (
+        F.col(partition_col).isin(*[_decode_lit(v) for v in non_null])
+        if non_null
+        else F.lit(False)
+    )
+    if any(v is None for v in vals):
+        pred = pred | F.col(partition_col).isNull()
+    return pred
+
+
+def list_versions(spark: SparkSession, path: str) -> list[int]:
+    jvm, fs, _ = _fs(spark, path)
+    cdir = jvm.org.apache.hadoop.fs.Path(f"{path}/{_COMMITS}")
+    if not fs.exists(cdir):
+        return []
+    out = []
+    for st in fs.listStatus(cdir):
+        name = st.getPath().getName()
+        if name.isdigit():
+            out.append(int(name))
+    return sorted(out)
+
+
+def read_commit(
+    spark: SparkSession, path: str, version: int | None = None
+) -> dict | None:
+    """The commit record of ``version`` (default: latest).  Unparsable
+    records (possible only under a non-atomic rename) are skipped with
+    a warning, falling back to the previous committed version."""
+    versions = list_versions(spark, path)
+    if version is not None:
+        versions = [v for v in versions if v == version]
+    jvm, fs, _ = _fs(spark, path)
+    for v in sorted(versions, reverse=True):
+        cpath = jvm.org.apache.hadoop.fs.Path(f"{path}/{_COMMITS}/{v:08d}")
+        stream = fs.open(cpath)
+        try:
+            data = bytes(
+                spark._jvm.org.apache.commons.io.IOUtils.toByteArray(stream)
+            )
+        finally:
+            stream.close()
+        try:
+            rec = json.loads(data.decode("utf-8"))
+        except (json.JSONDecodeError, UnicodeDecodeError):
+            log.warning("txn %s: unparsable commit %08d skipped", path, v)
+            continue
+        if rec.get("version") != v:
+            log.warning("txn %s: commit %08d names version %s; skipped",
+                        path, v, rec.get("version"))
+            continue
+        return rec
+    return None
+
+
+def _publish(spark: SparkSession, path: str, record: dict) -> None:
+    """Atomically publish one commit record as
+    ``_commits/<version>``: write a tmp file, hsync when the fs
+    supports it, then rename to the (never-pre-existing) final name."""
+    jvm, fs, _ = _fs(spark, path)
+    v = record["version"]
+    cdir = jvm.org.apache.hadoop.fs.Path(f"{path}/{_COMMITS}")
+    fs.mkdirs(cdir)
+    final = jvm.org.apache.hadoop.fs.Path(f"{path}/{_COMMITS}/{v:08d}")
+    tmp = jvm.org.apache.hadoop.fs.Path(
+        f"{path}/{_COMMITS}/.tmp-{uuid.uuid4().hex}"
+    )
+    out = fs.create(tmp, True)
+    try:
+        out.write(bytearray(json.dumps(record).encode("utf-8")))
+        try:
+            out.hsync()
+        except Exception:  # local checksum fs: hsync unsupported
+            out.hflush()
+    finally:
+        out.close()
+    if fs.exists(final) or not fs.rename(tmp, final):
+        fs.delete(tmp, False)
+        raise ConcurrentCommitError(
+            f"txn {path}: version {v} was committed by another writer"
+        )
+
+
+def _stage_dir(path: str, version: int) -> str:
+    return f"{path}/v-{version:08d}-{uuid.uuid4().hex[:8]}"
+
+
+def txn_read(
+    spark: SparkSession, path: str, version: int | None = None
+) -> DataFrame:
+    """Resolve the committed snapshot (or a historical ``version``)
+    into a DataFrame: one parquet read per live data dir, each filtered
+    to the partitions the manifest says that dir still OWNS (partition
+    pruning applies — the filter is on the partition column), unioned
+    by name."""
+    rec = read_commit(spark, path, version)
+    if rec is None:
+        raise FileNotFoundError(f"no committed version at {path}")
+    pc = rec["partition_col"]
+    from pyspark.sql.types import StructType
+
+    # the committed schema pins the partition column's type — without
+    # it, directory-name type inference would re-type e.g. "2024" as
+    # int and the manifest's ownership filters would mis-compare
+    schema = StructType.fromJson(rec["schema"])
+    frames = []
+    for d, vals in rec["dirs"].items():
+        df = spark.read.schema(schema).parquet(f"{path}/{d}").select(
+            *[f.name for f in schema.fields]
+        )
+        if pc is not None and vals is not None:
+            df = df.filter(_owned_pred(pc, vals))
+        frames.append(df)
+    out = frames[0]
+    for f in frames[1:]:
+        out = out.unionByName(f)
+    return out
+
+
+def txn_write(
+    spark: SparkSession,
+    df: DataFrame,
+    path: str,
+    partition_by: str | None = None,
+    app_meta: dict | None = None,
+) -> int:
+    """Full-snapshot replace with atomic publish; returns the new
+    version.  The previous snapshot stays readable (time travel) until
+    :func:`vacuum`."""
+    prev = read_commit(spark, path)
+    version = (prev["version"] + 1) if prev else 1
+    dirname = _stage_dir(path, version).rsplit("/", 1)[-1]
+    writer = df.write.mode("errorifexists")
+    if partition_by:
+        writer = writer.partitionBy(partition_by)
+    writer.parquet(f"{path}/{dirname}")
+    record = {
+        "version": version,
+        "op": "write",
+        "partition_col": partition_by,
+        "schema": df.schema.jsonValue(),
+        "dirs": {dirname: None},
+        "app_meta": app_meta,
+    }
+    if partition_by:
+        # values from the frame itself, NOT a read-back of the staged
+        # dir (directory-name inference would re-type them)
+        vals = [
+            _encode_val(r[0])
+            for r in df.select(partition_by).distinct().collect()
+        ]
+        record["dirs"] = {dirname: vals}
+    _publish(spark, path, record)
+    return version
+
+
+def txn_merge_upsert(
+    spark: SparkSession,
+    source: DataFrame,
+    path: str,
+    keys: list[str],
+    partition_col: str | None = None,
+    app_meta: dict | None = None,
+) -> int:
+    """Row-keyed MERGE with atomic publish; returns the new version.
+
+    Same semantics as :func:`writers.merge_upsert` (matched target
+    rows replaced, unmatched inserted, everything else untouched —
+    including its key-moves-partition caveat), but copy-on-write into
+    a NEW immutable dir instead of overwriting in place: no
+    read-overwrite cycle (so no defensive localCheckpoint), no window
+    where a reader or a crash can see a partial table, and a re-run
+    after a crash simply merges again onto the last committed
+    snapshot (content-idempotent).
+
+    Partitioned tables stage ONLY the touched partitions; the new
+    manifest points untouched partitions at their existing dirs —
+    merge cost scales with touched partitions at any table size.
+    ``app_meta`` rides in the commit record; a caller replaying work
+    (e.g. a streaming foreachBatch restart) can compare it against
+    the latest commit's to skip an already-published batch."""
+    prev = read_commit(spark, path)
+    if prev is None:
+        return txn_write(
+            spark, source, path, partition_by=partition_col, app_meta=app_meta
+        )
+    if prev["partition_col"] != partition_col:
+        raise ValueError(
+            f"txn {path}: table is partitioned by {prev['partition_col']!r}, "
+            f"merge requested {partition_col!r}"
+        )
+    version = prev["version"] + 1
+    target = txn_read(spark, path)
+    source = source.select(*target.columns)
+
+    if partition_col:
+        touched = [
+            _encode_val(r[0])
+            for r in source.select(partition_col).distinct().collect()
+        ]
+        touched_json = {json.dumps(t, sort_keys=True) for t in touched}
+        target = target.filter(_owned_pred(partition_col, touched))
+    kept = target.join(source.select(*keys).distinct(), keys, "left_anti")
+    merged = kept.unionByName(source)
+
+    dirname = _stage_dir(path, version).rsplit("/", 1)[-1]
+    writer = merged.write.mode("errorifexists")
+    if partition_col:
+        writer = writer.partitionBy(partition_col)
+    writer.parquet(f"{path}/{dirname}")
+
+    if partition_col:
+        dirs: dict = {}
+        for d, vals in prev["dirs"].items():
+            remaining = [
+                v
+                for v in (vals or [])
+                if json.dumps(v, sort_keys=True) not in touched_json
+            ]
+            if remaining:
+                dirs[d] = remaining
+        dirs[dirname] = touched
+    else:
+        dirs = {dirname: None}
+    _publish(
+        spark,
+        path,
+        {
+            "version": version,
+            "op": "merge",
+            "partition_col": partition_col,
+            "schema": prev["schema"],
+            "dirs": dirs,
+            "app_meta": app_meta,
+        },
+    )
+    return version
+
+
+def txn_compact(
+    spark: SparkSession,
+    path: str,
+    n_files: int | None = None,
+    app_meta: dict | None = None,
+) -> int:
+    """Collapse the live snapshot back into ONE data dir (optionally
+    ``n_files`` files) and publish — the maintenance job that bounds
+    reader fan-out after many merges, with the same atomic commit as
+    every other writer (the delete+rename race of the plain-path
+    ``compact_table`` cannot happen here)."""
+    prev = read_commit(spark, path)
+    if prev is None:
+        raise FileNotFoundError(f"no committed version at {path}")
+    version = prev["version"] + 1
+    df = txn_read(spark, path)
+    pc = prev["partition_col"]
+    if n_files:
+        df = df.repartition(n_files)
+    elif pc:
+        df = df.repartition(F.col(pc))
+    dirname = _stage_dir(path, version).rsplit("/", 1)[-1]
+    writer = df.write.mode("errorifexists")
+    if pc:
+        writer = writer.partitionBy(pc)
+    writer.parquet(f"{path}/{dirname}")
+    record = {
+        "version": version,
+        "op": "compact",
+        "partition_col": pc,
+        "schema": prev["schema"],
+        "dirs": {dirname: None},
+        "app_meta": app_meta,
+    }
+    if pc:
+        vals = [v for vs in prev["dirs"].values() for v in (vs or [])]
+        record["dirs"] = {dirname: vals}
+    _publish(spark, path, record)
+    return version
+
+
+def vacuum(spark: SparkSession, path: str) -> list[str]:
+    """Remove data dirs the LATEST commit no longer references —
+    crash-orphaned staging dirs and snapshots only historical versions
+    point at (which stop time-traveling, as in any table format's
+    vacuum).  Returns the removed dir names.  Safe against the
+    published snapshot by construction: the latest manifest's dirs are
+    never touched."""
+    rec = read_commit(spark, path)
+    live = set(rec["dirs"]) if rec else set()
+    jvm, fs, hpath = _fs(spark, path)
+    removed = []
+    for st in fs.listStatus(hpath):
+        name = st.getPath().getName()
+        if (
+            st.isDirectory()
+            and name.startswith("v-")
+            and name not in live
+        ):
+            fs.delete(st.getPath(), True)
+            removed.append(name)
+    return sorted(removed)

@@ -21,6 +21,12 @@ from pyspark.sql import functions as F
 log = logging.getLogger(__name__)
 
 
+def _hadoop_rename(fs, src, dst) -> bool:
+    """Seam around FileSystem.rename so tests can inject a failed
+    rename and exercise compact_table's restore path."""
+    return fs.rename(src, dst)
+
+
 def write_staging(
     df: DataFrame,
     path: str,
@@ -368,9 +374,18 @@ def compact_table(
       here.
 
     Returns ``{"files_before", "files_after", "bytes", "rewritten"}``.
-    Not transactional: a reader racing the delete+rename window sees a
-    missing directory — schedule in the maintenance window or use a
-    table format with a log (the documented merge_upsert boundary).
+
+    The swap is rename-ORIGINAL-to-backup → rename-tmp-into-place →
+    delete-backup: the table path is absent only between the two
+    renames (metadata ops, microseconds), a failed second rename
+    restores the backup so the path is never left missing, and a
+    crash inside the window strands full data in ``__compact_bak`` —
+    recoverable by hand-renaming it back (vs the previous
+    delete-then-rename ordering, where a crash lost the original
+    outright).  Still not a reader-safe publish: a reader racing the
+    swap can hit the absent-path microsecond — schedule in the
+    maintenance window, or use :func:`..txn.txn_compact`, whose
+    commit-log publish has no unsafe window at all.
     """
     jvm = spark._jvm
     hpath = jvm.org.apache.hadoop.fs.Path(path)
@@ -412,9 +427,17 @@ def compact_table(
     writer.parquet(tmp)
 
     tmp_path = jvm.org.apache.hadoop.fs.Path(tmp)
-    fs.delete(hpath, True)
-    if not fs.rename(tmp_path, hpath):
-        raise IOError(f"compact_table: rename {tmp} -> {path} failed")
+    bak = path.rstrip("/") + "__compact_bak"
+    bak_path = jvm.org.apache.hadoop.fs.Path(bak)
+    fs.delete(bak_path, True)  # stale backup from an earlier crash
+    if not _hadoop_rename(fs, hpath, bak_path):
+        raise IOError(f"compact_table: backup rename {path} -> {bak} failed")
+    if not _hadoop_rename(fs, tmp_path, hpath):
+        _hadoop_rename(fs, bak_path, hpath)  # restore the original
+        raise IOError(
+            f"compact_table: rename {tmp} -> {path} failed; original restored"
+        )
+    fs.delete(bak_path, True)
     after = len(data_files())
     return {
         "files_before": len(files),

@@ -402,6 +402,7 @@ def stream_upsert_sink(
     target_path: str,
     timeout_s: int = 300,
     checkpoint_dir: str | None = None,
+    transactional: bool = False,
 ) -> None:
     """Streaming CDC ingest into an idempotent keyed table:
     ``foreachBatch`` reduces each micro-batch to its latest row per
@@ -425,10 +426,19 @@ def stream_upsert_sink(
     run after new files arrive processes only those — the operational
     contract a scheduled ingest needs.  The default fresh tempdir
     reprocesses everything (merge keeps that idempotent in content
-    terms, but it re-reads the data)."""
+    terms, but it re-reads the data).
+
+    ``transactional=True`` routes the merge through the atomic commit
+    protocol (:mod:`..sources.txn`): the target becomes a versioned
+    txn table, a concurrent reader can never observe a half-merged
+    state, and each batch's id rides in the commit record so the one
+    batch foreachBatch replays after a crash-between-merge-and-
+    checkpoint is recognized as already published and skipped —
+    exactly-once PUBLISH, not just exactly-once file accounting."""
     from pyspark.sql import Window
 
     from ..sources.tables import normalize_event_ts
+    from ..sources.txn import read_commit, txn_merge_upsert
     from ..sources.writers import merge_upsert
 
     schema = spark.read.parquet(landing_dir).schema
@@ -442,7 +452,19 @@ def stream_upsert_sink(
             .filter(F.col("_rn") == 1)
             .drop("_rn")
         )
-        merge_upsert(spark, latest, target_path, keys=["user_id"])
+        if transactional:
+            last = read_commit(spark, target_path)
+            if last and (last.get("app_meta") or {}).get("batch_id") == batch_id:
+                return  # crash-replayed batch already published
+            txn_merge_upsert(
+                spark,
+                latest,
+                target_path,
+                keys=["user_id"],
+                app_meta={"batch_id": batch_id},
+            )
+        else:
+            merge_upsert(spark, latest, target_path, keys=["user_id"])
 
     stream = normalize_event_ts(
         spark.readStream.schema(schema)
