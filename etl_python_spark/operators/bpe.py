@@ -65,20 +65,35 @@ def _adjacent_pairs(s_col):
     return F.when(n >= 2, pairs).otherwise(F.array().cast("array<string>"))
 
 
-def bpe_train(docs: DataFrame, k: int = BPE_MERGES) -> list[tuple[int, str, str, int]]:
+def bpe_train(
+    docs: DataFrame,
+    k: int = BPE_MERGES,
+    rematerialize_every: int = 64,
+) -> list[tuple[int, str, str, int]]:
     """Learn k merge rules; returns [(rank, 'a b', 'ab', count)].
 
     Each iteration runs one distributed pair-count aggregate over the
     cached vocabulary and collects exactly one row (the argmax, ties
     broken by pair text so the run is engine-agnostic); the merge is
     applied lazily as a string ``replace`` on the symbol column, so
-    iteration i+1's count job evaluates a chain of i replaces — K is
-    small by construction (real tokenizers checkpoint every few
-    hundred merges; same shape)."""
+    iteration i+1's count job evaluates a chain of replaces.
+
+    Unbounded, that chain is the quadratic trap of every iterative
+    plan: at iteration i the job re-evaluates i replace expressions
+    over the base relation, so K=10k merges would pay O(K²) replace
+    evaluations and a K-deep Catalyst plan.  ``rematerialize_every``
+    bounds both: every N merges the current symbol table is
+    localCheckpointed (materialized, lineage severed), so plan depth
+    never exceeds N and each symbol evaluates ≤ N pending replaces —
+    the standard checkpoint cadence real tokenizer trainers use.
+    The merge sequence is byte-identical for any N (checkpointing
+    changes where evaluation happens, never its result; pinned by
+    test_bpe_rematerialization_invariant)."""
     sp = docs.select(_char_spaced(F.col("w")).alias("s"), "n")
     sp = sp.persist()
     merges: list[tuple[int, str, str, int]] = []
     cur = sp
+    ckpt = None
     for rank in range(1, k + 1):
         top = (
             cur.select(F.explode(_adjacent_pairs(F.col("s"))).alias("p"), "n")
@@ -99,6 +114,11 @@ def bpe_train(docs: DataFrame, k: int = BPE_MERGES) -> list[tuple[int, str, str,
             ).alias("s"),
             "n",
         )
+        if rematerialize_every and rank % rematerialize_every == 0:
+            cur = cur.localCheckpoint(eager=True)
+            if ckpt is not None:
+                ckpt.unpersist()
+            ckpt = cur
     sp.unpersist()
     return merges
 

@@ -181,6 +181,98 @@ def read_excel_all_sheets(
     return out
 
 
+def read_excel_distributed(
+    spark: SparkSession,
+    path: str,
+    schema,
+    lineage_col: str = "aba_origem",
+    file_col: str = "arquivo_origem",
+    glob: str = "*.xlsx",
+) -> DataFrame:
+    """Executor-side multi-workbook ingestion: a ``binaryFile`` scan
+    over a landing directory of .xlsx files, parsed INSIDE
+    ``mapInPandas`` tasks by the pure-Python stdlib codec
+    (:mod:`.xlsx` is picklable and dependency-free, so it ships to
+    executors as-is) — the scale path for the reference's
+    sheet-union pattern (Utilitário - Juntar Abas em Arquivo
+    Único.py:19-39, ETL - CRM.py:67-76).  A 10k-workbook landing zone
+    parses with full cluster parallelism instead of serializing
+    through the driver (:func:`read_excel_all_sheets` remains the
+    driver-side path for one small file).
+
+    ``schema`` declares the DATA columns (DDL string or StructType) —
+    the staging contract, exactly the reference's
+    COLUMN_MAPPING_AND_TYPES role: sheets are projected onto it with
+    missing columns tolerated as NULL (ETL - Primeiro
+    Pedido.py:141-148 semantics) and values coerced per declared type
+    (numeric coercion failures become NULL, the PERMISSIVE-mode edge
+    convention).  Every row carries its sheet name in ``lineage_col``
+    and its workbook path in ``file_col``.
+
+    Scale shape: one distributed binary scan; each task decodes its
+    own workbooks from the in-memory bytes (no shared state, no
+    shuffle); downstream canonical storage is parquet per SURVEY §7.
+    """
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    if isinstance(schema, str):
+        schema = T.StructType.fromDDL(schema)
+    out_schema = T.StructType(
+        list(schema.fields)
+        + [
+            T.StructField(lineage_col, T.StringType(), True),
+            T.StructField(file_col, T.StringType(), True),
+        ]
+    )
+    data_fields = [(f.name, f.dataType.simpleString()) for f in schema.fields]
+
+    def _coerce(series: "pd.Series", type_name: str) -> "pd.Series":
+        if type_name in ("double", "float") or type_name.startswith("decimal"):
+            return pd.to_numeric(series, errors="coerce")
+        if type_name in ("bigint", "int", "smallint", "tinyint", "long"):
+            return pd.to_numeric(series, errors="coerce").astype("Int64")
+        if type_name == "boolean":
+            return series.map(lambda v: bool(v) if v is not None else None)
+        return series.map(lambda v: str(v) if v is not None else None)
+
+    def parse_workbooks(batches):
+        import io
+
+        from . import xlsx
+
+        for pdf in batches:
+            for _, row in pdf.iterrows():
+                sheets = xlsx.read_all_sheets(io.BytesIO(row["content"]))
+                for sheet_name, (header, rows) in sheets.items():
+                    if not rows:
+                        continue
+                    names = unique_column_names(list(header))
+                    w = len(names)
+                    rows = [
+                        r + [None] * (w - len(r)) if len(r) < w else r[:w]
+                        for r in rows
+                    ]
+                    raw = pd.DataFrame(rows, columns=names)
+                    out = pd.DataFrame(index=raw.index)
+                    for name, tn in data_fields:
+                        if name in raw.columns:
+                            out[name] = _coerce(raw[name], tn)
+                        else:
+                            out[name] = None
+                    out[lineage_col] = sheet_name
+                    out[file_col] = row["path"]
+                    yield out
+
+    binaries = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", glob)
+        .load(path)
+        .select("path", "content")
+    )
+    return binaries.mapInPandas(parse_workbooks, out_schema)
+
+
 def union_sheet_frames(
     spark: SparkSession, sheets: dict, lineage_col: str = "aba_origem"
 ) -> DataFrame:

@@ -43,3 +43,18 @@ def test_bpe_encode_bounds(spark):
             assert r.bpe_tokens <= chars
         compressed += r.bpe_tokens < r.n_words * 10
     assert compressed
+
+
+def test_bpe_rematerialization_invariant(spark):
+    """Checkpointing the symbol table every N merges (the bounded-
+    plan-depth path for large K) yields the EXACT same merge table as
+    the unchunked chain — including across several checkpoint
+    boundaries (K > 2N)."""
+    vocab = spark.createDataFrame(
+        [("low", 5), ("lower", 2), ("newest", 6), ("widest", 3), ("wide", 1)],
+        "w string, n long",
+    )
+    unchunked = bpe_train(vocab, k=8, rematerialize_every=0)
+    chunked = bpe_train(vocab, k=8, rematerialize_every=3)
+    assert len(unchunked) == 8
+    assert chunked == unchunked

@@ -678,6 +678,60 @@ def test_excel_multisheet_union_lineage_roundtrip(spark, tmp_path):
     assert only.columns == ["cliente"]
 
 
+def test_read_excel_distributed_matches_driver_path(spark, tmp_path):
+    """Executor-side workbook ingestion: a directory of workbooks read
+    via binaryFile + mapInPandas yields the same rows as the
+    driver-side per-file path, with sheet + file lineage; the parse
+    runs in a MapInPandas stage (plan assert), not on the driver."""
+    from etl_python_spark.sources import xlsx
+    from etl_python_spark.sources.readers import (
+        read_excel_all_sheets,
+        read_excel_distributed,
+    )
+
+    land = tmp_path / "workbooks"
+    land.mkdir()
+    xlsx.write_xlsx(
+        str(land / "w1.xlsx"),
+        {
+            "Ana": (["cliente", "valor"], [["a", 1.0], ["b", 2.0]]),
+            "Vazia": (["cliente"], []),
+            "Beto": (["cliente", "extra"], [["c", "x"], ["ação", None]]),
+        },
+    )
+    xlsx.write_xlsx(
+        str(land / "w2.xlsx"),
+        {"Caio": (["cliente", "valor"], [["d", 9.5], ["e", None]])},
+    )
+
+    dist = read_excel_distributed(
+        spark,
+        str(land),
+        "cliente string, valor double, extra string",
+    )
+    plan = dist._jdf.queryExecution().executedPlan().toString()
+    assert "MapInPandas" in plan  # the parse is executor-side
+
+    got = sorted(
+        (r.cliente, r.valor, r.extra, r.aba_origem, r.arquivo_origem.rsplit("/", 1)[-1])
+        for r in dist.collect()
+    )
+
+    # driver path per file, projected to the same contract
+    want = []
+    for f in ("w1.xlsx", "w2.xlsx"):
+        df = read_excel_all_sheets(spark, str(land / f))
+        for r in df.collect():
+            d = r.asDict()
+            want.append(
+                (d["cliente"], d.get("valor"), d.get("extra"), d["aba_origem"], f)
+            )
+    assert got == sorted(want)
+    assert ("ação", None, None, "Beto", "w1.xlsx") in got  # unicode survives
+    # missing declared column tolerated as NULL, not an error
+    assert all(v is None for (_, v, _, aba, _) in got if aba == "Beto")
+
+
 def test_normalize_event_ts_all_physical_shapes(spark):
     """normalize_event_ts canonicalizes every physical shape the
     events table has shipped in.  The nanos case uses a value where
