@@ -22,80 +22,66 @@ from pyspark.sql import DataFrame, SparkSession
 #     their round-1 verdict remains valid evidence).
 # Names absent from this tuple keep module order after the block.
 VERIFY_PRIORITY = (
-    # Round-6 rotation (round-5 verdict task 2), final shape.
-    # (a) never driver-verified — every query added or first-oracled
-    #     this round, plus the one r5 straggler:
-    "dedup_keep_canonical",   # added r5 one slot past the window — zero verdicts ever
-    "ann_ivf_fitted",         # fitted-centroid IVF composition
-    "pq_codes",               # product quantization encode
-    "ann_pq_adc",             # PQ asymmetric-distance top-k
-    "embedding_stats",        # per-dimension corpus profile
-    "incremental_dedup",      # new batch vs corpus snapshot
-    "dedup_keep_best",        # quality-aware canonical selection
-    "stream_incremental_dedup",  # streaming form (stream-static anti join)
-    "ts_autocorr",            # lag-1..3 autocorrelation diagnostic
-    "revenue_percentiles",    # exact percentile report
-    "outlier_events",         # z-score anomaly detection
-    "dq_report",              # expectations contract gate
-    "snapshot_diff",          # CDC between table snapshots
-    "minhash_recall_audit",   # LSH precision/recall vs exact ground truth
-    "shard_balance",          # hash-shard uniformity report
-    "funnel_conversion",      # ordered view→click→purchase funnel
-    "cohort_retention",       # weekly cohort retention table
-    "bpe_train",
-    "bpe_encode",
-    "lm_perplexity",
-    "pack_manifest",
-    "passage_dedup",
-    "passage_scrub",
-    "pii_mask",
-    "token_budget_mix",
-    "semantic_dedup",
-    "curation_pipeline",
-    # (b) r6 rewrites whose old verdict was err:no_oracle — first
-    #     rounds with a value verdict possible:
-    "ml_forecast_per_group",
-    "ml_forecast_horizon",
-    # (c) queries in files CHANGED this round, so their r5/r4 verdicts
-    #     are stale: dedup.py (persist_mode, incremental_dedup),
-    #     similarity.py (PQ + stats additions, fitted-IVF refactor),
-    #     ml/forecast.py (oracle rewrite + ts_autocorr),
-    #     multimodal.py (BMP bounds), corpus.py (manifest/perplexity).
-    "minhash_lsh_pairs",
-    "dedup_exact",
-    "ngram_jaccard_pairs",
-    "dedup_components",
-    "simhash",
-    "simhash_neardup",
-    "ann_bruteforce",
-    "ann_bruteforce_pandas",
-    "ann_lsh",
-    "ann_ivf",
-    "embedding_neardup",
-    "kmeans_embeddings",
-    "kmeans_assign",
-    "ml_lag_features",
-    "ml_proxy_features",
-    "ml_horizon_spine",
-    # (media_resize / frame_sample keep their r5 verdicts: the r6
-    # multimodal.py edit touched only the unit-tested real-codec seam
-    # (decode_bmp bounds), not these queries' oracled paths)
-    "multimodal_metadata",
-    "media_features",
-    "decontaminate",
-    # (d) displaced from the r5 window (file_stream.py unchanged since
-    #     its r4 verdict; the r5 verdict flagged it as rotation debt):
-    "stream_hourly_counts",
-    # (e) analytics_core.py changed this round, but ADDITIVELY only
-    #     (q_revenue_percentiles + dict entries; no existing query's
-    #     code path touched — verifiable in the d937c44~1..HEAD diff),
-    #     so prior verdicts remain code-valid.  Spot-refresh five
-    #     representatives spanning r4- and r5-latest verdicts; the
-    #     remaining analytics_core/windows/joins names keep their
-    #     standing verdicts (those files are otherwise unchanged), and
-    #     faturamento_rollup additionally gets the driver's entry()
-    #     smoke every round.
-    "faturamento_rollup",
+    # Round-7 rotation, enforced mechanically since this round by
+    # tests/test_rotation.py (fingerprints vs tools/queries_at_base.json
+    # @ round-6 base 1629236): every NEW or CHANGED query must sit in
+    # the first 50.  Ordering: (a) new/changed this round, (b) the 41
+    # queries whose last driver verdict is round 4 (oldest), (c) top-up
+    # with the alphabetically-first round-5-verdict queries.  The 50
+    # round-6-verdict queries stay out — their verdicts are freshest.
+    # (a) new or changed in round 7:
+    "balance_integrity",      # NEW: ativo/passivo ledger reconciliation
+    "outlier_events",         # zero-stddev guard added both sides
+    "bpe_train",              # rematerialize_every seam (default path identical)
+    "bpe_encode",             # shares bpe_train's changed fit
+    # (b) last driver verdict in round 4 — all 41:
+    "anti_join",
+    "asof_rate_enrichment",
+    "blacklist_filter",
+    "catalog_integrity",
+    "churn_kpi",
+    "cnpj_validate",
+    "custom_sort_field",
+    "customer_quartiles",
+    "depara_standardize",
+    "formatted_report",
+    "full_outer_coalesce",
+    "geo_spine_zerofill",
+    "global_topn",
+    "grouping_sets_report",
+    "hourly_event_counts",
+    "last_quarter_revenue",
+    "latest_order_per_customer",
+    "lead_scoring",
+    "left_enrichment",
+    "mom_growth",
+    "ordinal_alignment",
+    "preagg_join",
+    "profile_customer",
+    "props_extract",
+    "recency_buckets",
+    "reincidence",
+    "rolling_metrics",
+    "semi_join",
+    "sessionize",
+    "set_ops",
+    "share_of_priority",
+    "sla_leadtime",
+    "stream_sessionize",
+    "stream_static_enriched",
+    "stream_stream_join",
+    "stream_user_totals",
+    "top_customers_per_nation",
+    "union_detail_total",
+    "union_distinct_dims",
+    "year_pivot",
+    "yoy_same_month",
+    # (c) top-up from the round-5-verdict cohort:
+    "bpe_token_count",
+    "calendar_dim",
+    "corpus_mix",
+    "cube_report",
+    "doc_fingerprint",
 )
 
 

@@ -13,6 +13,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..functions.numeric import cents
 from ..model.integrity import verify_catalog
 from ..sources.tables import TABLES, load_table, register_views
 
@@ -246,11 +247,87 @@ SELECT o_orderkey, status, preco_a, preco_b FROM j WHERE status <> 'unchanged'
 """
 
 
+def q_balance_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Accounting-integrity invariant (ref `ScriptsSQL - Belmicro/JSON
+    Resposta 1.sql:25` and `CTE - Check de Integridade e Balanço
+    Ativo-Passivo.sql`: ``ABS(ativo + passivo) < 0.01 → 'Íntegro'``):
+    per order, the booked total (ativo) must reconcile with the sum of
+    its line charges (passivo, negated) within one cent; the report
+    rolls the verdicts up per order priority with the total absolute
+    imbalance — the ledger-audit shape a load job runs before
+    publishing financials.
+
+    All money flows as exact integer cents (``cents``/``floor(x*100
+    + .5)``) until the single final division, so the Íntegro boundary
+    and the imbalance sum are bit-identical across engines — the
+    tolerance test on raw doubles would flip on representation ulps.
+    Scale shape: one lineitem aggregate keyed on the order key, one
+    orders join on the same key (co-partitioned shuffle), then a
+    K-row rollup."""
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    charge = (
+        F.col("l_extendedprice")
+        * (1 - F.col("l_discount"))
+        * (1 + F.col("l_tax"))
+    )
+    per_order = li.groupBy("l_orderkey").agg(
+        F.sum(cents(charge)).alias("passivo_cents")
+    )
+    j = orders.join(
+        per_order, orders.o_orderkey == per_order.l_orderkey, "left"
+    ).select(
+        "o_orderpriority",
+        (
+            cents(F.col("o_totalprice"))
+            - F.coalesce(F.col("passivo_cents"), F.lit(0))
+        ).alias("saldo_cents"),
+    )
+    integro = (F.abs(F.col("saldo_cents")) < 1).cast("int")
+    return (
+        j.groupBy("o_orderpriority")
+        .agg(
+            F.count("*").alias("n_pedidos"),
+            F.sum(integro).cast("bigint").alias("n_integros"),
+            (F.sum(F.abs(F.col("saldo_cents"))).cast("double") / F.lit(100.0))
+            .alias("desvio_total"),
+        )
+        .withColumn("aprovado", F.col("n_integros") == F.col("n_pedidos"))
+    )
+
+
+_SQL_CENTS_TOTAL = "CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)"
+_SQL_CENTS_CHARGE = (
+    "CAST(FLOOR((l_extendedprice * (1 - l_discount) * (1 + l_tax)) * 100 + 0.5)"
+    " AS BIGINT)"
+)
+
+ORACLE_BALANCE_INTEGRITY = f"""
+WITH per_order AS (
+  SELECT l_orderkey, SUM({_SQL_CENTS_CHARGE}) AS passivo_cents
+  FROM lineitem GROUP BY 1
+), j AS (
+  SELECT o.o_orderpriority,
+         {_SQL_CENTS_TOTAL} - COALESCE(p.passivo_cents, 0) AS saldo_cents
+  FROM orders o LEFT JOIN per_order p ON o.o_orderkey = p.l_orderkey
+)
+SELECT o_orderpriority,
+       COUNT(*) AS n_pedidos,
+       CAST(SUM(CASE WHEN ABS(saldo_cents) < 1 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_integros,
+       CAST(SUM(ABS(saldo_cents)) AS DOUBLE) / 100.0 AS desvio_total,
+       CAST(SUM(CASE WHEN ABS(saldo_cents) < 1 THEN 1 ELSE 0 END) AS BIGINT)
+         = COUNT(*) AS aprovado
+FROM j GROUP BY 1
+"""
+
+
 QUERIES = {
     "catalog_integrity": q_catalog_integrity,
     "pk_audit": q_pk_audit,
     "dq_report": q_dq_report,
     "snapshot_diff": q_snapshot_diff,
+    "balance_integrity": q_balance_integrity,
 }
 
 ORACLES = {
@@ -258,4 +335,5 @@ ORACLES = {
     "pk_audit": ORACLE_PK_AUDIT,
     "dq_report": ORACLE_DQ_REPORT,
     "snapshot_diff": ORACLE_SNAPSHOT_DIFF,
+    "balance_integrity": ORACLE_BALANCE_INTEGRITY,
 }
