@@ -1,0 +1,137 @@
+"""sf1 scale soak (round-6 verdict item 5): synthesize ~10x the sf0.1
+testdata locally (key-remapped replicas; near-duplicate text
+perturbation so dedup faces realistic near-dup clusters instead of
+byte-identical copies), then run the dedup/ANN/curation family and the
+most expensive headline queries against it, reporting warm times and
+plan observations.
+
+Usage:
+    python tools/soak_sf1.py build   # write /tmp/sf1 (10x sf0.1)
+    python tools/soak_sf1.py run     # run the soak query list
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+SRC = os.environ.get("SOAK_SRC", "/root/testdata/sf0.1")
+DST = os.environ.get("SOAK_DST", "/tmp/sf1")
+REPLICAS = int(os.environ.get("SOAK_REPLICAS", "10"))
+
+SOAK_QUERIES = [
+    # dedup family (near-dup clusters of ~REPLICAS copies per doc)
+    "dedup_exact",
+    "ngram_jaccard_pairs",
+    "minhash_lsh_pairs",
+    "simhash",
+    "dedup_components",
+    # ANN / embedding family (duplicated points, 10x corpus)
+    "ann_bruteforce",
+    "ann_ivf",
+    "ann_ivf_fitted",
+    "kmeans_embeddings",
+    "semantic_dedup",
+    # curation family (broadcast guards, gram joins)
+    "decontaminate",
+    "lm_perplexity",
+    "curation_pipeline",
+    "token_budget_mix",
+    # most expensive headline analytics at sf0.1
+    "pricing_summary",
+    "faturamento_rollup",
+    "top_customers_per_nation",
+    "supplier_region_share",
+    "sla_leadtime",
+]
+
+
+def _session():
+    from etl_python_spark.session import get_spark
+
+    return get_spark(app_name="soak_sf1")
+
+
+def build() -> None:
+    from pyspark.sql import functions as F
+
+    spark = _session()
+    os.makedirs(DST, exist_ok=True)
+    dims = {"region", "nation"}
+    keys = {
+        "customer": ["c_custkey"],
+        "supplier": ["s_suppkey"],
+        "part": ["p_partkey"],
+        "orders": ["o_orderkey", "o_custkey"],
+        "lineitem": ["l_orderkey", "l_partkey", "l_suppkey"],
+        "events": ["event_id", "user_id"],
+        "documents": ["doc_id"],
+        "embeddings": ["vec_id"],
+    }
+    # offsets per key domain so every FK remaps consistently
+    maxes: dict[str, int] = {}
+    for t in keys:
+        df = spark.read.parquet(f"{SRC}/{t}.parquet")
+        for k in keys[t]:
+            dom = k.split("_", 1)[1] if "_" in k else k  # custkey etc.
+            m = df.agg(F.max(k)).collect()[0][0]
+            maxes[dom] = max(maxes.get(dom, 0), int(m) + 1)
+
+    for t in list(dims) + list(keys):
+        src = spark.read.parquet(f"{SRC}/{t}.parquet")
+        if t in dims:
+            src.write.mode("overwrite").parquet(f"{DST}/{t}.parquet")
+            print(f"{t}: copied dim")
+            continue
+        reps = []
+        for r in range(REPLICAS):
+            rep = src
+            for k in keys[t]:
+                dom = k.split("_", 1)[1]
+                rep = rep.withColumn(
+                    k, (F.col(k) + F.lit(r * maxes[dom])).cast("long")
+                )
+            if t == "documents" and r > 0:
+                # near-duplicate, not byte-identical: realistic dedup load
+                rep = rep.withColumn(
+                    "text", F.concat(F.col("text"), F.lit(f" r{r}"))
+                )
+            reps.append(rep)
+        out = reps[0]
+        for rep in reps[1:]:
+            out = out.unionByName(rep)
+        out.write.mode("overwrite").parquet(f"{DST}/{t}.parquet")
+        n = spark.read.parquet(f"{DST}/{t}.parquet").count()
+        print(f"{t}: {n} rows")
+
+
+def run() -> None:
+    import __spark_entry__ as entrymod
+
+    spark = _session()
+    qs = entrymod.queries()
+    results = {}
+    for name in SOAK_QUERIES:
+        fn = qs[name]
+        t0 = time.time()
+        try:
+            df = fn(spark, DST)
+            n = df.count()
+            warm = time.time() - t0
+            t1 = time.time()
+            n = fn(spark, DST).count()
+            timed = time.time() - t1
+            results[name] = {"rows": n, "cold_s": round(warm, 2), "warm_s": round(timed, 2)}
+            print(f"ok   {name}: rows={n} cold={warm:.2f}s warm={timed:.2f}s", flush=True)
+        except Exception as e:  # record, keep soaking
+            results[name] = {"error": f"{type(e).__name__}: {e}"}
+            print(f"FAIL {name}: {type(e).__name__}: {e}", flush=True)
+    print(json.dumps({"sf": "~1 (10x sf0.1)", "results": results}, indent=1))
+
+
+if __name__ == "__main__":
+    {"build": build, "run": run}[sys.argv[1]]()
