@@ -1072,3 +1072,61 @@ def test_read_incremental_torn_manifest_recovery(spark, tmp_path):
         f.write('{"torn...\n' + good)
     with pytest.raises(json.JSONDecodeError):
         _load_manifest(manifest)
+
+
+def test_fit_changepoint_trend_recovers_two_slope_series():
+    """A noiseless series with one kink: the piecewise fit reproduces
+    it near-exactly, and extrapolation continues the FINAL slope (not
+    the average slope a single OLS line would give)."""
+    import numpy as np
+
+    from etl_python_spark.ml.forecast import fit_changepoint_trend
+
+    # slope 2 for t<12, slope -1 after; kink at t=12 sits EXACTLY on
+    # the candidate grid (n=25, range=1.0, k=3 → cps at 6, 12, 18)
+    t = np.arange(25)
+    y = np.where(t < 12, 2.0 * t, 24.0 - (t - 12.0))
+    params, cps, trend_fn = fit_changepoint_trend(
+        y, n_changepoints=3, changepoint_range=1.0
+    )
+    assert 12.0 in set(np.round(cps, 6))
+    assert np.abs(trend_fn(t) - y).max() < 1e-8  # on-grid kink: exact
+    # extrapolation follows the -1 tail slope
+    future = trend_fn(np.array([25.0, 26.0, 27.0]))
+    assert np.allclose(np.diff(future), -1.0, atol=1e-8)
+    # a plain OLS line cannot do this (its slope is ~ the mixture)
+    single, _, single_fn = fit_changepoint_trend(y, n_changepoints=0)
+    assert np.abs(single_fn(t) - y).max() > 5.0
+    # off-grid kink: approximates within a grid cell, still far better
+    # than the single line
+    _, _, approx_fn = fit_changepoint_trend(y, n_changepoints=5)
+    assert np.abs(approx_fn(t) - y).max() < 2.0
+    # determinism
+    p2, _, _ = fit_changepoint_trend(y, n_changepoints=3, changepoint_range=1.0)
+    assert np.array_equal(params, p2)
+
+
+def test_forecast_changepoints_per_group(spark):
+    """The grouped Prophet-parity surface: per-nation forecasts with
+    intervals that (a) bracket the point forecast, (b) widen with
+    horizon distance, over the real monthly feature frame."""
+    from tests.conftest import SF_SMOKE
+
+    from etl_python_spark.ml.forecast import forecast_changepoints_per_group
+
+    out = forecast_changepoints_per_group(spark, SF_SMOKE, horizon=6)
+    rows = out.collect()
+    assert rows, "no groups met MIN_OBS"
+    by_nation = {}
+    for r in rows:
+        assert r.previsao_min <= r.previsao <= r.previsao_max, r
+        by_nation.setdefault(r.n_name, []).append(r)
+    for name, rs in by_nation.items():
+        rs.sort(key=lambda r: r.mes)
+        assert len(rs) == 6
+        widths = [r.previsao_max - r.previsao_min for r in rs]
+        # the band widens (weakly) with horizon distance
+        assert all(b >= a - 1e-9 for a, b in zip(widths, widths[1:])), (
+            name,
+            widths,
+        )
