@@ -81,7 +81,7 @@ VERIFY_PRIORITY = (
     "calendar_dim",
     "corpus_mix",
     "cube_report",
-    "doc_fingerprint",
+    "dedup_components",    # r7 perf fix: edge list materialized once
 )
 
 

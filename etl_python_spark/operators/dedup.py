@@ -359,6 +359,14 @@ def connected_components(edges: DataFrame, max_iter: int = 50) -> DataFrame:
         .union(edges.select(F.col("doc_b").alias("u"), F.col("doc_a").alias("w")))
         .distinct()
     )
+    # Materialize the edge list ONCE: it sits on the probe side of
+    # every propagation round's join, and without this each round
+    # re-executes the entire upstream pair-generation pipeline (at ~sf1
+    # that was ~3x the pair cost paid again — measured 46 s → 17 s for
+    # the component query in the sf1 soak).  localCheckpoint also
+    # truncates the lineage the per-round checkpoints would otherwise
+    # drag along.
+    adj = adj.localCheckpoint(eager=True)
     labels = (
         adj.select(F.col("u").alias("v")).distinct().withColumn("lbl", F.col("v"))
     )
