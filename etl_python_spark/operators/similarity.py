@@ -392,9 +392,16 @@ KMEANS_ITERS = 3
 
 
 def _kmeans_emb(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return spread(load_table(spark, sf_dir, "embeddings"), "vec_id").select(
+    """The Lloyd-fit input relation, materialized ONCE: the fit scans
+    it KMEANS_ITERS+2 times (init collect, per-iteration mean jobs,
+    final assignment) and without the checkpoint every one of those
+    jobs would re-read and re-cast the parquet — a corpus-sized scan
+    per iteration at lake scale.  Values are untouched (pure
+    materialization), so the fit's oracle restatement is unaffected."""
+    emb = spread(load_table(spark, sf_dir, "embeddings"), "vec_id").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("v")
     )
+    return emb.localCheckpoint(eager=True)
 
 
 def _kmeans_init(emb: DataFrame) -> list[list[float]]:
