@@ -473,3 +473,83 @@ def write_range_sorted(
         else df.repartitionByRange(*cols)
     )
     ranged.sortWithinPartitions(*cols).write.mode("overwrite").parquet(path)
+
+
+ZORDER_BITS = 8  # 256 rank buckets per dimension — file-level skipping
+                 # needs far fewer distinct values than files
+
+
+def _zorder_key(bucket_cols: list, bits: int = ZORDER_BITS):
+    """Bit-interleave per-dimension bucket ids into one Morton (Z-curve)
+    key — pure JVM shift/mask expressions, whole-stage-codegen."""
+    z = F.lit(0).cast("long")
+    for b in range(bits):
+        for d, col in enumerate(bucket_cols):
+            bit = F.shiftright(col.cast("long"), b).bitwiseAND(F.lit(1))
+            z = z.bitwiseOR(
+                F.shiftleft(bit, b * len(bucket_cols) + d)
+            )
+    return z
+
+
+def write_zordered(
+    df: DataFrame,
+    path: str,
+    zorder_cols: list[str],
+    n_files: int,
+    bits: int = ZORDER_BITS,
+    rel_error: float = 0.001,
+) -> None:
+    """Multi-dimensional data-skipping layout — the Z-ORDER upgrade
+    :func:`write_range_sorted`'s docstring promises: rows are laid out
+    along a Morton curve over the rank-quantized ``zorder_cols``, so
+    EVERY one of the columns gets tight per-file parquet min/max
+    footer ranges and point/range predicates on ANY of them prune most
+    files (a single-column range sort gives one column tight ranges
+    and leaves the others spanning the full domain in every file).
+
+    Mechanics, all scale-safe:
+
+    1. per column, ``approxQuantile`` computes 2^bits - 1 rank
+       boundaries (driver-side KBs; rank buckets — not min/max linear
+       scaling — so a skewed distribution still fills all buckets);
+    2. each row's bucket ids count the literal boundary array's
+       entries ≤ the value (``filter``+``size`` higher-order
+       expressions — JVM-side, no Python UDF; HOF lambdas run
+       interpreted, acceptable here because a layout write is a
+       one-time maintenance pass, not a query hot path);
+    3. bucket bits interleave into one Morton key (shift/mask
+       expressions), and the write is one
+       ``repartitionByRange(zkey)`` + in-task sort — the same single
+       exchange as the 1-D layout writer.
+
+    Numeric (and date via cast) columns only; string dimensions
+    should be dictionary-encoded to ids upstream."""
+    quantiles = [i / (1 << bits) for i in range(1, 1 << bits)]
+    boundaries = {
+        c: df.approxQuantile(c, quantiles, rel_error) for c in zorder_cols
+    }
+
+    def bucket_expr(c: str):
+        bs = sorted(set(boundaries[c]))
+        arr = F.array(*[F.lit(float(b)) for b in bs])
+        # bucket id = number of boundaries STRICTLY below the value,
+        # 0-based: with ≤ the top id would be reached only by the max
+        # values and own a lone high bit, and the Morton tail file
+        # would collect that sparse row/column from every quadrant (an
+        # L-shaped bounding box spanning the whole domain)
+        return F.greatest(
+            F.size(F.filter(arr, lambda b: b <= F.col(c).cast("double")))
+            - F.lit(1),
+            F.lit(0),
+        ).cast("long")
+
+    zkey = _zorder_key([bucket_expr(c) for c in zorder_cols], bits)
+    (
+        df.withColumn("__zkey", zkey)
+        .repartitionByRange(n_files, F.col("__zkey"))
+        .sortWithinPartitions("__zkey")
+        .drop("__zkey")
+        .write.mode("overwrite")
+        .parquet(path)
+    )
