@@ -210,6 +210,8 @@ def txn_read(
         if pc is not None and vals is not None:
             df = df.filter(_owned_pred(pc, vals))
         frames.append(df)
+    if not frames:  # a delete emptied the table: valid, zero-row snapshot
+        return spark.createDataFrame([], schema)
     out = frames[0]
     for f in frames[1:]:
         out = out.unionByName(f)
@@ -328,6 +330,96 @@ def txn_merge_upsert(
             "version": version,
             "op": "merge",
             "partition_col": partition_col,
+            "schema": prev["schema"],
+            "dirs": dirs,
+            "app_meta": app_meta,
+        },
+    )
+    return version
+
+
+def txn_delete_where(
+    spark: SparkSession,
+    path: str,
+    condition,
+    app_meta: dict | None = None,
+) -> int:
+    """Copy-on-write DELETE with atomic publish; returns the new
+    version.  ``condition`` is a Column (or SQL string) selecting the
+    rows to REMOVE — the takedown / right-to-be-forgotten primitive a
+    training-data lake runs when documents must be purged, with the
+    same reader isolation as every txn writer (a scan concurrent with
+    the delete sees the old snapshot or the new one, never a
+    half-purged table — and the purged version stops being readable
+    as soon as :func:`vacuum` reclaims its dirs).
+
+    Partitioned tables restage ONLY the partitions that contain
+    matches (one tiny distinct on the matched rows); partitions the
+    condition never touches keep pointing at their existing dirs.  A
+    partition whose rows are all deleted disappears from the manifest
+    entirely.  No-match deletes publish no new version (returns the
+    current one) — safe to run on a schedule."""
+    if isinstance(condition, str):
+        condition = F.expr(condition)
+    prev = read_commit(spark, path)
+    if prev is None:
+        raise FileNotFoundError(f"no committed version at {path}")
+    version = prev["version"] + 1
+    pc = prev["partition_col"]
+    target = txn_read(spark, path)
+    # delete exactly the rows where the condition is TRUE: a NULL
+    # predicate result keeps the row (plain ~condition is three-valued
+    # and would silently drop NULL-result rows from BOTH sides)
+    keep_pred = ~F.coalesce(condition, F.lit(False))
+
+    if pc:
+        touched = [
+            _encode_val(r[0])
+            for r in target.filter(condition).select(pc).distinct().collect()
+        ]
+        if not touched:
+            return prev["version"]
+        touched_json = {json.dumps(t, sort_keys=True) for t in touched}
+        kept = target.filter(_owned_pred(pc, touched)).filter(keep_pred)
+        surviving = {
+            json.dumps(_encode_val(r[0]), sort_keys=True)
+            for r in kept.select(pc).distinct().collect()
+        }
+    else:
+        if target.filter(condition).limit(1).count() == 0:
+            return prev["version"]
+        kept = target.filter(keep_pred)
+
+    dirname = _stage_dir(path, version).rsplit("/", 1)[-1]
+    writer = kept.write.mode("errorifexists")
+    if pc:
+        writer = writer.partitionBy(pc)
+    writer.parquet(f"{path}/{dirname}")
+
+    if pc:
+        dirs: dict = {}
+        for d, vals in prev["dirs"].items():
+            remaining = [
+                v
+                for v in (vals or [])
+                if json.dumps(v, sort_keys=True) not in touched_json
+            ]
+            if remaining:
+                dirs[d] = remaining
+        kept_vals = [
+            t for t in touched if json.dumps(t, sort_keys=True) in surviving
+        ]
+        if kept_vals:
+            dirs[dirname] = kept_vals
+    else:
+        dirs = {dirname: None}
+    _publish(
+        spark,
+        path,
+        {
+            "version": version,
+            "op": "delete",
+            "partition_col": pc,
             "schema": prev["schema"],
             "dirs": dirs,
             "app_meta": app_meta,

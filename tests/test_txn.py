@@ -255,3 +255,59 @@ def test_compact_table_failed_swap_restores_original(spark, tmp_path, monkeypatc
     assert got == list(range(1000))  # original intact
     stats = writers.compact_table(spark, path, target_file_bytes=512 * 1024 * 1024)
     assert stats["rewritten"] and stats["files_after"] < 10
+
+
+def test_delete_where_partition_scoped(spark, table):
+    """DELETE restages only partitions containing matches; untouched
+    partitions keep their dirs; a NULL predicate result keeps the row;
+    no-match deletes publish nothing."""
+    v = txn.txn_delete_where(spark, table, F.col("v") == "b")
+    assert v == 2
+    assert _rows(spark, table) == [(1, "a"), (3, "c")]
+    rec = txn.read_commit(spark, table)
+    (old_dir,) = [d for d in rec["dirs"] if d.startswith("v-00000001")]
+    assert rec["dirs"][old_dir] == ["2025"]  # untouched partition kept
+
+    # no-match: version unchanged, nothing staged
+    assert txn.txn_delete_where(spark, table, F.col("v") == "zzz") == 2
+    assert txn.read_commit(spark, table)["version"] == 2
+
+    # NULL-result predicate rows are KEPT (three-valued logic guard)
+    src = spark.createDataFrame(
+        [(9, None, "2024")], "id long, v string, y string"
+    )
+    txn.txn_merge_upsert(spark, src, table, keys=["id"], partition_col="y")
+    txn.txn_delete_where(spark, table, F.col("v") == "a")
+    got = sorted(
+        ((r.id, r.v) for r in txn.txn_read(spark, table).collect()), key=str
+    )
+    assert got == [(3, "c"), (9, None)]  # id=9 (NULL v) survived
+
+
+def test_delete_where_empties_partition_and_table(spark, tmp_path):
+    """A partition whose rows all match vanishes from the manifest; a
+    delete that empties the whole table leaves a readable zero-row
+    snapshot."""
+    path = str(tmp_path / "purge")
+    df = spark.createDataFrame(
+        [(1, "a", "2024"), (2, "b", "2025")], "id long, v string, y string"
+    )
+    txn.txn_write(spark, df, path, partition_by="y")
+    txn.txn_delete_where(spark, path, F.col("y") == "2024")
+    rec = txn.read_commit(spark, path)
+    assert all(vals != ["2024"] for vals in rec["dirs"].values())
+    assert _rows(spark, path) == [(2, "b")]
+
+    txn.txn_delete_where(spark, path, F.lit(True))
+    out = txn.txn_read(spark, path)
+    assert out.count() == 0
+    assert out.columns == ["id", "v", "y"]  # schema survives emptiness
+    # and the table keeps working: a new write lands on top
+    txn.txn_merge_upsert(
+        spark,
+        spark.createDataFrame([(5, "e", "2026")], "id long, v string, y string"),
+        path,
+        keys=["id"],
+        partition_col="y",
+    )
+    assert _rows(spark, path) == [(5, "e")]
