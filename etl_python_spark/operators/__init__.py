@@ -79,7 +79,7 @@ VERIFY_PRIORITY = (
     # (c) top-up from the round-5-verdict cohort:
     "bpe_token_count",
     "calendar_dim",
-    "corpus_mix",
+    "stream_incremental_dedup",  # r7: dir-layout stream source fix
     "cube_report",
     "dedup_components",    # r7 perf fix: edge list materialized once
 )

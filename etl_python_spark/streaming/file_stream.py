@@ -24,17 +24,28 @@ def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     require plain TimestampType)."""
     from ..sources.tables import normalize_event_ts
 
-    path = os.path.join(sf_dir, "events.parquet")
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    return normalize_event_ts(_table_stream(spark, sf_dir, "events"))
+
+
+def _table_stream(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
+    """readStream over ``<sf_dir>/<table>.parquet`` handling BOTH
+    physical layouts: a directory of part files (any real landing zone
+    / multi-task write) is monitored directly, while a single flat
+    file (the driver's testdata) streams its parent with a glob
+    selecting just that file.  A glob on the parent matches the
+    DIRECTORY name, not the part files inside it, so the dir layout
+    under the glob path would silently drain zero rows — the sf1 soak
+    caught exactly that."""
+    path = os.path.join(sf_dir, f"{table}.parquet")
     schema = spark.read.parquet(path).schema
-    # the file source monitors a directory; select just the events
-    # file via glob (in production this is the landing directory)
-    stream = (
+    if os.path.isdir(path):
+        return spark.readStream.schema(schema).parquet(path)
+    return (
         spark.readStream.schema(schema)
-        .option("pathGlobFilter", "events.parquet")
+        .option("pathGlobFilter", f"{table}.parquet")
         .parquet(sf_dir)
     )
-    return normalize_event_ts(stream)
 
 
 def _drain_to_memory(
@@ -361,13 +372,7 @@ def stream_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.dedup import _norm_text
     from ..sources.tables import load_table
 
-    path = os.path.join(sf_dir, "documents.parquet")
-    schema = spark.read.parquet(path).schema
-    stream = (
-        spark.readStream.schema(schema)
-        .option("pathGlobFilter", "documents.parquet")
-        .parquet(sf_dir)
-    )
+    stream = _table_stream(spark, sf_dir, "documents")
     h = F.md5(_norm_text(F.col("text")))
     inc = stream.filter(F.col("doc_id") % 10 >= 8).select(
         h.alias("content_hash")
