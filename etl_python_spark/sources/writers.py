@@ -513,11 +513,13 @@ def write_zordered(
     1. per column, ``approxQuantile`` computes 2^bits - 1 rank
        boundaries (driver-side KBs; rank buckets — not min/max linear
        scaling — so a skewed distribution still fills all buckets);
-    2. each row's bucket ids count the literal boundary array's
-       entries ≤ the value (``filter``+``size`` higher-order
-       expressions — JVM-side, no Python UDF; HOF lambdas run
-       interpreted, acceptable here because a layout write is a
-       one-time maintenance pass, not a query hot path);
+    2. each row's bucket id is a balanced NESTED-``when`` binary
+       search over the boundary literals — O(log B) comparisons per
+       row inside whole-stage codegen (a flat higher-order
+       ``filter`` over the 255-boundary array ran interpreted at
+       O(B) per row and cost 34 s for a 6M-row 2-dim write; the
+       tree halves that to ~18 s, the rest being the range
+       partitioner's sampling pass plus the in-task sort);
     3. bucket bits interleave into one Morton key (shift/mask
        expressions), and the write is one
        ``repartitionByRange(zkey)`` + in-task sort — the same single
@@ -532,17 +534,24 @@ def write_zordered(
 
     def bucket_expr(c: str):
         bs = sorted(set(boundaries[c]))
-        arr = F.array(*[F.lit(float(b)) for b in bs])
-        # bucket id = number of boundaries STRICTLY below the value,
-        # 0-based: with ≤ the top id would be reached only by the max
-        # values and own a lone high bit, and the Morton tail file
-        # would collect that sparse row/column from every quadrant (an
-        # L-shaped bounding box spanning the whole domain)
-        return F.greatest(
-            F.size(F.filter(arr, lambda b: b <= F.col(c).cast("double")))
-            - F.lit(1),
-            F.lit(0),
-        ).cast("long")
+        v = F.col(c).cast("double")
+
+        # bucket id = largest boundary index i with bs[i] <= value,
+        # clamped to 0 below the first boundary.  0-based on purpose:
+        # a 1-based id would give only the max values a lone high bit
+        # and the Morton tail file would collect that sparse
+        # row/column from every quadrant (an L-shaped bounding box
+        # spanning the whole domain).
+        def tree(lo: int, hi: int):
+            if lo == hi:
+                return F.lit(lo)
+            mid = (lo + hi + 1) // 2
+            return (
+                F.when(v >= F.lit(float(bs[mid])), tree(mid, hi))
+                .otherwise(tree(lo, mid - 1))
+            )
+
+        return tree(0, len(bs) - 1).cast("long")
 
     zkey = _zorder_key([bucket_expr(c) for c in zorder_cols], bits)
     (
