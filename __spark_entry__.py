@@ -29,6 +29,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sql() -> dict[str, str]:
-    """DuckDB-equivalent SQL per query (subset: engine-specific hash
-    ops are rows-only by design)."""
+    """DuckDB-equivalent SQL per query — every ``queries()`` entry has
+    one (all hashing is engine-agnostic md5-derived, so even the dedup
+    /LSH family restates value-for-value)."""
     return all_oracles()

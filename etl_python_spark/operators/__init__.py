@@ -80,7 +80,7 @@ VERIFY_PRIORITY = (
     "bpe_token_count",
     "calendar_dim",
     "stream_incremental_dedup",  # r7: dir-layout stream source fix
-    "cube_report",
+    "payroll_report",  # NEW r7: 13º/INSS/IRRF calculator family
     "dedup_components",    # r7 perf fix: edge list materialized once
 )
 
@@ -113,6 +113,7 @@ def _modules():
         dedup,
         events,
         multimodal,
+        payroll,
         similarity,
         text,
     )
@@ -130,6 +131,7 @@ def _modules():
         dedup,
         events,
         multimodal,
+        payroll,
         similarity,
         text,
         forecast,
