@@ -163,6 +163,19 @@ def read_sheet(path: str, sheet: str | int = 0) -> tuple[list[str], list[list]]:
     return header, rows[1:]
 
 
+def read_sheet_raw(path, sheet: str | int = 0) -> list[list]:
+    """All rows of one sheet WITHOUT header promotion — for callers
+    that must DISCOVER the header row themselves (ref Algoritmo de
+    Varredura - Planilhas.py:33-36 reads ``header=None, nrows=50``)."""
+    with zipfile.ZipFile(path) as zf:
+        sheets = _sheet_paths(zf)
+        if isinstance(sheet, int):
+            name, target = sheets[sheet]
+        else:
+            (target,) = [t for n, t in sheets if n == sheet]
+        return _read_rows(zf, target, _shared_strings(zf))
+
+
 def read_all_sheets(path: str) -> dict[str, tuple[list[str], list[list]]]:
     """Every sheet in workbook order → {name: (header, rows)}."""
     with zipfile.ZipFile(path) as zf:
