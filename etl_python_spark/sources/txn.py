@@ -469,6 +469,35 @@ def txn_compact(
     return version
 
 
+def txn_history(spark: SparkSession, path: str) -> DataFrame:
+    """The commit log as a DataFrame — (version, op, partition_col,
+    n_dirs, dirs, app_meta_json), newest first: the DESCRIBE-HISTORY
+    introspection an operator reaches for before a time-travel read or
+    a vacuum.  Metadata-scale by construction (one row per commit)."""
+    records = []
+    for v in list_versions(spark, path):
+        rec = read_commit(spark, path, v)
+        if rec is None:
+            continue
+        records.append(
+            (
+                rec["version"],
+                rec["op"],
+                rec["partition_col"],
+                len(rec["dirs"]),
+                sorted(rec["dirs"]),
+                json.dumps(rec.get("app_meta"))
+                if rec.get("app_meta") is not None
+                else None,
+            )
+        )
+    return spark.createDataFrame(
+        sorted(records, key=lambda r: -r[0]),
+        "version int, op string, partition_col string, n_dirs int, "
+        "dirs array<string>, app_meta_json string",
+    )
+
+
 def vacuum(spark: SparkSession, path: str) -> list[str]:
     """Remove data dirs the LATEST commit no longer references —
     crash-orphaned staging dirs and snapshots only historical versions

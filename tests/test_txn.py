@@ -311,3 +311,18 @@ def test_delete_where_empties_partition_and_table(spark, tmp_path):
         partition_col="y",
     )
     assert _rows(spark, path) == [(5, "e")]
+
+
+def test_txn_history_lists_commits_newest_first(spark, table):
+    src = spark.createDataFrame([(2, "B", "2024")], "id long, v string, y string")
+    txn.txn_merge_upsert(
+        spark, src, table, keys=["id"], partition_col="y",
+        app_meta={"batch_id": 7},
+    )
+    txn.txn_compact(spark, table)
+    hist = txn.txn_history(spark, table).collect()
+    assert [r.version for r in hist] == [3, 2, 1]
+    assert [r.op for r in hist] == ["compact", "merge", "write"]
+    assert hist[1].app_meta_json == '{"batch_id": 7}'
+    assert all(r.partition_col == "y" for r in hist)
+    assert hist[0].n_dirs == 1 and hist[1].n_dirs == 2
