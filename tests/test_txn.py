@@ -326,3 +326,56 @@ def test_txn_history_lists_commits_newest_first(spark, table):
     assert hist[1].app_meta_json == '{"batch_id": 7}'
     assert all(r.partition_col == "y" for r in hist)
     assert hist[0].n_dirs == 1 and hist[1].n_dirs == 2
+
+
+def test_txn_model_based_random_op_sequences(spark, tmp_path):
+    """Model-based check: random sequences of merge/delete/compact
+    against an in-memory dict model — after every op the committed
+    snapshot must equal the model exactly (keys, payloads, partition
+    values).  Deterministic seeds; several sequences per run."""
+    import random
+
+    for seed in (11, 23, 47):
+        rng = random.Random(seed)
+        path = str(tmp_path / f"model_{seed}")
+        model: dict[int, tuple[str, str]] = {}
+
+        def check():
+            got = {
+                r.id: (r.v, r.y) for r in txn.txn_read(spark, path).collect()
+            }
+            assert got == model, f"seed={seed}: {got} != {model}"
+
+        # initial snapshot
+        init = {i: (f"v{i}", str(2020 + i % 3)) for i in range(rng.randint(3, 8))}
+        model.update(init)
+        df = spark.createDataFrame(
+            [(k, v, y) for k, (v, y) in init.items()], "id long, v string, y string"
+        )
+        txn.txn_write(spark, df, path, partition_by="y")
+        check()
+
+        for _ in range(4):
+            op = rng.choice(["merge", "delete", "compact"])
+            if op == "merge":
+                n = rng.randint(1, 4)
+                rows = {}
+                for _ in range(n):
+                    k = rng.randint(0, 12)
+                    y = model.get(k, (None, str(2020 + k % 3)))[1]
+                    rows[k] = (f"u{rng.randint(0, 99)}", y)
+                model.update(rows)
+                src = spark.createDataFrame(
+                    [(k, v, y) for k, (v, y) in rows.items()],
+                    "id long, v string, y string",
+                )
+                txn.txn_merge_upsert(
+                    spark, src, path, keys=["id"], partition_col="y"
+                )
+            elif op == "delete":
+                k = rng.randint(0, 12)
+                model.pop(k, None)
+                txn.txn_delete_where(spark, path, F.col("id") == k)
+            else:
+                txn.txn_compact(spark, path)
+            check()
