@@ -379,3 +379,27 @@ def test_txn_model_based_random_op_sequences(spark, tmp_path):
             else:
                 txn.txn_compact(spark, path)
             check()
+
+
+def test_concurrent_loser_retries_onto_new_base(spark, table):
+    """The documented conflict recovery: the losing writer catches
+    ConcurrentCommitError, re-reads the new committed base, and its
+    retry lands as the next version with BOTH updates present."""
+    win = spark.createDataFrame([(2, "WIN", "2024")], "id long, v string, y string")
+    lose = spark.createDataFrame([(3, "LOSE", "2025")], "id long, v string, y string")
+
+    txn.txn_merge_upsert(spark, win, table, keys=["id"], partition_col="y")  # v2
+    # the loser had staged against v1 and publishes second
+    with pytest.raises(txn.ConcurrentCommitError):
+        txn._publish(
+            spark,
+            table,
+            {"version": 2, "op": "merge", "partition_col": "y",
+             "schema": txn.read_commit(spark, table)["schema"], "dirs": {}},
+        )
+    # retry: merge again onto the NEW base — content-idempotent path
+    v = txn.txn_merge_upsert(spark, lose, table, keys=["id"], partition_col="y")
+    assert v == 3
+    assert _rows(spark, table) == [(1, "a"), (2, "WIN"), (3, "LOSE")]
+    txn.vacuum(spark, table)  # loser's orphaned staging dir reclaimed
+    assert _rows(spark, table) == [(1, "a"), (2, "WIN"), (3, "LOSE")]
