@@ -234,6 +234,25 @@ def read_excel_distributed(
             return pd.to_numeric(series, errors="coerce").astype("Int64")
         if type_name == "boolean":
             return series.map(lambda v: bool(v) if v is not None else None)
+        if type_name == "date":
+            # Excel stores dates as day serials; a declared DateType
+            # column converts them (1900 leap-bug handling included),
+            # tolerating ISO strings from text-formatted cells
+            from .xlsx import excel_serial_to_date
+
+            def to_date(v):
+                if v is None:
+                    return None
+                if isinstance(v, (int, float)):
+                    return excel_serial_to_date(float(v))
+                try:
+                    import datetime as _dt
+
+                    return _dt.date.fromisoformat(str(v)[:10])
+                except ValueError:
+                    return None
+
+            return series.map(to_date)
         return series.map(lambda v: str(v) if v is not None else None)
 
     def parse_workbooks(batches):

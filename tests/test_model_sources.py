@@ -1130,3 +1130,26 @@ def test_forecast_changepoints_per_group(spark):
             name,
             widths,
         )
+
+
+def test_read_excel_distributed_date_coercion(spark, tmp_path):
+    """Declared DateType columns convert Excel day serials (and
+    tolerate ISO strings); junk becomes NULL."""
+    import datetime
+
+    from etl_python_spark.sources import xlsx
+    from etl_python_spark.sources.readers import read_excel_distributed
+
+    land = tmp_path / "wb"
+    land.mkdir()
+    # serial 45292 = 2024-01-01 (1900 system)
+    xlsx.write_xlsx(
+        str(land / "w.xlsx"),
+        {"S": (["cliente", "data"], [["a", 45292.0], ["b", "2023-06-15"], ["c", "???"]])},
+    )
+    out = {r.cliente: r.data for r in read_excel_distributed(
+        spark, str(land), "cliente string, data date"
+    ).collect()}
+    assert out["a"] == datetime.date(2024, 1, 1)
+    assert out["b"] == datetime.date(2023, 6, 15)
+    assert out["c"] is None
