@@ -35,7 +35,9 @@ def q_payroll_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     cust = load_table(spark, sf_dir, "customer")
     emp = cust.select(
         "c_mktsegment",
-        F.round(F.lit(1412.0) + F.abs(F.col("c_acctbal")), 2).alias("salario"),
+        # cent quantization, not ROUND: same rationale as every other
+        # money fixpoint in this query (tie behavior differs by engine)
+        (F.floor((F.lit(1412.0) + F.abs(F.col("c_acctbal"))) * 100 + F.lit(0.5)) / 100.0).alias("salario"),
         (F.col("c_custkey") % 12 + 1).cast("int").alias("meses"),
     )
     d13 = decimo_terceiro(F.col("salario"), F.col("meses"))
@@ -87,7 +89,7 @@ def _sql_cents(expr: str) -> str:
 ORACLE_PAYROLL = f"""
 WITH emp AS (
   SELECT c_mktsegment,
-         ROUND(1412.0 + ABS(c_acctbal), 2) AS salario,
+         FLOOR((1412.0 + ABS(c_acctbal)) * 100 + 0.5) / 100.0 AS salario,
          CAST(c_custkey % 12 + 1 AS INT) AS meses
   FROM customer
 ), d13 AS (

@@ -504,7 +504,11 @@ def vacuum(spark: SparkSession, path: str) -> list[str]:
     point at (which stop time-traveling, as in any table format's
     vacuum).  Returns the removed dir names.  Safe against the
     published snapshot by construction: the latest manifest's dirs are
-    never touched."""
+    never touched.  Do NOT run concurrently with an in-flight writer —
+    a staged-but-not-yet-published dir is indistinguishable from a
+    crash orphan and would be reclaimed (the same retention caveat
+    every table format's vacuum carries); schedule vacuum in the same
+    maintenance window as compaction."""
     rec = read_commit(spark, path)
     live = set(rec["dirs"]) if rec else set()
     jvm, fs, hpath = _fs(spark, path)
