@@ -155,10 +155,17 @@ def sweep_workbook(
     out = frames[0]
     for f in frames[1:]:
         out = out.unionByName(f)
+    return _canonicalize(out, lineage_col)
 
-    # reference cleanup: SKU drops the Excel-float '.0' tail and
-    # uppercases; QTDE coerces to numeric with 0 fill; empty SKUs drop;
-    # missing optional categories take their defaults
+
+def _canonicalize(
+    out: DataFrame, lineage_col: str, extra_cols: tuple[str, ...] = ()
+) -> DataFrame:
+    """The reference's consolidation cleanup, shared by the driver and
+    distributed paths: SKU drops the Excel-float '.0' tail and
+    uppercases; QTDE coerces to numeric with 0 fill; empty SKUs drop;
+    missing optional categories take their defaults; 1-based id over
+    the (deposito, sku) ordering."""
     sku = F.upper(F.trim(F.regexp_replace(F.col("sku"), r"\.0$", "")))
     out = (
         out.select(
@@ -177,10 +184,11 @@ def sweep_workbook(
                 F.lit(0.0),
             ).alias("qtde"),
             F.col(lineage_col),
+            *extra_cols,
         )
         .filter(F.col("sku").isNotNull() & (F.col("sku") != ""))
     )
-    w = Window.orderBy("deposito", "sku", lineage_col)
+    w = Window.orderBy("deposito", "sku", lineage_col, *extra_cols)
     return out.select(
         F.row_number().over(w).alias("id"),
         "sku",
@@ -188,4 +196,82 @@ def sweep_workbook(
         "deposito",
         "qtde",
         lineage_col,
+        *extra_cols,
     )
+
+
+def sweep_workbooks_distributed(
+    spark: SparkSession,
+    path: str,
+    synonyms: dict[str, list[str]] | None = None,
+    required: tuple[str, ...] = ("SKU", "QTDE"),
+    lineage_col: str = "origem_aba",
+    file_col: str = "arquivo_origem",
+    glob: str = "*.xlsx",
+) -> DataFrame:
+    """The sweep over a LANDING ZONE of messy workbooks: a binaryFile
+    scan + ``mapInPandas`` runs the per-workbook header discovery and
+    extraction on executors (the stdlib codec decodes the in-memory
+    bytes; same scale story as :func:`readers.read_excel_distributed`),
+    then the shared canonical cleanup + consolidation runs as ordinary
+    distributed expressions.  Each row carries sheet AND workbook
+    lineage.  Workbooks/sheets without the required categories are
+    skipped, as in the per-file path."""
+    import pandas as pd
+
+    syn = synonyms or DEFAULT_SYNONYMS
+
+    def parse(batches):
+        import io
+
+        from . import xlsx
+
+        for pdf in batches:
+            for _, brow in pdf.iterrows():
+                buf = brow["content"]
+                names = xlsx.sheet_names(io.BytesIO(buf))
+                for sheet in names:
+                    rows = xlsx.read_sheet_raw(io.BytesIO(buf), sheet)
+                    hit = find_header_mapping(rows, syn, required)
+                    if hit is None:
+                        continue
+                    header_idx, mapping = hit
+                    recs = []
+                    for r in rows[header_idx + 1 :]:
+                        rec = {
+                            cat: (r[ci] if ci < len(r) else None)
+                            for ci, cat in mapping.items()
+                        }
+                        recs.append(
+                            {
+                                "sku": str(rec["SKU"])
+                                if rec.get("SKU") is not None
+                                else None,
+                                "descricao": str(rec["DESCRICAO"])
+                                if rec.get("DESCRICAO") is not None
+                                else None,
+                                "deposito": str(rec["DEPOSITO"])
+                                if rec.get("DEPOSITO") is not None
+                                else None,
+                                "qtde": str(rec["QTDE"])
+                                if rec.get("QTDE") is not None
+                                else None,
+                                lineage_col: sheet,
+                                file_col: brow["path"],
+                            }
+                        )
+                    if recs:
+                        yield pd.DataFrame(recs)
+
+    binaries = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", glob)
+        .load(path)
+        .select("path", "content")
+    )
+    raw = binaries.mapInPandas(
+        parse,
+        "sku string, descricao string, deposito string, qtde string, "
+        f"{lineage_col} string, {file_col} string",
+    )
+    return _canonicalize(raw, lineage_col, extra_cols=(file_col,))

@@ -247,3 +247,67 @@ def test_mask_numeric_ids_matches_python_re(spark, strings):
         assert got[i][0] == re.sub(r"[0-9]{4,}([0-9]{2})", r"###\1", s), s
         assert got[i][1] == re.sub(r"[0-9]{6,}", "###", s), s
         assert re.search(r"[0-9]{6,}", got[i][1]) is None
+
+
+@given(
+    st.lists(
+        st.lists(
+            st.one_of(
+                st.none(),
+                st.text(
+                    alphabet=st.characters(
+                        blacklist_categories=("Cs",), blacklist_characters="\x00"
+                    ),
+                    max_size=20,
+                ),
+                st.floats(
+                    allow_nan=False, allow_infinity=False,
+                    min_value=-1e12, max_value=1e12,
+                ),
+                st.booleans(),
+            ),
+            min_size=1,
+            max_size=5,
+        ),
+        min_size=1,
+        max_size=8,
+    )
+)
+@settings(max_examples=40, deadline=None)
+def test_xlsx_codec_roundtrip_property(tmp_path_factory, rows):
+    """The stdlib xlsx codec round-trips arbitrary cell grids: write →
+    read returns the same header and data values (floats exact, text
+    XML-escaped-and-back, None preserved; control chars the XML spec
+    forbids become U+FFFD — asserted against the same substitution).  Load-bearing for S1/S2/S9, the distributed reader,
+    and the workbook sweep."""
+    import re as _re
+
+    from etl_python_spark.sources import xlsx
+
+    invalid = _re.compile(r"[\x00-\x08\x0b\x0c\x0e-\x1f]")
+
+    def norm(v):
+        if isinstance(v, bool):
+            return float(v)  # xlsx has no bare bool in this writer: 1.0/0.0
+        if isinstance(v, str):
+            # the writer substitutes XML-forbidden control chars with
+            # U+FFFD rather than dropping them (information preserved
+            # as "something was here")
+            return invalid.sub("\ufffd", v)
+        return v
+
+    header = [f"c{i}" for i in range(max(len(r) for r in rows))]
+    padded = [list(r) + [None] * (len(header) - len(r)) for r in rows]
+    p = str(tmp_path_factory.mktemp("xlsxfuzz") / "f.xlsx")
+    xlsx.write_xlsx(p, {"S": (header, padded)})
+    got_header, got_rows = xlsx.read_sheet(p, "S")
+    assert got_header == header
+    assert len(got_rows) == len(padded)
+    for want_row, got_row in zip(padded, got_rows):
+        got_row = list(got_row) + [None] * (len(header) - len(got_row))
+        for want, got in zip(want_row, got_row):
+            w = norm(want)
+            if isinstance(w, float) and isinstance(got, float):
+                assert got == w or abs(got - w) < 1e-9 * max(1.0, abs(w))
+            else:
+                assert got == w, (want, got)

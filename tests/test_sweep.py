@@ -91,3 +91,43 @@ def test_sweep_workbook_no_qualifying_sheet_raises(spark, tmp_path):
     xlsx.write_xlsx(p, {"S1": (["a", "b"], [["1", "2"]])})
     with pytest.raises(ValueError, match="required categories"):
         sweep_workbook(spark, p)
+
+
+def test_sweep_workbooks_distributed_matches_per_file(spark, tmp_path):
+    """Landing-zone sweep: mapInPandas discovery matches the per-file
+    driver path row-for-row (ids aside, which renumber over the
+    consolidated ordering), with workbook lineage added."""
+    from etl_python_spark.sources.sweep import sweep_workbooks_distributed
+
+    land = tmp_path / "zone"
+    land.mkdir()
+    xlsx.write_xlsx(
+        str(land / "w1.xlsx"),
+        {
+            "CD-A": (["Código", "Qtd"], [["A1.0", "5"], ["a2", "1"]]),
+            "Notas": (["livre"], [["x"]]),
+        },
+    )
+    xlsx.write_xlsx(
+        str(land / "w2.xlsx"),
+        {"CD-B": (["EAN", "Saldo", "Armazém"], [["B9", "2", "G1"]])},
+    )
+    dist = sweep_workbooks_distributed(spark, str(land))
+    plan = dist._jdf.queryExecution().executedPlan().toString()
+    assert "MapInPandas" in plan
+
+    got = sorted(
+        (r.sku, r.descricao, r.deposito, r.qtde, r.origem_aba,
+         r.arquivo_origem.rsplit("/", 1)[-1])
+        for r in dist.collect()
+    )
+    want = []
+    for f in ("w1.xlsx", "w2.xlsx"):
+        for r in sweep_workbook(spark, str(land / f)).collect():
+            want.append(
+                (r.sku, r.descricao, r.deposito, r.qtde, r.origem_aba, f)
+            )
+    assert got == sorted(want)
+    # consolidated id is contiguous 1..n over the global ordering
+    ids = sorted(r.id for r in dist.collect())
+    assert ids == list(range(1, len(got) + 1))
