@@ -138,7 +138,10 @@ def sheet_names(path: str) -> list[str]:
 
 def read_sheet(path: str, sheet: str | int = 0) -> tuple[list[str], list[list]]:
     """One sheet → (header, data_rows).  First row is the header
-    (reference convention); sparse/missing cells are None."""
+    (reference convention); sparse/missing cells are None.  Note: cell
+    text round-trips exactly EXCEPT carriage returns — the XML parser
+    normalizes \r\n and bare \r to \n per the XML spec's end-of-line
+    handling (pinned by the codec fuzz property test)."""
     with zipfile.ZipFile(path) as zf:
         sheets = _sheet_paths(zf)
         if isinstance(sheet, int):

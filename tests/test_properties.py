@@ -292,8 +292,11 @@ def test_xlsx_codec_roundtrip_property(tmp_path_factory, rows):
         if isinstance(v, str):
             # the writer substitutes XML-forbidden control chars with
             # U+FFFD rather than dropping them (information preserved
-            # as "something was here")
-            return invalid.sub("\ufffd", v)
+            # as "something was here"); XML parsers additionally
+            # normalize \r\n and bare \r to \n per the XML spec
+            # (end-of-line handling) — found by this very fuzz
+            v = invalid.sub("\ufffd", v)
+            return v.replace("\r\n", "\n").replace("\r", "\n")
         return v
 
     header = [f"c{i}" for i in range(max(len(r) for r in rows))]
