@@ -403,3 +403,26 @@ def test_concurrent_loser_retries_onto_new_base(spark, table):
     assert _rows(spark, table) == [(1, "a"), (2, "WIN"), (3, "LOSE")]
     txn.vacuum(spark, table)  # loser's orphaned staging dir reclaimed
     assert _rows(spark, table) == [(1, "a"), (2, "WIN"), (3, "LOSE")]
+
+
+def test_txn_merge_null_partition(spark, tmp_path):
+    """NULL partition values merge into the null partition like any
+    other value — pre-existing unmatched keys there survive, and the
+    manifest tracks the NULL ownership explicitly."""
+    path = str(tmp_path / "nulls")
+    base = spark.createDataFrame(
+        [(1, "a", "2024"), (2, "b", None), (3, "c", None)],
+        "id long, v string, y string",
+    )
+    txn.txn_write(spark, base, path, partition_by="y")
+    src = spark.createDataFrame([(2, "B2", None)], "id long, v string, y string")
+    txn.txn_merge_upsert(spark, src, path, keys=["id"], partition_col="y")
+    got = {r.id: (r.v, r.y) for r in txn.txn_read(spark, path).collect()}
+    assert got == {1: ("a", "2024"), 2: ("B2", None), 3: ("c", None)}
+    rec = txn.read_commit(spark, path)
+    (new_dir,) = [d for d in rec["dirs"] if d.startswith("v-00000002")]
+    assert rec["dirs"][new_dir] == [None]  # NULL ownership is explicit
+    # NULL-only delete touches only the null partition
+    txn.txn_delete_where(spark, path, F.col("id") == 3)
+    got = {r.id: r.v for r in txn.txn_read(spark, path).collect()}
+    assert got == {1: "a", 2: "B2"}
