@@ -147,3 +147,60 @@ def test_curation_to_training_export_pipeline(spark, tmp_path):
     assert exported.count() == spark.read.parquet(kept_path).count() > 0
     # every exported doc passed BOTH gates
     assert exported.filter(~F.col("manter")).count() == 0
+
+
+def test_incremental_ingest_into_txn_table_exactly_once_content(spark, tmp_path):
+    """The composition the docstrings advertise: read_incremental
+    (at-least-once, deferred manifest commit) feeding txn_merge_upsert
+    (content-idempotent, atomic publish).  A crash between the merge
+    and the manifest commit reprocesses the same files on rerun, and
+    the keyed merge keeps the table content exactly-once."""
+    import glob as _glob
+    import os
+    import shutil as _sh
+
+    from etl_python_spark.sources import txn
+    from etl_python_spark.sources.readers import read_incremental
+
+    landing = tmp_path / "landing"
+    landing.mkdir()
+    manifest = str(tmp_path / "manifest.jsonl")
+    table = str(tmp_path / "state")
+
+    def land(name, rows):
+        stg = str(tmp_path / f"_stg_{name}")
+        spark.createDataFrame(rows, "id long, v string").coalesce(1) \
+            .write.mode("overwrite").parquet(stg)
+        (part,) = _glob.glob(stg + "/part-*.parquet")
+        _sh.copy(part, str(landing / name))
+
+    def ingest(commit_after=True):
+        df, new, commit = read_incremental(spark, str(landing), manifest)
+        if df is None:
+            return 0
+        txn.txn_merge_upsert(spark, df, table, keys=["id"])
+        if commit_after:
+            commit()
+        return len(new)
+
+    land("a.parquet", [(1, "a"), (2, "b")])
+    assert ingest() == 1
+    assert {r.id: r.v for r in txn.txn_read(spark, table).collect()} == {
+        1: "a", 2: "b"
+    }
+
+    # batch 2 merges but CRASHES before the manifest commit
+    land("b.parquet", [(2, "B"), (3, "c")])
+    assert ingest(commit_after=False) == 1
+    v_after_crash = txn.read_commit(spark, table)["version"]
+
+    # rerun: the same file reprocesses (at-least-once)...
+    assert ingest() == 1
+    got = {r.id: r.v for r in txn.txn_read(spark, table).collect()}
+    # ...and content is exactly-once: the keyed merge absorbed the replay
+    assert got == {1: "a", 2: "B", 3: "c"}
+    assert txn.read_commit(spark, table)["version"] == v_after_crash + 1
+
+    # nothing new: no reads, no commits
+    assert ingest() == 0
+    assert txn.read_commit(spark, table)["version"] == v_after_crash + 1
