@@ -27,6 +27,10 @@ def test_changed_queries_sit_in_the_driver_window():
 
     base = json.loads((REPO / "tools" / "queries_at_base.json").read_text())
     current = query_fingerprints()
+    verified_path = REPO / "tools" / "offwindow_verified.json"
+    verified = (
+        json.loads(verified_path.read_text()) if verified_path.exists() else {}
+    )
 
     window = [
         n
@@ -37,12 +41,23 @@ def test_changed_queries_sit_in_the_driver_window():
     changed = sorted(
         n for n, h in current.items() if base.get(n) != h
     )
-    out_of_window = [n for n in changed if n not in window]
-    assert not out_of_window, (
+    # A changed query is freshly verified if it is in the driver window
+    # OR check_correctness --record passed it at EXACTLY this
+    # fingerprint (so a later edit to the query or any transitive
+    # helper invalidates the record automatically).
+    stale = [
+        n
+        for n in changed
+        if n not in window and verified.get(n) != current[n]
+    ]
+    assert not stale, (
         f"queries changed since round base {REPO / 'tools/round_base.txt'} "
-        f"but NOT in VERIFY_PRIORITY[:50] — they would keep a stale "
-        f"verdict: {out_of_window}.  Rotate them into the window (or "
-        f"regenerate tools/queries_at_base.json if the base moved)."
+        f"but NOT in VERIFY_PRIORITY[:50] and NOT locally re-verified at "
+        f"their current fingerprint — they would carry a stale verdict: "
+        f"{stale}.  Rotate them into the window, or re-run "
+        f"`python tools/check_correctness.py --record /root/testdata/sf0.01 "
+        f"{' '.join(stale)}` (or regenerate tools/queries_at_base.json if "
+        f"the base moved)."
     )
 
 
@@ -58,3 +73,49 @@ def test_window_is_exactly_the_first_fifty():
     ordered = list(operators.all_queries())
     k = min(len(operators.VERIFY_PRIORITY), 50)
     assert ordered[:k] == list(operators.VERIFY_PRIORITY)[:k]
+
+
+def test_fingerprints_cover_transitive_helpers():
+    """Round-7 verdict item 1: a query's fingerprint must include every
+    in-package module its defining module reaches through imports, so a
+    shared-helper edit flips the fingerprints of all dependent queries."""
+    from tools import rotation_hash as rh
+
+    deps = rh.transitive_modules("etl_python_spark.operators.analytics_core")
+    assert "etl_python_spark.functions.numeric" in deps
+    assert "etl_python_spark.sources.tables" in deps
+    assert "etl_python_spark.operators.analytics_core" in deps
+
+    deps = rh.transitive_modules("etl_python_spark.operators.dedup")
+    assert "etl_python_spark.sources.tables" in deps
+
+
+def test_helper_edit_flips_dependent_fingerprints(monkeypatch):
+    """Simulate a shared-helper source change (patch the module-digest
+    seam) and assert every query defined in a module that imports the
+    helper gets a NEW fingerprint, while unrelated queries keep theirs."""
+    from tools import rotation_hash as rh
+
+    before = rh.query_fingerprints()
+
+    helper = "etl_python_spark.functions.numeric"
+    real = rh._module_digest.__wrapped__
+
+    def fake(modname):
+        if modname == helper:
+            return "0" * 64  # pretend the helper's source changed
+        return real(modname)
+
+    monkeypatch.setattr(rh, "_module_digest", fake)
+    after = rh.query_fingerprints()
+
+    from etl_python_spark import operators
+
+    flipped = {n for n in before if before[n] != after[n]}
+    dependents = {
+        n
+        for n, fn in operators.all_queries().items()
+        if helper in rh.transitive_modules(fn.__module__)
+    }
+    assert dependents, "numeric helper should have dependent queries"
+    assert flipped == dependents

@@ -2,7 +2,14 @@
 and its oracle_sql() on DuckDB at sf0.01, compare row count + columns +
 order-insensitive canonicalized values.
 
-Usage: python tools/check_correctness.py [sf_dir] [query ...]
+Usage: python tools/check_correctness.py [--record] [sf_dir] [query ...]
+
+``--record`` writes each PASSING query's current rotation fingerprint
+to ``tools/offwindow_verified.json``.  ``tests/test_rotation.py``
+accepts a changed query outside the driver's 50-slot window only when
+this file records a pass at exactly the HEAD fingerprint — so an
+off-window verdict is always backed by a re-run of the code as it is
+now, never a stale earlier run.
 """
 
 from __future__ import annotations
@@ -53,8 +60,10 @@ def rowset(cols, rows):
 
 
 def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = set(sys.argv[2:])
+    argv = [a for a in sys.argv[1:] if a != "--record"]
+    record = "--record" in sys.argv[1:]
+    sf_dir = argv[0] if argv else "/root/testdata/sf0.01"
+    only = set(argv[1:])
 
     import duckdb
 
@@ -72,7 +81,7 @@ def main() -> int:
         )
 
     qs, oracles = e.queries(), e.oracle_sql()
-    failed = []
+    failed, passed = [], []
     for name, fn in qs.items():
         if only and name not in only:
             continue
@@ -127,6 +136,21 @@ def main() -> int:
             failed.append(name)
         else:
             print(f"ok    {name}: {len(sp_rows)} rows match ({time.time()-t0:.1f}s)")
+            passed.append(name)
+
+    if record and passed:
+        import json
+        from pathlib import Path
+
+        from tools.rotation_hash import query_fingerprints
+
+        fp = query_fingerprints()
+        path = Path(__file__).resolve().parent / "offwindow_verified.json"
+        book = json.loads(path.read_text()) if path.exists() else {}
+        for name in passed:
+            book[name] = fp[name]
+        path.write_text(json.dumps(book, indent=1, sort_keys=True) + "\n")
+        print(f"recorded {len(passed)} fingerprints -> {path}")
 
     print(f"\n{len(failed)} failures" + (f": {failed}" if failed else ""))
     return 1 if failed else 0
