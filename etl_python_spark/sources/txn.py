@@ -31,10 +31,11 @@ Layout of a transactional table at ``path/``::
 * **Optimistic concurrency**: two writers racing publish the same next
   version; rename-to-existing fails for the loser
   (:class:`ConcurrentCommitError`) and its staged dir becomes garbage.
-  On HDFS the no-overwrite rename is atomic; on a POSIX local fs the
-  exists-check+rename leaves a tiny last-wins window (document: one
-  writer per table on raw local disks); on S3-class stores without
-  atomic rename use a real table format.
+  The commit step is pluggable (:class:`CommitBackend`): the default
+  :class:`AtomicRenameBackend` is correct wherever no-overwrite rename
+  is atomic (HDFS); :class:`ReadBackVerifyBackend` detects last-wins
+  overwrites on stores without that guarantee; a conditional-put
+  backend is the natural extension for S3-class stores.
 * **Partition-scoped MERGE stays partition-scoped**: the commit record
   is a manifest mapping each data dir to the partition values it OWNS.
   A merge stages only the touched partitions into the new dir and the
@@ -152,32 +153,126 @@ def read_commit(
     return None
 
 
-def _publish(spark: SparkSession, path: str, record: dict) -> None:
-    """Atomically publish one commit record as
-    ``_commits/<version>``: write a tmp file, hsync when the fs
-    supports it, then rename to the (never-pre-existing) final name."""
-    jvm, fs, _ = _fs(spark, path)
-    v = record["version"]
-    cdir = jvm.org.apache.hadoop.fs.Path(f"{path}/{_COMMITS}")
-    fs.mkdirs(cdir)
-    final = jvm.org.apache.hadoop.fs.Path(f"{path}/{_COMMITS}/{v:08d}")
-    tmp = jvm.org.apache.hadoop.fs.Path(
-        f"{path}/{_COMMITS}/.tmp-{uuid.uuid4().hex}"
-    )
-    out = fs.create(tmp, True)
-    try:
-        out.write(bytearray(json.dumps(record).encode("utf-8")))
-        try:
-            out.hsync()
-        except Exception:  # local checksum fs: hsync unsupported
-            out.hflush()
-    finally:
-        out.close()
-    if fs.exists(final) or not fs.rename(tmp, final):
-        fs.delete(tmp, False)
-        raise ConcurrentCommitError(
-            f"txn {path}: version {v} was committed by another writer"
+class CommitBackend:
+    """Seam for the single atomic step of the protocol: making
+    ``_commits/<version>`` exist with exactly one writer's record.
+    Everything else (staging immutable data dirs, building manifests)
+    is backend-independent.  Pick the backend for the store:
+
+    * :class:`AtomicRenameBackend` (default) — HDFS-style no-overwrite
+      rename; correct wherever rename-if-absent is atomic.
+    * :class:`ReadBackVerifyBackend` — for stores whose rename is
+      last-wins (no atomic no-overwrite): publish then read back and
+      verify this writer's bytes won.  Shrinks the race to the
+      rename→read-back gap; a conditional-put (If-None-Match) backend
+      is the fully-safe equivalent on S3-class stores.
+
+    Swap globally via ``txn.COMMIT_BACKEND = <backend>``.
+    """
+
+    def publish(
+        self, spark: SparkSession, path: str, version: int, data: bytes
+    ) -> None:
+        """Make ``_commits/<version>`` durably contain ``data``, or
+        raise :class:`ConcurrentCommitError` if another writer won."""
+        raise NotImplementedError
+
+    # shared plumbing -------------------------------------------------
+    def _write_tmp(self, spark, path: str, data: bytes):
+        jvm, fs, _ = _fs(spark, path)
+        fs.mkdirs(jvm.org.apache.hadoop.fs.Path(f"{path}/{_COMMITS}"))
+        tmp = jvm.org.apache.hadoop.fs.Path(
+            f"{path}/{_COMMITS}/.tmp-{uuid.uuid4().hex}"
         )
+        out = fs.create(tmp, True)
+        try:
+            out.write(bytearray(data))
+            try:
+                out.hsync()
+            except Exception:  # local checksum fs: hsync unsupported
+                out.hflush()
+        finally:
+            out.close()
+        return jvm, fs, tmp
+
+    def _read_final(self, spark, fs, final) -> bytes:
+        stream = fs.open(final)
+        try:
+            return bytes(
+                spark._jvm.org.apache.commons.io.IOUtils.toByteArray(stream)
+            )
+        finally:
+            stream.close()
+
+
+class AtomicRenameBackend(CommitBackend):
+    """No-overwrite rename: atomic on HDFS; on a POSIX local fs the
+    exists-check+rename leaves a tiny last-wins window (one writer per
+    table on raw local disks, or use :class:`ReadBackVerifyBackend`)."""
+
+    def publish(self, spark, path, version, data):
+        jvm, fs, tmp = self._write_tmp(spark, path, data)
+        final = jvm.org.apache.hadoop.fs.Path(
+            f"{path}/{_COMMITS}/{version:08d}"
+        )
+        if fs.exists(final) or not fs.rename(tmp, final):
+            fs.delete(tmp, False)
+            raise ConcurrentCommitError(
+                f"txn {path}: version {version} was committed by "
+                f"another writer"
+            )
+
+
+class ReadBackVerifyBackend(CommitBackend):
+    """Publish for last-wins stores: rename WITHOUT assuming
+    no-overwrite semantics, then read the final file back and require
+    this writer's exact bytes.  If another writer's record is there,
+    this writer lost and raises — no silent last-wins overwrite goes
+    unreported (every record carries a unique ``commit_token``, so two
+    writers' bytes can never collide)."""
+
+    def _rename(self, fs, tmp, final) -> bool:
+        # override point: tests inject a rename that loses the race
+        return fs.rename(tmp, final)
+
+    def publish(self, spark, path, version, data):
+        jvm, fs, tmp = self._write_tmp(spark, path, data)
+        final = jvm.org.apache.hadoop.fs.Path(
+            f"{path}/{_COMMITS}/{version:08d}"
+        )
+        renamed = self._rename(fs, tmp, final)
+        if fs.exists(tmp):
+            fs.delete(tmp, False)
+        if not renamed or self._read_final(spark, fs, final) != data:
+            raise ConcurrentCommitError(
+                f"txn {path}: version {version} was committed by "
+                f"another writer (read-back mismatch)"
+            )
+
+
+COMMIT_BACKEND: CommitBackend = AtomicRenameBackend()
+
+
+def _publish(spark: SparkSession, path: str, record: dict) -> None:
+    """Publish one commit record as ``_commits/<version>`` through the
+    active :data:`COMMIT_BACKEND`.  A unique ``commit_token`` is
+    stamped into every record so backends can distinguish two writers
+    racing the same version even when their payloads would otherwise
+    be byte-identical."""
+    record = dict(record, commit_token=uuid.uuid4().hex)
+    data = json.dumps(record).encode("utf-8")
+    COMMIT_BACKEND.publish(spark, path, record["version"], data)
+
+
+def _next_version(spark: SparkSession, path: str) -> int:
+    """Next commit version: ``max(existing)+1`` over ALL commit files,
+    parsable or not.  Deriving it from the latest *parsable* record
+    instead would wedge the table forever if the highest commit file
+    were garbage (possible only under a non-atomic rename): every
+    writer would recompute the occupied version and _publish would
+    always raise ConcurrentCommitError."""
+    versions = list_versions(spark, path)
+    return (max(versions) + 1) if versions else 1
 
 
 def _stage_dir(path: str, version: int) -> str:
@@ -229,7 +324,7 @@ def txn_write(
     version.  The previous snapshot stays readable (time travel) until
     :func:`vacuum`."""
     prev = read_commit(spark, path)
-    version = (prev["version"] + 1) if prev else 1
+    version = _next_version(spark, path)
     dirname = _stage_dir(path, version).rsplit("/", 1)[-1]
     writer = df.write.mode("errorifexists")
     if partition_by:
@@ -262,6 +357,7 @@ def txn_merge_upsert(
     keys: list[str],
     partition_col: str | None = None,
     app_meta: dict | None = None,
+    on_drift: str = "error",
 ) -> int:
     """Row-keyed MERGE with atomic publish; returns the new version.
 
@@ -279,7 +375,27 @@ def txn_merge_upsert(
     merge cost scales with touched partitions at any table size.
     ``app_meta`` rides in the commit record; a caller replaying work
     (e.g. a streaming foreachBatch restart) can compare it against
-    the latest commit's to skip an already-published batch."""
+    the latest commit's to skip an already-published batch.
+
+    Schema drift (classified by :func:`model.registry.schema_drift`)
+    is governed by ``on_drift``:
+
+    * ``'error'`` (default): any added/removed/type-changed column
+      between the committed schema and ``source`` raises — nothing is
+      silently dropped or NULL-filled.
+    * ``'evolve'``: added source columns widen the committed schema
+      (appended as nullable fields; pre-existing rows in untouched
+      dirs back-fill NULL on read, the standard parquet
+      missing-column semantics txn_read's pinned schema provides);
+      source columns missing a committed column insert NULL for it.
+      Type changes are always rejected — a silent cast is a
+      corruption, not an evolution.
+
+    Historical versions keep their own committed schema, so
+    ``txn_read(version=N)`` before the evolution still returns the
+    old columns."""
+    if on_drift not in ("error", "evolve"):
+        raise ValueError(f"on_drift must be 'error'|'evolve', got {on_drift!r}")
     prev = read_commit(spark, path)
     if prev is None:
         return txn_write(
@@ -290,9 +406,55 @@ def txn_merge_upsert(
             f"txn {path}: table is partitioned by {prev['partition_col']!r}, "
             f"merge requested {partition_col!r}"
         )
-    version = prev["version"] + 1
+    version = _next_version(spark, path)
     target = txn_read(spark, path)
-    source = source.select(*target.columns)
+
+    from pyspark.sql.types import StructField, StructType
+
+    from ..model.registry import schema_drift
+
+    committed = StructType.fromJson(prev["schema"])
+    drift = schema_drift(committed, source.schema)
+    changed = [d for d in drift if d["kind"] == "type_changed"]
+    if changed:
+        raise ValueError(
+            f"txn {path}: merge rejects type changes {changed} — "
+            f"cast the source explicitly instead"
+        )
+    if drift and on_drift == "error":
+        raise ValueError(
+            f"txn {path}: source schema drifts from the committed "
+            f"schema: {drift}.  Pass on_drift='evolve' to widen."
+        )
+    added_lower = {
+        d["column"].lower() for d in drift if d["kind"] == "added"
+    }
+    schema = StructType(
+        list(committed.fields)
+        + [
+            StructField(f.name, f.dataType, True)
+            for f in source.schema.fields
+            if f.name.lower() in added_lower
+        ]
+    )
+    src_lower = {c.lower() for c in source.columns}
+    source = source.select(
+        *[
+            F.col(f.name)
+            if f.name.lower() in src_lower
+            else F.lit(None).cast(f.dataType).alias(f.name)
+            for f in schema.fields
+        ]
+    )
+    tgt_lower = {c.lower() for c in target.columns}
+    target = target.select(
+        *[
+            F.col(f.name)
+            if f.name.lower() in tgt_lower
+            else F.lit(None).cast(f.dataType).alias(f.name)
+            for f in schema.fields
+        ]
+    )
 
     if partition_col:
         touched = [
@@ -330,7 +492,7 @@ def txn_merge_upsert(
             "version": version,
             "op": "merge",
             "partition_col": partition_col,
-            "schema": prev["schema"],
+            "schema": schema.jsonValue(),
             "dirs": dirs,
             "app_meta": app_meta,
         },
@@ -364,7 +526,7 @@ def txn_delete_where(
     prev = read_commit(spark, path)
     if prev is None:
         raise FileNotFoundError(f"no committed version at {path}")
-    version = prev["version"] + 1
+    version = _next_version(spark, path)
     pc = prev["partition_col"]
     target = txn_read(spark, path)
     # delete exactly the rows where the condition is TRUE: a NULL
@@ -442,7 +604,7 @@ def txn_compact(
     prev = read_commit(spark, path)
     if prev is None:
         raise FileNotFoundError(f"no committed version at {path}")
-    version = prev["version"] + 1
+    version = _next_version(spark, path)
     df = txn_read(spark, path)
     pc = prev["partition_col"]
     if n_files:
@@ -498,19 +660,29 @@ def txn_history(spark: SparkSession, path: str) -> DataFrame:
     )
 
 
-def vacuum(spark: SparkSession, path: str) -> list[str]:
+def vacuum(
+    spark: SparkSession, path: str, min_age_seconds: float = 0.0
+) -> list[str]:
     """Remove data dirs the LATEST commit no longer references —
     crash-orphaned staging dirs and snapshots only historical versions
     point at (which stop time-traveling, as in any table format's
     vacuum).  Returns the removed dir names.  Safe against the
     published snapshot by construction: the latest manifest's dirs are
-    never touched.  Do NOT run concurrently with an in-flight writer —
-    a staged-but-not-yet-published dir is indistinguishable from a
-    crash orphan and would be reclaimed (the same retention caveat
-    every table format's vacuum carries); schedule vacuum in the same
-    maintenance window as compaction."""
+    never touched.
+
+    ``min_age_seconds`` is the retention window (same knob every table
+    format's vacuum carries): an unreferenced dir whose modification
+    time is younger than the window survives, so a concurrent writer's
+    staged-but-not-yet-published dir is NOT reclaimed out from under
+    it.  The default 0 reclaims everything immediately — correct only
+    when no writer can be in flight (a dedicated maintenance window);
+    in shared operation set it to comfortably exceed the longest
+    staging write (e.g. 86400)."""
+    import time
+
     rec = read_commit(spark, path)
     live = set(rec["dirs"]) if rec else set()
+    cutoff_ms = (time.time() - min_age_seconds) * 1000.0
     jvm, fs, hpath = _fs(spark, path)
     removed = []
     for st in fs.listStatus(hpath):
@@ -519,6 +691,7 @@ def vacuum(spark: SparkSession, path: str) -> list[str]:
             st.isDirectory()
             and name.startswith("v-")
             and name not in live
+            and st.getModificationTime() <= cutoff_ms
         ):
             fs.delete(st.getPath(), True)
             removed.append(name)

@@ -426,3 +426,139 @@ def test_txn_merge_null_partition(spark, tmp_path):
     txn.txn_delete_where(spark, path, F.col("id") == 3)
     got = {r.id: r.v for r in txn.txn_read(spark, path).collect()}
     assert got == {1: "a", 2: "B2"}
+
+
+# ---------------------------------------------------------------------------
+# round-8: schema evolution, vacuum retention, commit-backend seam,
+# wedged-commit recovery
+# ---------------------------------------------------------------------------
+
+
+def test_merge_on_drift_error_rejects_added_column(spark, table):
+    """Default policy: a source column the committed schema lacks is an
+    error, never a silent drop (the r7 verdict's txn.py:295 gap)."""
+    src = spark.createDataFrame(
+        [(2, "B", "2024", "extra")], "id long, v string, y string, note string"
+    )
+    with pytest.raises(ValueError, match="drift.*evolve"):
+        txn.txn_merge_upsert(spark, src, table, keys=["id"], partition_col="y")
+
+
+def test_merge_evolve_adds_column_and_backfills_null(spark, table):
+    """on_drift='evolve': the widened schema is committed, rows from
+    untouched dirs read back NULL in the new column, merged rows carry
+    their values, and time travel to the pre-evolution version still
+    shows the OLD columns."""
+    src = spark.createDataFrame(
+        [(2, "B", "2024", "hot")], "id long, v string, y string, note string"
+    )
+    v = txn.txn_merge_upsert(
+        spark, src, table, keys=["id"], partition_col="y", on_drift="evolve"
+    )
+    cur = txn.txn_read(spark, table)
+    assert cur.columns == ["id", "v", "y", "note"]
+    got = {r.id: (r.v, r.note) for r in cur.collect()}
+    # id=3 lives in the UNTOUCHED 2025 dir (old files, no 'note' column)
+    assert got == {1: ("a", None), 2: ("B", "hot"), 3: ("c", None)}
+    # the commit record carries the evolved schema
+    rec = txn.read_commit(spark, table)
+    assert [f["name"] for f in rec["schema"]["fields"]] == ["id", "v", "y", "note"]
+    # time travel: version 1 still reads with its own (old) schema
+    old = txn.txn_read(spark, table, version=v - 1)
+    assert old.columns == ["id", "v", "y"]
+    # and a follow-up merge WITHOUT the new column NULL-fills it
+    src2 = spark.createDataFrame([(3, "C", "2025")], "id long, v string, y string")
+    txn.txn_merge_upsert(
+        spark, src2, table, keys=["id"], partition_col="y", on_drift="evolve"
+    )
+    got = {r.id: r.note for r in txn.txn_read(spark, table).collect()}
+    assert got == {1: None, 2: "hot", 3: None}
+
+
+def test_merge_rejects_type_change_under_both_policies(spark, table):
+    src = spark.createDataFrame(
+        [(2, 99, "2024")], "id long, v int, y string"  # v: string -> int
+    )
+    for policy in ("error", "evolve"):
+        with pytest.raises(ValueError, match="type change"):
+            txn.txn_merge_upsert(
+                spark, src, table, keys=["id"], partition_col="y",
+                on_drift=policy,
+            )
+
+
+def test_vacuum_retention_window_spares_young_staged_dirs(spark, table, tmp_path):
+    """An unreferenced dir younger than min_age_seconds survives (an
+    in-flight writer's staging dir); an old orphan is reclaimed."""
+    import os
+    import pathlib
+
+    young = pathlib.Path(table) / "v-00000099-aaaaaaaa"
+    old = pathlib.Path(table) / "v-00000098-bbbbbbbb"
+    young.mkdir()
+    old.mkdir()
+    past = 1_000_000_000  # 2001 — comfortably older than any window
+    os.utime(old, (past, past))
+
+    removed = txn.vacuum(spark, table, min_age_seconds=3600)
+    assert removed == ["v-00000098-bbbbbbbb"]
+    assert young.exists() and not old.exists()
+    # window 0 (maintenance-window mode) reclaims the young one too
+    assert txn.vacuum(spark, table) == ["v-00000099-aaaaaaaa"]
+
+
+def test_unparsable_top_commit_does_not_wedge_table(spark, table):
+    """ADVICE r7 (txn.py:238): if the highest _commits/N file is
+    garbage (possible only under a non-atomic rename), writers must
+    assign max(versions)+1 — not prev_parsable+1, which would collide
+    with the garbage file forever (ConcurrentCommitError with no
+    recovery path)."""
+    import pathlib
+
+    (pathlib.Path(table) / "_commits" / "00000002").write_bytes(b"\x00garbage")
+    src = spark.createDataFrame([(2, "B", "2024")], "id long, v string, y string")
+    v = txn.txn_merge_upsert(spark, src, table, keys=["id"], partition_col="y")
+    assert v == 3  # skipped past the garbage slot
+    assert _rows(spark, table) == [(1, "a"), (2, "B"), (3, "c")]
+    assert txn.read_commit(spark, table)["version"] == 3
+
+
+def test_readback_verify_backend_publishes_normally(spark, tmp_path, monkeypatch):
+    """The last-wins-store backend is a drop-in for the default on the
+    happy path: same protocol, same table contents."""
+    monkeypatch.setattr(txn, "COMMIT_BACKEND", txn.ReadBackVerifyBackend())
+    path = str(tmp_path / "rbv")
+    df = spark.createDataFrame([(1, "a", "2024")], "id long, v string, y string")
+    txn.txn_write(spark, df, path, partition_by="y")
+    src = spark.createDataFrame([(1, "A", "2024")], "id long, v string, y string")
+    assert txn.txn_merge_upsert(spark, src, path, keys=["id"], partition_col="y") == 2
+    assert _rows(spark, path) == [(1, "A")]
+
+
+def test_readback_verify_backend_detects_lost_race(spark, table, monkeypatch):
+    """Inject a last-wins rename: another writer's record overwrites
+    ours right after our rename.  The read-back verification must turn
+    the silent overwrite into ConcurrentCommitError, and readers stay
+    on the last genuinely-committed snapshot."""
+
+    class LastWinsLosingBackend(txn.ReadBackVerifyBackend):
+        def _rename(self, fs, tmp, final):
+            ok = fs.rename(tmp, final)
+            # simulate the racing writer winning the last-wins store:
+            # its record (torn mid-upload, hence unparsable — the worst
+            # case) replaces ours post-rename, written through the
+            # same store API a real writer would use
+            out = fs.create(final, True)
+            try:
+                out.write(bytearray(b"other-writer-torn-record"))
+            finally:
+                out.close()
+            return ok
+
+    monkeypatch.setattr(txn, "COMMIT_BACKEND", LastWinsLosingBackend())
+    before = _rows(spark, table)
+    src = spark.createDataFrame([(2, "MINE", "2024")], "id long, v string, y string")
+    with pytest.raises(txn.ConcurrentCommitError, match="read-back"):
+        txn.txn_merge_upsert(spark, src, table, keys=["id"], partition_col="y")
+    monkeypatch.setattr(txn, "COMMIT_BACKEND", txn.AtomicRenameBackend())
+    assert _rows(spark, table) == before  # loser published nothing usable
