@@ -435,18 +435,44 @@ def stream_upsert_sink(
 
     ``transactional=True`` routes the merge through the atomic commit
     protocol (:mod:`..sources.txn`): the target becomes a versioned
-    txn table, a concurrent reader can never observe a half-merged
-    state, and each batch's id rides in the commit record so the one
-    batch foreachBatch replays after a crash-between-merge-and-
-    checkpoint is recognized as already published and skipped —
-    exactly-once PUBLISH, not just exactly-once file accounting."""
+    txn table and a concurrent reader can never observe a half-merged
+    state.  Replay idempotence uses the (txnAppId, txnVersion) pair
+    every table format's idempotent-foreachBatch pattern uses: the
+    commit record carries ``txn_app_id`` (derived from the checkpoint
+    location, the identity that makes batch ids comparable) plus
+    ``batch_id``, and a batch is skipped iff some commit from the SAME
+    app id already published it.  Batch id alone would be unsound:
+    batch numbering restarts at 0 with every fresh checkpoint, so a
+    new run's batch 0 — which reprocesses the landing dir including
+    NEW files — would look "already published" and be silently
+    dropped.  For the same reason ``transactional=True`` requires an
+    explicit persistent ``checkpoint_dir``: exactly-once publish is
+    meaningless across runs that can't share file accounting."""
     from pyspark.sql import Window
 
     from ..sources.tables import normalize_event_ts
-    from ..sources.txn import read_commit, txn_merge_upsert
+    from ..sources.txn import list_versions, read_commit, txn_merge_upsert
     from ..sources.writers import merge_upsert
 
+    if transactional and checkpoint_dir is None:
+        raise ValueError(
+            "transactional=True requires a persistent checkpoint_dir: "
+            "a fresh tempdir restarts batch ids at 0, making the "
+            "replay-skip guard drop new data"
+        )
     schema = spark.read.parquet(landing_dir).schema
+    app_id = os.path.abspath(checkpoint_dir) if checkpoint_dir else None
+
+    def _last_published_batch() -> int | None:
+        """Newest commit from THIS app id, scanning the (small) commit
+        log newest-first — robust to interleaved commits from other
+        writers (a compaction job, another stream)."""
+        for v in sorted(list_versions(spark, target_path), reverse=True):
+            rec = read_commit(spark, target_path, v)
+            meta = (rec or {}).get("app_meta") or {}
+            if meta.get("txn_app_id") == app_id:
+                return meta.get("batch_id")
+        return None
 
     def upsert_batch(batch_df: DataFrame, batch_id: int) -> None:
         w = Window.partitionBy("user_id").orderBy(
@@ -458,15 +484,15 @@ def stream_upsert_sink(
             .drop("_rn")
         )
         if transactional:
-            last = read_commit(spark, target_path)
-            if last and (last.get("app_meta") or {}).get("batch_id") == batch_id:
+            last_bid = _last_published_batch()
+            if last_bid is not None and batch_id <= last_bid:
                 return  # crash-replayed batch already published
             txn_merge_upsert(
                 spark,
                 latest,
                 target_path,
                 keys=["user_id"],
-                app_meta={"batch_id": batch_id},
+                app_meta={"txn_app_id": app_id, "batch_id": batch_id},
             )
         else:
             merge_upsert(spark, latest, target_path, keys=["user_id"])

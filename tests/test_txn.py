@@ -562,3 +562,101 @@ def test_readback_verify_backend_detects_lost_race(spark, table, monkeypatch):
         txn.txn_merge_upsert(spark, src, table, keys=["id"], partition_col="y")
     monkeypatch.setattr(txn, "COMMIT_BACKEND", txn.AtomicRenameBackend())
     assert _rows(spark, table) == before  # loser published nothing usable
+
+
+def test_transactional_sink_requires_persistent_checkpoint(spark, tmp_path):
+    """ADVICE r7 (file_stream.py:462): batch ids restart at 0 under a
+    fresh tempdir checkpoint, so transactional mode without an explicit
+    checkpoint_dir must be refused outright."""
+    from etl_python_spark.streaming.file_stream import stream_upsert_sink
+
+    with pytest.raises(ValueError, match="checkpoint_dir"):
+        stream_upsert_sink(
+            spark, str(tmp_path / "landing"), str(tmp_path / "state"),
+            transactional=True,
+        )
+
+
+def test_transactional_sink_new_checkpoint_does_not_skip_new_data(spark, tmp_path):
+    """The silent-data-loss scenario from the r7 ADVICE: run 1
+    publishes under checkpoint A (its last batch id was 0 for a
+    one-file landing dir); a NEW file arrives and run 2 uses a fresh
+    checkpoint B, so its batch 0 reprocesses everything.  The guard
+    must key on (txn_app_id, batch_id) — not batch_id alone — so run
+    2's batch 0 publishes instead of being 'already seen'."""
+    import datetime as dt
+    import glob as _glob
+    import os
+    import shutil as _sh
+
+    from etl_python_spark.streaming.file_stream import stream_upsert_sink
+
+    landing = str(tmp_path / "landing")
+    target = str(tmp_path / "state")
+    schema = "event_id long, user_id long, ts timestamp, payload string"
+    t0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+
+    def land(name, rows):
+        stg = str(tmp_path / f"_stg_{name}")
+        spark.createDataFrame(rows, schema).coalesce(1).write.parquet(stg)
+        (part,) = _glob.glob(stg + "/part-*.parquet")
+        os.makedirs(landing, exist_ok=True)
+        _sh.copy(part, os.path.join(landing, name + ".parquet"))
+
+    land("f1", [(1, 10, t0, "v1")])
+    stream_upsert_sink(
+        spark, landing, target,
+        checkpoint_dir=str(tmp_path / "ckptA"), transactional=True,
+    )
+    assert {r.user_id: r.payload for r in txn.txn_read(spark, target).collect()} == {
+        10: "v1"
+    }
+
+    # new data arrives; the operator (wrongly but realistically) starts
+    # a second run with a brand-new checkpoint → its batch ids restart at 0
+    land("f2", [(2, 20, t0 + dt.timedelta(minutes=1), "v2")])
+    stream_upsert_sink(
+        spark, landing, target,
+        checkpoint_dir=str(tmp_path / "ckptB"), transactional=True,
+    )
+    got = {r.user_id: r.payload for r in txn.txn_read(spark, target).collect()}
+    assert got == {10: "v1", 20: "v2"}  # NOT silently dropped
+
+
+def test_transactional_sink_replay_skip_survives_interleaved_commits(spark, tmp_path):
+    """A compaction (different app) committing AFTER the stream's last
+    batch must not defeat the replay guard: the guard scans history
+    for THIS app id rather than only the latest commit."""
+    import datetime as dt
+    import glob as _glob
+    import os
+    import shutil as _sh
+
+    from etl_python_spark.streaming.file_stream import stream_upsert_sink
+
+    landing = str(tmp_path / "landing")
+    target = str(tmp_path / "state")
+    ckpt = str(tmp_path / "ckpt")
+    schema = "event_id long, user_id long, ts timestamp, payload string"
+    t0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+    os.makedirs(landing)
+    stg = str(tmp_path / "_stg")
+    spark.createDataFrame([(1, 10, t0, "v1")], schema).coalesce(1).write.parquet(stg)
+    (part,) = _glob.glob(stg + "/part-*.parquet")
+    _sh.copy(part, os.path.join(landing, "f1.parquet"))
+
+    stream_upsert_sink(
+        spark, landing, target, checkpoint_dir=ckpt, transactional=True
+    )
+    v1 = txn.read_commit(spark, target)["version"]
+    txn.txn_compact(spark, target, app_meta={"job": "maintenance"})
+
+    # unchanged landing + same checkpoint: nothing replays, and even a
+    # forced replay of batch 0 would be skipped (history scan)
+    stream_upsert_sink(
+        spark, landing, target, checkpoint_dir=ckpt, transactional=True
+    )
+    assert txn.read_commit(spark, target)["version"] == v1 + 1  # only compact
+    assert {r.user_id: r.payload for r in txn.txn_read(spark, target).collect()} == {
+        10: "v1"
+    }
