@@ -231,9 +231,37 @@ def read_excel_distributed(
         if type_name in ("double", "float") or type_name.startswith("decimal"):
             return pd.to_numeric(series, errors="coerce")
         if type_name in ("bigint", "int", "smallint", "tinyint", "long"):
-            return pd.to_numeric(series, errors="coerce").astype("Int64")
+            # non-integral values must become NULL, not kill the task:
+            # a bare astype('Int64') raises "cannot safely cast" on any
+            # fractional cell like '1.5' — exactly the messy-workbook
+            # input this PERMISSIVE path exists for
+            s = pd.to_numeric(series, errors="coerce")
+            s = s.where(s.isna() | (s % 1 == 0))
+            return s.astype("Int64")
         if type_name == "boolean":
-            return series.map(lambda v: bool(v) if v is not None else None)
+            # text-formatted cells arrive as strings: 'FALSE'/'0'/'no'
+            # must not truthy-coerce to True; unrecognized text is NULL
+            # per the same NULL-on-coercion-failure convention
+            truthy = {"true", "1", "yes", "sim", "verdadeiro"}
+            falsy = {"false", "0", "no", "não", "nao", "falso"}
+
+            def to_bool(v):
+                if v is None:
+                    return None
+                if isinstance(v, bool):
+                    return v
+                if isinstance(v, float) and v != v:  # NaN cell
+                    return None
+                if isinstance(v, (int, float)):
+                    return bool(v)
+                s = str(v).strip().lower()
+                if s in truthy:
+                    return True
+                if s in falsy:
+                    return False
+                return None
+
+            return series.map(to_bool)
         if type_name == "date":
             # Excel stores dates as day serials; a declared DateType
             # column converts them (1900 leap-bug handling included),

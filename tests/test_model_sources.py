@@ -1153,3 +1153,46 @@ def test_read_excel_distributed_date_coercion(spark, tmp_path):
     assert out["a"] == datetime.date(2024, 1, 1)
     assert out["b"] == datetime.date(2023, 6, 15)
     assert out["c"] is None
+
+
+def test_read_excel_distributed_int_coercion_nullifies_fractions(spark, tmp_path):
+    """ADVICE r7 (readers.py:234): a fractional cell in a declared
+    int column must become NULL under the PERMISSIVE contract — the
+    bare Int64 astype raised 'cannot safely cast' and killed the task."""
+    from etl_python_spark.sources import xlsx
+    from etl_python_spark.sources.readers import read_excel_distributed
+
+    land = tmp_path / "wb"
+    land.mkdir()
+    xlsx.write_xlsx(
+        str(land / "w.xlsx"),
+        {"S": (["k", "qty"],
+               [["a", 3], ["b", "1.5"], ["c", 2.0], ["d", "junk"], ["e", None]])},
+    )
+    out = {r.k: r.qty for r in read_excel_distributed(
+        spark, str(land), "k string, qty bigint"
+    ).collect()}
+    assert out == {"a": 3, "b": None, "c": 2, "d": None, "e": None}
+
+
+def test_read_excel_distributed_boolean_text_cells(spark, tmp_path):
+    """ADVICE r7 (readers.py:236): textual booleans from text-formatted
+    cells parse by value — 'FALSE'/'0'/'no' are False, not truthy-True;
+    unrecognized text is NULL."""
+    from etl_python_spark.sources import xlsx
+    from etl_python_spark.sources.readers import read_excel_distributed
+
+    land = tmp_path / "wb"
+    land.mkdir()
+    rows = [
+        ["a", True], ["b", "FALSE"], ["c", "0"], ["d", "no"],
+        ["e", "true"], ["f", 1], ["g", "maybe"], ["h", None], ["i", "Sim"],
+    ]
+    xlsx.write_xlsx(str(land / "w.xlsx"), {"S": (["k", "flag"], rows)})
+    out = {r.k: r.flag for r in read_excel_distributed(
+        spark, str(land), "k string, flag boolean"
+    ).collect()}
+    assert out == {
+        "a": True, "b": False, "c": False, "d": False,
+        "e": True, "f": True, "g": None, "h": None, "i": True,
+    }

@@ -131,3 +131,36 @@ def test_sweep_workbooks_distributed_matches_per_file(spark, tmp_path):
     # consolidated id is contiguous 1..n over the global ordering
     ids = sorted(r.id for r in dist.collect())
     assert ids == list(range(1, len(got) + 1))
+
+
+def test_distributed_sweep_ids_are_global_ordering_without_single_task(spark, tmp_path):
+    """ADVICE r7 (sweep.py:191): the landing-zone path assigns the
+    1-based consolidated id via range-partition + per-partition offsets
+    — same ordering contract as the driver path's global window, but
+    no data-wide single-task funnel."""
+    from etl_python_spark.sources.sweep import sweep_workbooks_distributed
+
+    land = tmp_path / "zone"
+    land.mkdir()
+    for i in range(3):
+        xlsx.write_xlsx(
+            str(land / f"w{i}.xlsx"),
+            {f"CD-{i}": (["Código", "Qtd"],
+                         [[f"S{i}{j}", str(j)] for j in range(20)])},
+        )
+    out = sweep_workbooks_distributed(spark, str(land)).collect()
+    ordered = sorted(out, key=lambda r: r.id)
+    assert [r.id for r in ordered] == list(range(1, len(out) + 1))
+    keys = [(r.deposito, r.sku, r.origem_aba, r.arquivo_origem)
+            for r in ordered]
+    assert keys == sorted(keys)  # id follows the consolidated ordering
+    # the data itself is never globally windowed: every data-wide
+    # window in the plan partitions by _pid (the offset table's global
+    # window runs over #partitions rows, not data)
+    plan = out and sweep_workbooks_distributed(
+        spark, str(land)
+    )._jdf.queryExecution().optimizedPlan().toString()
+    import re
+
+    for m in re.finditer(r"row_number\(\).*?windowspecdefinition\(([^)]*)\)", plan):
+        assert "_pid" in m.group(1), plan[:2000]
