@@ -372,6 +372,94 @@ def forecast_changepoints_per_group(
     return feats.groupBy("n_name").applyInPandas(fit_group, schema=schema)
 
 
+_SPINE_CP_SCHEMA = (
+    "n_name string, cp_index int, cp_t double, slope double, "
+    "icept double, n_obs int"
+)
+
+
+def q_changepoint_spine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-checkable spine of the changepoint forecast (round-7
+    verdict item 7; ref Modelo de Previsão de Vendas.py:69-83): per
+    group, the hinge-knot grid :func:`fit_changepoint_trend` lays down
+    (``linspace(0, max(0.8·(n-1), 1), k+2)`` interior points — closed
+    form ``i · hi/(k+1)``, SQL-restatable) and the single-segment
+    ``n_changepoints=0`` trend fit, which is plain OLS of y on the
+    month ordinal — DuckDB's ``regr_slope``/``regr_intercept``.  The
+    full piecewise solve stays unit-tested
+    (tests/test_model_sources.py two-slope recovery); a unit test pins
+    the library's lstsq single-segment fit to these population-moment
+    numbers, so the oracle transitively checks the real code path."""
+    import numpy as np
+
+    def fit_group(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("mes").reset_index(drop=True)
+        n = len(pdf)
+        if n < MIN_OBS:
+            return pd.DataFrame(
+                columns=["n_name", "cp_index", "cp_t", "slope", "icept",
+                         "n_obs"]
+            ).astype(
+                {"cp_index": "int32", "cp_t": "float64", "slope": "float64",
+                 "icept": "float64", "n_obs": "int32"}
+            )
+        y = pdf["faturamento"].to_numpy(dtype="float64")
+        t = np.arange(n, dtype="float64")
+        slope, icept = _trend_fit(t, y, prec=2)
+        _, cps, _ = fit_changepoint_trend(y, n_changepoints=3)
+        return pd.DataFrame(
+            {
+                "n_name": pdf["n_name"].iloc[0],
+                "cp_index": np.arange(1, len(cps) + 1, dtype="int32"),
+                "cp_t": _round_away(cps, 6),
+                "slope": slope,
+                "icept": icept,
+                "n_obs": n,
+            }
+        )
+
+    feats = monthly_features(spark, sf_dir).select(
+        "n_name", "mes", "faturamento"
+    )
+    return feats.groupBy("n_name").applyInPandas(
+        fit_group, schema=_SPINE_CP_SCHEMA
+    )
+
+
+ORACLE_CHANGEPOINT_SPINE = f"""
+WITH monthly AS (
+  SELECT n.n_name, CAST(date_trunc('month', o.o_orderdate) AS DATE) AS mes,
+         ROUND(CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 2) AS y
+  FROM orders o
+  JOIN customer c ON o.o_custkey = c.c_custkey
+  JOIN nation n ON c.c_nationkey = n.n_nationkey
+  GROUP BY 1, 2
+), idx AS (
+  SELECT n_name, y,
+         CAST(ROW_NUMBER() OVER (PARTITION BY n_name ORDER BY mes) - 1 AS DOUBLE) AS t
+  FROM monthly
+), fit AS (
+  SELECT n_name,
+         ROUND(regr_slope(y, t), 2) AS slope,
+         ROUND(regr_intercept(y, t), 2) AS icept,
+         COUNT(*) AS n
+  FROM idx GROUP BY 1 HAVING COUNT(*) >= {MIN_OBS}
+), grid AS (
+  SELECT n_name, slope, icept, n,
+         LEAST(3, n - 2) AS k,
+         GREATEST(0.8 * (n - 1), 1.0) AS hi
+  FROM fit
+)
+SELECT g.n_name,
+       CAST(gs.i AS INT) AS cp_index,
+       ROUND(gs.i * (g.hi / (g.k + 1)), 6) AS cp_t,
+       g.slope, g.icept,
+       CAST(g.n AS INT) AS n_obs
+FROM grid g CROSS JOIN (VALUES (1), (2), (3)) AS gs(i)
+WHERE gs.i <= g.k
+"""
+
+
 _HORIZON_SCHEMA = "mes date, previsao double, tipo string, fator_escala int"
 
 
@@ -764,10 +852,12 @@ QUERIES = {
     "ml_forecast_per_group": forecast_per_group,
     "ml_forecast_horizon": q_forecast_horizon,
     "ml_horizon_spine": q_horizon_spine,
+    "ml_changepoint_spine": q_changepoint_spine,
     "ts_autocorr": q_ts_autocorr,
 }
 
 ORACLES = {
+    "ml_changepoint_spine": ORACLE_CHANGEPOINT_SPINE,
     "ml_lag_features": ORACLE_FEATURES,
     "ml_proxy_features": ORACLE_PROXY,
     "ml_horizon_spine": ORACLE_HORIZON_SPINE,

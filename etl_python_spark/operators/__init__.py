@@ -22,66 +22,67 @@ from pyspark.sql import DataFrame, SparkSession
 #     their round-1 verdict remains valid evidence).
 # Names absent from this tuple keep module order after the block.
 VERIFY_PRIORITY = (
-    # Round-7 rotation, enforced mechanically since this round by
-    # tests/test_rotation.py (fingerprints vs tools/queries_at_base.json
-    # @ round-6 base 1629236): every NEW or CHANGED query must sit in
-    # the first 50.  Ordering: (a) new/changed this round, (b) the 41
-    # queries whose last driver verdict is round 4 (oldest), (c) top-up
-    # with the alphabetically-first round-5-verdict queries.  The 50
-    # round-6-verdict queries stay out — their verdicts are freshest.
-    # (a) new or changed in round 7:
-    "balance_integrity",      # NEW: ativo/passivo ledger reconciliation
-    "outlier_events",         # zero-stddev guard added both sides
-    "bpe_train",              # rematerialize_every seam (default path identical)
-    "bpe_encode",             # shares bpe_train's changed fit
-    # (b) last driver verdict in round 4 — all 41:
-    "anti_join",
-    "asof_rate_enrichment",
-    "blacklist_filter",
-    "catalog_integrity",
-    "churn_kpi",
-    "cnpj_validate",
-    "custom_sort_field",
-    "customer_quartiles",
-    "depara_standardize",
-    "formatted_report",
-    "full_outer_coalesce",
-    "geo_spine_zerofill",
-    "global_topn",
-    "grouping_sets_report",
-    "hourly_event_counts",
-    "last_quarter_revenue",
-    "latest_order_per_customer",
-    "lead_scoring",
-    "left_enrichment",
-    "mom_growth",
-    "ordinal_alignment",
-    "preagg_join",
-    "profile_customer",
-    "props_extract",
-    "recency_buckets",
-    "reincidence",
-    "rolling_metrics",
-    "semi_join",
-    "sessionize",
-    "set_ops",
-    "share_of_priority",
-    "sla_leadtime",
+    # Round-8 rotation (enforced by tests/test_rotation.py against
+    # tools/queries_at_base.json @ round-7 base, see tools/round_base.txt).
+    # Ordering: (a) new or changed this round — the txn/stream-sink
+    # hardening flipped every stream query's transitive fingerprint,
+    # plus the new changepoint spine; (b) the 25 queries whose last
+    # driver verdict is round 5 or older; (c) top-up with the
+    # alphabetically-first round-6-verdict queries.  The round-7
+    # window rotates out entirely — its verdicts are freshest.
+    # (a) new or changed in round 8:
+    "ml_changepoint_spine",
+    "stream_dedup_exact",
+    "stream_hourly_counts",
+    "stream_incremental_dedup",
     "stream_sessionize",
     "stream_static_enriched",
     "stream_stream_join",
     "stream_user_totals",
-    "top_customers_per_nation",
-    "union_detail_total",
-    "union_distinct_dims",
-    "year_pivot",
-    "yoy_same_month",
-    # (c) top-up from the round-5-verdict cohort:
-    "bpe_token_count",
-    "calendar_dim",
-    "stream_incremental_dedup",  # r7: dir-layout stream source fix
-    "payroll_report",  # NEW r7: 13º/INSS/IRRF calculator family
-    "dedup_components",    # r7 perf fix: edge list materialized once
+    # (b) last driver verdict round 5 or older:
+    "corpus_mix",
+    "cube_report",
+    "doc_fingerprint",
+    "faturamento_proc",
+    "forecast_revenue_change",
+    "frame_sample",
+    "json_export",
+    "lang_id",
+    "media_resize",
+    "mix_monthly_pivot",
+    "pack_sequences",
+    "pk_audit",
+    "pricing_summary",
+    "quality_filter",
+    "range_condition_join",
+    "repetition_metrics",
+    "rolling_chunks",
+    "sample_stratified",
+    "shipping_priority",
+    "sliding_event_counts",
+    "supplier_region_share",
+    "text_quality",
+    "tfidf_top_terms",
+    "token_count",
+    "value_counts",
+    # (c) top-up from the round-6-verdict cohort (alphabetical):
+    "ann_bruteforce",
+    "ann_bruteforce_pandas",
+    "ann_ivf",
+    "ann_ivf_fitted",
+    "ann_lsh",
+    "ann_pq_adc",
+    "cohort_retention",
+    "curation_pipeline",
+    "decontaminate",
+    "dedup_exact",
+    "dedup_keep_best",
+    "dedup_keep_canonical",
+    "dq_report",
+    "embedding_neardup",
+    "embedding_stats",
+    "faturamento_rollup",
+    "funnel_conversion",
 )
 
 

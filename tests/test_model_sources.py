@@ -1196,3 +1196,41 @@ def test_read_excel_distributed_boolean_text_cells(spark, tmp_path):
         "a": True, "b": False, "c": False, "d": False,
         "e": True, "f": True, "g": None, "h": None, "i": True,
     }
+
+
+def test_changepoint_single_segment_fit_matches_population_moments():
+    """Ties the ml_changepoint_spine oracle to the real code path: the
+    library's lstsq fit with n_changepoints=0 must equal the
+    population-moment OLS (_trend_fit ≡ DuckDB regr_slope/
+    regr_intercept) to well past the 2dp the oracle rounds at."""
+    import numpy as np
+
+    from etl_python_spark.ml.forecast import _trend_fit, fit_changepoint_trend
+
+    rng = np.random.RandomState(7)
+    for n in (6, 24, 84):
+        y = np.round(rng.uniform(1e5, 1e7, n), 2)
+        params, cps, _ = fit_changepoint_trend(y, n_changepoints=0)
+        assert len(cps) == 0 and len(params) == 2
+        slope, icept = _trend_fit(
+            np.arange(n, dtype="float64"), y, prec=6
+        )
+        assert abs(params[1] - slope) < 1e-4
+        assert abs(params[0] - icept) < 1e-4
+
+
+def test_changepoint_spine_knot_grid_is_closed_form():
+    """The knot positions the spine query publishes are exactly the
+    grid fit_changepoint_trend lays down: i·hi/(k+1) over the first
+    80% of the series, k = min(3, n-2)."""
+    import numpy as np
+
+    from etl_python_spark.ml.forecast import fit_changepoint_trend
+
+    for n in (6, 10, 84):
+        y = np.arange(n, dtype="float64")
+        _, cps, _ = fit_changepoint_trend(y, n_changepoints=3)
+        k = min(3, n - 2)
+        hi = max(0.8 * (n - 1), 1.0)
+        want = [i * (hi / (k + 1)) for i in range(1, k + 1)]
+        assert np.allclose(cps, want, atol=1e-12), (n, cps, want)
