@@ -54,6 +54,18 @@ HEADLINE = [
     "json_export",
 ]
 
+# Heavy-family group (round-7 verdict item 5): today's most expensive
+# queries, benched per round so regressions in the ML-scale family stay
+# visible.  Kept OUT of the headline total for baseline continuity with
+# rounds 1-7; reported under "extended"/"extended_total".  Disable with
+# SPARK_GRAFT_BENCH_EXTENDED=0.
+EXTENDED = [
+    "ann_ivf_fitted",
+    "kmeans_embeddings",
+    "dedup_components",
+    "semantic_dedup",
+]
+
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -90,35 +102,40 @@ def main() -> None:
     # (ngram/minhash) showed 1-3 s run-to-run spread from GC timing —
     # one extra sample stabilizes the min at ~30 s extra wall-clock
     n_runs = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3")))
-    timings: dict[str, float] = {}
-    spread: dict[str, float] = {}
-    for name in HEADLINE:
-        fn = qs[name]
 
-        def run() -> float:
-            t0 = time.time()
-            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-            return time.time() - t0
+    def bench_group(names: list[str]) -> tuple[dict[str, float], dict[str, float]]:
+        timings: dict[str, float] = {}
+        spread: dict[str, float] = {}
+        for name in names:
+            fn = qs[name]
 
-        run()  # warm pass: compiles this query's generated code, untimed
-        samples = [run() for _ in range(n_runs)]
-        timings[name] = round(min(samples), 3)
-        spread[name] = round(max(samples) - min(samples), 3)
+            def run() -> float:
+                t0 = time.time()
+                fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+                return time.time() - t0
 
-    total = round(sum(timings.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-                "method": f"per-query warm pass + min of {n_runs} timed runs",
-                "spread": spread,
-            }
-        )
-    )
+            run()  # warm pass: compiles this query's generated code, untimed
+            samples = [run() for _ in range(n_runs)]
+            timings[name] = round(min(samples), 3)
+            spread[name] = round(max(samples) - min(samples), 3)
+        return timings, spread
+
+    timings, spread = bench_group(HEADLINE)
+    doc = {
+        "metric": "headline_queries_total",
+        "value": round(sum(timings.values()), 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "method": f"per-query warm pass + min of {n_runs} timed runs",
+        "spread": spread,
+    }
+    if os.environ.get("SPARK_GRAFT_BENCH_EXTENDED", "1") != "0":
+        ext, ext_spread = bench_group(EXTENDED)
+        doc["extended"] = ext
+        doc["extended_total"] = round(sum(ext.values()), 3)
+        doc["extended_spread"] = ext_spread
+    print(json.dumps(doc))
 
 
 if __name__ == "__main__":

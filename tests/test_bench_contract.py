@@ -21,3 +21,19 @@ def test_bench_emits_one_json_line(spark, capsys, monkeypatch):
     assert set(doc["queries"]) == set(bench.HEADLINE)
     assert all(t >= 0 for t in doc["queries"].values())
     assert set(doc["spread"]) == set(bench.HEADLINE)
+
+
+def test_bench_extended_group(spark, capsys, monkeypatch):
+    """The heavy-family group rides in the same single JSON line,
+    separate from the headline total (baseline continuity)."""
+    monkeypatch.setenv("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001")
+    monkeypatch.setenv("SPARK_GRAFT_BENCH_RUNS", "1")
+    import bench
+
+    bench.main()
+    out = [l for l in capsys.readouterr().out.strip().splitlines() if l.strip()]
+    doc = json.loads(out[-1])
+    assert set(doc["extended"]) == set(bench.EXTENDED)
+    assert doc["extended_total"] > 0
+    assert abs(doc["value"] - sum(doc["queries"].values())) < 1e-6
+    assert not set(bench.EXTENDED) & set(doc["queries"])

@@ -7,7 +7,13 @@ plan observations.
 
 Usage:
     python tools/soak_sf1.py build   # write /tmp/sf1 (10x sf0.1)
-    python tools/soak_sf1.py run     # run the soak query list
+    python tools/soak_sf1.py run [--full] [--out FILE] [--baseline FILE]
+        --full      run the ENTIRE queries() inventory (round playbook:
+                    every round — catches layout/scale bugs the oracle
+                    gates cannot; found 2 real bugs in round 7)
+        --out       bank per-query times as JSON (SOAK_r{N}.json)
+        --baseline  previous round's soak file; warm times that regress
+                    past 2x AND +2s absolute raise the alarm (exit 1)
 """
 
 from __future__ import annotations
@@ -109,13 +115,19 @@ def build() -> None:
         print(f"{t}: {n} rows")
 
 
-def run() -> None:
+def run(
+    full: bool = False,
+    out_path: str | None = None,
+    baseline_path: str | None = None,
+) -> int:
     import __spark_entry__ as entrymod
 
     spark = _session()
     qs = entrymod.queries()
+    names = list(qs) if full else SOAK_QUERIES
     results = {}
-    for name in SOAK_QUERIES:
+    failures = 0
+    for name in names:
         fn = qs[name]
         t0 = time.time()
         try:
@@ -128,10 +140,53 @@ def run() -> None:
             results[name] = {"rows": n, "cold_s": round(warm, 2), "warm_s": round(timed, 2)}
             print(f"ok   {name}: rows={n} cold={warm:.2f}s warm={timed:.2f}s", flush=True)
         except Exception as e:  # record, keep soaking
+            failures += 1
             results[name] = {"error": f"{type(e).__name__}: {e}"}
             print(f"FAIL {name}: {type(e).__name__}: {e}", flush=True)
-    print(json.dumps({"sf": "~1 (10x sf0.1)", "results": results}, indent=1))
+
+    # super-linear regression alarm vs the previous round's soak:
+    # warm time past 2x the banked value AND +2s absolute (so 0.2s→0.5s
+    # GC noise on tiny queries doesn't page anyone)
+    alarms = []
+    if baseline_path and os.path.exists(baseline_path):
+        base = json.load(open(baseline_path)).get("results", {})
+        for name, r in results.items():
+            b = base.get(name, {})
+            if "warm_s" in r and "warm_s" in b:
+                if r["warm_s"] > 2.0 * b["warm_s"] and r["warm_s"] - b["warm_s"] > 2.0:
+                    alarms.append(
+                        f"{name}: warm {b['warm_s']}s -> {r['warm_s']}s"
+                    )
+        for a in alarms:
+            print(f"ALARM {a}", flush=True)
+
+    doc = {"sf": "~1 (10x sf0.1)", "full": full, "results": results,
+           "alarms": alarms}
+    if out_path:
+        with open(out_path, "w") as f:
+            json.dump(doc, f, indent=1, sort_keys=True)
+        print(f"banked -> {out_path}", flush=True)
+    else:
+        print(json.dumps(doc, indent=1))
+    return 1 if (failures or alarms) else 0
+
+
+def _cli() -> int:
+    cmd = sys.argv[1]
+    if cmd == "build":
+        build()
+        return 0
+    args = sys.argv[2:]
+
+    def opt(name):
+        return args[args.index(name) + 1] if name in args else None
+
+    return run(
+        full="--full" in args,
+        out_path=opt("--out"),
+        baseline_path=opt("--baseline"),
+    )
 
 
 if __name__ == "__main__":
-    {"build": build, "run": run}[sys.argv[1]]()
+    sys.exit(_cli())

@@ -9,9 +9,12 @@ Gates (in order; stops on first failure, prints a summary line each):
   4. bare-session inventory run at sf0.001 (driver conditions, no
      tuned conf)
   5. bench.py (contract + timing)
+  6. sf1 soak: build /tmp/sf1 if absent, run the FULL inventory at
+     10x data, bank SOAK_r{N}.json, and alarm on any warm time past
+     2x the previous round's banked value (round-7 verdict item 6 —
+     the soak caught two real scale bugs in round 7)
 
-``--fast`` skips gates 3 and 5 for mid-round iteration.  The sf1 soak
-(tools/soak_sf1.py) is separate — it needs its build step.
+``--fast`` skips gates 3, 5 and 6 for mid-round iteration.
 """
 
 from __future__ import annotations
@@ -84,8 +87,34 @@ def main() -> int:
         return 1
     if not fast and not run("bench", [py, "bench.py"], 1800):
         return 1
+    if not fast and not soak_gate(py):
+        return 1
     print("ALL GATES GREEN")
     return 0
+
+
+def soak_gate(py: str) -> bool:
+    import glob
+    import re
+
+    dst = os.environ.get("SOAK_DST", "/tmp/sf1")
+    if not os.path.exists(os.path.join(dst, "lineitem.parquet")):
+        if not run("soak build", [py, "tools/soak_sf1.py", "build"], 1800):
+            return False
+    banked = sorted(
+        glob.glob(os.path.join(REPO, "SOAK_r*.json")),
+        key=lambda p: int(re.search(r"r(\d+)", os.path.basename(p)).group(1)),
+    )
+    benches = glob.glob(os.path.join(REPO, "BENCH_r*.json"))
+    n = 1 + max(
+        (int(re.search(r"r(\d+)", os.path.basename(p)).group(1)) for p in benches),
+        default=0,
+    )
+    out = os.path.join(REPO, f"SOAK_r{n:02d}.json")
+    cmd = [py, "tools/soak_sf1.py", "run", "--full", "--out", out]
+    if banked and banked[-1] != out:
+        cmd += ["--baseline", banked[-1]]
+    return run("sf1 soak (full inventory)", cmd, 3600)
 
 
 if __name__ == "__main__":
