@@ -94,17 +94,63 @@ def _decode_lit(v):
     return F.lit(v)
 
 
-def _owned_pred(partition_col: str, vals: list):
-    """Filter keeping exactly the rows whose partition value is in
-    ``vals`` (NULL handled explicitly — isin is three-valued)."""
-    non_null = [v for v in vals if v is not None]
-    pred = (
-        F.col(partition_col).isin(*[_decode_lit(v) for v in non_null])
-        if non_null
-        else F.lit(False)
-    )
-    if any(v is None for v in vals):
-        pred = pred | F.col(partition_col).isNull()
+def _norm_pc(pc) -> list[str] | None:
+    """Partition spec → list of column names (None if unpartitioned).
+    Accepts the legacy single string and the multi-column list."""
+    if pc is None:
+        return None
+    return [pc] if isinstance(pc, str) else list(pc)
+
+
+def _store_pc(cols: list[str] | None):
+    """List of columns → the on-disk commit-record form: a bare string
+    for one column (bit-compatible with every pre-multi-column commit
+    record), a list for several."""
+    if cols is None:
+        return None
+    return cols[0] if len(cols) == 1 else cols
+
+
+def _encode_row(r, cols: list[str]):
+    """A distinct partition-key row → its manifest ownership entry:
+    scalar for single-column tables (legacy format), list per column
+    for composite keys."""
+    if len(cols) == 1:
+        return _encode_val(r[0])
+    return [_encode_val(v) for v in r]
+
+
+def _owned_pred(partition_cols, vals: list):
+    """Filter keeping exactly the rows whose partition key is in
+    ``vals`` (NULL handled explicitly — isin/= are three-valued).
+
+    ``partition_cols`` is a column name or list of names; each entry
+    of ``vals`` is correspondingly a scalar or a per-column list.
+    Single-column stays an ``isin`` (one IN-list Catalyst turns into
+    partition pruning); composite keys become OR-of-AND with
+    ``eqNullSafe`` per column — still made of pruning-supported
+    EqualNullSafe/IsNull leaves."""
+    cols = _norm_pc(partition_cols)
+    if len(cols) == 1:
+        non_null = [v for v in vals if v is not None]
+        pred = (
+            F.col(cols[0]).isin(*[_decode_lit(v) for v in non_null])
+            if non_null
+            else F.lit(False)
+        )
+        if any(v is None for v in vals):
+            pred = pred | F.col(cols[0]).isNull()
+        return pred
+    pred = F.lit(False)
+    for tup in vals:
+        p = F.lit(True)
+        for c, v in zip(cols, tup):
+            p = p & (
+                F.col(c).isNull()
+                if v is None
+                else F.col(c).eqNullSafe(_decode_lit(v))
+            )
+        pred = pred | p
     return pred
 
 
@@ -290,7 +336,7 @@ def txn_read(
     rec = read_commit(spark, path, version)
     if rec is None:
         raise FileNotFoundError(f"no committed version at {path}")
-    pc = rec["partition_col"]
+    pc = _norm_pc(rec["partition_col"])
     from pyspark.sql.types import StructType
 
     # the committed schema pins the partition column's type — without
@@ -317,33 +363,38 @@ def txn_write(
     spark: SparkSession,
     df: DataFrame,
     path: str,
-    partition_by: str | None = None,
+    partition_by: str | list[str] | None = None,
     app_meta: dict | None = None,
 ) -> int:
     """Full-snapshot replace with atomic publish; returns the new
-    version.  The previous snapshot stays readable (time travel) until
+    version.  ``partition_by`` accepts one column or a composite list
+    (e.g. ``["y", "m"]`` — the year/month layout a 100 TB fact table
+    actually uses); the manifest then owns (y, m) tuples and every
+    partition-scoped writer prunes on the full composite key.  The
+    previous snapshot stays readable (time travel) until
     :func:`vacuum`."""
+    pcols = _norm_pc(partition_by)
     prev = read_commit(spark, path)
     version = _next_version(spark, path)
     dirname = _stage_dir(path, version).rsplit("/", 1)[-1]
     writer = df.write.mode("errorifexists")
-    if partition_by:
-        writer = writer.partitionBy(partition_by)
+    if pcols:
+        writer = writer.partitionBy(*pcols)
     writer.parquet(f"{path}/{dirname}")
     record = {
         "version": version,
         "op": "write",
-        "partition_col": partition_by,
+        "partition_col": _store_pc(pcols),
         "schema": df.schema.jsonValue(),
         "dirs": {dirname: None},
         "app_meta": app_meta,
     }
-    if partition_by:
+    if pcols:
         # values from the frame itself, NOT a read-back of the staged
         # dir (directory-name inference would re-type them)
         vals = [
-            _encode_val(r[0])
-            for r in df.select(partition_by).distinct().collect()
+            _encode_row(r, pcols)
+            for r in df.select(*pcols).distinct().collect()
         ]
         record["dirs"] = {dirname: vals}
     _publish(spark, path, record)
@@ -355,7 +406,7 @@ def txn_merge_upsert(
     source: DataFrame,
     path: str,
     keys: list[str],
-    partition_col: str | None = None,
+    partition_col: str | list[str] | None = None,
     app_meta: dict | None = None,
     on_drift: str = "error",
 ) -> int:
@@ -401,7 +452,8 @@ def txn_merge_upsert(
         return txn_write(
             spark, source, path, partition_by=partition_col, app_meta=app_meta
         )
-    if prev["partition_col"] != partition_col:
+    pcols = _norm_pc(partition_col)
+    if _norm_pc(prev["partition_col"]) != pcols:
         raise ValueError(
             f"txn {path}: table is partitioned by {prev['partition_col']!r}, "
             f"merge requested {partition_col!r}"
@@ -456,23 +508,23 @@ def txn_merge_upsert(
         ]
     )
 
-    if partition_col:
+    if pcols:
         touched = [
-            _encode_val(r[0])
-            for r in source.select(partition_col).distinct().collect()
+            _encode_row(r, pcols)
+            for r in source.select(*pcols).distinct().collect()
         ]
         touched_json = {json.dumps(t, sort_keys=True) for t in touched}
-        target = target.filter(_owned_pred(partition_col, touched))
+        target = target.filter(_owned_pred(pcols, touched))
     kept = target.join(source.select(*keys).distinct(), keys, "left_anti")
     merged = kept.unionByName(source)
 
     dirname = _stage_dir(path, version).rsplit("/", 1)[-1]
     writer = merged.write.mode("errorifexists")
-    if partition_col:
-        writer = writer.partitionBy(partition_col)
+    if pcols:
+        writer = writer.partitionBy(*pcols)
     writer.parquet(f"{path}/{dirname}")
 
-    if partition_col:
+    if pcols:
         dirs: dict = {}
         for d, vals in prev["dirs"].items():
             remaining = [
@@ -491,7 +543,7 @@ def txn_merge_upsert(
         {
             "version": version,
             "op": "merge",
-            "partition_col": partition_col,
+            "partition_col": _store_pc(pcols),
             "schema": schema.jsonValue(),
             "dirs": dirs,
             "app_meta": app_meta,
@@ -527,7 +579,7 @@ def txn_delete_where(
     if prev is None:
         raise FileNotFoundError(f"no committed version at {path}")
     version = _next_version(spark, path)
-    pc = prev["partition_col"]
+    pc = _norm_pc(prev["partition_col"])
     target = txn_read(spark, path)
     # delete exactly the rows where the condition is TRUE: a NULL
     # predicate result keeps the row (plain ~condition is three-valued
@@ -536,16 +588,16 @@ def txn_delete_where(
 
     if pc:
         touched = [
-            _encode_val(r[0])
-            for r in target.filter(condition).select(pc).distinct().collect()
+            _encode_row(r, pc)
+            for r in target.filter(condition).select(*pc).distinct().collect()
         ]
         if not touched:
             return prev["version"]
         touched_json = {json.dumps(t, sort_keys=True) for t in touched}
         kept = target.filter(_owned_pred(pc, touched)).filter(keep_pred)
         surviving = {
-            json.dumps(_encode_val(r[0]), sort_keys=True)
-            for r in kept.select(pc).distinct().collect()
+            json.dumps(_encode_row(r, pc), sort_keys=True)
+            for r in kept.select(*pc).distinct().collect()
         }
     else:
         if target.filter(condition).limit(1).count() == 0:
@@ -555,7 +607,7 @@ def txn_delete_where(
     dirname = _stage_dir(path, version).rsplit("/", 1)[-1]
     writer = kept.write.mode("errorifexists")
     if pc:
-        writer = writer.partitionBy(pc)
+        writer = writer.partitionBy(*pc)
     writer.parquet(f"{path}/{dirname}")
 
     if pc:
@@ -581,7 +633,7 @@ def txn_delete_where(
         {
             "version": version,
             "op": "delete",
-            "partition_col": pc,
+            "partition_col": _store_pc(pc),
             "schema": prev["schema"],
             "dirs": dirs,
             "app_meta": app_meta,
@@ -606,20 +658,20 @@ def txn_compact(
         raise FileNotFoundError(f"no committed version at {path}")
     version = _next_version(spark, path)
     df = txn_read(spark, path)
-    pc = prev["partition_col"]
+    pc = _norm_pc(prev["partition_col"])
     if n_files:
         df = df.repartition(n_files)
     elif pc:
-        df = df.repartition(F.col(pc))
+        df = df.repartition(*[F.col(c) for c in pc])
     dirname = _stage_dir(path, version).rsplit("/", 1)[-1]
     writer = df.write.mode("errorifexists")
     if pc:
-        writer = writer.partitionBy(pc)
+        writer = writer.partitionBy(*pc)
     writer.parquet(f"{path}/{dirname}")
     record = {
         "version": version,
         "op": "compact",
-        "partition_col": pc,
+        "partition_col": _store_pc(pc),
         "schema": prev["schema"],
         "dirs": {dirname: None},
         "app_meta": app_meta,
@@ -645,7 +697,7 @@ def txn_history(spark: SparkSession, path: str) -> DataFrame:
             (
                 rec["version"],
                 rec["op"],
-                rec["partition_col"],
+                ",".join(_norm_pc(rec["partition_col"]) or []) or None,
                 len(rec["dirs"]),
                 sorted(rec["dirs"]),
                 json.dumps(rec.get("app_meta"))

@@ -660,3 +660,127 @@ def test_transactional_sink_replay_skip_survives_interleaved_commits(spark, tmp_
     assert {r.user_id: r.payload for r in txn.txn_read(spark, target).collect()} == {
         10: "v1"
     }
+
+
+# ---------------------------------------------------------------------------
+# round-8: composite (multi-column) partitioning
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture
+def table_ym(spark, tmp_path):
+    """A (y, m)-partitioned table — the year/month layout a large fact
+    table actually uses."""
+    path = str(tmp_path / "ym")
+    df = spark.createDataFrame(
+        [
+            (1, "a", "2024", 1),
+            (2, "b", "2024", 2),
+            (3, "c", "2025", 1),
+            (4, "d", "2025", 2),
+        ],
+        "id long, v string, y string, m int",
+    )
+    txn.txn_write(spark, df, path, partition_by=["y", "m"])
+    return path
+
+
+def test_multicol_write_read_roundtrip(spark, table_ym):
+    got = {r.id: (r.v, r.y, r.m) for r in txn.txn_read(spark, table_ym).collect()}
+    assert got == {
+        1: ("a", "2024", 1), 2: ("b", "2024", 2),
+        3: ("c", "2025", 1), 4: ("d", "2025", 2),
+    }
+    rec = txn.read_commit(spark, table_ym)
+    assert rec["partition_col"] == ["y", "m"]
+    (vals,) = rec["dirs"].values()
+    assert sorted(map(tuple, vals)) == [
+        ("2024", 1), ("2024", 2), ("2025", 1), ("2025", 2)
+    ]
+
+
+def test_multicol_merge_stages_only_touched_composite_partitions(spark, table_ym):
+    """A merge into (2024, 2) restages ONLY that (y, m) cell — the
+    other three composite partitions keep pointing at the v1 dir, and
+    on disk the new dir holds just y=2024/m=2."""
+    import glob
+
+    src = spark.createDataFrame(
+        [(2, "B", "2024", 2), (9, "x", "2024", 2)],
+        "id long, v string, y string, m int",
+    )
+    txn.txn_merge_upsert(
+        spark, src, table_ym, keys=["id"], partition_col=["y", "m"]
+    )
+    rec = txn.read_commit(spark, table_ym)
+    (new_dir,) = [d for d in rec["dirs"] if d.startswith("v-00000002")]
+    (old_dir,) = [d for d in rec["dirs"] if d.startswith("v-00000001")]
+    assert [tuple(t) for t in rec["dirs"][new_dir]] == [("2024", 2)]
+    assert sorted(map(tuple, rec["dirs"][old_dir])) == [
+        ("2024", 1), ("2025", 1), ("2025", 2)
+    ]
+    leaf = {
+        p.split(f"{new_dir}/")[1]
+        for p in glob.glob(f"{table_ym}/{new_dir}/y=*/m=*")
+    }
+    assert leaf == {"y=2024/m=2"}
+    got = {r.id: r.v for r in txn.txn_read(spark, table_ym).collect()}
+    assert got == {1: "a", 2: "B", 3: "c", 4: "d", 9: "x"}
+
+
+def test_multicol_delete_scopes_and_empties_cells(spark, table_ym):
+    """DELETE matching one composite cell restages only it; a cell
+    whose rows are all deleted disappears from the manifest."""
+    v = txn.txn_delete_where(
+        spark, table_ym, (F.col("y") == "2025") & (F.col("m") == 1)
+    )
+    assert v == 2
+    rec = txn.read_commit(spark, table_ym)
+    cells = sorted(
+        tuple(t) for vals in rec["dirs"].values() for t in (vals or [])
+    )
+    assert cells == [("2024", 1), ("2024", 2), ("2025", 2)]
+    got = {r.id for r in txn.txn_read(spark, table_ym).collect()}
+    assert got == {1, 2, 4}
+    # no-match delete publishes nothing
+    assert txn.txn_delete_where(spark, table_ym, F.col("y") == "1999") == 2
+
+
+def test_multicol_null_component(spark, tmp_path):
+    """A NULL in ONE component of the composite key is tracked and
+    merged like any other cell value."""
+    path = str(tmp_path / "ymnull")
+    base = spark.createDataFrame(
+        [(1, "a", "2024", 1), (2, "b", "2024", None)],
+        "id long, v string, y string, m int",
+    )
+    txn.txn_write(spark, base, path, partition_by=["y", "m"])
+    src = spark.createDataFrame(
+        [(2, "B2", "2024", None)], "id long, v string, y string, m int"
+    )
+    txn.txn_merge_upsert(spark, src, path, keys=["id"], partition_col=["y", "m"])
+    got = {r.id: (r.v, r.m) for r in txn.txn_read(spark, path).collect()}
+    assert got == {1: ("a", 1), 2: ("B2", None)}
+    rec = txn.read_commit(spark, path)
+    (new_dir,) = [d for d in rec["dirs"] if d.startswith("v-00000002")]
+    assert [tuple(t) for t in rec["dirs"][new_dir]] == [("2024", None)]
+
+
+def test_multicol_mismatched_spec_rejected(spark, table_ym):
+    src = spark.createDataFrame(
+        [(1, "A", "2024", 1)], "id long, v string, y string, m int"
+    )
+    with pytest.raises(ValueError, match="partitioned by"):
+        txn.txn_merge_upsert(spark, src, table_ym, keys=["id"], partition_col="y")
+
+
+def test_multicol_compact_and_vacuum(spark, table_ym):
+    src = spark.createDataFrame(
+        [(1, "A", "2024", 1)], "id long, v string, y string, m int"
+    )
+    txn.txn_merge_upsert(spark, src, table_ym, keys=["id"], partition_col=["y", "m"])
+    txn.txn_compact(spark, table_ym)
+    removed = txn.vacuum(spark, table_ym)
+    assert len(removed) == 2
+    got = {r.id: r.v for r in txn.txn_read(spark, table_ym).collect()}
+    assert got == {1: "A", 2: "b", 3: "c", 4: "d"}
