@@ -31,6 +31,7 @@ VERIFY_PRIORITY = (
     # alphabetically-first round-6-verdict queries.  The round-7
     # window rotates out entirely — its verdicts are freshest.
     # (a) new or changed in round 8:
+    "dsir_scores",
     "ml_changepoint_spine",
     "stream_dedup_exact",
     "stream_hourly_counts",
@@ -82,7 +83,6 @@ VERIFY_PRIORITY = (
     "embedding_neardup",
     "embedding_stats",
     "faturamento_rollup",
-    "funnel_conversion",
 )
 
 

@@ -522,6 +522,124 @@ def nll_from_micro(scored: DataFrame) -> DataFrame:
     )
 
 
+# DSIR-style data selection (public method: Xie et al. 2023, "Data
+# Selection for Language Models via Importance Resampling"): hash
+# word features into a small bucket space, estimate the target-domain
+# and raw-corpus feature distributions, and score every document by
+# its average per-feature log-likelihood ratio — the importance
+# weight used to resample a 100 TB raw crawl toward a target domain.
+# The target sample here is the deterministic slice lang='en' AND
+# doc_id % DSIR_TARGET_MOD == 0 (a held-in domain exemplar set);
+# add-1 smoothing over the bucket space covers empty buckets.  The
+# same integer micro-nat quantization as lm_perplexity keeps the
+# per-doc average tie-safe across engines.
+DSIR_BUCKETS = 4096
+DSIR_TARGET_MOD = 7
+
+
+def q_dsir_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc DSIR importance score: average hashed-unigram
+    log-likelihood ratio (target || raw), micro-nat-summed then
+    4dp-rounded by exact integer division.
+
+    Scale shape: one explode of the corpus token stream; the bucket
+    log-ratio table is DSIR_BUCKETS rows (broadcast); scoring is a
+    broadcast join plus one doc-keyed aggregate.  Nothing in the plan
+    grows faster than the token stream and no driver collect."""
+    docs = spread(load_table(spark, sf_dir, "documents"), "doc_id")
+    feats = (
+        docs.select(
+            "doc_id",
+            "lang",
+            F.explode(
+                F.split(_norm_text(F.coalesce(F.col("text"), F.lit(""))), " ")
+            ).alias("w"),
+        )
+        .filter(F.length("w") > 0)
+        .select(
+            "doc_id",
+            "lang",
+            (hash60(F.col("w")) % DSIR_BUCKETS).cast("int").alias("b"),
+        )
+    )
+    tgt = feats.filter(
+        (F.col("lang") == "en") & (F.col("doc_id") % DSIR_TARGET_MOD == 0)
+    )
+    tgt_counts = tgt.groupBy("b").agg(F.count("*").alias("tgt_n"))
+    src_counts = feats.groupBy("b").agg(F.count("*").alias("src_n"))
+    totals = (
+        tgt_counts.agg(F.sum("tgt_n").alias("tgt_total"))
+        .crossJoin(src_counts.agg(F.sum("src_n").alias("src_total")))
+    )
+    lam = (
+        src_counts.join(tgt_counts, "b", "left")
+        .crossJoin(F.broadcast(totals))
+        .select(
+            "b",
+            F.round(
+                (
+                    F.log(
+                        (F.coalesce(F.col("tgt_n"), F.lit(0)) + 1)
+                        / (F.col("tgt_total") + DSIR_BUCKETS).cast("double")
+                    )
+                    - F.log(
+                        (F.col("src_n") + 1)
+                        / (F.col("src_total") + DSIR_BUCKETS).cast("double")
+                    )
+                )
+                * F.lit(1e6)
+            )
+            .cast("long")
+            .alias("lam_micro"),
+        )
+    )
+    n_feats = F.count(F.lit(1))
+    return (
+        feats.join(F.broadcast(lam), "b")
+        .groupBy("doc_id")
+        .agg(
+            n_feats.cast("int").alias("n_feats"),
+            (
+                F.round(
+                    F.sum("lam_micro").cast("double") / (n_feats * F.lit(100.0))
+                )
+                / F.lit(10000.0)
+            ).alias("dsir_score"),
+        )
+    )
+
+
+ORACLE_DSIR_SCORES = f"""
+WITH words AS (
+  SELECT doc_id, lang,
+         unnest(string_split(regexp_replace(lower(trim(coalesce(text,''))), '\\s+', ' ', 'g'), ' ')) AS w
+  FROM documents
+), feats AS (
+  SELECT doc_id, lang,
+         CAST({sql_hash60("w")} % {DSIR_BUCKETS} AS INT) AS b
+  FROM words WHERE w != ''
+), tgt_counts AS (
+  SELECT b, COUNT(*) AS tgt_n FROM feats
+  WHERE lang = 'en' AND doc_id % {DSIR_TARGET_MOD} = 0 GROUP BY b
+), src_counts AS (
+  SELECT b, COUNT(*) AS src_n FROM feats GROUP BY b
+), totals AS (
+  SELECT (SELECT SUM(tgt_n) FROM tgt_counts) AS tgt_total,
+         (SELECT SUM(src_n) FROM src_counts) AS src_total
+), lam AS (
+  SELECT s.b,
+         CAST(ROUND((ln((COALESCE(t.tgt_n, 0) + 1) / CAST(tt.tgt_total + {DSIR_BUCKETS} AS DOUBLE))
+                   - ln((s.src_n + 1) / CAST(tt.src_total + {DSIR_BUCKETS} AS DOUBLE))) * 1000000)
+              AS BIGINT) AS lam_micro
+  FROM src_counts s LEFT JOIN tgt_counts t USING (b) CROSS JOIN totals tt
+)
+SELECT f.doc_id, CAST(COUNT(*) AS INT) AS n_feats,
+       ROUND(CAST(SUM(l.lam_micro) AS DOUBLE) / (COUNT(*) * 100.0)) / 10000.0 AS dsir_score
+FROM feats f JOIN lam l USING (b)
+GROUP BY f.doc_id
+"""
+
+
 ORACLE_LM_PERPLEXITY = f"""
 WITH words AS (
   SELECT doc_id,
@@ -601,6 +719,7 @@ QUERIES = {
     "pack_manifest": q_pack_manifest,
     "corpus_mix": q_corpus_mix,
     "lm_perplexity": q_lm_perplexity,
+    "dsir_scores": q_dsir_scores,
     "shard_balance": q_shard_balance,
 }
 
@@ -612,4 +731,5 @@ ORACLES = {
     "corpus_mix": ORACLE_CORPUS_MIX,
     "lm_perplexity": ORACLE_LM_PERPLEXITY,
     "shard_balance": ORACLE_SHARD_BALANCE,
+    "dsir_scores": ORACLE_DSIR_SCORES,
 }
