@@ -562,36 +562,34 @@ def q_dsir_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
             (hash60(F.col("w")) % DSIR_BUCKETS).cast("int").alias("b"),
         )
     )
-    tgt = feats.filter(
-        (F.col("lang") == "en") & (F.col("doc_id") % DSIR_TARGET_MOD == 0)
+    # ONE aggregate pass over the token stream computes both
+    # distributions (conditional count for the target slice); the
+    # second and last pass over the stream is the scoring join below
+    is_tgt = (F.col("lang") == "en") & (F.col("doc_id") % DSIR_TARGET_MOD == 0)
+    counts = feats.groupBy("b").agg(
+        F.count("*").alias("src_n"),
+        F.count(F.when(is_tgt, 1)).alias("tgt_n"),
     )
-    tgt_counts = tgt.groupBy("b").agg(F.count("*").alias("tgt_n"))
-    src_counts = feats.groupBy("b").agg(F.count("*").alias("src_n"))
-    totals = (
-        tgt_counts.agg(F.sum("tgt_n").alias("tgt_total"))
-        .crossJoin(src_counts.agg(F.sum("src_n").alias("src_total")))
+    totals = counts.agg(
+        F.sum("src_n").alias("src_total"), F.sum("tgt_n").alias("tgt_total")
     )
-    lam = (
-        src_counts.join(tgt_counts, "b", "left")
-        .crossJoin(F.broadcast(totals))
-        .select(
-            "b",
-            F.round(
-                (
-                    F.log(
-                        (F.coalesce(F.col("tgt_n"), F.lit(0)) + 1)
-                        / (F.col("tgt_total") + DSIR_BUCKETS).cast("double")
-                    )
-                    - F.log(
-                        (F.col("src_n") + 1)
-                        / (F.col("src_total") + DSIR_BUCKETS).cast("double")
-                    )
+    lam = counts.crossJoin(F.broadcast(totals)).select(
+        "b",
+        F.round(
+            (
+                F.log(
+                    (F.col("tgt_n") + 1)
+                    / (F.col("tgt_total") + DSIR_BUCKETS).cast("double")
                 )
-                * F.lit(1e6)
+                - F.log(
+                    (F.col("src_n") + 1)
+                    / (F.col("src_total") + DSIR_BUCKETS).cast("double")
+                )
             )
-            .cast("long")
-            .alias("lam_micro"),
+            * F.lit(1e6)
         )
+        .cast("long")
+        .alias("lam_micro"),
     )
     n_feats = F.count(F.lit(1))
     return (
