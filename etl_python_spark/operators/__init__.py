@@ -32,6 +32,7 @@ VERIFY_PRIORITY = (
     # window rotates out entirely — its verdicts are freshest.
     # (a) new or changed in round 8:
     "dsir_scores",
+    "hll_users",
     "ml_changepoint_spine",
     "stream_dedup_exact",
     "stream_hourly_counts",
@@ -82,7 +83,6 @@ VERIFY_PRIORITY = (
     "dq_report",
     "embedding_neardup",
     "embedding_stats",
-    "faturamento_rollup",
 )
 
 

@@ -343,6 +343,133 @@ GROUP BY 1, 2
 """
 
 
+# Deterministic HyperLogLog (Flajolet et al. 2007): cardinality
+# estimation whose shuffle is REGISTER-sized (m rows per group), the
+# way a 100 TB engine counts distincts without an exact distinct
+# shuffle — Spark's own approx_count_distinct is the same sketch, but
+# built here on the engine-agnostic hash60 so every register and the
+# final estimate are bit-reproducible in DuckDB (a value oracle over
+# an *approximate* algorithm).  Sketches are mergeable by construction
+# (register max), which Catalyst exploits as a map-side partial max.
+HLL_P = 9
+HLL_M = 1 << HLL_P          # 512 registers
+_HLL_WBITS = 60 - HLL_P     # rank domain: leading zeros of the 51-bit rest
+
+
+def q_hll_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct users per event type, three ways: the HLL estimate,
+    the exact count (the audit), and the register count used.
+
+    All register arithmetic is integer-exact: rank =
+    (WBITS+1) - length(bin(w)) (no float log2), and the harmonic sum
+    Σ2^(-M_j) is scaled by 2^(WBITS+1) into exact DECIMAL(38,0)
+    integers so summation order cannot flip a bit (the micro-nats
+    rule).  The only floats are the final alpha·m²/S division and the
+    linear-counting ln — single deterministic ops both engines
+    restate identically."""
+    from .dedup import hash60
+
+    events = load_table(spark, sf_dir, "events")
+    h = hash60(F.col("user_id").cast("string"))
+    # exact integer split of the 60-bit hash: low p bits pick the
+    # register, the rest feeds the rank (bit shift, never a double
+    # division — precision dies past 2^53)
+    w = F.shiftright(h, HLL_P)
+    rank = F.when(w == 0, F.lit(_HLL_WBITS + 1)).otherwise(
+        F.lit(_HLL_WBITS + 1) - F.length(F.bin(w))
+    )
+    regs = (
+        events.select(
+            "event_type",
+            (h % HLL_M).cast("int").alias("bucket"),
+            rank.cast("int").alias("r"),
+        )
+        .groupBy("event_type", "bucket")
+        .agg(F.max("r").alias("m_j"))
+    )
+    scale = _HLL_WBITS + 1  # Σ2^-M scaled by 2^scale stays integral
+    per_type = regs.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_registers"),
+        F.sum(
+            F.expr(f"CAST(shiftleft(CAST(1 AS BIGINT), {scale} - m_j) AS DECIMAL(38,0))")
+        ).alias("s_present"),
+    )
+    s_total = (
+        F.col("s_present")
+        + (F.lit(HLL_M) - F.col("n_registers")).cast("decimal(38,0)")
+        * F.lit(1 << scale).cast("decimal(38,0)")
+    ).cast("double")
+    alpha_num = F.lit(0.7213) / (F.lit(1.0) + F.lit(1.079) / F.lit(float(HLL_M)))
+    e_raw = (
+        alpha_num
+        * F.lit(float(HLL_M))
+        * F.lit(float(HLL_M))
+        * F.lit(float(1 << scale))
+        / s_total
+    )
+    v_zero = F.lit(HLL_M) - F.col("n_registers")
+    estimate = F.when(
+        (e_raw <= F.lit(2.5 * HLL_M)) & (v_zero > 0),
+        F.lit(float(HLL_M)) * F.log(F.lit(float(HLL_M)) / v_zero.cast("double")),
+    ).otherwise(e_raw)
+    exact = events.groupBy("event_type").agg(
+        F.count_distinct("user_id").cast("int").alias("exact_distinct")
+    )
+    return (
+        per_type.select(
+            "event_type",
+            F.round(estimate, 1).alias("est_distinct"),
+            F.col("n_registers").cast("int").alias("n_registers"),
+        )
+        .join(exact, "event_type")
+    )
+
+
+ORACLE_HLL_USERS = f"""
+WITH hashed AS (
+  SELECT event_type, user_id,
+         ('0x'||substring(md5(CAST(user_id AS VARCHAR)),1,15))::BIGINT AS h
+  FROM events
+), ranked AS (
+  SELECT event_type,
+         h % {HLL_M} AS bucket,
+         CASE WHEN h // {HLL_M} = 0 THEN {_HLL_WBITS + 1}
+              ELSE {_HLL_WBITS + 1} - length(printf('%b', h // {HLL_M}))
+         END AS r
+  FROM hashed
+), regs AS (
+  SELECT event_type, bucket, MAX(r) AS m_j FROM ranked GROUP BY 1, 2
+), per_type AS (
+  SELECT event_type, COUNT(*) AS n_registers,
+         SUM(((1::BIGINT) << ({_HLL_WBITS + 1} - m_j))::DECIMAL(38,0)) AS s_present
+  FROM regs GROUP BY 1
+), est AS (
+  SELECT event_type, n_registers,
+         CAST(s_present + ({HLL_M} - n_registers)::DECIMAL(38,0)
+                          * ((1::BIGINT) << {_HLL_WBITS + 1})::DECIMAL(38,0)
+              AS DOUBLE) AS s_total
+  FROM per_type
+), raw AS (
+  SELECT event_type, n_registers,
+         (0.7213 / (1.0 + 1.079 / {float(HLL_M)}))
+           * {float(HLL_M)} * {float(HLL_M)} * {float(1 << (_HLL_WBITS + 1))}
+           / s_total AS e_raw,
+         {HLL_M} - n_registers AS v_zero
+  FROM est
+), exact AS (
+  SELECT event_type, CAST(COUNT(DISTINCT user_id) AS INT) AS exact_distinct
+  FROM events GROUP BY 1
+)
+SELECT r.event_type,
+       ROUND(CASE WHEN r.e_raw <= {2.5 * HLL_M} AND r.v_zero > 0
+                  THEN {float(HLL_M)} * ln({float(HLL_M)} / CAST(r.v_zero AS DOUBLE))
+                  ELSE r.e_raw END, 1) AS est_distinct,
+       CAST(r.n_registers AS INT) AS n_registers,
+       e.exact_distinct
+FROM raw r JOIN exact e USING (event_type)
+"""
+
+
 QUERIES = {
     "hourly_event_counts": q_hourly_event_counts,
     "sliding_event_counts": q_sliding_event_counts,
@@ -351,9 +478,11 @@ QUERIES = {
     "outlier_events": q_outlier_events,
     "funnel_conversion": q_funnel_conversion,
     "cohort_retention": q_cohort_retention,
+    "hll_users": q_hll_users,
 }
 
 ORACLES = {
+    "hll_users": ORACLE_HLL_USERS,
     "hourly_event_counts": ORACLE_HOURLY,
     "sliding_event_counts": ORACLE_SLIDING,
     "sessionize": ORACLE_SESSIONIZE,
