@@ -33,6 +33,7 @@ VERIFY_PRIORITY = (
     # (a) new or changed in round 8:
     "dsir_scores",
     "hll_users",
+    "cms_heavy_hitters",
     "ml_changepoint_spine",
     "stream_dedup_exact",
     "stream_hourly_counts",
@@ -82,7 +83,6 @@ VERIFY_PRIORITY = (
     "dedup_keep_canonical",
     "dq_report",
     "embedding_neardup",
-    "embedding_stats",
 )
 
 

@@ -470,6 +470,117 @@ FROM raw r JOIN exact e USING (event_type)
 """
 
 
+# Count-min sketch (Cormode & Muthukrishnan 2005): frequency
+# estimation in d*w integer cells — the fixed-size companion of the
+# HLL sketch for heavy-hitter detection over an unbounded key space.
+# Entirely integer arithmetic on the engine-agnostic hash, so the
+# DuckDB oracle is exact by construction (no float anywhere).  The
+# sketch is mergeable (cell-wise sum); Spark's map-side partial
+# aggregation IS the per-partition sketch merge.
+CMS_D = 4      # hash rows
+CMS_W = 1024   # cells per row
+CMS_PROBE_MOD = 50  # probe slice: user_id % 50 == 0
+
+
+def q_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Estimated vs exact event count for a probe slice of users, via
+    a d x w count-min sketch: est = min over d rows of the hashed
+    cell count — an overestimate by guarantee (never under), with the
+    overcount reported per user.
+
+    Scale shape: one explode by the constant d (stream x4), one
+    aggregate onto d*w = 4096 cells, then a broadcast join of the
+    probe keys' cells against the sketch and a min per key.  The
+    sketch size is independent of the key cardinality — the point of
+    the structure at 100 TB."""
+    from .dedup import hash60
+
+    events = load_table(spark, sf_dir, "events")
+
+    def cell(i):
+        return (
+            hash60(
+                F.concat(
+                    F.lit(f"{i}|"), F.col("user_id").cast("string")
+                )
+            )
+            % CMS_W
+        ).cast("int")
+
+    pairs = events.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("i"), cell(i).alias("c")
+                    )
+                    for i in range(CMS_D)
+                ]
+            )
+        ).alias("p")
+    )
+    sketch = pairs.groupBy("p.i", "p.c").agg(F.count(F.lit(1)).alias("n"))
+
+    probe = (
+        events.filter(F.col("user_id") % CMS_PROBE_MOD == 0)
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("exact_count"))
+    )
+    probe_cells = probe.select(
+        "user_id",
+        "exact_count",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(F.lit(i).alias("i"), cell(i).alias("c"))
+                    for i in range(CMS_D)
+                ]
+            )
+        ).alias("p"),
+    ).select("user_id", "exact_count", "p.i", "p.c")
+    return (
+        probe_cells.join(F.broadcast(sketch), ["i", "c"])
+        .groupBy("user_id", "exact_count")
+        .agg(F.min("n").alias("est_count"))
+        .select(
+            "user_id",
+            F.col("est_count").cast("long").alias("est_count"),
+            F.col("exact_count").cast("long").alias("exact_count"),
+            (F.col("est_count") - F.col("exact_count"))
+            .cast("long")
+            .alias("overcount"),
+        )
+    )
+
+
+ORACLE_CMS_HEAVY_HITTERS = f"""
+WITH rows_d AS (
+  SELECT * FROM (VALUES (0), (1), (2), (3)) AS t(i)
+), cells AS (
+  SELECT d.i,
+         CAST(('0x'||substring(md5(d.i || '|' || CAST(e.user_id AS VARCHAR)),1,15))::BIGINT
+              % {CMS_W} AS INT) AS c
+  FROM events e CROSS JOIN rows_d d
+), sketch AS (
+  SELECT i, c, COUNT(*) AS n FROM cells GROUP BY 1, 2
+), probe AS (
+  SELECT user_id, COUNT(*) AS exact_count FROM events
+  WHERE user_id % {CMS_PROBE_MOD} = 0 GROUP BY 1
+), probe_cells AS (
+  SELECT p.user_id, p.exact_count, d.i,
+         CAST(('0x'||substring(md5(d.i || '|' || CAST(p.user_id AS VARCHAR)),1,15))::BIGINT
+              % {CMS_W} AS INT) AS c
+  FROM probe p CROSS JOIN rows_d d
+)
+SELECT pc.user_id,
+       CAST(MIN(s.n) AS BIGINT) AS est_count,
+       CAST(pc.exact_count AS BIGINT) AS exact_count,
+       CAST(MIN(s.n) - pc.exact_count AS BIGINT) AS overcount
+FROM probe_cells pc JOIN sketch s USING (i, c)
+GROUP BY pc.user_id, pc.exact_count
+"""
+
+
 QUERIES = {
     "hourly_event_counts": q_hourly_event_counts,
     "sliding_event_counts": q_sliding_event_counts,
@@ -479,10 +590,12 @@ QUERIES = {
     "funnel_conversion": q_funnel_conversion,
     "cohort_retention": q_cohort_retention,
     "hll_users": q_hll_users,
+    "cms_heavy_hitters": q_cms_heavy_hitters,
 }
 
 ORACLES = {
     "hll_users": ORACLE_HLL_USERS,
+    "cms_heavy_hitters": ORACLE_CMS_HEAVY_HITTERS,
     "hourly_event_counts": ORACLE_HOURLY,
     "sliding_event_counts": ORACLE_SLIDING,
     "sessionize": ORACLE_SESSIONIZE,
