@@ -326,13 +326,26 @@ def _stage_dir(path: str, version: int) -> str:
 
 
 def txn_read(
-    spark: SparkSession, path: str, version: int | None = None
+    spark: SparkSession,
+    path: str,
+    version: int | None = None,
+    partition_filter: dict | None = None,
 ) -> DataFrame:
     """Resolve the committed snapshot (or a historical ``version``)
     into a DataFrame: one parquet read per live data dir, each filtered
     to the partitions the manifest says that dir still OWNS (partition
     pruning applies — the filter is on the partition column), unioned
-    by name."""
+    by name.
+
+    ``partition_filter`` ({col: value-or-list}) prunes at the
+    MANIFEST level, the table-format trick: a dir whose ownership list
+    contains no wanted partition never enters the plan at all — no
+    directory listing, no footer reads, a union only as wide as the
+    dirs that can match.  After many partition-scoped merges a
+    snapshot spans many dirs; a point read stays proportional to the
+    partitions asked for, not the table's merge history.  The
+    matching row predicate is also applied, so the result contains
+    exactly the requested partitions."""
     rec = read_commit(spark, path, version)
     if rec is None:
         raise FileNotFoundError(f"no committed version at {path}")
@@ -343,15 +356,60 @@ def txn_read(
     # it, directory-name type inference would re-type e.g. "2024" as
     # int and the manifest's ownership filters would mis-compare
     schema = StructType.fromJson(rec["schema"])
+
+    dirs = rec["dirs"]
+    if partition_filter:
+        if not pc:
+            raise ValueError(
+                f"txn {path}: partition_filter on an unpartitioned table"
+            )
+        unknown = set(partition_filter) - set(pc)
+        if unknown:
+            raise ValueError(
+                f"txn {path}: partition_filter names non-partition "
+                f"columns {sorted(unknown)} (table key: {pc})"
+            )
+        wanted = {
+            c: {
+                json.dumps(_encode_val(v), sort_keys=True)
+                for v in (vs if isinstance(vs, (list, tuple, set)) else [vs])
+            }
+            for c, vs in partition_filter.items()
+        }
+
+        def entry_matches(entry) -> bool:
+            by_col = dict(zip(pc, entry if len(pc) > 1 else [entry]))
+            return all(
+                json.dumps(by_col[c], sort_keys=True) in want
+                for c, want in wanted.items()
+            )
+
+        dirs = {}
+        for d, vals in rec["dirs"].items():
+            if vals is None:  # unknown ownership: cannot prune safely
+                dirs[d] = None
+                continue
+            keep = [v for v in vals if entry_matches(v)]
+            if keep:
+                dirs[d] = keep
+
     frames = []
-    for d, vals in rec["dirs"].items():
+    for d, vals in dirs.items():
         df = spark.read.schema(schema).parquet(f"{path}/{d}").select(
             *[f.name for f in schema.fields]
         )
         if pc is not None and vals is not None:
             df = df.filter(_owned_pred(pc, vals))
+        elif partition_filter and vals is None:
+            # unknown ownership: the dir can't be pruned, but the rows
+            # outside the requested partitions still must be
+            for c, vs in partition_filter.items():
+                vs = vs if isinstance(vs, (list, tuple, set)) else [vs]
+                df = df.filter(
+                    _owned_pred(c, [_encode_val(v) for v in vs])
+                )
         frames.append(df)
-    if not frames:  # a delete emptied the table: valid, zero-row snapshot
+    if not frames:  # empty table or nothing matches the filter
         return spark.createDataFrame([], schema)
     out = frames[0]
     for f in frames[1:]:

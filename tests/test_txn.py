@@ -784,3 +784,44 @@ def test_multicol_compact_and_vacuum(spark, table_ym):
     assert len(removed) == 2
     got = {r.id: r.v for r in txn.txn_read(spark, table_ym).collect()}
     assert got == {1: "A", 2: "b", 3: "c", 4: "d"}
+
+
+def test_txn_read_manifest_pruning(spark, table, table_ym):
+    """partition_filter prunes dirs at the MANIFEST level: after a
+    partition-scoped merge, a point read of an untouched partition
+    never opens the new dir (inputFiles is the proof), and composite
+    filters prune on any subset of the key."""
+    src = spark.createDataFrame([(2, "B", "2024")], "id long, v string, y string")
+    txn.txn_merge_upsert(spark, src, table, keys=["id"], partition_col="y")
+    rec = txn.read_commit(spark, table)
+    (new_dir,) = [d for d in rec["dirs"] if d.startswith("v-00000002")]
+
+    pruned = txn.txn_read(spark, table, partition_filter={"y": "2025"})
+    assert {(r.id, r.v) for r in pruned.collect()} == {(3, "c")}
+    assert not any(new_dir in f for f in pruned.inputFiles()), (
+        "the 2024-only merge dir must not enter a y=2025 read"
+    )
+    # list form + both partitions
+    both = txn.txn_read(spark, table, partition_filter={"y": ["2024", "2025"]})
+    assert {r.id for r in both.collect()} == {1, 2, 3}
+
+    # composite key: filter on a subset of the key prunes cells
+    sub = txn.txn_read(spark, table_ym, partition_filter={"m": 2})
+    assert {r.id for r in sub.collect()} == {2, 4}
+    point = txn.txn_read(
+        spark, table_ym, partition_filter={"y": "2025", "m": 1}
+    )
+    assert {r.id for r in point.collect()} == {3}
+
+    # nothing matches → empty frame with the committed schema
+    none = txn.txn_read(spark, table, partition_filter={"y": "1999"})
+    assert none.count() == 0 and none.columns == ["id", "v", "y"]
+
+    # guard rails
+    with pytest.raises(ValueError, match="non-partition"):
+        txn.txn_read(spark, table, partition_filter={"nope": 1})
+    flat = str(table) + "_flat"
+    df = spark.createDataFrame([(1, "a")], "id long, v string")
+    txn.txn_write(spark, df, flat)
+    with pytest.raises(ValueError, match="unpartitioned"):
+        txn.txn_read(spark, flat, partition_filter={"id": 1})
