@@ -94,6 +94,19 @@ def _decode_lit(v):
     return F.lit(v)
 
 
+def _decode_val(v):
+    """Inverse of :func:`_encode_val`: manifest entry → Python value."""
+    import datetime as _dt
+
+    if isinstance(v, dict):
+        if v["t"] == "date":
+            return _dt.date.fromisoformat(v["v"])
+        if v["t"] == "timestamp":
+            return _dt.datetime.fromisoformat(v["v"])
+        return v["v"]
+    return v
+
+
 def _norm_pc(pc) -> list[str] | None:
     """Partition spec → list of column names (None if unpartitioned).
     Accepts the legacy single string and the multi-column list."""
@@ -517,7 +530,6 @@ def txn_merge_upsert(
             f"merge requested {partition_col!r}"
         )
     version = _next_version(spark, path)
-    target = txn_read(spark, path)
 
     from pyspark.sql.types import StructField, StructType
 
@@ -556,6 +568,28 @@ def txn_merge_upsert(
             for f in schema.fields
         ]
     )
+    if pcols:
+        touched = [
+            _encode_row(r, pcols)
+            for r in source.select(*pcols).distinct().collect()
+        ]
+        touched_json = {json.dumps(t, sort_keys=True) for t in touched}
+        # manifest-level pruning: per-column projections of the
+        # touched cells (a conservative superset for composite keys —
+        # the exact ownership filter below closes the cross-product
+        # gap); dirs owning none of the touched partitions never
+        # enter the read plan
+        tuples = [t if len(pcols) > 1 else [t] for t in touched]
+        pf = {
+            c: sorted(
+                {_decode_val(t[i]) for t in tuples},
+                key=lambda x: (x is None, str(x)),
+            )
+            for i, c in enumerate(pcols)
+        }
+        target = txn_read(spark, path, partition_filter=pf)
+    else:
+        target = txn_read(spark, path)
     tgt_lower = {c.lower() for c in target.columns}
     target = target.select(
         *[
@@ -565,13 +599,7 @@ def txn_merge_upsert(
             for f in schema.fields
         ]
     )
-
     if pcols:
-        touched = [
-            _encode_row(r, pcols)
-            for r in source.select(*pcols).distinct().collect()
-        ]
-        touched_json = {json.dumps(t, sort_keys=True) for t in touched}
         target = target.filter(_owned_pred(pcols, touched))
     kept = target.join(source.select(*keys).distinct(), keys, "left_anti")
     merged = kept.unionByName(source)
@@ -652,7 +680,19 @@ def txn_delete_where(
         if not touched:
             return prev["version"]
         touched_json = {json.dumps(t, sort_keys=True) for t in touched}
-        kept = target.filter(_owned_pred(pc, touched)).filter(keep_pred)
+        # the restage pass re-reads with manifest pruning (the match
+        # scan above had to see the whole table; the rewrite only the
+        # touched partitions' dirs)
+        tuples = [t if len(pc) > 1 else [t] for t in touched]
+        pf = {
+            c: sorted(
+                {_decode_val(t[i]) for t in tuples},
+                key=lambda x: (x is None, str(x)),
+            )
+            for i, c in enumerate(pc)
+        }
+        pruned = txn_read(spark, path, partition_filter=pf)
+        kept = pruned.filter(_owned_pred(pc, touched)).filter(keep_pred)
         surviving = {
             json.dumps(_encode_row(r, pc), sort_keys=True)
             for r in kept.select(*pc).distinct().collect()
