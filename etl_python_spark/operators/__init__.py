@@ -34,6 +34,7 @@ VERIFY_PRIORITY = (
     "dsir_scores",
     "hll_users",
     "cms_heavy_hitters",
+    "stream_hll_users",
     "ml_changepoint_spine",
     "stream_dedup_exact",
     "stream_hourly_counts",
@@ -82,7 +83,6 @@ VERIFY_PRIORITY = (
     "dedup_keep_best",
     "dedup_keep_canonical",
     "dq_report",
-    "embedding_neardup",
 )
 
 

@@ -356,37 +356,29 @@ HLL_M = 1 << HLL_P          # 512 registers
 _HLL_WBITS = 60 - HLL_P     # rank domain: leading zeros of the 51-bit rest
 
 
-def q_hll_users(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Distinct users per event type, three ways: the HLL estimate,
-    the exact count (the audit), and the register count used.
-
-    All register arithmetic is integer-exact: rank =
-    (WBITS+1) - length(bin(w)) (no float log2), and the harmonic sum
-    Σ2^(-M_j) is scaled by 2^(WBITS+1) into exact DECIMAL(38,0)
-    integers so summation order cannot flip a bit (the micro-nats
-    rule).  The only floats are the final alpha·m²/S division and the
-    linear-counting ln — single deterministic ops both engines
-    restate identically."""
+def hll_cells(user_col):
+    """(bucket, rank) column pair for one key column — the per-row HLL
+    contribution.  Exact integer split of the 60-bit hash: low p bits
+    pick the register (bit ops, never a double division — precision
+    dies past 2^53), rank from the binary-string length (no float
+    log2)."""
     from .dedup import hash60
 
-    events = load_table(spark, sf_dir, "events")
-    h = hash60(F.col("user_id").cast("string"))
-    # exact integer split of the 60-bit hash: low p bits pick the
-    # register, the rest feeds the rank (bit shift, never a double
-    # division — precision dies past 2^53)
+    h = hash60(user_col.cast("string"))
     w = F.shiftright(h, HLL_P)
     rank = F.when(w == 0, F.lit(_HLL_WBITS + 1)).otherwise(
         F.lit(_HLL_WBITS + 1) - F.length(F.bin(w))
     )
-    regs = (
-        events.select(
-            "event_type",
-            (h % HLL_M).cast("int").alias("bucket"),
-            rank.cast("int").alias("r"),
-        )
-        .groupBy("event_type", "bucket")
-        .agg(F.max("r").alias("m_j"))
-    )
+    return (h % HLL_M).cast("int"), rank.cast("int")
+
+
+def hll_finalize(regs: DataFrame) -> DataFrame:
+    """(event_type, bucket, m_j) register table → (event_type,
+    est_distinct, n_registers).  The harmonic sum Σ2^(-M_j) is scaled
+    by 2^(WBITS+1) into exact DECIMAL(38,0) integers so summation
+    order cannot flip a bit (the micro-nats rule); the only floats
+    are the final alpha·m²/S division and the linear-counting ln —
+    single deterministic ops both engines restate identically."""
     scale = _HLL_WBITS + 1  # Σ2^-M scaled by 2^scale stays integral
     per_type = regs.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n_registers"),
@@ -412,17 +404,33 @@ def q_hll_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         (e_raw <= F.lit(2.5 * HLL_M)) & (v_zero > 0),
         F.lit(float(HLL_M)) * F.log(F.lit(float(HLL_M)) / v_zero.cast("double")),
     ).otherwise(e_raw)
+    return per_type.select(
+        "event_type",
+        F.round(estimate, 1).alias("est_distinct"),
+        F.col("n_registers").cast("int").alias("n_registers"),
+    )
+
+
+def q_hll_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct users per event type, three ways: the HLL estimate,
+    the exact count (the audit), and the register count used.  See
+    :func:`hll_cells` / :func:`hll_finalize` for the determinism
+    story; the same pieces back the streaming variant
+    (``stream_hll_users``), whose register aggregation is just this
+    per-bucket max under ``availableNow``."""
+    events = load_table(spark, sf_dir, "events")
+    bucket, rank = hll_cells(F.col("user_id"))
+    regs = (
+        events.select(
+            "event_type", bucket.alias("bucket"), rank.alias("r")
+        )
+        .groupBy("event_type", "bucket")
+        .agg(F.max("r").alias("m_j"))
+    )
     exact = events.groupBy("event_type").agg(
         F.count_distinct("user_id").cast("int").alias("exact_distinct")
     )
-    return (
-        per_type.select(
-            "event_type",
-            F.round(estimate, 1).alias("est_distinct"),
-            F.col("n_registers").cast("int").alias("n_registers"),
-        )
-        .join(exact, "event_type")
-    )
+    return hll_finalize(regs).join(exact, "event_type")
 
 
 ORACLE_HLL_USERS = f"""

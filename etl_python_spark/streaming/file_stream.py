@@ -514,6 +514,67 @@ def stream_upsert_sink(
         raise TimeoutError(f"stream_upsert_sink did not finish in {timeout_s}s")
 
 
+def stream_hll_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming distinct-user estimation: the HLL register table is a
+    plain streaming aggregate (per-bucket MAX — sketches merge by max,
+    which is exactly what a stateful streaming agg maintains), drained
+    complete-mode; the finalize step runs batch-side over the
+    register-sized result.  The streaming state is m registers per
+    event type — CONSTANT memory however many users flow past, which
+    is the whole reason a streaming pipeline carries a sketch instead
+    of a count-distinct (whose state grows with cardinality).  Same
+    estimate arithmetic as the batch ``hll_users``
+    (operators/events.py) and the same value oracle, minus the exact
+    column (exact distinct is precisely what a stream cannot keep)."""
+    from ..operators.events import hll_cells, hll_finalize
+
+    stream = _events_stream(spark, sf_dir)
+    bucket, rank = hll_cells(F.col("user_id"))
+    regs = (
+        stream.select("event_type", bucket.alias("bucket"), rank.alias("r"))
+        .groupBy("event_type", "bucket")
+        .agg(F.max("r").alias("m_j"))
+    )
+    drained = _drain_to_memory(regs, "hll_regs", "complete")
+    return hll_finalize(drained)
+
+
+ORACLE_STREAM_HLL = """
+WITH hashed AS (
+  SELECT event_type,
+         ('0x'||substring(md5(CAST(user_id AS VARCHAR)),1,15))::BIGINT AS h
+  FROM events
+), ranked AS (
+  SELECT event_type, h % 512 AS bucket,
+         CASE WHEN h // 512 = 0 THEN 52 ELSE 52 - length(printf('%b', h // 512)) END AS r
+  FROM hashed
+), regs AS (
+  SELECT event_type, bucket, MAX(r) AS m_j FROM ranked GROUP BY 1, 2
+), per_type AS (
+  SELECT event_type, COUNT(*) AS n_registers,
+         SUM(((1::BIGINT) << (52 - m_j))::DECIMAL(38,0)) AS s_present
+  FROM regs GROUP BY 1
+), est AS (
+  SELECT event_type, n_registers,
+         CAST(s_present + (512 - n_registers)::DECIMAL(38,0)
+                          * ((1::BIGINT) << 52)::DECIMAL(38,0) AS DOUBLE) AS s_total
+  FROM per_type
+), raw AS (
+  SELECT event_type, n_registers,
+         (0.7213 / (1.0 + 1.079 / 512.0)) * 512.0 * 512.0 * 4503599627370496.0
+           / s_total AS e_raw,
+         512 - n_registers AS v_zero
+  FROM est
+)
+SELECT event_type,
+       ROUND(CASE WHEN e_raw <= 1280.0 AND v_zero > 0
+                  THEN 512.0 * ln(512.0 / CAST(v_zero AS DOUBLE))
+                  ELSE e_raw END, 1) AS est_distinct,
+       CAST(n_registers AS INT) AS n_registers
+FROM raw
+"""
+
+
 QUERIES = {
     "stream_hourly_counts": hourly_counts_stream,
     "stream_static_enriched": stream_static_enriched,
@@ -522,9 +583,11 @@ QUERIES = {
     "stream_stream_join": stream_stream_join,
     "stream_dedup_exact": stream_dedup_exact,
     "stream_incremental_dedup": stream_incremental_dedup,
+    "stream_hll_users": stream_hll_users,
 }
 
 ORACLES = {
+    "stream_hll_users": ORACLE_STREAM_HLL,
     "stream_hourly_counts": ORACLE_STREAM_HOURLY,
     "stream_static_enriched": ORACLE_STREAM_ENRICHED,
     "stream_sessionize": ORACLE_STREAM_SESSIONS,

@@ -303,3 +303,18 @@ def test_stream_upsert_sink_checkpoint_exactly_once(spark, tmp_path):
     stream_upsert_sink(spark, str(landing), target, checkpoint_dir=ckpt)
     got = {(r.user_id, r.event_id) for r in spark.read.parquet(target).collect()}
     assert got == {(1, 200), (2, 101)}
+
+
+def test_stream_hll_oracle_constants_match_batch_params():
+    """The streaming HLL oracle hardcodes the sketch geometry; keep it
+    pinned to the batch constants so a p-change cannot silently skew
+    one of the two."""
+    from etl_python_spark.operators.events import HLL_M, _HLL_WBITS
+    from etl_python_spark.streaming.file_stream import ORACLE_STREAM_HLL
+
+    scale = _HLL_WBITS + 1
+    assert f"% {HLL_M}" in ORACLE_STREAM_HLL
+    assert f"// {HLL_M}" in ORACLE_STREAM_HLL
+    assert f"<< ({scale} - m_j)" in ORACLE_STREAM_HLL
+    assert f"{float(1 << scale)}" in ORACLE_STREAM_HLL
+    assert f"{2.5 * HLL_M}" in ORACLE_STREAM_HLL
