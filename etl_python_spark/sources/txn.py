@@ -560,6 +560,16 @@ def txn_merge_upsert(
         ]
     )
     src_lower = {c.lower() for c in source.columns}
+    # evolve NULL-fills removed columns — but never the merge keys or
+    # the partition key: a NULL-filled key would route every source
+    # row to the NULL partition / break matched-row identity silently
+    required = list(keys) + (pcols or [])
+    missing_required = [c for c in required if c.lower() not in src_lower]
+    if missing_required:
+        raise ValueError(
+            f"txn {path}: source is missing key/partition columns "
+            f"{missing_required} — these cannot be NULL-filled"
+        )
     source = source.select(
         *[
             F.col(f.name)

@@ -825,3 +825,22 @@ def test_txn_read_manifest_pruning(spark, table, table_ym):
     txn.txn_write(spark, df, flat)
     with pytest.raises(ValueError, match="unpartitioned"):
         txn.txn_read(spark, flat, partition_filter={"id": 1})
+
+
+def test_evolve_never_nullfills_keys_or_partition(spark, table):
+    """A source missing the merge key or the partition column must be
+    rejected even under on_drift='evolve' — NULL-filling either would
+    silently reroute every row to the NULL partition / break matched
+    identity."""
+    no_key = spark.createDataFrame([("B", "2024")], "v string, y string")
+    with pytest.raises(ValueError, match="key/partition"):
+        txn.txn_merge_upsert(
+            spark, no_key, table, keys=["id"], partition_col="y",
+            on_drift="evolve",
+        )
+    no_part = spark.createDataFrame([(2, "B")], "id long, v string")
+    with pytest.raises(ValueError, match="key/partition"):
+        txn.txn_merge_upsert(
+            spark, no_part, table, keys=["id"], partition_col="y",
+            on_drift="evolve",
+        )
