@@ -35,6 +35,7 @@ VERIFY_PRIORITY = (
     "hll_users",
     "cms_heavy_hitters",
     "stream_hll_users",
+    "kmv_overlap",
     "ml_changepoint_spine",
     "stream_dedup_exact",
     "stream_hourly_counts",
@@ -82,7 +83,6 @@ VERIFY_PRIORITY = (
     "dedup_exact",
     "dedup_keep_best",
     "dedup_keep_canonical",
-    "dq_report",
 )
 
 

@@ -589,6 +589,154 @@ GROUP BY pc.user_id, pc.exact_count
 """
 
 
+# KMV / bottom-k distinct sketch (Bar-Yossef et al. 2002; Beyer et al.
+# 2007's unioned form): keep the K smallest hash values per group.
+# Unlike HLL, KMV sketches support SET OPERATIONS: merging two
+# sketches and counting agreement estimates union size, Jaccard, and
+# intersection — the audience-overlap question at 100 TB.  Sketch
+# build is a per-group top-K over hashes (K rows per group leave the
+# shuffle); everything is exact integer arithmetic until the final
+# (K-1)·2^60/τ division, identical in both engines by construction.
+KMV_K = 256
+
+
+def q_kmv_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise distinct-user overlap between event types via merged
+    bottom-K sketches: estimated union, Jaccard, and intersection,
+    with the exact intersection as the audit column.  Pairs whose
+    merged sketch holds fewer than K values use the exact-count path
+    (the sketch IS the distinct set there — standard KMV practice)."""
+    from .dedup import hash60
+
+    events = load_table(spark, sf_dir, "events")
+    hashed = events.select(
+        "event_type",
+        "user_id",
+        hash60(F.col("user_id").cast("string")).alias("h"),
+    ).distinct()
+    w = Window.partitionBy("event_type").orderBy("h")
+    sketch = (
+        hashed.select("event_type", "h")
+        .distinct()
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= KMV_K)
+        .drop("rn")
+    )
+    types = sketch.select("event_type").distinct()
+    pairs = (
+        types.alias("a")
+        .join(types.alias("b"), F.col("a.event_type") < F.col("b.event_type"))
+        .select(
+            F.col("a.event_type").alias("t1"),
+            F.col("b.event_type").alias("t2"),
+        )
+    )
+    vals = pairs.join(
+        F.broadcast(sketch).alias("s"),
+        (F.col("s.event_type") == F.col("t1"))
+        | (F.col("s.event_type") == F.col("t2")),
+    ).select("t1", "t2", "h", "s.event_type")
+    merged = vals.groupBy("t1", "t2", "h").agg(
+        F.max((F.col("event_type") == F.col("t1")).cast("int")).alias("in_a"),
+        F.max((F.col("event_type") == F.col("t2")).cast("int")).alias("in_b"),
+    )
+    wp = Window.partitionBy("t1", "t2").orderBy("h")
+    topk = merged.withColumn("rn", F.row_number().over(wp)).filter(
+        F.col("rn") <= KMV_K
+    )
+    agg = topk.groupBy("t1", "t2").agg(
+        F.count(F.lit(1)).alias("n_vals"),
+        F.max("h").alias("tau"),
+        F.sum(F.col("in_a") * F.col("in_b")).alias("n_both"),
+    )
+    est_union = F.when(
+        F.col("n_vals") < KMV_K, F.col("n_vals").cast("double")
+    ).otherwise(
+        F.lit(float(KMV_K - 1))
+        * F.lit(float(1 << 60))
+        / F.col("tau").cast("double")
+    )
+    jacc = F.col("n_both").cast("double") / F.col("n_vals").cast("double")
+    # exact audit: true distinct-user intersection per pair
+    du = hashed.select("event_type", "user_id").distinct()
+    exact = (
+        pairs.join(
+            du.alias("x"), F.col("x.event_type") == F.col("t1")
+        )
+        .join(
+            du.alias("y"),
+            (F.col("y.event_type") == F.col("t2"))
+            & (F.col("x.user_id") == F.col("y.user_id")),
+        )
+        .groupBy("t1", "t2")
+        .agg(F.count(F.lit(1)).alias("exact_both"))
+    )
+    return (
+        agg.select(
+            "t1",
+            "t2",
+            F.round(est_union, 1).alias("est_union"),
+            F.round(jacc, 4).alias("est_jaccard"),
+            F.round(jacc * est_union, 1).alias("est_both"),
+        )
+        .join(exact, ["t1", "t2"], "left")
+        .withColumn("exact_both", F.coalesce("exact_both", F.lit(0)).cast("long"))
+    )
+
+
+ORACLE_KMV_OVERLAP = f"""
+WITH hashed AS (
+  SELECT DISTINCT event_type, user_id,
+         ('0x'||substring(md5(CAST(user_id AS VARCHAR)),1,15))::BIGINT AS h
+  FROM events
+), sk AS (
+  SELECT event_type, h FROM (
+    SELECT DISTINCT event_type, h FROM hashed
+  ) t QUALIFY ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY h) <= {KMV_K}
+), types AS (
+  SELECT DISTINCT event_type FROM sk
+), pairs AS (
+  SELECT a.event_type AS t1, b.event_type AS t2
+  FROM types a JOIN types b ON a.event_type < b.event_type
+), vals AS (
+  SELECT p.t1, p.t2, s.h, s.event_type
+  FROM pairs p JOIN sk s ON s.event_type IN (p.t1, p.t2)
+), merged AS (
+  SELECT t1, t2, h,
+         MAX(CASE WHEN event_type = t1 THEN 1 ELSE 0 END) AS in_a,
+         MAX(CASE WHEN event_type = t2 THEN 1 ELSE 0 END) AS in_b
+  FROM vals GROUP BY 1, 2, 3
+), topk AS (
+  SELECT * FROM merged
+  QUALIFY ROW_NUMBER() OVER (PARTITION BY t1, t2 ORDER BY h) <= {KMV_K}
+), agg AS (
+  SELECT t1, t2, COUNT(*) AS n_vals, MAX(h) AS tau,
+         SUM(in_a * in_b) AS n_both
+  FROM topk GROUP BY 1, 2
+), est AS (
+  SELECT t1, t2,
+         CASE WHEN n_vals < {KMV_K} THEN CAST(n_vals AS DOUBLE)
+              ELSE {float(KMV_K - 1)} * {float(1 << 60)} / CAST(tau AS DOUBLE)
+         END AS eu,
+         CAST(n_both AS DOUBLE) / CAST(n_vals AS DOUBLE) AS j
+  FROM agg
+), exact AS (
+  SELECT p.t1, p.t2, COUNT(*) AS exact_both
+  FROM pairs p
+  JOIN (SELECT DISTINCT event_type, user_id FROM hashed) x ON x.event_type = p.t1
+  JOIN (SELECT DISTINCT event_type, user_id FROM hashed) y
+    ON y.event_type = p.t2 AND y.user_id = x.user_id
+  GROUP BY 1, 2
+)
+SELECT e.t1, e.t2,
+       ROUND(e.eu, 1) AS est_union,
+       ROUND(e.j, 4) AS est_jaccard,
+       ROUND(e.j * e.eu, 1) AS est_both,
+       CAST(COALESCE(x.exact_both, 0) AS BIGINT) AS exact_both
+FROM est e LEFT JOIN exact x ON x.t1 = e.t1 AND x.t2 = e.t2
+"""
+
+
 QUERIES = {
     "hourly_event_counts": q_hourly_event_counts,
     "sliding_event_counts": q_sliding_event_counts,
@@ -599,11 +747,13 @@ QUERIES = {
     "cohort_retention": q_cohort_retention,
     "hll_users": q_hll_users,
     "cms_heavy_hitters": q_cms_heavy_hitters,
+    "kmv_overlap": q_kmv_overlap,
 }
 
 ORACLES = {
     "hll_users": ORACLE_HLL_USERS,
     "cms_heavy_hitters": ORACLE_CMS_HEAVY_HITTERS,
+    "kmv_overlap": ORACLE_KMV_OVERLAP,
     "hourly_event_counts": ORACLE_HOURLY,
     "sliding_event_counts": ORACLE_SLIDING,
     "sessionize": ORACLE_SESSIONIZE,
