@@ -614,10 +614,22 @@ def q_kmv_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id",
         hash60(F.col("user_id").cast("string")).alias("h"),
     ).distinct()
-    w = Window.partitionBy("event_type").orderBy("h")
-    sketch = (
+    # two-stage bottom-K so no single task ever sorts a type's full
+    # distinct-hash set: per-(type, salt) partial bottom-K first
+    # (64 parallel tasks per type), then the final bottom-K over the
+    # <= 64*K surviving candidates — identical result, because the K
+    # global minima are each the minimum of their salt bucket's K
+    w1 = Window.partitionBy("event_type", "salt").orderBy("h")
+    partial = (
         hashed.select("event_type", "h")
         .distinct()
+        .withColumn("salt", (F.col("h") % 64).cast("int"))
+        .withColumn("rn", F.row_number().over(w1))
+        .filter(F.col("rn") <= KMV_K)
+    )
+    w = Window.partitionBy("event_type").orderBy("h")
+    sketch = (
+        partial.select("event_type", "h")
         .withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= KMV_K)
         .drop("rn")
