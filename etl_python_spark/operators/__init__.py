@@ -36,6 +36,7 @@ VERIFY_PRIORITY = (
     "cms_heavy_hitters",
     "stream_hll_users",
     "kmv_overlap",
+    "bloom_semi_filter",
     "ml_changepoint_spine",
     "stream_dedup_exact",
     "stream_hourly_counts",
@@ -82,7 +83,6 @@ VERIFY_PRIORITY = (
     "decontaminate",
     "dedup_exact",
     "dedup_keep_best",
-    "dedup_keep_canonical",
 )
 
 

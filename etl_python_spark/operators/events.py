@@ -749,6 +749,119 @@ FROM est e LEFT JOIN exact x ON x.t1 = e.t1 AND x.t2 = e.t2
 """
 
 
+# Bloom-filter semi-join (Bloom 1970; the structure behind Spark's
+# own runtime row-group filters): build an m-bit k-hash filter over a
+# small key set, pre-filter the big side through it, and report the
+# false-positive cost against the exact semi-join.  Deterministic by
+# construction — bit positions come from salted variants of the
+# engine-agnostic hash — so DuckDB restates the filter bit-for-bit.
+BLOOM_M = 2048   # bits (sized so sf0.1 exercises real false positives)
+BLOOM_KH = 3     # hash functions
+BLOOM_SET_MOD = 7  # member set: user_id % 7 == 0
+
+
+def q_bloom_semi_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per event type: rows passing the Bloom pre-filter vs rows truly
+    in the member set, plus the false-positive count — the audit that
+    sizes a runtime filter before shipping it to a 100 TB scan.
+
+    Scale shape: the filter is a <=m-row bit table built from the
+    (small) member side and BROADCAST; the big side explodes each row
+    into its k probe positions and passes iff all k hit — one
+    broadcast join and one per-row aggregate, never a shuffle of the
+    big side by key.  The exact audit is one broadcast semi-join."""
+    from .dedup import hash60
+
+    events = load_table(spark, sf_dir, "events")
+
+    def positions(col):
+        return [
+            (
+                hash60(F.concat(F.lit(f"b{i}|"), col.cast("string")))
+                % BLOOM_M
+            ).cast("int")
+            for i in range(BLOOM_KH)
+        ]
+
+    members = (
+        events.filter(F.col("user_id") % BLOOM_SET_MOD == 0)
+        .select("user_id")
+        .distinct()
+    )
+    bits = (
+        members.select(
+            F.explode(F.array(*positions(F.col("user_id")))).alias("bit")
+        )
+        .distinct()
+    )
+    probes = events.select(
+        "event_id",
+        "event_type",
+        "user_id",
+        F.explode(F.array(*positions(F.col("user_id")))).alias("bit"),
+    )
+    passed = (
+        probes.join(F.broadcast(bits), "bit")
+        .groupBy("event_id", "event_type", "user_id")
+        .agg(F.count(F.lit(1)).alias("hits"))
+        .filter(F.col("hits") == BLOOM_KH)
+    )
+    per_type = passed.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("bloom_passed")
+    )
+    exact = (
+        events.join(F.broadcast(members), "user_id", "left_semi")
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("exact_members"))
+    )
+    return (
+        per_type.join(exact, "event_type")
+        .select(
+            "event_type",
+            F.col("bloom_passed").cast("long").alias("bloom_passed"),
+            F.col("exact_members").cast("long").alias("exact_members"),
+            (F.col("bloom_passed") - F.col("exact_members"))
+            .cast("long")
+            .alias("false_positives"),
+        )
+    )
+
+
+ORACLE_BLOOM_SEMI = f"""
+WITH hashes AS (
+  SELECT * FROM (VALUES (0), (1), (2)) AS t(i)
+), members AS (
+  SELECT DISTINCT user_id FROM events WHERE user_id % {BLOOM_SET_MOD} = 0
+), bits AS (
+  SELECT DISTINCT
+         CAST(('0x'||substring(md5('b' || h.i || '|' || CAST(m.user_id AS VARCHAR)),1,15))::BIGINT
+              % {BLOOM_M} AS INT) AS bit
+  FROM members m CROSS JOIN hashes h
+), probes AS (
+  SELECT e.event_id, e.event_type, e.user_id,
+         CAST(('0x'||substring(md5('b' || h.i || '|' || CAST(e.user_id AS VARCHAR)),1,15))::BIGINT
+              % {BLOOM_M} AS INT) AS bit
+  FROM events e CROSS JOIN hashes h
+), passed AS (
+  SELECT event_id, event_type, user_id
+  FROM probes p JOIN bits b USING (bit)
+  GROUP BY 1, 2, 3
+  HAVING COUNT(*) = {BLOOM_KH}
+), per_type AS (
+  SELECT event_type, COUNT(*) AS bloom_passed FROM passed GROUP BY 1
+), exact AS (
+  SELECT e.event_type, COUNT(*) AS exact_members
+  FROM events e WHERE e.user_id IN (SELECT user_id FROM members)
+  GROUP BY 1
+)
+SELECT p.event_type,
+       CAST(p.bloom_passed AS BIGINT) AS bloom_passed,
+       CAST(x.exact_members AS BIGINT) AS exact_members,
+       CAST(p.bloom_passed - x.exact_members AS BIGINT) AS false_positives
+FROM per_type p JOIN exact x USING (event_type)
+"""
+
+
 QUERIES = {
     "hourly_event_counts": q_hourly_event_counts,
     "sliding_event_counts": q_sliding_event_counts,
@@ -760,12 +873,14 @@ QUERIES = {
     "hll_users": q_hll_users,
     "cms_heavy_hitters": q_cms_heavy_hitters,
     "kmv_overlap": q_kmv_overlap,
+    "bloom_semi_filter": q_bloom_semi_filter,
 }
 
 ORACLES = {
     "hll_users": ORACLE_HLL_USERS,
     "cms_heavy_hitters": ORACLE_CMS_HEAVY_HITTERS,
     "kmv_overlap": ORACLE_KMV_OVERLAP,
+    "bloom_semi_filter": ORACLE_BLOOM_SEMI,
     "hourly_event_counts": ORACLE_HOURLY,
     "sliding_event_counts": ORACLE_SLIDING,
     "sessionize": ORACLE_SESSIONIZE,
