@@ -163,3 +163,43 @@ def test_partitioned_staging_prunes_partitions(spark, tmp_path):
     assert "PartitionFilters: [isnotnull(ano" in plan or "PartitionFilters: [(ano" in plan, plan
     years = {r.ano for r in read.select("ano").distinct().collect()}
     assert years == {1998}
+
+
+def test_sketch_family_plan_shapes(spark):
+    """Round-8 sketches: no cartesian products anywhere; the probe /
+    scoring joins broadcast their sketch-sized side; the KMV build
+    never funnels a type's distinct set through one task (every data
+    window partitions by the salt stage first)."""
+    import re
+
+    from etl_python_spark.operators.events import (
+        q_bloom_semi_filter,
+        q_cms_heavy_hitters,
+        q_hll_users,
+        q_kmv_overlap,
+    )
+
+    for fn in (q_hll_users, q_cms_heavy_hitters, q_bloom_semi_filter):
+        plan = _plan(fn(spark, SF_SMOKE))
+        assert "CartesianProduct" not in plan, fn.__name__
+        assert "BroadcastHashJoin" in plan, fn.__name__
+
+    plan = _plan(q_kmv_overlap(spark, SF_SMOKE))
+    assert "CartesianProduct" not in plan
+    # two-stage bottom-K: the first row_number window over the data
+    # partitions by (event_type, salt); only the <=64K-candidate
+    # second stage may partition by event_type alone
+    specs = re.findall(r"row_number\(\) windowspecdefinition\(([^,]+, [^,]+),", plan)
+    assert any("salt" in s for s in specs), specs
+
+
+def test_dsir_token_stream_read_exactly_twice(spark):
+    """dsir_scores reads the corpus token stream twice (distribution
+    pass + scoring pass) and broadcasts the bucket table — no third
+    explode and no shuffled lambda join."""
+    from etl_python_spark.operators.corpus import q_dsir_scores
+
+    plan = _plan(q_dsir_scores(spark, SF_SMOKE))
+    assert plan.count("Generate explode") <= 2
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
