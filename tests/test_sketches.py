@@ -1,0 +1,113 @@
+"""Statistical-quality tests for the sketch family (round 8).
+
+The DuckDB oracles prove ENGINE PARITY (Spark and the oracle compute
+the same numbers); these tests prove the numbers are actually good
+estimates — a consistently-biased implementation would sail through a
+parity check.  All inputs are deterministic (no RNG), so the asserted
+error bounds are exact repeatable facts, chosen with ~3x slack over
+the theoretical standard errors (HLL: 1.04/sqrt(512) ~ 4.6%;
+KMV: 1/sqrt(255) ~ 6.3%)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+
+def _keyed_events(spark, n_users: int, per_user: int = 1):
+    """events-shaped frame with exactly n_users distinct user_ids."""
+    return (
+        spark.range(n_users * per_user)
+        .select(
+            F.lit("t").alias("event_type"),
+            (F.col("id") % n_users + 1_000_000).alias("user_id"),
+        )
+    )
+
+
+@pytest.mark.parametrize("n", [100, 2_000, 20_000])
+def test_hll_estimate_within_bound(spark, n):
+    from etl_python_spark.operators.events import hll_cells, hll_finalize
+
+    df = _keyed_events(spark, n, per_user=2)  # duplicates must not matter
+    bucket, rank = hll_cells(F.col("user_id"))
+    regs = (
+        df.select("event_type", bucket.alias("bucket"), rank.alias("r"))
+        .groupBy("event_type", "bucket")
+        .agg(F.max("r").alias("m_j"))
+    )
+    (row,) = hll_finalize(regs).collect()
+    assert abs(row.est_distinct - n) / n < 0.15, (n, row.est_distinct)
+
+
+def test_cms_never_underestimates_and_is_tight_for_heavy_keys(spark, tmp_path):
+    """The count-min guarantee: est >= exact for every key; for a key
+    holding most of the stream the overcount is bounded by the
+    light-traffic spillover (eps*N with eps=e/w)."""
+    import glob
+    import shutil
+
+    # 1 heavy user (5k events) + 500 light users (10 each), probe slice
+    # chosen to include the heavy key
+    heavy = spark.range(5_000).select(
+        F.lit(0).alias("user_id"), F.col("id").alias("event_id"),
+        F.lit("t").alias("event_type"),
+    )
+    light = spark.range(5_000).select(
+        (F.col("id") % 500 + 1).alias("user_id"),
+        (F.col("id") + 10_000).alias("event_id"),
+        F.lit("t").alias("event_type"),
+    )
+    df = heavy.unionByName(light)
+
+    from etl_python_spark.operators import events as ev
+
+    # drive the query body directly on the synthetic frame by writing
+    # it as an events table in a scratch sf_dir
+    sf = tmp_path / "sfcms"
+    sf.mkdir()
+    df.select(
+        "event_id", "user_id", "event_type",
+        F.lit(None).cast("timestamp").alias("ts"),
+        F.lit(0.0).alias("value"), F.lit(None).cast("string").alias("props"),
+    ).write.parquet(str(sf / "events.parquet"))
+
+    out = {r.user_id: r for r in ev.q_cms_heavy_hitters(spark, str(sf)).collect()}
+    assert out, "probe slice empty"
+    for r in out.values():
+        assert r.overcount >= 0  # never underestimates
+    heavy_row = out[0]  # user 0 is in the % 50 == 0 probe slice
+    assert heavy_row.exact_count == 5_000
+    # eps*N with w=1024: 10_000*e/1024 ~ 27; allow collisions slack
+    assert heavy_row.overcount <= 200, heavy_row
+
+
+@pytest.mark.parametrize("n", [150, 5_000])
+def test_kmv_union_estimate_within_bound(spark, n, monkeypatch, tmp_path):
+    """KMV union estimate error for disjoint-ish and identical sets."""
+    from etl_python_spark.operators import events as ev
+
+    a = spark.range(n).select(
+        F.lit("a").alias("event_type"), (F.col("id") + 1).alias("user_id")
+    )
+    b = spark.range(n).select(
+        F.lit("b").alias("event_type"), (F.col("id") + 1).alias("user_id")
+    )
+    df = a.unionByName(b)
+    sf = tmp_path / "sfkmv"
+    sf.mkdir()
+    df.select(
+        F.col("user_id").alias("event_id"), "user_id", "event_type",
+        F.lit(None).cast("timestamp").alias("ts"),
+        F.lit(0.0).alias("value"), F.lit(None).cast("string").alias("props"),
+    ).write.parquet(str(sf / "events.parquet"))
+
+    (row,) = ev.q_kmv_overlap(spark, str(sf)).collect()
+    # identical user sets: union = n, jaccard = 1, intersection = n
+    assert row.est_jaccard == 1.0
+    if n <= ev.KMV_K:
+        assert row.est_union == float(n)  # exact path below K
+        assert row.exact_both == n
+    else:
+        assert abs(row.est_union - n) / n < 0.2, row
+        assert abs(row.est_both - n) / n < 0.2, row
