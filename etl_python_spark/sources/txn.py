@@ -302,7 +302,14 @@ class ReadBackVerifyBackend(CommitBackend):
         renamed = self._rename(fs, tmp, final)
         if fs.exists(tmp):
             fs.delete(tmp, False)
-        if not renamed or self._read_final(spark, fs, final) != data:
+        try:
+            verified = renamed and self._read_final(spark, fs, final) == data
+        except Exception:
+            # an unreadable final record (torn overwrite, checksum
+            # mismatch) means we cannot confirm our bytes won — same
+            # outcome as losing the race, not an infrastructure error
+            verified = False
+        if not verified:
             raise ConcurrentCommitError(
                 f"txn {path}: version {version} was committed by "
                 f"another writer (read-back mismatch)"

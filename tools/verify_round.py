@@ -112,8 +112,18 @@ def soak_gate(py: str) -> bool:
     )
     out = os.path.join(REPO, f"SOAK_r{n:02d}.json")
     cmd = [py, "tools/soak_sf1.py", "run", "--full", "--out", out]
-    if banked and banked[-1] != out:
-        cmd += ["--baseline", banked[-1]]
+    # baseline: the newest banked file that is not this round's own
+    # (re-running within a round diffs against the previous round)
+    prior = [p for p in banked if p != out]
+    if prior:
+        cmd += ["--baseline", prior[-1]]
+    elif banked:
+        # only this round's file exists: diff against a copy of it
+        import shutil
+
+        prev = "/tmp/soak_prev_baseline.json"
+        shutil.copy(banked[-1], prev)
+        cmd += ["--baseline", prev]
     return run("sf1 soak (full inventory)", cmd, 3600)
 
 
