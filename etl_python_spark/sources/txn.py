@@ -324,8 +324,17 @@ def _publish(spark: SparkSession, path: str, record: dict) -> None:
     active :data:`COMMIT_BACKEND`.  A unique ``commit_token`` is
     stamped into every record so backends can distinguish two writers
     racing the same version even when their payloads would otherwise
-    be byte-identical."""
-    record = dict(record, commit_token=uuid.uuid4().hex)
+    be byte-identical; ``committed_at`` (UTC ISO) rides along for
+    history/retention introspection."""
+    import datetime as _dt
+
+    record = dict(
+        record,
+        commit_token=uuid.uuid4().hex,
+        committed_at=_dt.datetime.now(_dt.timezone.utc).isoformat(
+            timespec="seconds"
+        ),
+    )
     data = json.dumps(record).encode("utf-8")
     COMMIT_BACKEND.publish(spark, path, record["version"], data)
 
@@ -757,6 +766,54 @@ def txn_delete_where(
     return version
 
 
+def txn_restore(
+    spark: SparkSession,
+    path: str,
+    version: int,
+    app_meta: dict | None = None,
+) -> int:
+    """Roll the table back to historical ``version`` by publishing a
+    NEW commit that re-points at that version's data dirs — the undo
+    for a bad merge/delete, and it is pure METADATA: no data is read,
+    copied, or rewritten, exactly like every table format's RESTORE.
+    The bad versions stay in history (auditable) until :func:`vacuum`;
+    restore is only possible while the target version's dirs survive
+    vacuum's retention, so schedule vacuum accordingly."""
+    target = read_commit(spark, path, version)
+    if target is None:
+        raise FileNotFoundError(
+            f"txn {path}: no readable commit for version {version}"
+        )
+    # every dir the restored manifest references must still exist —
+    # vacuum may have reclaimed dirs only historical versions used
+    jvm, fs, _ = _fs(spark, path)
+    missing = [
+        d
+        for d in target["dirs"]
+        if not fs.exists(jvm.org.apache.hadoop.fs.Path(f"{path}/{d}"))
+    ]
+    if missing:
+        raise FileNotFoundError(
+            f"txn {path}: cannot restore version {version} — data dirs "
+            f"{missing} were vacuumed"
+        )
+    new_version = _next_version(spark, path)
+    _publish(
+        spark,
+        path,
+        {
+            "version": new_version,
+            "op": "restore",
+            "restored_version": version,
+            "partition_col": target["partition_col"],
+            "schema": target["schema"],
+            "dirs": target["dirs"],
+            "app_meta": app_meta,
+        },
+    )
+    return new_version
+
+
 def txn_compact(
     spark: SparkSession,
     path: str,
@@ -799,10 +856,11 @@ def txn_compact(
 
 
 def txn_history(spark: SparkSession, path: str) -> DataFrame:
-    """The commit log as a DataFrame — (version, op, partition_col,
-    n_dirs, dirs, app_meta_json), newest first: the DESCRIBE-HISTORY
-    introspection an operator reaches for before a time-travel read or
-    a vacuum.  Metadata-scale by construction (one row per commit)."""
+    """The commit log as a DataFrame — (version, op, committed_at,
+    partition_col, n_dirs, dirs, app_meta_json), newest first: the
+    DESCRIBE-HISTORY introspection an operator reaches for before a
+    time-travel read, a restore, or a vacuum.  Metadata-scale by
+    construction (one row per commit)."""
     records = []
     for v in list_versions(spark, path):
         rec = read_commit(spark, path, v)
@@ -812,6 +870,7 @@ def txn_history(spark: SparkSession, path: str) -> DataFrame:
             (
                 rec["version"],
                 rec["op"],
+                rec.get("committed_at"),
                 ",".join(_norm_pc(rec["partition_col"]) or []) or None,
                 len(rec["dirs"]),
                 sorted(rec["dirs"]),
@@ -822,7 +881,8 @@ def txn_history(spark: SparkSession, path: str) -> DataFrame:
         )
     return spark.createDataFrame(
         sorted(records, key=lambda r: -r[0]),
-        "version int, op string, partition_col string, n_dirs int, "
+        "version int, op string, committed_at string, "
+        "partition_col string, n_dirs int, "
         "dirs array<string>, app_meta_json string",
     )
 

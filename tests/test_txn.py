@@ -844,3 +844,36 @@ def test_evolve_never_nullfills_keys_or_partition(spark, table):
             spark, no_part, table, keys=["id"], partition_col="y",
             on_drift="evolve",
         )
+
+
+def test_txn_restore_is_metadata_only_rollback(spark, table):
+    """RESTORE publishes a new commit re-pointing at a historical
+    version's dirs — no data rewrite; the bad versions stay in
+    history; a vacuumed target refuses loudly."""
+    import glob
+
+    src = spark.createDataFrame([(2, "BAD", "2024")], "id long, v string, y string")
+    txn.txn_merge_upsert(spark, src, table, keys=["id"], partition_col="y")  # v2
+    n_dirs_before = len(glob.glob(f"{table}/v-*"))
+
+    v = txn.txn_restore(spark, table, 1)
+    assert v == 3
+    assert _rows(spark, table) == [(1, "a"), (2, "b"), (3, "c")]  # back to v1
+    # metadata only: no new data dir materialized
+    assert len(glob.glob(f"{table}/v-*")) == n_dirs_before
+    # history keeps the bad merge, newest first, with timestamps
+    hist = txn.txn_history(spark, table).collect()
+    assert [(r.version, r.op) for r in hist] == [
+        (3, "restore"), (2, "merge"), (1, "write")
+    ]
+    assert all(r.committed_at is not None for r in hist)
+    # the restore commit records its provenance
+    assert txn.read_commit(spark, table)["restored_version"] == 1
+
+    # after vacuum reclaims v2's dir (unreferenced now), restoring TO
+    # v2 must refuse rather than publish a dangling manifest
+    txn.vacuum(spark, table)
+    with pytest.raises(FileNotFoundError, match="vacuumed"):
+        txn.txn_restore(spark, table, 2)
+    # restoring to the live manifest's own version still works
+    assert txn.txn_restore(spark, table, 1) == 4
