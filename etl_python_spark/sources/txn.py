@@ -814,6 +814,76 @@ def txn_restore(
     return new_version
 
 
+def txn_changes(
+    spark: SparkSession,
+    path: str,
+    keys: list[str],
+    from_version: int,
+    to_version: int | None = None,
+) -> DataFrame:
+    """Row-level CDC between two committed versions: what an
+    incremental consumer missed — (keys..., change_type
+    insert|update|delete, payload...).  One full-outer join on the
+    key between the two snapshots; unchanged rows are dropped, so at
+    100 TB the output is delta-sized, not table-sized (the same shape
+    as the ``snapshot_diff`` query, generalized to any txn table and
+    any key).  Payload columns are the columns the two versions share
+    (schema evolution in between narrows the comparison to the common
+    set); deletes carry the old payload, inserts/updates the new."""
+    old = txn_read(spark, path, from_version).withColumn("_o", F.lit(1))
+    new = txn_read(spark, path, to_version).withColumn("_n", F.lit(1))
+    common = [
+        c for c in new.columns
+        if c in old.columns and c not in keys and c != "_n"
+    ]
+
+    def row_hash(df):
+        return F.xxhash64(
+            *[
+                F.coalesce(F.col(c).cast("string"), F.lit("\x00"))
+                for c in common
+            ]
+        )
+
+    o = old.select(
+        *keys, row_hash(old).alias("_h"), *common, "_o"
+    ).alias("o")
+    n = new.select(
+        *keys, row_hash(new).alias("_h"), *common, "_n"
+    ).alias("n")
+    cond = F.lit(True)
+    for k in keys:
+        cond = cond & F.col(f"o.{k}").eqNullSafe(F.col(f"n.{k}"))
+    j = o.join(n, cond, "full_outer")
+    change = (
+        F.when(F.col("o._o").isNull(), F.lit("insert"))
+        .when(F.col("n._n").isNull(), F.lit("delete"))
+        .when(F.col("o._h") != F.col("n._h"), F.lit("update"))
+    )
+    # payload by PRESENCE, not value: an update that sets a column to
+    # NULL must surface NULL, not the old value a coalesce would leak
+    new_present = F.col("n._n").isNotNull()
+    return (
+        j.withColumn("change_type", change)
+        .filter(F.col("change_type").isNotNull())
+        .select(
+            *[
+                F.when(new_present, F.col(f"n.{k}"))
+                .otherwise(F.col(f"o.{k}"))
+                .alias(k)
+                for k in keys
+            ],
+            "change_type",
+            *[
+                F.when(new_present, F.col(f"n.{c}"))
+                .otherwise(F.col(f"o.{c}"))
+                .alias(c)
+                for c in common
+            ],
+        )
+    )
+
+
 def txn_compact(
     spark: SparkSession,
     path: str,

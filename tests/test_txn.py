@@ -877,3 +877,31 @@ def test_txn_restore_is_metadata_only_rollback(spark, table):
         txn.txn_restore(spark, table, 2)
     # restoring to the live manifest's own version still works
     assert txn.txn_restore(spark, table, 1) == 4
+
+
+def test_txn_changes_classifies_insert_update_delete(spark, table):
+    """Row-level CDC between versions: inserts/updates/deletes
+    classified, unchanged rows dropped, update-to-NULL surfaces NULL
+    (presence-driven payload, not coalesce)."""
+    src = spark.createDataFrame(
+        [(2, None, "2024"), (9, "x", "2026")], "id long, v string, y string"
+    )
+    txn.txn_merge_upsert(spark, src, table, keys=["id"], partition_col="y")  # v2
+    txn.txn_delete_where(spark, table, F.col("id") == 3)  # v3
+
+    got = {
+        r.id: (r.change_type, r.v)
+        for r in txn.txn_changes(spark, table, ["id"], 1, 3).collect()
+    }
+    assert got == {
+        2: ("update", None),   # NULL payload survives (not old "b")
+        9: ("insert", "x"),
+        3: ("delete", "c"),    # deletes carry the old payload
+    }
+    # id=1 unchanged -> absent; adjacent-version diff sees only the delete
+    assert {
+        r.id: r.change_type
+        for r in txn.txn_changes(spark, table, ["id"], 2, 3).collect()
+    } == {3: "delete"}
+    # identical versions -> empty delta
+    assert txn.txn_changes(spark, table, ["id"], 3, 3).count() == 0
