@@ -143,6 +143,19 @@ def run(
             failures += 1
             results[name] = {"error": f"{type(e).__name__}: {e}"}
             print(f"FAIL {name}: {type(e).__name__}: {e}", flush=True)
+        # the session lives across ~130 queries; localCheckpointed
+        # relations (dedup/similarity) hold BlockManager memory until
+        # the Python refs die AND the ContextCleaner runs — without an
+        # explicit collect the 8g heap eventually OOMs late in the
+        # sweep (observed on dedup_components ~query 80)
+        import gc
+
+        df = None
+        gc.collect()
+        try:
+            spark.catalog.clearCache()
+        except Exception:
+            pass
 
     # super-linear regression alarm vs the previous round's soak:
     # warm time past 2x the banked value AND +2s absolute (so 0.2s→0.5s
