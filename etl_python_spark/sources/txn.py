@@ -605,15 +605,9 @@ def txn_merge_upsert(
         # the exact ownership filter below closes the cross-product
         # gap); dirs owning none of the touched partitions never
         # enter the read plan
-        tuples = [t if len(pcols) > 1 else [t] for t in touched]
-        pf = {
-            c: sorted(
-                {_decode_val(t[i]) for t in tuples},
-                key=lambda x: (x is None, str(x)),
-            )
-            for i, c in enumerate(pcols)
-        }
-        target = txn_read(spark, path, partition_filter=pf)
+        target = txn_read(
+            spark, path, partition_filter=_pf_from_touched(pcols, touched)
+        )
     else:
         target = txn_read(spark, path)
     tgt_lower = {c.lower() for c in target.columns}
@@ -709,15 +703,9 @@ def txn_delete_where(
         # the restage pass re-reads with manifest pruning (the match
         # scan above had to see the whole table; the rewrite only the
         # touched partitions' dirs)
-        tuples = [t if len(pc) > 1 else [t] for t in touched]
-        pf = {
-            c: sorted(
-                {_decode_val(t[i]) for t in tuples},
-                key=lambda x: (x is None, str(x)),
-            )
-            for i, c in enumerate(pc)
-        }
-        pruned = txn_read(spark, path, partition_filter=pf)
+        pruned = txn_read(
+            spark, path, partition_filter=_pf_from_touched(pc, touched)
+        )
         kept = pruned.filter(_owned_pred(pc, touched)).filter(keep_pred)
         surviving = {
             json.dumps(_encode_row(r, pc), sort_keys=True)
@@ -814,6 +802,58 @@ def txn_restore(
     return new_version
 
 
+def _pf_from_touched(pcols: list[str], touched: list) -> dict:
+    """Encoded touched cells → a txn_read ``partition_filter``:
+    per-column value projections (a conservative superset for
+    composite keys — the per-row predicates downstream close the
+    cross-product gap)."""
+    tuples = [t if len(pcols) > 1 else [t] for t in touched]
+    return {
+        c: sorted(
+            {_decode_val(t[i]) for t in tuples},
+            key=lambda x: (x is None, str(x)),
+        )
+        for i, c in enumerate(pcols)
+    }
+
+
+def _partition_assignment(rec: dict) -> dict:
+    """Manifest → {encoded partition value (json) → owning dirname}."""
+    return {
+        json.dumps(v, sort_keys=True): d
+        for d, vals in rec["dirs"].items()
+        for v in (vals or [])
+    }
+
+
+def touched_partitions_between(
+    spark: SparkSession, path: str, from_version: int, to_version: int
+) -> list | None:
+    """Partition values whose rows CAN differ between two committed
+    versions — pure manifest metadata, no data read.  Because data
+    dirs are immutable, a partition owned by the SAME dir in both
+    manifests is bit-identical; only partitions whose owning dir
+    changed (or appeared/disappeared) can carry changes.  Returns the
+    encoded value list, or None for unpartitioned tables (every
+    commit replaces the dirs — no sub-table scoping exists)."""
+    a = read_commit(spark, path, from_version)
+    b = read_commit(spark, path, to_version)
+    if a is None or b is None:
+        raise FileNotFoundError(
+            f"txn {path}: missing commit {from_version} or {to_version}"
+        )
+    if _norm_pc(a["partition_col"]) is None or _norm_pc(
+        b["partition_col"]
+    ) is None:
+        return None
+    pa, pb = _partition_assignment(a), _partition_assignment(b)
+    return [
+        json.loads(k)
+        for k in sorted(set(pa) | set(pb))
+        if pa.get(k) != pb.get(k)
+    ]
+
+
 def txn_changes(
     spark: SparkSession,
     path: str,
@@ -829,9 +869,36 @@ def txn_changes(
     as the ``snapshot_diff`` query, generalized to any txn table and
     any key).  Payload columns are the columns the two versions share
     (schema evolution in between narrows the comparison to the common
-    set); deletes carry the old payload, inserts/updates the new."""
-    old = txn_read(spark, path, from_version).withColumn("_o", F.lit(1))
-    new = txn_read(spark, path, to_version).withColumn("_n", F.lit(1))
+    set); deletes carry the old payload, inserts/updates the new.
+
+    On partitioned tables the diff is MANIFEST-SCOPED before any data
+    is read: dir immutability means a partition owned by the same dir
+    in both versions cannot differ, so both snapshot reads prune to
+    :func:`touched_partitions_between` — the diff costs the
+    partitions the intervening commits actually staged, never two
+    full table scans."""
+    if to_version is None:
+        rec = read_commit(spark, path)
+        if rec is None:
+            raise FileNotFoundError(f"no committed version at {path}")
+        to_version = rec["version"]
+    touched = touched_partitions_between(spark, path, from_version, to_version)
+    pf = None
+    if touched is not None:
+        pcols = _norm_pc(read_commit(spark, path, to_version)["partition_col"])
+        if not touched:  # manifests identical partition-wise: no delta
+            empty = txn_read(spark, path, to_version).limit(0)
+            common0 = [c for c in empty.columns if c not in keys]
+            return empty.select(
+                *keys, F.lit("").alias("change_type"), *common0
+            )
+        pf = _pf_from_touched(pcols, touched)
+    old = txn_read(
+        spark, path, from_version, partition_filter=pf
+    ).withColumn("_o", F.lit(1))
+    new = txn_read(
+        spark, path, to_version, partition_filter=pf
+    ).withColumn("_n", F.lit(1))
     common = [
         c for c in new.columns
         if c in old.columns and c not in keys and c != "_n"
@@ -881,6 +948,131 @@ def txn_changes(
                 for c in common
             ],
         )
+    )
+
+
+def txn_maintain_agg(
+    spark: SparkSession,
+    base_path: str,
+    view_path: str,
+    keys: list[str],
+    group_cols: list[str],
+    sum_cols: list[str],
+) -> int:
+    """Incrementally maintain a SUM/COUNT aggregate view of a txn base
+    table — the materialized-view loop a warehouse runs after every
+    base commit.
+
+    The view is itself a txn table holding ``group_cols``, one
+    ``<c>_sum`` per ``sum_cols`` entry, and ``n_rows``; its latest
+    commit's ``app_meta.base_version`` records how far it has
+    consumed the base.  Each call:
+
+    1. no-ops if the view already covers the base's latest version;
+    2. otherwise pulls :func:`txn_changes` for the uncovered span —
+       which is manifest-scoped to the touched partitions, so the
+       incremental cost is the changed slice of the base, never a
+       full rescan — and folds each change into signed deltas
+       (insert: +new; delete: -old; update: +new −old);
+    3. full-outer-joins the (aggregate-sized) view with the
+       (delta-sized) per-group deltas, drops groups whose row count
+       reaches zero, and atomically republishes the view.
+
+    SUM/COUNT are self-maintainable aggregates; AVG derives as
+    sum/count downstream.  MIN/MAX are NOT maintainable from deltas
+    alone (a deleted extremum needs a rescan) — compute those views
+    by full rebuild.  Returns the view's new committed version."""
+    base_rec = read_commit(spark, base_path)
+    if base_rec is None:
+        raise FileNotFoundError(f"no committed version at {base_path}")
+    base_version = base_rec["version"]
+
+    def build_full() -> int:
+        agg = (
+            txn_read(spark, base_path)
+            .groupBy(*group_cols)
+            .agg(
+                F.count(F.lit(1)).alias("n_rows"),
+                *[F.sum(c).alias(f"{c}_sum") for c in sum_cols],
+            )
+        )
+        return txn_write(
+            spark, agg, view_path,
+            app_meta={"base_version": base_version},
+        )
+
+    view_rec = read_commit(spark, view_path)
+    covered = (view_rec or {}).get("app_meta", {}) or {}
+    covered = covered.get("base_version")
+    if view_rec is None or covered is None:
+        return build_full()
+    if covered == base_version:
+        return view_rec["version"]
+
+    changes = txn_changes(spark, base_path, keys, covered, base_version)
+    # signed contribution per change row: updates contribute both ways
+    sign_new = F.when(
+        F.col("change_type").isin("insert", "update"), F.lit(1)
+    ).otherwise(F.lit(0))
+    sign_old = F.when(F.col("change_type") == "delete", F.lit(-1)).otherwise(
+        F.lit(0)
+    )
+    # updates need the OLD row subtracted too; txn_changes carries only
+    # the new payload for updates, so re-derive old rows for updated
+    # keys from the covered version (delta-sized semi-join)
+    upd_keys = changes.filter(F.col("change_type") == "update").select(*keys)
+    touched = touched_partitions_between(
+        spark, base_path, covered, base_version
+    )
+    pcols = _norm_pc(base_rec["partition_col"])
+    old_cov = txn_read(
+        spark, base_path, covered,
+        partition_filter=_pf_from_touched(pcols, touched)
+        if touched
+        else None,
+    )
+    old_updated = old_cov.join(upd_keys, keys, "left_semi")
+    minus = old_updated.select(
+        *group_cols, F.lit(-1).alias("_sign"),
+        *[F.col(c).alias(f"_v_{c}") for c in sum_cols],
+    )
+    plus = changes.filter(F.col("change_type") != "").select(
+        *group_cols,
+        (sign_new + sign_old).alias("_sign"),
+        *[F.col(c).alias(f"_v_{c}") for c in sum_cols],
+    ).filter(F.col("_sign") != 0)
+    delta = (
+        plus.unionByName(minus)
+        .groupBy(*group_cols)
+        .agg(
+            F.sum("_sign").alias("_d_rows"),
+            *[
+                F.sum(F.col(f"_v_{c}") * F.col("_sign")).alias(f"_d_{c}")
+                for c in sum_cols
+            ],
+        )
+    )
+    view = txn_read(spark, view_path)
+    merged = (
+        view.join(delta, group_cols, "full_outer")
+        .select(
+            *group_cols,
+            (
+                F.coalesce("n_rows", F.lit(0))
+                + F.coalesce("_d_rows", F.lit(0))
+            ).alias("n_rows"),
+            *[
+                (
+                    F.coalesce(F.col(f"{c}_sum"), F.lit(0))
+                    + F.coalesce(F.col(f"_d_{c}"), F.lit(0))
+                ).alias(f"{c}_sum")
+                for c in sum_cols
+            ],
+        )
+        .filter(F.col("n_rows") > 0)
+    )
+    return txn_write(
+        spark, merged, view_path, app_meta={"base_version": base_version}
     )
 
 

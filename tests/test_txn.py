@@ -905,3 +905,92 @@ def test_txn_changes_classifies_insert_update_delete(spark, table):
     } == {3: "delete"}
     # identical versions -> empty delta
     assert txn.txn_changes(spark, table, ["id"], 3, 3).count() == 0
+
+
+def test_txn_maintain_agg_matches_full_recompute(spark, tmp_path):
+    """Incremental SUM/COUNT view maintenance: after every base
+    mutation (merge inserting+updating, delete, NULL-partition merge),
+    one maintain call brings the view to exactly the full groupBy of
+    the current base — including group disappearance — without a full
+    base rescan (the diff is manifest-scoped)."""
+    base = str(tmp_path / "base")
+    view = str(tmp_path / "view")
+    df = spark.createDataFrame(
+        [(1, 10.0, "2024"), (2, 20.0, "2024"), (3, 30.0, "2025")],
+        "id long, amount double, y string",
+    )
+    txn.txn_write(spark, df, base, partition_by="y")
+
+    def check():
+        txn.txn_maintain_agg(
+            spark, base, view, keys=["id"],
+            group_cols=["y"], sum_cols=["amount"],
+        )
+        got = {
+            r.y: (r.n_rows, r.amount_sum)
+            for r in txn.txn_read(spark, view).collect()
+        }
+        want = {
+            r.y: (r.n, r.s)
+            for r in txn.txn_read(spark, base)
+            .groupBy("y")
+            .agg(
+                F.count(F.lit(1)).alias("n"), F.sum("amount").alias("s")
+            )
+            .collect()
+        }
+        assert got == want, (got, want)
+        meta = json.loads(
+            txn.txn_history(spark, view).collect()[0].app_meta_json
+        )
+        assert meta["base_version"] == txn.read_commit(spark, base)["version"]
+
+    import json
+
+    check()  # bootstrap: full build
+    v_built = txn.read_commit(spark, view)["version"]
+    check()  # no-op: base unchanged -> same view version
+    assert txn.read_commit(spark, view)["version"] == v_built
+
+    # merge: update id=2 (+5), insert id=9 into 2025
+    src = spark.createDataFrame(
+        [(2, 25.0, "2024"), (9, 9.0, "2025")], "id long, amount double, y string"
+    )
+    txn.txn_merge_upsert(spark, src, base, keys=["id"], partition_col="y")
+    check()
+
+    # delete the whole 2024 partition -> group must disappear
+    txn.txn_delete_where(spark, base, F.col("y") == "2024")
+    check()
+    assert {r.y for r in txn.txn_read(spark, view).collect()} == {"2025"}
+
+    # merge into a NULL partition
+    srcn = spark.createDataFrame(
+        [(11, 1.5, None)], "id long, amount double, y string"
+    )
+    txn.txn_merge_upsert(spark, srcn, base, keys=["id"], partition_col="y")
+    check()
+
+
+def test_txn_changes_is_manifest_scoped(spark, table):
+    """The CDC diff between versions must not plan reads of dirs that
+    own only untouched partitions."""
+    # v2: merge into 2025 -> its dir owns [2025] exclusively
+    s25 = spark.createDataFrame([(3, "C", "2025")], "id long, v string, y string")
+    txn.txn_merge_upsert(spark, s25, table, keys=["id"], partition_col="y")
+    rec2 = txn.read_commit(spark, table)
+    (dir_2025,) = [d for d in rec2["dirs"] if rec2["dirs"][d] == ["2025"]]
+    # v3: merge into 2024 only
+    s24 = spark.createDataFrame([(2, "B", "2024")], "id long, v string, y string")
+    txn.txn_merge_upsert(spark, s24, table, keys=["id"], partition_col="y")
+
+    assert txn.touched_partitions_between(spark, table, 2, 3) == ["2024"]
+    ch = txn.txn_changes(spark, table, ["id"], 2, 3)
+    assert {(r.id, r.change_type) for r in ch.collect()} == {(2, "update")}
+    # the 2025-only dir never enters the diff plan
+    files = ch.inputFiles()
+    assert files and not any(dir_2025 in f for f in files), (dir_2025, files)
+    # identical-manifest span: empty delta with the right columns
+    none = txn.txn_changes(spark, table, ["id"], 3, 3)
+    assert none.count() == 0
+    assert none.columns[:2] == ["id", "change_type"]
