@@ -1081,19 +1081,34 @@ def txn_compact(
     path: str,
     n_files: int | None = None,
     app_meta: dict | None = None,
+    zorder_by: list[str] | None = None,
 ) -> int:
     """Collapse the live snapshot back into ONE data dir (optionally
     ``n_files`` files) and publish — the maintenance job that bounds
     reader fan-out after many merges, with the same atomic commit as
     every other writer (the delete+rename race of the plain-path
-    ``compact_table`` cannot happen here)."""
+    ``compact_table`` cannot happen here).
+
+    ``zorder_by`` additionally lays the rewritten files along a Morton
+    curve over those columns (``writers.zorder_layout`` — the
+    transactional OPTIMIZE ZORDER): every listed column gets tight
+    per-file min/max footer ranges, so point/range predicates on any
+    of them prune most files, and readers racing the optimize keep the
+    old snapshot until the atomic publish.  On partitioned tables the
+    clustering applies within each partition dir."""
     prev = read_commit(spark, path)
     if prev is None:
         raise FileNotFoundError(f"no committed version at {path}")
     version = _next_version(spark, path)
     df = txn_read(spark, path)
     pc = _norm_pc(prev["partition_col"])
-    if n_files:
+    if zorder_by:
+        from .writers import zorder_layout
+
+        df = zorder_layout(
+            df, zorder_by, n_files or 32, extra_partition_cols=pc
+        )
+    elif n_files:
         df = df.repartition(n_files)
     elif pc:
         df = df.repartition(*[F.col(c) for c in pc])
@@ -1110,6 +1125,8 @@ def txn_compact(
         "dirs": {dirname: None},
         "app_meta": app_meta,
     }
+    if zorder_by:
+        record["zorder_by"] = list(zorder_by)
     if pc:
         vals = [v for vs in prev["dirs"].values() for v in (vs or [])]
         record["dirs"] = {dirname: vals}

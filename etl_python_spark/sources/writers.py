@@ -527,6 +527,28 @@ def write_zordered(
 
     Numeric (and date via cast) columns only; string dimensions
     should be dictionary-encoded to ids upstream."""
+    arranged = zorder_layout(df, zorder_cols, n_files, bits, rel_error)
+    arranged.write.mode("overwrite").parquet(path)
+
+
+def zorder_layout(
+    df: DataFrame,
+    zorder_cols: list[str],
+    n_files: int,
+    bits: int = ZORDER_BITS,
+    rel_error: float = 0.001,
+    extra_partition_cols: list[str] | None = None,
+) -> DataFrame:
+    """The Morton arrangement of :func:`write_zordered` WITHOUT the
+    write: rank-quantize each dimension (approxQuantile boundaries,
+    nested-when binary search), interleave into one z-key, range-
+    partition and in-task sort on it.  Factored out so any sink —
+    including :func:`txn.txn_compact`'s transactional OPTIMIZE — can
+    apply the layout and keep its own commit semantics.
+
+    ``extra_partition_cols`` prefix the range partitioning and sort
+    (for Hive-partitioned outputs: rows cluster per partition dir
+    first, z-ordered within it)."""
     quantiles = [i / (1 << bits) for i in range(1, 1 << bits)]
     boundaries = {
         c: df.approxQuantile(c, quantiles, rel_error) for c in zorder_cols
@@ -554,11 +576,10 @@ def write_zordered(
         return tree(0, len(bs) - 1).cast("long")
 
     zkey = _zorder_key([bucket_expr(c) for c in zorder_cols], bits)
-    (
+    lead = [F.col(c) for c in (extra_partition_cols or [])]
+    return (
         df.withColumn("__zkey", zkey)
-        .repartitionByRange(n_files, F.col("__zkey"))
-        .sortWithinPartitions("__zkey")
+        .repartitionByRange(n_files, *lead, F.col("__zkey"))
+        .sortWithinPartitions(*lead, "__zkey")
         .drop("__zkey")
-        .write.mode("overwrite")
-        .parquet(path)
     )
