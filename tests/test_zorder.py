@@ -126,3 +126,51 @@ def test_txn_compact_zorder_layout(spark, tmp_path):
     # content identical, history intact
     assert txn.txn_read(spark, path).count() == 128 * 128
     assert txn.txn_read(spark, path, version=1).count() == 128 * 128
+
+
+def test_txn_compact_zorder_within_partitions(spark, tmp_path):
+    """On a partitioned txn table the optimize clusters WITHIN each
+    partition dir: partition column intact on read, z-pruning holds
+    per partition."""
+    from etl_python_spark.sources import txn
+
+    df = (
+        spark.range(0, 2 * 64 * 64)
+        .select(
+            (F.col("id") % 2).cast("string").alias("p"),
+            ((F.col("id") / 2).cast("long") % 64).alias("x"),
+            (F.col("id") / 128).cast("long").alias("y"),
+            F.col("id").alias("payload"),
+        )
+    )
+    path = str(tmp_path / "zpart")
+    txn.txn_write(spark, df, path, partition_by="p")
+    txn.txn_compact(spark, path, n_files=8, zorder_by=["x", "y"])
+
+    out = txn.txn_read(spark, path)
+    assert out.count() == 2 * 64 * 64
+    assert {r.p for r in out.select("p").distinct().collect()} == {"0", "1"}
+    rec = txn.read_commit(spark, path)
+    (zdir,) = rec["dirs"]
+    # per partition dir, the secondary dim is bounded per file
+    import glob as _glob
+
+    for p in ("0", "1"):
+        files = _glob.glob(f"{path}/{zdir}/p={p}/part-*.parquet")
+        assert len(files) >= 2
+        ranges = []
+        import pyarrow.parquet as pq
+
+        for f in files:
+            md = pq.ParquetFile(f).metadata
+            los, his = [], []
+            for rg in range(md.num_row_groups):
+                for ci in range(md.num_columns):
+                    col = md.row_group(rg).column(ci)
+                    if col.path_in_schema == "y":
+                        los.append(col.statistics.min)
+                        his.append(col.statistics.max)
+            ranges.append((min(los), max(his)))
+        probe = 32
+        hits = sum(1 for lo, hi in ranges if lo <= probe <= hi)
+        assert hits < len(ranges), (p, ranges)
