@@ -37,6 +37,7 @@ VERIFY_PRIORITY = (
     "stream_hll_users",
     "kmv_overlap",
     "bloom_semi_filter",
+    "nb_quality_scores",
     "ml_changepoint_spine",
     "stream_dedup_exact",
     "stream_hourly_counts",
@@ -82,7 +83,6 @@ VERIFY_PRIORITY = (
     "curation_pipeline",
     "decontaminate",
     "dedup_exact",
-    "dedup_keep_best",
 )
 
 

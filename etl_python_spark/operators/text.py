@@ -548,12 +548,158 @@ SELECT doc_id, term, tf, tfidf, rank FROM ranked WHERE rank <= {TFIDF_TOP_K}
 """
 
 
+# ---------------------------------------------------------------------------
+# Classifier-based quality scoring: hashed-unigram Naive Bayes
+# bootstrapped from the heuristic gate's labels — the classic
+# CCNet/GPT-3 recipe (heuristic labels → classifier → smooth score)
+# as a pure Catalyst pipeline.  Train = one bucket-keyed aggregate
+# over the held-in token stream; score = one broadcast join + doc
+# aggregate.  Integer micro-nats end to end (the lm_perplexity rule),
+# so DuckDB restates every log-odds value exactly.
+# ---------------------------------------------------------------------------
+
+NB_BUCKETS = 2048
+NB_TRAIN_MOD = 3  # doc_id % 3 != 0 trains; every doc is scored
+
+
+def q_nb_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc Naive Bayes log-odds of being a KEEP document, trained
+    on the heuristic ``quality_filter`` labels over the held-in slice
+    and scored for the whole corpus — plus the heuristic label itself
+    as the agreement audit.  ``nb_keep`` is the classifier's decision
+    (log-odds > 0, prior included)."""
+    from .dedup import _norm_text, hash60
+
+    labels = q_quality_filter(spark, sf_dir).select("doc_id", "manter")
+    docs = spread(load_table(spark, sf_dir, "documents"), "doc_id")
+    feats = (
+        docs.select(
+            "doc_id",
+            F.explode(
+                F.split(_norm_text(F.coalesce(F.col("text"), F.lit(""))), " ")
+            ).alias("w"),
+        )
+        .filter(F.length("w") > 0)
+        .select(
+            "doc_id", (hash60(F.col("w")) % NB_BUCKETS).cast("int").alias("b")
+        )
+    )
+    lab = F.broadcast(labels)
+    train = feats.join(lab, "doc_id").filter(
+        F.col("doc_id") % NB_TRAIN_MOD != 0
+    )
+    counts = train.groupBy("b").agg(
+        F.count(F.when(F.col("manter"), 1)).alias("pos_n"),
+        F.count(F.when(~F.col("manter"), 1)).alias("neg_n"),
+    )
+    totals = counts.agg(
+        F.sum("pos_n").alias("pos_tok"), F.sum("neg_n").alias("neg_tok")
+    )
+    prior = (
+        labels.filter(F.col("doc_id") % NB_TRAIN_MOD != 0)
+        .agg(
+            F.round(
+                F.log(
+                    (F.count(F.when(F.col("manter"), 1)) + 1)
+                    / (F.count(F.when(~F.col("manter"), 1)) + 1).cast("double")
+                )
+                * F.lit(1e6)
+            )
+            .cast("long")
+            .alias("prior_micro")
+        )
+    )
+    llr = counts.crossJoin(F.broadcast(totals)).select(
+        "b",
+        F.round(
+            (
+                F.log(
+                    (F.col("pos_n") + 1)
+                    / (F.col("pos_tok") + NB_BUCKETS).cast("double")
+                )
+                - F.log(
+                    (F.col("neg_n") + 1)
+                    / (F.col("neg_tok") + NB_BUCKETS).cast("double")
+                )
+            )
+            * F.lit(1e6)
+        )
+        .cast("long")
+        .alias("llr_micro"),
+    )
+    total = F.sum("llr_micro") + F.first("prior_micro")
+    return (
+        feats.join(F.broadcast(llr), "b")
+        .crossJoin(F.broadcast(prior))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("int").alias("n_feats"),
+            (F.round(total.cast("double") / F.lit(100.0)) / F.lit(10000.0)).alias(
+                "nb_logodds"
+            ),
+            (total > 0).alias("nb_keep"),
+        )
+        .join(lab, "doc_id")
+    )
+
+
+_SQL_MANTER = f"concat_ws(',', {_SQL_REASONS}) = ''"
+
+ORACLE_NB_QUALITY = f"""
+WITH m AS ({ORACLE_TEXT_QUALITY}),
+labels AS (
+  SELECT doc_id, {_SQL_MANTER} AS manter FROM m
+), words AS (
+  SELECT doc_id,
+         unnest(string_split(regexp_replace(lower(trim(coalesce(text,''))), '\\s+', ' ', 'g'), ' ')) AS w
+  FROM documents
+), feats AS (
+  SELECT doc_id,
+         CAST(('0x'||substring(md5(w),1,15))::BIGINT % {NB_BUCKETS} AS INT) AS b
+  FROM words WHERE w != ''
+), train AS (
+  SELECT f.b, l.manter FROM feats f JOIN labels l USING (doc_id)
+  WHERE f.doc_id % {NB_TRAIN_MOD} != 0
+), counts AS (
+  SELECT b,
+         COUNT(CASE WHEN manter THEN 1 END) AS pos_n,
+         COUNT(CASE WHEN NOT manter THEN 1 END) AS neg_n
+  FROM train GROUP BY b
+), totals AS (
+  SELECT SUM(pos_n) AS pos_tok, SUM(neg_n) AS neg_tok FROM counts
+), prior AS (
+  SELECT CAST(ROUND(ln((COUNT(CASE WHEN manter THEN 1 END) + 1)
+                     / CAST(COUNT(CASE WHEN NOT manter THEN 1 END) + 1 AS DOUBLE)) * 1000000)
+              AS BIGINT) AS prior_micro
+  FROM labels WHERE doc_id % {NB_TRAIN_MOD} != 0
+), llr AS (
+  SELECT c.b,
+         CAST(ROUND((ln((c.pos_n + 1) / CAST(t.pos_tok + {NB_BUCKETS} AS DOUBLE))
+                   - ln((c.neg_n + 1) / CAST(t.neg_tok + {NB_BUCKETS} AS DOUBLE))) * 1000000)
+              AS BIGINT) AS llr_micro
+  FROM counts c CROSS JOIN totals t
+)
+SELECT f.doc_id,
+       CAST(COUNT(*) AS INT) AS n_feats,
+       ROUND(CAST(SUM(l.llr_micro) + ANY_VALUE(p.prior_micro) AS DOUBLE) / 100.0) / 10000.0
+         AS nb_logodds,
+       (SUM(l.llr_micro) + ANY_VALUE(p.prior_micro)) > 0 AS nb_keep,
+       ANY_VALUE(lb.manter) AS manter
+FROM feats f
+JOIN llr l USING (b)
+CROSS JOIN prior p
+JOIN labels lb ON lb.doc_id = f.doc_id
+GROUP BY f.doc_id
+"""
+
+
 QUERIES = {
     "token_count": q_token_count,
     "rolling_chunks": q_rolling_chunks,
     "bpe_token_count": q_bpe_token_count,
     "text_quality": q_text_quality,
     "quality_filter": q_quality_filter,
+    "nb_quality_scores": q_nb_quality_scores,
     "repetition_metrics": q_repetition_metrics,
     "lang_id": q_lang_id,
     "doc_fingerprint": q_doc_fingerprint,
@@ -566,6 +712,7 @@ ORACLES = {
     "bpe_token_count": ORACLE_BPE,
     "text_quality": ORACLE_TEXT_QUALITY,
     "quality_filter": ORACLE_QUALITY_FILTER,
+    "nb_quality_scores": ORACLE_NB_QUALITY,
     "repetition_metrics": ORACLE_REPETITION,
     "lang_id": ORACLE_LANG_ID,
     "doc_fingerprint": ORACLE_FINGERPRINT,
