@@ -115,16 +115,58 @@ def build() -> None:
         print(f"{t}: {n} rows")
 
 
+CHUNK = 40  # queries per JVM in the full sweep
+
+
 def run(
     full: bool = False,
     out_path: str | None = None,
     baseline_path: str | None = None,
+    names_csv: str | None = None,
 ) -> int:
     import __spark_entry__ as entrymod
 
-    spark = _session()
     qs = entrymod.queries()
-    names = list(qs) if full else SOAK_QUERIES
+    if names_csv:
+        names = [n for n in names_csv.split(",") if n]
+    elif full:
+        names = list(qs)
+    else:
+        names = SOAK_QUERIES
+
+    # The full sweep runs in CHUNK-sized child JVMs: a single ~130-query
+    # session at the measured-fast 8g heap eventually dies of
+    # accumulated BlockManager/codegen state (observed twice), and a
+    # bigger heap trades the crash for the documented G1 pathology
+    # (16g: ann_ivf 1.25s -> 21s).  Bounded sessions keep BOTH the fast
+    # heap and the crash margin; per-query semantics are unchanged.
+    if full and names_csv is None:
+        import subprocess
+        import tempfile
+
+        merged: dict = {}
+        failures = 0
+        for i in range(0, len(names), CHUNK):
+            chunk = names[i : i + CHUNK]
+            sub_out = tempfile.mktemp(prefix="soak_chunk_", suffix=".json")
+            proc = subprocess.run(
+                [
+                    sys.executable, os.path.abspath(__file__), "run",
+                    "--names", ",".join(chunk), "--out", sub_out,
+                ],
+                text=True,
+            )
+            if os.path.exists(sub_out):
+                merged.update(json.load(open(sub_out)).get("results", {}))
+                os.unlink(sub_out)
+            else:  # child died before writing: record the whole chunk
+                failures += len(chunk)
+                for n in chunk:
+                    merged[n] = {"error": f"chunk crashed (rc={proc.returncode})"}
+        failures += sum(1 for r in merged.values() if "error" in r)
+        return _finish(merged, failures, full, out_path, baseline_path)
+
+    spark = _session()
     results = {}
     failures = 0
     for name in names:
@@ -157,6 +199,16 @@ def run(
         except Exception:
             pass
 
+    return _finish(results, failures, full, out_path, baseline_path)
+
+
+def _finish(
+    results: dict,
+    failures: int,
+    full: bool,
+    out_path: str | None,
+    baseline_path: str | None,
+) -> int:
     # super-linear regression alarm vs the previous round's soak:
     # warm time past 2x the banked value AND +2s absolute (so 0.2s→0.5s
     # GC noise on tiny queries doesn't page anyone)
@@ -198,6 +250,7 @@ def _cli() -> int:
         full="--full" in args,
         out_path=opt("--out"),
         baseline_path=opt("--baseline"),
+        names_csv=opt("--names"),
     )
 
 

@@ -27,12 +27,15 @@ import time
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
-def run(name: str, cmd: list[str], timeout: int) -> bool:
+def run(
+    name: str, cmd: list[str], timeout: int, env: dict | None = None
+) -> bool:
     t0 = time.time()
     print(f"==> {name}: {' '.join(cmd)}", flush=True)
     try:
         proc = subprocess.run(
-            cmd, cwd=REPO, timeout=timeout, capture_output=True, text=True
+            cmd, cwd=REPO, timeout=timeout, capture_output=True, text=True,
+            env={**os.environ, **env} if env else None,
         )
     except subprocess.TimeoutExpired:
         print(f"FAIL {name}: timeout after {timeout}s")
@@ -124,6 +127,9 @@ def soak_gate(py: str) -> bool:
         prev = "/tmp/soak_prev_baseline.json"
         shutil.copy(banked[-1], prev)
         cmd += ["--baseline", prev]
+    # the full sweep self-chunks into bounded child JVMs (soak_sf1.py
+    # CHUNK), keeping the measured-fast 8g heap per session without
+    # the end-of-sweep accumulation crashes a single long session hit
     return run("sf1 soak (full inventory)", cmd, 3600)
 
 
