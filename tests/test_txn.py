@@ -994,3 +994,49 @@ def test_txn_changes_is_manifest_scoped(spark, table):
     none = txn.txn_changes(spark, table, ["id"], 3, 3)
     assert none.count() == 0
     assert none.columns[:2] == ["id", "change_type"]
+
+
+def test_txn_maintain_agg_unpartitioned_multi_measure(spark, tmp_path):
+    """MV maintenance on an unpartitioned base with two measures:
+    no manifest scoping exists (every commit replaces the dirs), but
+    the delta algebra must still converge to the full recompute."""
+    base = str(tmp_path / "flatbase")
+    view = str(tmp_path / "flatview")
+    df = spark.createDataFrame(
+        [(1, "a", 10.0, 1.0), (2, "a", 20.0, 2.0), (3, "b", 30.0, 3.0)],
+        "id long, g string, x double, w double",
+    )
+    txn.txn_write(spark, df, base)
+
+    def check():
+        txn.txn_maintain_agg(
+            spark, base, view, keys=["id"],
+            group_cols=["g"], sum_cols=["x", "w"],
+        )
+        got = {
+            r.g: (r.n_rows, r.x_sum, r.w_sum)
+            for r in txn.txn_read(spark, view).collect()
+        }
+        want = {
+            r.g: (r.n, r.sx, r.sw)
+            for r in txn.txn_read(spark, base)
+            .groupBy("g")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum("x").alias("sx"),
+                F.sum("w").alias("sw"),
+            )
+            .collect()
+        }
+        assert got == want, (got, want)
+
+    check()
+    src = spark.createDataFrame(
+        [(2, "b", 25.0, 9.0), (4, "c", 4.0, 0.5)],
+        "id long, g string, x double, w double",
+    )  # id=2 MOVES group a->b; id=4 new group c
+    txn.txn_merge_upsert(spark, src, base, keys=["id"])
+    check()
+    txn.txn_delete_where(spark, base, F.col("g") == "b")
+    check()
+    assert {r.g for r in txn.txn_read(spark, view).collect()} == {"a", "c"}
