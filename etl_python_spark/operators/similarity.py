@@ -48,18 +48,27 @@ def q_ann_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus is scanned exactly once; ranking is a window partitioned by
     query id with deterministic tie-break on neighbor id."""
     emb = spread(load_table(spark, sf_dir, "embeddings"), "vec_id")
+    # Norms are a per-ROW property: evaluate them at the scan (once per
+    # vector) instead of inside the pairwise cosine (once per candidate
+    # pair) — the identical expression over the same values, so the
+    # doubles are bit-identical and the oracle is untouched, but the
+    # per-pair work drops from three array folds to one.
     queries = emb.filter(F.col("vec_id") < N_QUERY).select(
-        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb")
+        F.col("vec_id").alias("q_id"),
+        F.col("embedding").alias("q_emb"),
+        _norm(F.col("embedding")).alias("q_norm"),
     )
     corpus = emb.select(
-        F.col("vec_id").alias("n_id"), F.col("embedding").alias("n_emb")
+        F.col("vec_id").alias("n_id"),
+        F.col("embedding").alias("n_emb"),
+        _norm(F.col("embedding")).alias("n_norm"),
     )
     scored = corpus.crossJoin(F.broadcast(queries)).filter(
         F.col("q_id") != F.col("n_id")
     )
     cos = F.round(
         _dot(F.col("q_emb"), F.col("n_emb"))
-        / F.nullif(_norm(F.col("q_emb")) * _norm(F.col("n_emb")), F.lit(0.0)),
+        / F.nullif(F.col("q_norm") * F.col("n_norm"), F.lit(0.0)),
         4,
     )
     w = Window.partitionBy("q_id").orderBy(F.desc("cosine"), F.asc("n_id"))
@@ -143,18 +152,26 @@ def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
             sig = sig + F.shiftleft(bit, i)
         return sig
 
-    tagged = emb.select("vec_id", "embedding", signature(F.col("embedding")).alias("bucket"))
+    # Norm evaluated once per row at tag time, not per candidate pair
+    # (identical expression → bit-identical doubles; oracle untouched).
+    tagged = emb.select(
+        "vec_id",
+        "embedding",
+        signature(F.col("embedding")).alias("bucket"),
+        _norm(F.col("embedding")).alias("nrm"),
+    )
     queries = tagged.filter(F.col("vec_id") < N_QUERY).select(
         F.col("vec_id").alias("q_id"),
         F.col("embedding").alias("q_emb"),
         F.col("bucket"),
+        F.col("nrm").alias("q_nrm"),
     )
     cand = tagged.join(F.broadcast(queries), "bucket").filter(
         F.col("q_id") != F.col("vec_id")
     )
     cos = F.round(
         _dot(F.col("q_emb"), F.col("embedding"))
-        / F.nullif(_norm(F.col("q_emb")) * _norm(F.col("embedding")), F.lit(0.0)),
+        / F.nullif(F.col("q_nrm") * F.col("nrm"), F.lit(0.0)),
         4,
     )
     w = Window.partitionBy("q_id").orderBy(F.desc("cosine"), F.asc("n_id"))
@@ -295,38 +312,52 @@ def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     way.  Assignment cosine is rounded to 6dp before the argmax so the
     engines' float folds can't flip near-ties."""
     emb = spread(load_table(spark, sf_dir, "embeddings"), "vec_id")
+    # Norms are a per-ROW property: evaluated once per vector (and once
+    # per centroid) below the pair joins, not per candidate pair — the
+    # identical expression over the same values, so the doubles are
+    # bit-identical and the oracle is untouched.
     centroids = emb.filter(
         (F.col("vec_id") >= 100) & (F.col("vec_id") < 100 + N_CENTROIDS)
-    ).select(F.col("vec_id").alias("c_id"), F.col("embedding").alias("c_emb"))
+    ).select(
+        F.col("vec_id").alias("c_id"),
+        F.col("embedding").alias("c_emb"),
+        _norm(F.col("embedding")).alias("c_nrm"),
+    )
 
-    def cell_assign(side: DataFrame, id_col: str, emb_col: str, keep: int):
+    def cell_assign(side: DataFrame, id_col: str, emb_col: str, nrm_col: str, keep: int):
         cos6 = F.round(
             _dot(F.col(emb_col), F.col("c_emb"))
-            / F.nullif(_norm(F.col(emb_col)) * _norm(F.col("c_emb")), F.lit(0.0)),
+            / F.nullif(F.col(nrm_col) * F.col("c_nrm"), F.lit(0.0)),
             6,
         )
         w = Window.partitionBy(id_col).orderBy(F.desc("c_cos"), F.asc("c_id"))
         return (
             side.crossJoin(F.broadcast(centroids))
-            .select(id_col, emb_col, "c_id", cos6.alias("c_cos"))
+            .select(id_col, emb_col, nrm_col, "c_id", cos6.alias("c_cos"))
             .withColumn("c_rank", F.row_number().over(w))
             .filter(F.col("c_rank") <= keep)
             .drop("c_cos", "c_rank")
         )
 
-    corpus = emb.select(F.col("vec_id").alias("n_id"), F.col("embedding").alias("n_emb"))
-    posting = cell_assign(corpus, "n_id", "n_emb", keep=1)
-    queries = emb.filter(F.col("vec_id") < N_QUERY).select(
-        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb")
+    corpus = emb.select(
+        F.col("vec_id").alias("n_id"),
+        F.col("embedding").alias("n_emb"),
+        _norm(F.col("embedding")).alias("n_nrm"),
     )
-    probes = cell_assign(queries, "q_id", "q_emb", keep=N_PROBE)
+    posting = cell_assign(corpus, "n_id", "n_emb", "n_nrm", keep=1)
+    queries = emb.filter(F.col("vec_id") < N_QUERY).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("embedding").alias("q_emb"),
+        _norm(F.col("embedding")).alias("q_nrm"),
+    )
+    probes = cell_assign(queries, "q_id", "q_emb", "q_nrm", keep=N_PROBE)
 
     cand = posting.join(F.broadcast(probes), "c_id").filter(
         F.col("q_id") != F.col("n_id")
     )
     cos = F.round(
         _dot(F.col("q_emb"), F.col("n_emb"))
-        / F.nullif(_norm(F.col("q_emb")) * _norm(F.col("n_emb")), F.lit(0.0)),
+        / F.nullif(F.col("q_nrm") * F.col("n_nrm"), F.lit(0.0)),
         4,
     )
     w = Window.partitionBy("q_id").orderBy(F.desc("cosine"), F.asc("n_id"))
@@ -553,10 +584,14 @@ def q_ann_ivf_fitted(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _kmeans_emb(spark, sf_dir)
     centroids = _kmeans_fit(emb)
 
+    # Norms evaluated once per row here, not per candidate pair in the
+    # final scoring join (identical expression → bit-identical doubles;
+    # oracle untouched).
     posting = _kmeans_assign(emb, centroids).select(
         F.col("vec_id").alias("n_id"),
         F.col("v").alias("n_emb"),
         F.col("cluster").alias("c_id"),
+        _norm(F.col("v")).alias("n_nrm"),
     )
 
     cells = F.array(
@@ -576,7 +611,7 @@ def q_ann_ivf_fitted(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("q_id", "q_emb", F.col("dc.c_id").alias("c_id"), F.col("dc.d2").alias("d2"))
         .withColumn("rnk", F.row_number().over(w_probe))
         .filter(F.col("rnk") <= N_PROBE)
-        .select("q_id", "q_emb", "c_id")
+        .select("q_id", "q_emb", _norm(F.col("q_emb")).alias("q_nrm"), "c_id")
     )
 
     cand = posting.join(F.broadcast(probes), "c_id").filter(
@@ -584,7 +619,7 @@ def q_ann_ivf_fitted(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     cos = F.round(
         _dot(F.col("q_emb"), F.col("n_emb"))
-        / F.nullif(_norm(F.col("q_emb")) * _norm(F.col("n_emb")), F.lit(0.0)),
+        / F.nullif(F.col("q_nrm") * F.col("n_nrm"), F.lit(0.0)),
         4,
     )
     w = Window.partitionBy("q_id").orderBy(F.desc("cosine"), F.asc("n_id"))
@@ -710,16 +745,24 @@ def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = spread(
         load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 200), "vec_id"
     )
+    # Norm evaluated once per row before the pair join (identical
+    # expression → bit-identical doubles; oracle untouched).
     a = emb.select(
-        F.col("vec_id").alias("id_a"), F.col("embedding").alias("emb_a"), "label"
+        F.col("vec_id").alias("id_a"),
+        F.col("embedding").alias("emb_a"),
+        "label",
+        _norm(F.col("embedding")).alias("nrm_a"),
     )
     b = emb.select(
-        F.col("vec_id").alias("id_b"), F.col("embedding").alias("emb_b"), "label"
+        F.col("vec_id").alias("id_b"),
+        F.col("embedding").alias("emb_b"),
+        "label",
+        _norm(F.col("embedding")).alias("nrm_b"),
     )
     pairs = a.join(b, "label").filter(F.col("id_a") < F.col("id_b"))
     cos = F.round(
         _dot(F.col("emb_a"), F.col("emb_b"))
-        / F.nullif(_norm(F.col("emb_a")) * _norm(F.col("emb_b")), F.lit(0.0)),
+        / F.nullif(F.col("nrm_a") * F.col("nrm_b"), F.lit(0.0)),
         4,
     )
     return pairs.select("label", "id_a", "id_b", cos.alias("cosine")).filter(
@@ -768,15 +811,26 @@ def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _kmeans_emb(spark, sf_dir)
     assigned = _kmeans_assign(emb, _kmeans_fit(emb)).select("vec_id", "v", "cluster")
 
+    # Norms are evaluated ONCE PER ROW before the within-cluster pair
+    # join (identical expression, bit-identical doubles — the oracle is
+    # untouched); the per-pair kernel is then a single dot fold instead
+    # of three array folds, which matters because this is the one stage
+    # whose work grows with pair density (n²/K), not corpus size.
     a = assigned.select(
-        F.col("vec_id").alias("id_a"), F.col("v").alias("v_a"), "cluster"
+        F.col("vec_id").alias("id_a"),
+        F.col("v").alias("v_a"),
+        "cluster",
+        _norm(F.col("v")).alias("nrm_a"),
     )
     b = assigned.select(
-        F.col("vec_id").alias("id_b"), F.col("v").alias("v_b"), "cluster"
+        F.col("vec_id").alias("id_b"),
+        F.col("v").alias("v_b"),
+        "cluster",
+        _norm(F.col("v")).alias("nrm_b"),
     )
     cos = F.round(
         _dot(F.col("v_a"), F.col("v_b"))
-        / F.nullif(_norm(F.col("v_a")) * _norm(F.col("v_b")), F.lit(0.0)),
+        / F.nullif(F.col("nrm_a") * F.col("nrm_b"), F.lit(0.0)),
         4,
     )
     dup_stats = (
