@@ -31,6 +31,7 @@ VERIFY_PRIORITY = (
     # alphabetically-first round-6-verdict queries.  The round-7
     # window rotates out entirely — its verdicts are freshest.
     # (a) new or changed in round 8:
+    "substring_spans",
     "dsir_scores",
     "hll_users",
     "cms_heavy_hitters",

@@ -260,6 +260,134 @@ GROUP BY doc_id
 """
 
 
+def q_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal duplicated-substring spans per document — the reporting
+    half of exact substring dedup (Lee et al. 2022, "Deduplicating
+    Training Data Makes Language Models Better": emit the removable
+    ranges, don't just score the doc).  A duplicate k-gram occurrence
+    covers tokens [pos, pos+k-1]; overlapping/adjacent covers merge
+    into one span (classic gaps-and-islands: a new island starts when
+    the gap to the previous duplicate start exceeds k).  Emits one row
+    per span with its token range, clamped to the document length.
+
+    Scale shape: the duplicate-start stream reuses passage_dedup's
+    min-aggregate + hash-join pipeline (map-side partial combine, no
+    window over the full gram stream); islands are two doc-keyed
+    windows over only the DUPLICATE starts (a small fraction of the
+    corpus) plus one groupBy — every stage keyed by doc_id, nothing
+    quadratic, no interval self-join.
+    """
+    return duplicated_spans(load_table(spark, sf_dir, "documents"))
+
+
+def duplicated_spans(docs: DataFrame) -> DataFrame:
+    """Core of :func:`q_substring_spans` over any (doc_id, text)
+    relation — kept separate so the island semantics are unit-testable
+    on constructed corpora."""
+    occ = _positional_grams(docs, PASSAGE_K).withColumn(
+        "ordpos", F.col("doc_id") * ORD_BASE + F.col("pos")
+    )
+    firsts = occ.groupBy("gh").agg(F.min("ordpos").alias("first_ord"))
+    dup_starts = (
+        occ.join(firsts, "gh")
+        .filter(F.col("ordpos") != F.col("first_ord"))
+        .select("doc_id", "pos")
+    )
+
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    islands = dup_starts.withColumn(
+        "brk",
+        F.coalesce(
+            (F.col("pos") - F.lag("pos", 1).over(w) > PASSAGE_K).cast("int"),
+            F.lit(1),
+        ),
+    ).withColumn(
+        "span_id",
+        F.sum("brk").over(w.rowsBetween(Window.unboundedPreceding, 0)).cast("int"),
+    )
+
+    n_tokens = spread(docs, "doc_id").select(
+        "doc_id",
+        F.size(
+            F.split(_norm_text(F.coalesce(F.col("text"), F.lit(""))), " ")
+        ).alias("n_tokens"),
+    )
+    return (
+        islands.groupBy("doc_id", "span_id")
+        .agg(
+            F.min("pos").cast("int").alias("start_pos"),
+            (F.max("pos") + PASSAGE_K - 1).alias("end_raw"),
+            F.count(F.lit(1)).cast("int").alias("n_dup_grams"),
+        )
+        .join(n_tokens, "doc_id")
+        .select(
+            "doc_id",
+            "span_id",
+            "start_pos",
+            F.least(F.col("end_raw"), F.col("n_tokens")).cast("int").alias("end_pos"),
+            (
+                F.least(F.col("end_raw"), F.col("n_tokens"))
+                - F.col("start_pos")
+                + 1
+            ).cast("int").alias("span_tokens"),
+            "n_dup_grams",
+        )
+    )
+
+
+ORACLE_SUBSTRING_SPANS = f"""
+WITH norm AS (
+  SELECT doc_id, regexp_replace(lower(trim(coalesce(text,''))), '\\s+', ' ', 'g') AS t
+  FROM documents
+), toks AS (
+  SELECT doc_id, string_split(t, ' ') AS w, t FROM norm
+), occ AS (
+  SELECT doc_id,
+         unnest(CASE WHEN len(w) >= {PASSAGE_K}
+                THEN range(1, len(w) - {PASSAGE_K} + 2)
+                ELSE [CAST(1 AS BIGINT)] END) AS pos,
+         unnest(CASE WHEN len(w) >= {PASSAGE_K}
+                THEN list_transform(range(1, len(w) - {PASSAGE_K} + 2),
+                                    i -> array_to_string(w[i:i+{PASSAGE_K}-1], ' '))
+                ELSE [t] END) AS g
+  FROM toks
+), hashed AS (
+  SELECT doc_id, pos, {sql_hash60("g")} AS gh,
+         doc_id * {ORD_BASE} + pos AS ordpos
+  FROM occ
+), firsts AS (
+  SELECT gh, min(ordpos) AS first_ord FROM hashed GROUP BY gh
+), dup_starts AS (
+  SELECT h.doc_id, h.pos
+  FROM hashed h JOIN firsts f USING (gh)
+  WHERE h.ordpos != f.first_ord
+), islands AS (
+  SELECT doc_id, pos,
+         SUM(CASE WHEN prev_pos IS NULL OR pos - prev_pos > {PASSAGE_K}
+             THEN 1 ELSE 0 END)
+           OVER (PARTITION BY doc_id ORDER BY pos
+                 ROWS UNBOUNDED PRECEDING) AS span_id
+  FROM (
+    SELECT doc_id, pos,
+           LAG(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS prev_pos
+    FROM dup_starts
+  )
+), n_tok AS (
+  SELECT doc_id, len(w) AS n_tokens FROM toks
+)
+SELECT i.doc_id,
+       CAST(i.span_id AS INT) AS span_id,
+       CAST(MIN(i.pos) AS INT) AS start_pos,
+       CAST(LEAST(MAX(i.pos) + {PASSAGE_K} - 1, ANY_VALUE(n.n_tokens)) AS INT)
+         AS end_pos,
+       CAST(LEAST(MAX(i.pos) + {PASSAGE_K} - 1, ANY_VALUE(n.n_tokens))
+            - MIN(i.pos) + 1 AS INT) AS span_tokens,
+       CAST(COUNT(*) AS INT) AS n_dup_grams
+FROM islands i JOIN n_tok n USING (doc_id)
+GROUP BY i.doc_id, i.span_id
+"""
+
+
 # ---------------------------------------------------------------------------
 # PII scrubbing: mask embedded numeric identifiers.
 #
@@ -476,6 +604,7 @@ SELECT doc_id, stage, stage = 'kept' AS manter FROM staged
 QUERIES = {
     "passage_dedup": q_passage_dedup,
     "passage_scrub": q_passage_scrub,
+    "substring_spans": q_substring_spans,
     "pii_mask": q_pii_mask,
     "token_budget_mix": q_token_budget_mix,
     "curation_pipeline": q_curation_pipeline,
@@ -484,6 +613,7 @@ QUERIES = {
 ORACLES = {
     "passage_dedup": ORACLE_PASSAGE_DEDUP,
     "passage_scrub": ORACLE_PASSAGE_SCRUB,
+    "substring_spans": ORACLE_SUBSTRING_SPANS,
     "pii_mask": ORACLE_PII_MASK,
     "token_budget_mix": ORACLE_TOKEN_BUDGET_MIX,
 }

@@ -225,3 +225,67 @@ def test_nll_micro_rounding_ties_match_duckdb(spark, duck):
         ).fetchall()
     }
     assert dk == got
+
+
+def test_duplicated_spans_merge_and_clamp(spark):
+    from etl_python_spark.operators.curation import duplicated_spans
+
+    # Doc 1 is the keep-first original: 30 distinct tokens t0..t29.
+    # Doc 2 repeats tokens t0..t11 (12 tokens -> duplicate 8-gram
+    # starts at pos 1..5, one merged span [1, 12]), then 10 unique
+    # tokens, then t18..t29 again (12 dup tokens at the tail -> a
+    # SECOND span, clamped to the doc's last token).
+    base = [f"t{i}" for i in range(30)]
+    d2 = base[:12] + [f"u{i}" for i in range(10)] + base[18:]
+    df = spark.createDataFrame(
+        [(1, " ".join(base)), (2, " ".join(d2))], "doc_id long, text string"
+    )
+    spans = {
+        (r.doc_id, r.span_id): r for r in duplicated_spans(df).collect()
+    }
+    # doc 1 is first-seen everywhere: no spans at all
+    assert not any(d == 1 for d, _ in spans)
+    assert set(spans) == {(2, 1), (2, 2)}
+    s1, s2 = spans[(2, 1)], spans[(2, 2)]
+    # overlapping dup starts 1..5 merge into one maximal span of the
+    # 12 duplicated tokens
+    assert (s1.start_pos, s1.end_pos, s1.span_tokens, s1.n_dup_grams) == (
+        1, 12, 12, 5,
+    )
+    # tail span: dup starts 23..27 cover tokens 23..34, clamped to the
+    # 34-token doc, so end_pos stays in range
+    assert (s2.start_pos, s2.end_pos, s2.span_tokens, s2.n_dup_grams) == (
+        23, 34, 12, 5,
+    )
+
+
+def test_duplicated_spans_gap_rule(spark):
+    from etl_python_spark.operators.curation import (
+        PASSAGE_K,
+        duplicated_spans,
+    )
+
+    # Two dup regions separated by a gap of exactly PASSAGE_K stay ONE
+    # island (windows touch); a gap of PASSAGE_K+1 splits them.  Build
+    # docs whose duplicate 8-gram starts sit at pos 1 and pos 1+gap by
+    # repeating two disjoint 8-token runs from the original.
+    run_a = [f"a{i}" for i in range(PASSAGE_K)]
+    run_b = [f"b{i}" for i in range(PASSAGE_K)]
+    orig = run_a + run_b + [f"z{i}" for i in range(20)]
+
+    def probe(n_fill):
+        fill = [f"f{i}" for i in range(n_fill)]
+        dup = run_a + fill + run_b
+        df = spark.createDataFrame(
+            [(1, " ".join(orig)), (2, " ".join(dup))],
+            "doc_id long, text string",
+        )
+        return sorted(
+            (r.span_id, r.start_pos, r.end_pos)
+            for r in duplicated_spans(df).filter("doc_id = 2").collect()
+        )
+
+    # gap = K: starts at 1 and 1+K  -> pos diff K  -> merged
+    assert len(probe(0)) == 1
+    # gap = K+1: starts at 1 and 2+K -> pos diff K+1 -> two spans
+    assert len(probe(1)) == 2
