@@ -32,6 +32,7 @@ VERIFY_PRIORITY = (
     # window rotates out entirely — its verdicts are freshest.
     # (a) new or changed in round 8:
     "substring_spans",
+    "histogram_quantiles",
     "dsir_scores",
     "hll_users",
     "cms_heavy_hitters",

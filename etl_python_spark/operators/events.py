@@ -862,6 +862,152 @@ FROM per_type p JOIN exact x USING (event_type)
 """
 
 
+# Mergeable equi-width histogram quantiles: the way a 100 TB engine
+# answers percentiles without a global sort — per group only HIST_BINS
+# counters cross the wire (map-side partial combine collapses each
+# input split to <=HIST_BINS rows before the shuffle), then p50/p90/p99
+# come from within-bin linear interpolation.  Error is bounded by one
+# bin width by construction (pinned in tests/test_sketches.py).
+# Deterministic end to end: values quantize to exact integer cents
+# (functions.numeric.cents), bin assignment is pure integer floor
+# division, and the only floats are the final interpolation — a fixed
+# expression shape both engines evaluate identically.
+HIST_BINS = 128
+# (name, ceil-target numerator/denominator): t = ceil(q*n) as integers
+HIST_QS = (("p50", 1, 2), ("p90", 9, 10), ("p99", 99, 100))
+
+
+def histogram_quantiles(
+    df: DataFrame, group_col: str, cents_col, bins: int = HIST_BINS
+) -> DataFrame:
+    """Generic binned-quantile sketch over ``cents_col`` (an exact
+    integer-cents expression) grouped by ``group_col`` — see the block
+    comment above for the determinism and scale story."""
+    base = df.select(group_col, cents_col.alias("xc"))
+    bounds = base.groupBy(group_col).agg(
+        F.min("xc").alias("lo"),
+        F.max("xc").alias("hi"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    binned = base.join(F.broadcast(bounds), group_col).select(
+        group_col,
+        "lo",
+        "hi",
+        "n",
+        F.when(F.col("hi") == F.col("lo"), F.lit(0))
+        .otherwise(
+            F.least(
+                F.expr(f"(xc - lo) * {bins} div (hi - lo)"),
+                F.lit(bins - 1),
+            )
+        )
+        .cast("int")
+        .alias("bin"),
+    )
+    hist = binned.groupBy(group_col, "lo", "hi", "n", "bin").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    # bin is unique per group after the aggregate, so the default RANGE
+    # frame equals ROWS — no tie ambiguity.
+    w = Window.partitionBy(group_col).orderBy("bin")
+    cum = hist.withColumn("cum", F.sum("cnt").over(w))
+
+    def estimate(qnum: int, qden: int):
+        # ceil(q*n) in exact integers; the crossing bin is the unique
+        # one with cum_prev < t <= cum, and the estimate interpolates
+        # linearly inside it.  Association is pinned to
+        # lo + (bin + frac) * (range / bins) — the oracle restates the
+        # identical shape so the doubles agree bitwise.
+        t = F.expr(f"(n * {qnum} + {qden} - 1) div {qden}")
+        prev = F.col("cum") - F.col("cnt")
+        interp = F.col("lo").cast("double") + (
+            F.col("bin").cast("double")
+            + (t - prev).cast("double") / F.col("cnt").cast("double")
+        ) * ((F.col("hi") - F.col("lo")).cast("double") / float(bins))
+        cents_est = F.min(F.when((F.col("cum") >= t) & (prev < t), interp))
+        # cents -> price units, half-up-quantized to 4dp via exact
+        # floor arithmetic (the money-parity rule; never ROUND(double)).
+        return F.floor(cents_est * 100.0 + 0.5) / 10000.0
+
+    return cum.groupBy(group_col, "lo", "hi", "n").agg(
+        *[estimate(qn, qd).alias(name) for name, qn, qd in HIST_QS]
+    ).select(
+        group_col,
+        F.col("n").cast("long").alias("n_rows"),
+        *[name for name, _, _ in HIST_QS],
+        (
+            F.floor(
+                (F.col("hi") - F.col("lo")).cast("double")
+                / float(HIST_BINS)
+                * 100.0
+                + 0.5
+            )
+            / 10000.0
+        ).alias("bin_width"),
+    )
+
+
+def q_histogram_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """p50/p90/p99 of l_extendedprice per return flag via the binned
+    sketch — the scale-path twin of the exact ``revenue_percentiles``
+    (which global-sorts); max error one bin width, reported as the
+    ``bin_width`` audit column."""
+    from ..functions.numeric import cents
+
+    li = load_table(spark, sf_dir, "lineitem")
+    return histogram_quantiles(
+        li, "l_returnflag", cents(F.col("l_extendedprice"))
+    )
+
+
+def _hist_q_sql() -> str:
+    sels = []
+    for name, qn, qd in HIST_QS:
+        t = f"((n * {qn} + {qd} - 1) // {qd})"
+        interp = (
+            f"CAST(lo AS DOUBLE) + (CAST(bin AS DOUBLE) + "
+            f"CAST({t} - (cum - cnt) AS DOUBLE) / CAST(cnt AS DOUBLE)) * "
+            f"(CAST(hi - lo AS DOUBLE) / {float(HIST_BINS)!r})"
+        )
+        sels.append(
+            f"FLOOR(MIN(CASE WHEN cum >= {t} AND cum - cnt < {t} "
+            f"THEN {interp} END) * 100.0 + 0.5) / 10000.0 AS {name}"
+        )
+    return ",\n       ".join(sels)
+
+
+ORACLE_HISTOGRAM_QUANTILES = f"""
+WITH base AS (
+  SELECT l_returnflag,
+         CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT) AS xc
+  FROM lineitem
+), bounds AS (
+  SELECT l_returnflag, MIN(xc) AS lo, MAX(xc) AS hi, COUNT(*) AS n
+  FROM base GROUP BY 1
+), binned AS (
+  SELECT b.l_returnflag, d.lo, d.hi, d.n,
+         CAST(CASE WHEN d.hi = d.lo THEN 0
+              ELSE LEAST((b.xc - d.lo) * {HIST_BINS} // (d.hi - d.lo),
+                         {HIST_BINS - 1}) END AS INT) AS bin
+  FROM base b JOIN bounds d USING (l_returnflag)
+), hist AS (
+  SELECT l_returnflag, lo, hi, n, bin, COUNT(*) AS cnt
+  FROM binned GROUP BY 1, 2, 3, 4, 5
+), cum AS (
+  SELECT *, SUM(cnt) OVER (PARTITION BY l_returnflag ORDER BY bin
+                           ROWS UNBOUNDED PRECEDING) AS cum
+  FROM hist
+)
+SELECT l_returnflag,
+       CAST(n AS BIGINT) AS n_rows,
+       {_hist_q_sql()},
+       FLOOR(CAST(hi - lo AS DOUBLE) / {float(HIST_BINS)!r} * 100.0 + 0.5)
+         / 10000.0 AS bin_width
+FROM cum
+GROUP BY l_returnflag, lo, hi, n
+"""
+
+
 QUERIES = {
     "hourly_event_counts": q_hourly_event_counts,
     "sliding_event_counts": q_sliding_event_counts,
@@ -874,10 +1020,12 @@ QUERIES = {
     "cms_heavy_hitters": q_cms_heavy_hitters,
     "kmv_overlap": q_kmv_overlap,
     "bloom_semi_filter": q_bloom_semi_filter,
+    "histogram_quantiles": q_histogram_quantiles,
 }
 
 ORACLES = {
     "hll_users": ORACLE_HLL_USERS,
+    "histogram_quantiles": ORACLE_HISTOGRAM_QUANTILES,
     "cms_heavy_hitters": ORACLE_CMS_HEAVY_HITTERS,
     "kmv_overlap": ORACLE_KMV_OVERLAP,
     "bloom_semi_filter": ORACLE_BLOOM_SEMI,

@@ -111,3 +111,56 @@ def test_kmv_union_estimate_within_bound(spark, n, monkeypatch, tmp_path):
     else:
         assert abs(row.est_union - n) / n < 0.2, row
         assert abs(row.est_both - n) / n < 0.2, row
+
+
+def test_histogram_quantiles_within_one_bin_width(spark):
+    """Sketch estimates must sit within one bin width of the exact
+    quantile (the construction's bound), on a deterministic skewed
+    distribution — parity alone would not catch a biased interpolator."""
+    import math
+
+    from etl_python_spark.operators.events import (
+        HIST_QS,
+        histogram_quantiles,
+    )
+
+    # Skewed deterministic values: x_i = (i % 97)^2 + i // 97, i.e. a
+    # quadratic ramp with a slow drift — heavy mass at the low end.
+    n = 5000
+    vals = [float((i % 97) ** 2 + i // 97) for i in range(n)]
+    df = spark.createDataFrame(
+        [("g", v) for v in vals], "grp string, x double"
+    )
+    row = histogram_quantiles(
+        df, "grp", F.floor(F.col("x") * 100 + F.lit(0.5)).cast("long")
+    ).collect()[0]
+
+    assert row.n_rows == n
+    svals = sorted(vals)
+    for name, qn, qd in HIST_QS:
+        t = -((-n * qn) // qd)  # ceil(q*n)
+        exact = svals[t - 1]
+        est = getattr(row, name)
+        assert abs(est - exact) <= row.bin_width + 1e-9, (
+            name,
+            est,
+            exact,
+            row.bin_width,
+        )
+    # quantiles are monotone
+    assert row.p50 <= row.p90 <= row.p99
+
+
+def test_histogram_quantiles_constant_column(spark):
+    """hi == lo degenerate group: everything lands in bin 0 and every
+    quantile equals the constant."""
+    from etl_python_spark.operators.events import histogram_quantiles
+
+    df = spark.createDataFrame(
+        [("g", 42.5)] * 10, "grp string, x double"
+    )
+    row = histogram_quantiles(
+        df, "grp", F.floor(F.col("x") * 100 + F.lit(0.5)).cast("long")
+    ).collect()[0]
+    assert (row.p50, row.p90, row.p99) == (42.5, 42.5, 42.5)
+    assert row.bin_width == 0.0
