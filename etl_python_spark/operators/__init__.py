@@ -33,6 +33,7 @@ VERIFY_PRIORITY = (
     # (a) new or changed in round 8:
     "substring_spans",
     "histogram_quantiles",
+    "gap_fill_interpolate",
     "dsir_scores",
     "hll_users",
     "cms_heavy_hitters",

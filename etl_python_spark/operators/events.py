@@ -947,6 +947,133 @@ def histogram_quantiles(
     )
 
 
+def q_gap_fill_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly event counts with gap-filling and linear interpolation —
+    the hypertable rollup pattern (TimescaleDB's ``time_bucket_gapfill``
+    + ``interpolate``): a per-type spine of EVERY hour between the
+    type's first and last observed hour, observed rows passed through,
+    missing hours linearly interpolated between the neighboring
+    observations.
+
+    The previous/next observation is found with the gaps-and-islands
+    cumulative-count trick (a running COUNT of non-nulls keys each gap
+    row to its bracketing observed rows) — engine-agnostic, no
+    IGNORE NULLS dependency, and every window is keyed by event_type
+    so the spine never globally sorts.  Spine bounds are the observed
+    min/max, so every gap is interior and prev/next always exist.
+    Interpolation arithmetic: hour offsets as exact integers, one
+    pinned float expression, 4dp half-up quantization via floor.
+
+    Scale shape: one groupBy of the raw events (map-side combined),
+    a per-type 2-row bounds aggregate exploded into the spine
+    (sequence() — rows proportional to hours, not events), one keyed
+    left join, and four windows over the spine partitioned by type.
+    """
+    events = load_table(spark, sf_dir, "events")
+    hourly = events.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("hr")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    return gap_fill_hours(hourly)
+
+
+def gap_fill_hours(hourly: DataFrame) -> DataFrame:
+    """Core of :func:`q_gap_fill_interpolate` over any
+    (event_type, hr, n) relation — separate so the bracketing and
+    interpolation semantics are unit-testable on constructed series."""
+    bounds = hourly.groupBy("event_type").agg(
+        F.min("hr").alias("lo"), F.max("hr").alias("hi")
+    )
+    spine = bounds.select(
+        "event_type",
+        F.explode(
+            F.sequence("lo", "hi", F.expr("INTERVAL 1 HOUR"))
+        ).alias("hr"),
+    )
+    full = spine.join(hourly, ["event_type", "hr"], "left")
+
+    w_past = (
+        Window.partitionBy("event_type")
+        .orderBy("hr")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    w_next = (
+        Window.partitionBy("event_type")
+        .orderBy(F.desc("hr"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    grouped = full.withColumn("grp_p", F.count("n").over(w_past)).withColumn(
+        "grp_n", F.count("n").over(w_next)
+    )
+    blk_p = Window.partitionBy("event_type", "grp_p")
+    blk_n = Window.partitionBy("event_type", "grp_n")
+    bracketed = (
+        grouped.withColumn("prev_n", F.max("n").over(blk_p))
+        .withColumn("prev_hr", F.min("hr").over(blk_p))
+        .withColumn("next_n", F.max("n").over(blk_n))
+        .withColumn("next_hr", F.max("hr").over(blk_n))
+    )
+    d1 = (
+        F.unix_timestamp("hr") - F.unix_timestamp("prev_hr")
+    ) / F.lit(3600)
+    d = (
+        F.unix_timestamp("next_hr") - F.unix_timestamp("prev_hr")
+    ) / F.lit(3600)
+    interp = F.col("prev_n").cast("double") + (
+        F.col("next_n") - F.col("prev_n")
+    ).cast("double") * (d1.cast("double") / d.cast("double"))
+    filled = F.when(F.col("n").isNotNull(), F.col("n").cast("double")).otherwise(
+        F.floor(interp * 10000 + F.lit(0.5)) / 10000
+    )
+    return bracketed.select(
+        "event_type",
+        "hr",
+        F.col("n").cast("long").alias("n_observed"),
+        filled.alias("n_filled"),
+        F.when(F.col("n").isNotNull(), F.lit("observed"))
+        .otherwise(F.lit("interpolated"))
+        .alias("method"),
+    )
+
+
+ORACLE_GAP_FILL = """
+WITH hourly AS (
+  SELECT event_type, date_trunc('hour', ts) AS hr, COUNT(*) AS n
+  FROM events GROUP BY 1, 2
+), bounds AS (
+  SELECT event_type, MIN(hr) AS lo, MAX(hr) AS hi FROM hourly GROUP BY 1
+), spine AS (
+  SELECT event_type,
+         unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS hr
+  FROM bounds
+), filled AS (
+  SELECT s.event_type, s.hr, h.n,
+         COUNT(h.n) OVER (PARTITION BY s.event_type ORDER BY s.hr
+                          ROWS UNBOUNDED PRECEDING) AS grp_p,
+         COUNT(h.n) OVER (PARTITION BY s.event_type ORDER BY s.hr DESC
+                          ROWS UNBOUNDED PRECEDING) AS grp_n
+  FROM spine s LEFT JOIN hourly h USING (event_type, hr)
+), bracketed AS (
+  SELECT event_type, hr, n,
+         MAX(n)  OVER (PARTITION BY event_type, grp_p) AS prev_n,
+         MIN(hr) OVER (PARTITION BY event_type, grp_p) AS prev_hr,
+         MAX(n)  OVER (PARTITION BY event_type, grp_n) AS next_n,
+         MAX(hr) OVER (PARTITION BY event_type, grp_n) AS next_hr
+  FROM filled
+)
+SELECT event_type, hr,
+       CAST(n AS BIGINT) AS n_observed,
+       CASE WHEN n IS NOT NULL THEN CAST(n AS DOUBLE)
+            ELSE FLOOR((CAST(prev_n AS DOUBLE)
+                        + CAST(next_n - prev_n AS DOUBLE)
+                          * (CAST((epoch(hr) - epoch(prev_hr)) // 3600 AS DOUBLE)
+                             / CAST((epoch(next_hr) - epoch(prev_hr)) // 3600 AS DOUBLE)))
+                       * 10000 + 0.5) / 10000
+       END AS n_filled,
+       CASE WHEN n IS NOT NULL THEN 'observed' ELSE 'interpolated' END AS method
+FROM bracketed
+"""
+
+
 def q_histogram_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """p50/p90/p99 of l_extendedprice per return flag via the binned
     sketch — the scale-path twin of the exact ``revenue_percentiles``
@@ -1021,11 +1148,13 @@ QUERIES = {
     "kmv_overlap": q_kmv_overlap,
     "bloom_semi_filter": q_bloom_semi_filter,
     "histogram_quantiles": q_histogram_quantiles,
+    "gap_fill_interpolate": q_gap_fill_interpolate,
 }
 
 ORACLES = {
     "hll_users": ORACLE_HLL_USERS,
     "histogram_quantiles": ORACLE_HISTOGRAM_QUANTILES,
+    "gap_fill_interpolate": ORACLE_GAP_FILL,
     "cms_heavy_hitters": ORACLE_CMS_HEAVY_HITTERS,
     "kmv_overlap": ORACLE_KMV_OVERLAP,
     "bloom_semi_filter": ORACLE_BLOOM_SEMI,

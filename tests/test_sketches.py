@@ -164,3 +164,49 @@ def test_histogram_quantiles_constant_column(spark):
     ).collect()[0]
     assert (row.p50, row.p90, row.p99) == (42.5, 42.5, 42.5)
     assert row.bin_width == 0.0
+
+
+def test_gap_fill_linear_interpolation(spark):
+    """Interior gaps interpolate linearly between the bracketing
+    observations; observed rows pass through; spine bounds are the
+    observed min/max so no head/tail extrapolation rows exist."""
+    import datetime as dt
+
+    from etl_python_spark.operators.events import gap_fill_hours
+
+    h0 = dt.datetime(2026, 1, 1, 0)
+
+    def at(i):
+        return h0 + dt.timedelta(hours=i)
+
+    # observations at hours 0, 3, 4, 7 -> gaps at 1, 2 (bracket 10->40:
+    # 20, 30) and 5, 6 (bracket 16->22: 18, 20)
+    rows = [("a", at(0), 10), ("a", at(3), 40), ("a", at(4), 16), ("a", at(7), 22)]
+    df = spark.createDataFrame(rows, "event_type string, hr timestamp, n long")
+    out = {r.hr.hour: r for r in gap_fill_hours(df).collect()}
+
+    assert sorted(out) == list(range(8))  # full spine, nothing outside
+    for hour, exp in [(1, 20.0), (2, 30.0), (5, 18.0), (6, 20.0)]:
+        assert out[hour].method == "interpolated"
+        assert out[hour].n_observed is None
+        assert out[hour].n_filled == exp
+    for hour, exp in [(0, 10), (3, 40), (4, 16), (7, 22)]:
+        assert out[hour].method == "observed"
+        assert out[hour].n_observed == exp
+        assert out[hour].n_filled == float(exp)
+
+
+def test_gap_fill_fractional_quantization(spark):
+    """Non-integral interpolants quantize half-up at 4dp: a 3-hour gap
+    over a delta of 1 gives thirds -> 0.3333 / 0.6667 exactly."""
+    import datetime as dt
+
+    from etl_python_spark.operators.events import gap_fill_hours
+
+    h0 = dt.datetime(2026, 1, 1, 0)
+    rows = [("a", h0, 0), ("a", h0 + dt.timedelta(hours=3), 1)]
+    df = spark.createDataFrame(rows, "event_type string, hr timestamp, n long")
+    filled = {
+        r.hr.hour: r.n_filled for r in gap_fill_hours(df).collect()
+    }
+    assert filled == {0: 0.0, 1: 0.3333, 2: 0.6667, 3: 1.0}
