@@ -34,6 +34,7 @@ VERIFY_PRIORITY = (
     "substring_spans",
     "histogram_quantiles",
     "gap_fill_interpolate",
+    "stream_histogram_quantiles",
     "dsir_scores",
     "hll_users",
     "cms_heavy_hitters",

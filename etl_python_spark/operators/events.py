@@ -907,6 +907,15 @@ def histogram_quantiles(
     hist = binned.groupBy(group_col, "lo", "hi", "n", "bin").agg(
         F.count(F.lit(1)).alias("cnt")
     )
+    return quantiles_from_hist(hist, group_col, bins)
+
+
+def quantiles_from_hist(
+    hist: DataFrame, group_col: str, bins: int = HIST_BINS
+) -> DataFrame:
+    """Quantile recovery over a (group, lo, hi, n, bin, cnt) histogram
+    relation — shared by the batch sketch above and the streaming
+    variant (whose bin counters arrive from a streaming aggregate)."""
     # bin is unique per group after the aggregate, so the default RANGE
     # frame equals ROWS — no tie ambiguity.
     w = Window.partitionBy(group_col).orderBy("bin")
@@ -938,7 +947,7 @@ def histogram_quantiles(
         (
             F.floor(
                 (F.col("hi") - F.col("lo")).cast("double")
-                / float(HIST_BINS)
+                / float(bins)
                 * 100.0
                 + 0.5
             )

@@ -13,7 +13,7 @@ import os
 import tempfile
 import uuid
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 
@@ -539,6 +539,110 @@ def stream_hll_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hll_finalize(drained)
 
 
+# Streaming histogram bounds must be FIXED (the batch sketch's
+# min/max pre-pass is a second scan a stream cannot make): the value
+# domain in cents, clamped at the edge bins.  A deployment calibrates
+# these from a sample the way it sizes any streaming sketch.
+STREAM_HIST_LO = 0         # cents
+STREAM_HIST_HI = 50_000    # cents (value <= 500.00 in TESTDATA)
+STREAM_HIST_BINS = 128
+
+
+def stream_histogram_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming p50/p90/p99 of event value per event type: the bin
+    counters are a plain streaming aggregate (counts merge by SUM —
+    the mergeability that makes the histogram a sketch), drained
+    complete-mode; quantile recovery runs batch-side over the
+    bin-sized result via the SAME ``quantiles_from_hist`` as the batch
+    sketch.  Streaming state is <=STREAM_HIST_BINS counters per event
+    type — constant memory however many events flow past, which is
+    why a stream carries a histogram instead of sorting for exact
+    percentiles.  Bounds are fixed constants (see above) with edge-bin
+    clamping, the one semantic difference from the batch sketch's
+    observed min/max."""
+    from ..functions.numeric import cents
+    from ..operators.events import quantiles_from_hist
+
+    stream = _events_stream(spark, sf_dir)
+    span = STREAM_HIST_HI - STREAM_HIST_LO
+    bin_col = F.least(
+        F.greatest(
+            F.expr(
+                f"(xc - {STREAM_HIST_LO}) * {STREAM_HIST_BINS} div {span}"
+            ),
+            F.lit(0).cast("long"),
+        ),
+        F.lit(STREAM_HIST_BINS - 1).cast("long"),
+    )
+    counts = (
+        stream.select("event_type", cents(F.col("value")).alias("xc"))
+        .select("event_type", bin_col.cast("int").alias("bin"))
+        .groupBy("event_type", "bin")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    drained = _drain_to_memory(counts, "hist_bins", "complete")
+    w_all = Window.partitionBy("event_type")
+    hist = drained.select(
+        "event_type",
+        F.lit(STREAM_HIST_LO).cast("long").alias("lo"),
+        F.lit(STREAM_HIST_HI).cast("long").alias("hi"),
+        F.sum("cnt").over(w_all).alias("n"),
+        "bin",
+        "cnt",
+    )
+    return quantiles_from_hist(hist, "event_type", STREAM_HIST_BINS)
+
+
+def _stream_hist_q_sql() -> str:
+    from ..operators.events import HIST_QS
+
+    sels = []
+    for name, qn, qd in HIST_QS:
+        t = f"((n * {qn} + {qd} - 1) // {qd})"
+        interp = (
+            f"CAST(lo AS DOUBLE) + (CAST(bin AS DOUBLE) + "
+            f"CAST({t} - (cum - cnt) AS DOUBLE) / CAST(cnt AS DOUBLE)) * "
+            f"(CAST(hi - lo AS DOUBLE) / {float(STREAM_HIST_BINS)!r})"
+        )
+        sels.append(
+            f"FLOOR(MIN(CASE WHEN cum >= {t} AND cum - cnt < {t} "
+            f"THEN {interp} END) * 100.0 + 0.5) / 10000.0 AS {name}"
+        )
+    return ",\n       ".join(sels)
+
+
+def _oracle_stream_histogram() -> str:
+    return f"""
+WITH binned AS (
+  SELECT event_type,
+         CAST(LEAST(GREATEST(
+               (CAST(FLOOR(value * 100 + 0.5) AS BIGINT) - {STREAM_HIST_LO})
+                 * {STREAM_HIST_BINS} // {STREAM_HIST_HI - STREAM_HIST_LO},
+               0), {STREAM_HIST_BINS - 1}) AS INT) AS bin
+  FROM events
+), hist AS (
+  SELECT event_type,
+         CAST({STREAM_HIST_LO} AS BIGINT) AS lo,
+         CAST({STREAM_HIST_HI} AS BIGINT) AS hi,
+         bin, COUNT(*) AS cnt
+  FROM binned GROUP BY 1, 4
+), cum AS (
+  SELECT *,
+         SUM(cnt) OVER (PARTITION BY event_type) AS n,
+         SUM(cnt) OVER (PARTITION BY event_type ORDER BY bin
+                        ROWS UNBOUNDED PRECEDING) AS cum
+  FROM hist
+)
+SELECT event_type,
+       CAST(n AS BIGINT) AS n_rows,
+       {{QS}},
+       FLOOR(CAST(hi - lo AS DOUBLE) / {float(STREAM_HIST_BINS)!r} * 100.0 + 0.5)
+         / 10000.0 AS bin_width
+FROM cum
+GROUP BY event_type, lo, hi, n
+""".replace("{QS}", _stream_hist_q_sql())
+
+
 ORACLE_STREAM_HLL = """
 WITH hashed AS (
   SELECT event_type,
@@ -584,10 +688,12 @@ QUERIES = {
     "stream_dedup_exact": stream_dedup_exact,
     "stream_incremental_dedup": stream_incremental_dedup,
     "stream_hll_users": stream_hll_users,
+    "stream_histogram_quantiles": stream_histogram_quantiles,
 }
 
 ORACLES = {
     "stream_hll_users": ORACLE_STREAM_HLL,
+    "stream_histogram_quantiles": _oracle_stream_histogram(),
     "stream_hourly_counts": ORACLE_STREAM_HOURLY,
     "stream_static_enriched": ORACLE_STREAM_ENRICHED,
     "stream_sessionize": ORACLE_STREAM_SESSIONS,
