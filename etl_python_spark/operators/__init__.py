@@ -35,6 +35,7 @@ VERIFY_PRIORITY = (
     "histogram_quantiles",
     "gap_fill_interpolate",
     "stream_histogram_quantiles",
+    "weighted_sample",
     "dsir_scores",
     "hll_users",
     "cms_heavy_hitters",

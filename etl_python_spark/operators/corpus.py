@@ -182,6 +182,61 @@ def q_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+WSAMPLE_N = 100
+
+
+def weighted_sample_keys(docs: DataFrame, weight_col) -> DataFrame:
+    """(doc_id, weight, key): Efraimidis–Spirakis A-ES sampling keys —
+    rank by ``ln(u) / w`` with ``u = (hash60(doc_id)+1) / 2^60``; the
+    top-N rows by key are a weighted sample WITHOUT replacement whose
+    inclusion probability scales with the weight (Efraimidis &
+    Spirakis 2006; equivalent to ranking by u^(1/w)).  Deterministic —
+    u comes from the engine-agnostic hash, no RNG — and the key is
+    6dp-rounded before any ranking with a doc_id tie-break, the same
+    near-tie guard every ranked float in this repo carries."""
+    w = F.greatest(weight_col.cast("long"), F.lit(1))
+    u = (hash60(F.col("doc_id").cast("string")) + 1).cast("double") / float(
+        1 << 60
+    )
+    key = F.round(F.log(u) / w.cast("double"), 6)
+    return docs.select(
+        "doc_id", w.alias("weight"), key.alias("key")
+    )
+
+
+def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weight-proportional corpus subsample: the WSAMPLE_N documents
+    with the largest A-ES keys, weighted by document length — the
+    standard shape for quality- or length-weighted training-data
+    subsampling at scale.
+
+    Scale shape: the key is one stateless per-row expression (no RNG
+    state, stable under repartitioning), and the selection is
+    orderBy+limit — Spark's TakeOrdered keeps a bounded N-row heap per
+    partition and merges heaps on the driver, never a global sort."""
+    docs = load_table(spark, sf_dir, "documents")
+    keyed = weighted_sample_keys(docs, F.col("n_chars"))
+    return keyed.orderBy(
+        F.desc("key"), F.asc("doc_id")
+    ).limit(WSAMPLE_N)
+
+
+ORACLE_WEIGHTED_SAMPLE = f"""
+WITH keyed AS (
+  SELECT doc_id,
+         GREATEST(CAST(n_chars AS BIGINT), 1) AS weight,
+         ROUND(ln(CAST({sql_hash60("CAST(doc_id AS VARCHAR)")} + 1 AS DOUBLE)
+                  / {float(1 << 60)!r})
+               / CAST(GREATEST(CAST(n_chars AS BIGINT), 1) AS DOUBLE),
+               6) AS key
+  FROM documents
+)
+SELECT doc_id, weight, key FROM keyed
+ORDER BY key DESC, doc_id ASC
+LIMIT {WSAMPLE_N}
+"""
+
+
 ORACLE_SAMPLE_STRATIFIED = f"""
 WITH base AS (
   SELECT doc_id,
@@ -713,6 +768,7 @@ FROM agg
 QUERIES = {
     "decontaminate": q_decontaminate,
     "sample_stratified": q_sample_stratified,
+    "weighted_sample": q_weighted_sample,
     "pack_sequences": q_pack_sequences,
     "pack_manifest": q_pack_manifest,
     "corpus_mix": q_corpus_mix,
@@ -724,6 +780,7 @@ QUERIES = {
 ORACLES = {
     "decontaminate": ORACLE_DECONTAMINATE,
     "sample_stratified": ORACLE_SAMPLE_STRATIFIED,
+    "weighted_sample": ORACLE_WEIGHTED_SAMPLE,
     "pack_sequences": ORACLE_PACK_SEQUENCES,
     "pack_manifest": ORACLE_PACK_MANIFEST,
     "corpus_mix": ORACLE_CORPUS_MIX,

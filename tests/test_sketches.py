@@ -210,3 +210,50 @@ def test_gap_fill_fractional_quantization(spark):
         r.hr.hour: r.n_filled for r in gap_fill_hours(df).collect()
     }
     assert filled == {0: 0.0, 1: 0.3333, 2: 0.6667, 3: 1.0}
+
+
+def test_weighted_sample_inclusion_tracks_weight(spark):
+    """A-ES sampling quality: with weights 9 vs 1 over a large
+    deterministic population, the heavy class must dominate the top-k
+    near its theoretical share — parity alone can't catch a key
+    formula that ignores the weight."""
+    from etl_python_spark.operators.corpus import weighted_sample_keys
+
+    # 4000 docs: even ids weight 9, odd ids weight 1
+    df = spark.range(4000).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") % 2 == 0, F.lit(9)).otherwise(F.lit(1)).alias("w"),
+    )
+    top = (
+        weighted_sample_keys(df, F.col("w"))
+        .orderBy(F.desc("key"), F.asc("doc_id"))
+        .limit(400)
+        .collect()
+    )
+    heavy = sum(1 for r in top if r.weight == 9)
+    # theoretical inclusion ratio for k << n approaches w_h/(w_h+w_l)
+    # per contested slot = 0.9; allow wide deterministic slack
+    assert 0.75 <= heavy / 400 <= 0.98, heavy
+    # keys are valid A-ES keys: ln(u)/w <= 0 always
+    assert all(r.key <= 0 for r in top)
+
+
+def test_weighted_sample_is_stable_under_repartition(spark):
+    """The sample must depend on row content only (hash keys, no RNG
+    state): any partitioning yields the identical member set."""
+    from etl_python_spark.operators.corpus import weighted_sample_keys
+
+    df = spark.range(1000).select(
+        F.col("id").alias("doc_id"), (F.col("id") % 7 + 1).alias("w")
+    )
+
+    def sample(frame):
+        rows = (
+            weighted_sample_keys(frame, F.col("w"))
+            .orderBy(F.desc("key"), F.asc("doc_id"))
+            .limit(50)
+            .collect()
+        )
+        return [r.doc_id for r in rows]
+
+    assert sample(df.repartition(1)) == sample(df.repartition(13, "doc_id"))
