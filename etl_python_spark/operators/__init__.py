@@ -36,6 +36,8 @@ VERIFY_PRIORITY = (
     "gap_fill_interpolate",
     "stream_histogram_quantiles",
     "weighted_sample",
+    "proration",
+    "scd2_intervals",
     "dsir_scores",
     "hll_users",
     "cms_heavy_hitters",

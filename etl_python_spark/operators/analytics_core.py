@@ -1111,7 +1111,93 @@ GROUP BY 1
 """
 
 
+def q_proration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Largest-remainder (Hamilton) cent allocation: distribute each
+    order's header total across its line items proportional to the
+    line value, in EXACT integer cents — floor shares first, then one
+    extra cent to the lines with the largest remainders (tie-break on
+    line number) until the allocation reconciles to the pool exactly.
+    The classic finance-ETL proration (freight/discount rateio) where
+    ROUND() would leave per-order cent drift that auditors reject;
+    the per-order sum == pool invariant is pinned in a unit test and
+    the whole computation is integer arithmetic, so the DuckDB oracle
+    matches hash-exactly.
+
+    Scale shape: one keyed equi-join (AQE broadcasts the header side
+    at small SF, shuffles by order key at scale) and three windows all
+    partitioned by order key — per-order frames are line-count-sized,
+    nothing global."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        "l_linenumber",
+        cents(F.col("l_extendedprice")).alias("w"),
+    )
+    orders = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("l_orderkey"),
+        cents(F.col("o_totalprice")).alias("pool"),
+    )
+    j = li.join(orders, "l_orderkey")
+    w_ord = Window.partitionBy("l_orderkey")
+    j = (
+        j.withColumn("wtot", F.sum("w").over(w_ord))
+        # floor share and remainder in exact 64-bit integers:
+        # pool*w <= ~5e14, far under overflow
+        .withColumn("base", F.expr("pool * w div wtot"))
+        .withColumn("rem", F.expr("pool * w % wtot"))
+    )
+    j = j.withColumn("short", F.col("pool") - F.sum("base").over(w_ord))
+    rnk = F.row_number().over(
+        Window.partitionBy("l_orderkey").orderBy(
+            F.desc("rem"), F.asc("l_linenumber")
+        )
+    )
+    return j.withColumn("rnk", rnk).select(
+        "l_orderkey",
+        "l_linenumber",
+        F.col("w").alias("line_cents"),
+        (F.col("base") + (F.col("rnk") <= F.col("short")).cast("long")).alias(
+            "allocated_cents"
+        ),
+    )
+
+
+ORACLE_PRORATION = """
+WITH li AS (
+  SELECT l_orderkey, l_linenumber,
+         CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT) AS w
+  FROM lineitem
+), hdr AS (
+  SELECT o_orderkey AS l_orderkey,
+         CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) AS pool
+  FROM orders
+), j AS (
+  SELECT li.*, hdr.pool,
+         SUM(w) OVER (PARTITION BY li.l_orderkey) AS wtot
+  FROM li JOIN hdr USING (l_orderkey)
+), shares AS (
+  -- DuckDB promotes BIGINT*BIGINT to HUGEINT; cast back (pool*w
+  -- <= ~5e14, well inside 64 bits)
+  SELECT *,
+         CAST(pool * w // wtot AS BIGINT) AS base,
+         CAST(pool * w % wtot AS BIGINT) AS rem
+  FROM j
+), ranked AS (
+  SELECT *,
+         pool - SUM(base) OVER (PARTITION BY l_orderkey) AS short,
+         ROW_NUMBER() OVER (PARTITION BY l_orderkey
+                            ORDER BY rem DESC, l_linenumber ASC) AS rnk
+  FROM shares
+)
+SELECT l_orderkey, l_linenumber,
+       w AS line_cents,
+       CAST(base + CASE WHEN rnk <= short THEN 1 ELSE 0 END AS BIGINT)
+         AS allocated_cents
+FROM ranked
+"""
+
+
 QUERIES = {
+    "proration": q_proration,
     "faturamento_rollup": q_faturamento_rollup,
     "faturamento_proc": q_faturamento_proc,
     "json_export": q_json_export,
@@ -1138,6 +1224,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "proration": ORACLE_PRORATION,
     "faturamento_rollup": ORACLE_FATURAMENTO,
     "faturamento_proc": ORACLE_FATURAMENTO_PROC,
     "json_export": ORACLE_JSON_EXPORT,

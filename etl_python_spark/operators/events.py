@@ -956,6 +956,85 @@ def quantiles_from_hist(
     )
 
 
+def q_scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Slowly-changing-dimension (Type 2) builder: collapse each
+    user's event stream into validity intervals — one row per
+    contiguous run of the same event_type, with ``valid_from`` (first
+    event of the run), ``valid_to`` (start of the NEXT run, NULL while
+    current — the half-open [from, to) convention downstream as-of
+    joins expect) and ``is_current``.  The standard way a warehouse
+    derives a versioned dimension from a change stream.
+
+    Runs come from the gaps-and-islands change-flag cumsum; ordering
+    is (ts, event_id) so equal timestamps break deterministically.
+    Scale shape: two user-keyed windows over the raw stream plus one
+    user-keyed window over the (much smaller) interval relation —
+    nothing global, state bounded per user."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_type", "ts", "event_id"
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    # null-safe change flag (IS DISTINCT FROM semantics, mirrored in
+    # the oracle): the first row and any NULL-vs-value transition
+    # start a run; NULL-vs-NULL does not.
+    chg = (
+        ~F.col("event_type").eqNullSafe(F.lag("event_type").over(w))
+    ).cast("int")
+    runs = ev.withColumn(
+        "version",
+        F.sum(chg).over(
+            w.rowsBetween(Window.unboundedPreceding, 0)
+        ).cast("int"),
+    )
+    iv = runs.groupBy("user_id", "version", "event_type").agg(
+        F.min("ts").alias("valid_from"),
+        F.count(F.lit(1)).cast("int").alias("n_events"),
+    )
+    w2 = Window.partitionBy("user_id").orderBy("version")
+    return (
+        iv.withColumn("valid_to", F.lead("valid_from").over(w2))
+        .withColumn("is_current", F.col("valid_to").isNull())
+        .select(
+            "user_id",
+            "version",
+            "event_type",
+            "valid_from",
+            "valid_to",
+            "n_events",
+            "is_current",
+        )
+    )
+
+
+ORACLE_SCD2 = """
+WITH ordered AS (
+  SELECT user_id, event_type, ts, event_id,
+         CASE WHEN event_type IS DISTINCT FROM
+                   LAG(event_type) OVER (PARTITION BY user_id
+                                         ORDER BY ts, event_id)
+              THEN 1 ELSE 0 END AS chg
+  FROM events
+), runs AS (
+  SELECT *,
+         CAST(SUM(chg) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS UNBOUNDED PRECEDING) AS INT) AS version
+  FROM ordered
+), iv AS (
+  SELECT user_id, version, event_type,
+         MIN(ts) AS valid_from,
+         CAST(COUNT(*) AS INT) AS n_events
+  FROM runs GROUP BY 1, 2, 3
+)
+SELECT user_id, version, event_type, valid_from,
+       LEAD(valid_from) OVER (PARTITION BY user_id ORDER BY version)
+         AS valid_to,
+       n_events,
+       LEAD(valid_from) OVER (PARTITION BY user_id ORDER BY version)
+         IS NULL AS is_current
+FROM iv
+"""
+
+
 def q_gap_fill_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hourly event counts with gap-filling and linear interpolation —
     the hypertable rollup pattern (TimescaleDB's ``time_bucket_gapfill``
@@ -1158,12 +1237,14 @@ QUERIES = {
     "bloom_semi_filter": q_bloom_semi_filter,
     "histogram_quantiles": q_histogram_quantiles,
     "gap_fill_interpolate": q_gap_fill_interpolate,
+    "scd2_intervals": q_scd2_intervals,
 }
 
 ORACLES = {
     "hll_users": ORACLE_HLL_USERS,
     "histogram_quantiles": ORACLE_HISTOGRAM_QUANTILES,
     "gap_fill_interpolate": ORACLE_GAP_FILL,
+    "scd2_intervals": ORACLE_SCD2,
     "cms_heavy_hitters": ORACLE_CMS_HEAVY_HITTERS,
     "kmv_overlap": ORACLE_KMV_OVERLAP,
     "bloom_semi_filter": ORACLE_BLOOM_SEMI,

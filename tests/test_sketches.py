@@ -257,3 +257,63 @@ def test_weighted_sample_is_stable_under_repartition(spark):
         return [r.doc_id for r in rows]
 
     assert sample(df.repartition(1)) == sample(df.repartition(13, "doc_id"))
+
+
+def test_proration_reconciles_to_the_cent(spark):
+    """Largest-remainder allocation: per-order allocated cents must
+    sum EXACTLY to the header pool, each line within 1 cent of its
+    ideal proportional share."""
+    from etl_python_spark.operators.analytics_core import q_proration
+
+    rows = q_proration(spark, "/root/testdata/sf0.001").collect()
+    import collections
+
+    import duckdb
+
+    pools = {
+        r[0]: r[1]
+        for r in duckdb.query(
+            "SELECT o_orderkey, CAST(FLOOR(o_totalprice*100+0.5) AS BIGINT) "
+            "FROM read_parquet('/root/testdata/sf0.001/orders.parquet')"
+        ).fetchall()
+    }
+    per_order = collections.defaultdict(lambda: [0, 0])
+    for r in rows:
+        per_order[r.l_orderkey][0] += r.allocated_cents
+        per_order[r.l_orderkey][1] += r.line_cents
+    assert per_order  # non-trivial
+    for ok, (alloc, wtot) in per_order.items():
+        assert alloc == pools[ok], (ok, alloc, pools[ok])
+    # proportionality: allocated within 1 cent of pool*w/wtot ideal
+    import math
+
+    checked = 0
+    for r in rows:
+        pool = pools[r.l_orderkey]
+        wtot = per_order[r.l_orderkey][1]
+        ideal = pool * r.line_cents / wtot
+        assert math.floor(ideal) <= r.allocated_cents <= math.floor(ideal) + 1
+        checked += 1
+    assert checked == len(rows)
+
+
+def test_scd2_intervals_tile_the_stream(spark):
+    """Intervals are half-open, contiguous per user, exactly one
+    current version, and n_events sums to the user's event count."""
+    from etl_python_spark.operators.events import q_scd2_intervals
+
+    rows = q_scd2_intervals(spark, "/root/testdata/sf0.001").collect()
+    import collections
+
+    by_user = collections.defaultdict(list)
+    for r in rows:
+        by_user[r.user_id].append(r)
+    assert by_user
+    for uid, ivs in by_user.items():
+        ivs.sort(key=lambda r: r.version)
+        assert [r.version for r in ivs] == list(range(1, len(ivs) + 1))
+        assert sum(r.is_current for r in ivs) == 1 and ivs[-1].is_current
+        for a, b in zip(ivs, ivs[1:]):
+            assert a.valid_to == b.valid_from          # contiguous
+            assert a.valid_from <= a.valid_to          # ordered
+            assert a.event_type != b.event_type        # true change
