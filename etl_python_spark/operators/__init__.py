@@ -38,6 +38,7 @@ VERIFY_PRIORITY = (
     "weighted_sample",
     "proration",
     "scd2_intervals",
+    "km_survival",
     "dsir_scores",
     "hll_users",
     "cms_heavy_hitters",

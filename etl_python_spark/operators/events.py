@@ -956,6 +956,161 @@ def quantiles_from_hist(
     )
 
 
+def q_km_survival(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan-Meier survival estimate over right-censored durations —
+    the reference's stated warranty-failure analysis
+    (``todos_SKUs.Rmd:45``: probability a unit has NOT failed by time
+    t, censored units counted in the risk set until they drop out;
+    the Rmd describes the KM fit over expedition->assistance dates but
+    only codes the bucketing, so this implements the stated intent,
+    the same rule the payroll family follows).  Here: duration =
+    hours from a user's first event to their first ``error`` (failure)
+    or to their last observed event (censored).
+
+    Estimator: S(t) = Π over event times t_i <= t of (1 - d_i/n_i).
+    The product is computed as an EXACT INTEGER cumulative sum of
+    per-term micro-nats (floor(ln(1-d/n)*1e6 + 0.5) — the lm_perplexity
+    sum-order rule: never cumulate raw doubles across engines), one
+    exp at the end, 4dp floor-quantized.  If a risk set is wiped out
+    (d = n) survival locks to exactly 0 from that time on.
+
+    Scale shape: the per-user reduction is one groupBy over the raw
+    stream (map-side combined); everything after operates on the
+    duration-grouped relation, which is bounded by the observation
+    span in HOURS (~720 rows), so its unpartitioned ordered windows
+    are metadata-sized by construction — same small-relation argument
+    as the histogram recovery."""
+    ev = load_table(spark, sf_dir, "events")
+    per_user = ev.groupBy("user_id").agg(
+        F.min("ts").alias("t0"),
+        F.max("ts").alias("tl"),
+        F.min(
+            F.when(F.col("event_type") == "error", F.col("ts"))
+        ).alias("tf"),
+    )
+    obs = per_user.select(
+        F.expr(
+            "(unix_timestamp(coalesce(tf, tl)) - unix_timestamp(t0)) div 3600"
+        ).alias("dur_h"),
+        F.col("tf").isNotNull().cast("int").alias("event"),
+    )
+    return km_from_obs(obs)
+
+
+def km_from_obs(obs: DataFrame) -> DataFrame:
+    """Kaplan-Meier over any (dur_h, event) relation — separate so the
+    estimator is unit-testable against hand-computed curves."""
+    grouped = obs.groupBy("dur_h").agg(
+        F.sum("event").alias("d"),
+        F.sum(1 - F.col("event")).alias("c"),
+    )
+    w_all = Window.partitionBy(F.lit(1))
+    w_prev = (
+        Window.partitionBy(F.lit(1))
+        .orderBy("dur_h")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    risk = (
+        grouped.withColumn("n_total", F.sum(F.col("d") + F.col("c")).over(w_all))
+        .withColumn(
+            "cum_prev",
+            F.coalesce(
+                F.sum(F.col("d") + F.col("c")).over(w_prev), F.lit(0)
+            ),
+        )
+        .withColumn("n_risk", F.col("n_total") - F.col("cum_prev"))
+        .filter(F.col("d") > 0)
+    )
+    term_micro = F.when(
+        F.col("d") < F.col("n_risk"),
+        F.floor(
+            F.log(
+                F.lit(1.0)
+                - F.col("d").cast("double") / F.col("n_risk").cast("double")
+            )
+            * 1e6
+            + F.lit(0.5)
+        ).cast("long"),
+    ).otherwise(F.lit(0))
+    w_cum = (
+        Window.partitionBy(F.lit(1))
+        .orderBy("dur_h")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    km = (
+        risk.withColumn("term_micro", term_micro)
+        .withColumn("cum_micro", F.sum("term_micro").over(w_cum))
+        .withColumn(
+            "wiped",
+            F.max((F.col("d") == F.col("n_risk")).cast("int")).over(w_cum),
+        )
+    )
+    survival = F.when(F.col("wiped") == 1, F.lit(0.0)).otherwise(
+        F.floor(
+            F.exp(F.col("cum_micro").cast("double") / F.lit(1e6)) * 10000
+            + F.lit(0.5)
+        )
+        / 10000
+    )
+    return km.select(
+        F.col("dur_h").cast("long").alias("dur_h"),
+        F.col("d").cast("long").alias("n_failures"),
+        F.col("n_risk").cast("long").alias("n_risk"),
+        survival.alias("survival"),
+    )
+
+
+ORACLE_KM_SURVIVAL = """
+WITH per_user AS (
+  SELECT user_id,
+         MIN(ts) AS t0,
+         MAX(ts) AS tl,
+         MIN(CASE WHEN event_type = 'error' THEN ts END) AS tf
+  FROM events GROUP BY 1
+), obs AS (
+  -- FLOOR(epoch(...)) mirrors Spark's unix_timestamp() second
+  -- truncation (DuckDB's epoch keeps the fractional part)
+  SELECT (CAST(FLOOR(epoch(COALESCE(tf, tl))) AS BIGINT)
+          - CAST(FLOOR(epoch(t0)) AS BIGINT)) // 3600 AS dur_h,
+         CASE WHEN tf IS NOT NULL THEN 1 ELSE 0 END AS event
+  FROM per_user
+), grouped AS (
+  SELECT dur_h, SUM(event) AS d, SUM(1 - event) AS c
+  FROM obs GROUP BY 1
+), risk AS (
+  SELECT dur_h, d, c,
+         SUM(d + c) OVER () AS n_total,
+         COALESCE(SUM(d + c) OVER (ORDER BY dur_h
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_prev
+  FROM grouped
+), terms AS (
+  SELECT dur_h, d, n_total - cum_prev AS n_risk,
+         CASE WHEN d < n_total - cum_prev
+              THEN CAST(FLOOR(ln(1.0 - CAST(d AS DOUBLE)
+                                   / CAST(n_total - cum_prev AS DOUBLE))
+                              * 1e6 + 0.5) AS BIGINT)
+              ELSE 0 END AS term_micro
+  FROM risk
+  WHERE d > 0
+), km AS (
+  SELECT dur_h, d, n_risk,
+         SUM(term_micro) OVER (ORDER BY dur_h
+             ROWS UNBOUNDED PRECEDING) AS cum_micro,
+         MAX(CASE WHEN d = n_risk THEN 1 ELSE 0 END) OVER (ORDER BY dur_h
+             ROWS UNBOUNDED PRECEDING) AS wiped
+  FROM terms
+)
+SELECT CAST(dur_h AS BIGINT) AS dur_h,
+       CAST(d AS BIGINT) AS n_failures,
+       CAST(n_risk AS BIGINT) AS n_risk,
+       CASE WHEN wiped = 1 THEN 0.0
+            ELSE FLOOR(exp(CAST(cum_micro AS DOUBLE) / 1e6) * 10000 + 0.5)
+                 / 10000
+       END AS survival
+FROM km
+"""
+
+
 def q_scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Slowly-changing-dimension (Type 2) builder: collapse each
     user's event stream into validity intervals — one row per
@@ -1238,6 +1393,7 @@ QUERIES = {
     "histogram_quantiles": q_histogram_quantiles,
     "gap_fill_interpolate": q_gap_fill_interpolate,
     "scd2_intervals": q_scd2_intervals,
+    "km_survival": q_km_survival,
 }
 
 ORACLES = {
@@ -1245,6 +1401,7 @@ ORACLES = {
     "histogram_quantiles": ORACLE_HISTOGRAM_QUANTILES,
     "gap_fill_interpolate": ORACLE_GAP_FILL,
     "scd2_intervals": ORACLE_SCD2,
+    "km_survival": ORACLE_KM_SURVIVAL,
     "cms_heavy_hitters": ORACLE_CMS_HEAVY_HITTERS,
     "kmv_overlap": ORACLE_KMV_OVERLAP,
     "bloom_semi_filter": ORACLE_BLOOM_SEMI,

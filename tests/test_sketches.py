@@ -317,3 +317,36 @@ def test_scd2_intervals_tile_the_stream(spark):
             assert a.valid_to == b.valid_from          # contiguous
             assert a.valid_from <= a.valid_to          # ordered
             assert a.event_type != b.event_type        # true change
+
+
+def test_km_survival_textbook_curve(spark):
+    """Hand-computed KM curve with interleaved censoring: 5 subjects —
+    fail@1, censor@2, fail@3, censor@4, fail@5.
+    S(1)=4/5=0.8; S(3)=0.8*(2/3)=0.5333; S(5)=0 (risk set wiped)."""
+    from etl_python_spark.operators.events import km_from_obs
+
+    obs = spark.createDataFrame(
+        [(1, 1), (2, 0), (3, 1), (4, 0), (5, 1)], "dur_h long, event int"
+    )
+    rows = {r.dur_h: r for r in km_from_obs(obs).collect()}
+    assert sorted(rows) == [1, 3, 5]  # event times only
+    assert (rows[1].n_failures, rows[1].n_risk) == (1, 5)
+    assert rows[1].survival == 0.8
+    assert (rows[3].n_failures, rows[3].n_risk) == (1, 3)
+    assert rows[3].survival == 0.5333
+    assert (rows[5].n_failures, rows[5].n_risk) == (1, 1)
+    assert rows[5].survival == 0.0
+
+
+def test_km_survival_no_censoring_matches_empirical(spark):
+    """Without censoring KM reduces to the empirical survival
+    function: S(t) = fraction with duration > t."""
+    from etl_python_spark.operators.events import km_from_obs
+
+    durs = [1, 1, 2, 3, 3, 3, 4, 7, 7, 10]
+    obs = spark.createDataFrame([(d, 1) for d in durs], "dur_h long, event int")
+    rows = {r.dur_h: r.survival for r in km_from_obs(obs).collect()}
+    n = len(durs)
+    for t, s in rows.items():
+        expected = sum(1 for d in durs if d > t) / n
+        assert abs(s - expected) < 2e-4, (t, s, expected)
