@@ -39,6 +39,7 @@ VERIFY_PRIORITY = (
     "proration",
     "scd2_intervals",
     "km_survival",
+    "corr_matrix",
     "dsir_scores",
     "hll_users",
     "cms_heavy_hitters",

@@ -1196,8 +1196,126 @@ FROM ranked
 """
 
 
+_CORR_COLS = (
+    # (name, exact-integer expression builder) — quantized units so
+    # every moment is an exact integer
+    ("qty", lambda: F.col("l_quantity").cast("long")),
+    ("price_c", lambda: cents(F.col("l_extendedprice"))),
+    ("disc_bp", lambda: F.floor(F.col("l_discount") * 10000 + F.lit(0.5)).cast("long")),
+    ("tax_bp", lambda: F.floor(F.col("l_tax") * 10000 + F.lit(0.5)).cast("long")),
+)
+
+
+def q_corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise Pearson correlations of the lineitem measures
+    (quantity, price, discount, tax), computed from EXACT INTEGER
+    moments: values quantize to integer units (cents / basis points),
+    every Σx, Σx², Σxy accumulates in DECIMAL(38,0) — summation order
+    cannot move a bit (the engine-native corr() aggregates use float
+    accumulators whose partial-merge order differs between engines;
+    this is the sum-order rule applied to second moments) — and the
+    only float arithmetic is one pinned expression per pair at the
+    end, 4dp floor-quantized.  corrplot is part of the reference's
+    exploratory toolkit (`analise-exploratoria.Rmd` preamble).
+
+    Scale shape: ONE full-pass hash aggregate producing a single row
+    of 14 moments (map-side partial combine; bytes cross the wire),
+    then the 6 pair rows explode from that one row.  Headroom note:
+    n·Σx² stays inside DECIMAL(38,0) up to ~1e12 rows of cent-scale
+    values; past that, pre-scale the units."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        *[expr().alias(name) for name, expr in _CORR_COLS]
+    )
+    names = [name for name, _ in _CORR_COLS]
+    d38 = "decimal(38,0)"
+    aggs = [F.count(F.lit(1)).cast(d38).alias("n")]
+    for a in names:
+        aggs.append(F.sum(F.col(a).cast(d38)).alias(f"s_{a}"))
+        aggs.append(
+            F.sum((F.col(a).cast(d38) * F.col(a).cast(d38))).alias(f"ss_{a}")
+        )
+    for i, a in enumerate(names):
+        for b in names[i + 1 :]:
+            aggs.append(
+                F.sum((F.col(a).cast(d38) * F.col(b).cast(d38))).alias(
+                    f"sp_{a}_{b}"
+                )
+            )
+    mom = li.agg(*aggs)
+
+    def corr_expr(a: str, b: str):
+        n = F.col("n")
+        cov = (n * F.col(f"sp_{a}_{b}") - F.col(f"s_{a}") * F.col(f"s_{b}")).cast(
+            "double"
+        )
+        var_a = (n * F.col(f"ss_{a}") - F.col(f"s_{a}") * F.col(f"s_{a}")).cast(
+            "double"
+        )
+        var_b = (n * F.col(f"ss_{b}") - F.col(f"s_{b}") * F.col(f"s_{b}")).cast(
+            "double"
+        )
+        r = cov / F.nullif(F.sqrt(var_a) * F.sqrt(var_b), F.lit(0.0))
+        return F.floor(r * 10000 + F.lit(0.5)) / 10000
+
+    pairs = [
+        F.struct(
+            F.lit(a).alias("col_a"),
+            F.lit(b).alias("col_b"),
+            corr_expr(a, b).alias("r"),
+        )
+        for i, a in enumerate(names)
+        for b in names[i + 1 :]
+    ]
+    return mom.select(
+        F.col("n").cast("long").alias("n_rows"),
+        F.explode(F.array(*pairs)).alias("p"),
+    ).select("p.col_a", "p.col_b", "n_rows", "p.r")
+
+
+def _oracle_corr_matrix() -> str:
+    names = [name for name, _ in _CORR_COLS]
+    exprs = {
+        "qty": "CAST(l_quantity AS BIGINT)",
+        "price_c": "CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT)",
+        "disc_bp": "CAST(FLOOR(l_discount * 10000 + 0.5) AS BIGINT)",
+        "tax_bp": "CAST(FLOOR(l_tax * 10000 + 0.5) AS BIGINT)",
+    }
+    aggs = ["CAST(COUNT(*) AS DECIMAL(38,0)) AS n"]
+    for a in names:
+        aggs.append(f"SUM(CAST({exprs[a]} AS DECIMAL(38,0))) AS s_{a}")
+        aggs.append(
+            f"SUM(CAST({exprs[a]} AS DECIMAL(38,0))"
+            f" * CAST({exprs[a]} AS DECIMAL(38,0))) AS ss_{a}"
+        )
+    sels = []
+    for i, a in enumerate(names):
+        for b in names[i + 1 :]:
+            aggs.append(
+                f"SUM(CAST({exprs[a]} AS DECIMAL(38,0))"
+                f" * CAST({exprs[b]} AS DECIMAL(38,0))) AS sp_{a}_{b}"
+            )
+            r = (
+                f"CAST(n * sp_{a}_{b} - s_{a} * s_{b} AS DOUBLE)"
+                f" / NULLIF(sqrt(CAST(n * ss_{a} - s_{a} * s_{a} AS DOUBLE))"
+                f" * sqrt(CAST(n * ss_{b} - s_{b} * s_{b} AS DOUBLE)), 0.0)"
+            )
+            sels.append(
+                f"SELECT '{a}' AS col_a, '{b}' AS col_b,"
+                f" CAST(n AS BIGINT) AS n_rows,"
+                f" FLOOR(({r}) * 10000 + 0.5) / 10000 AS r FROM mom"
+            )
+    return (
+        "WITH mom AS (\n  SELECT " + ",\n         ".join(aggs)
+        + "\n  FROM lineitem\n)\n" + "\nUNION ALL\n".join(sels)
+    )
+
+
+ORACLE_CORR_MATRIX = _oracle_corr_matrix()
+
+
 QUERIES = {
     "proration": q_proration,
+    "corr_matrix": q_corr_matrix,
     "faturamento_rollup": q_faturamento_rollup,
     "faturamento_proc": q_faturamento_proc,
     "json_export": q_json_export,
@@ -1225,6 +1343,7 @@ QUERIES = {
 
 ORACLES = {
     "proration": ORACLE_PRORATION,
+    "corr_matrix": ORACLE_CORR_MATRIX,
     "faturamento_rollup": ORACLE_FATURAMENTO,
     "faturamento_proc": ORACLE_FATURAMENTO_PROC,
     "json_export": ORACLE_JSON_EXPORT,

@@ -350,3 +350,47 @@ def test_km_survival_no_censoring_matches_empirical(spark):
     for t, s in rows.items():
         expected = sum(1 for d in durs if d > t) / n
         assert abs(s - expected) < 2e-4, (t, s, expected)
+
+
+def test_corr_matrix_matches_numpy(spark, tmp_path):
+    """Exact-moment Pearson must agree with numpy's float corrcoef to
+    the 4dp quantum on strongly-correlated constructed data."""
+    import numpy as np
+
+    from etl_python_spark.operators.analytics_core import q_corr_matrix
+
+    n = 2000
+    qty = np.arange(n) % 50 + 1.0
+    price = 3.0 * qty + (np.arange(n) % 7)        # strong + correlation
+    disc = (0.10 - 0.001 * (np.arange(n) % 50)).round(4)  # anti with qty
+    tax = np.full(n, 0.05)                        # zero variance -> NULL r
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    pdf = pd.DataFrame(
+        {
+            "l_quantity": qty,
+            "l_extendedprice": price,
+            "l_discount": disc,
+            "l_tax": tax,
+        }
+    )
+    sf = tmp_path / "sf"
+    sf.mkdir()
+    pq.write_table(pa.Table.from_pandas(pdf), sf / "lineitem.parquet")
+
+    rows = {
+        (r.col_a, r.col_b): r.r
+        for r in q_corr_matrix(spark, str(sf)).collect()
+    }
+    pc = np.round(price * 100)
+    db = np.round(disc * 10000)
+    exp_qp = float(np.corrcoef(qty, pc)[0, 1])
+    exp_qd = float(np.corrcoef(qty, db)[0, 1])
+    assert abs(rows[("qty", "price_c")] - exp_qp) <= 1e-4 + 1e-9
+    assert abs(rows[("qty", "disc_bp")] - exp_qd) <= 1e-4 + 1e-9
+    assert rows[("qty", "disc_bp")] < -0.9        # strong anti
+    # zero-variance column: correlation undefined -> NULL, not a crash
+    assert rows[("qty", "tax_bp")] is None
+    assert rows[("price_c", "tax_bp")] is None
