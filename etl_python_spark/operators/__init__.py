@@ -40,6 +40,7 @@ VERIFY_PRIORITY = (
     "scd2_intervals",
     "km_survival",
     "corr_matrix",
+    "pareto_abc",
     "dsir_scores",
     "hll_users",
     "cms_heavy_hitters",

@@ -522,7 +522,112 @@ FROM per_cust
 """
 
 
+N_ABC_PARTS = 8  # range partitions for the two-phase cumsum
+
+
+def q_pareto_abc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curva ABC (Pareto classification): rank parts by revenue and
+    class them A/B/C at 80%/95% of cumulative revenue share — the
+    standard Brazilian commercial prioritization report, and this
+    repo's reference pattern for a GLOBAL cumulative sum at scale.
+
+    A naive ``SUM() OVER (ORDER BY revenue)`` funnels the whole
+    relation through ONE task.  Here the cumsum is two-phase:
+
+    1. range-repartition by the global order (revenue desc, partkey),
+       pinned with localCheckpoint so both consumers see one
+       consistent partitioning;
+    2. per-partition local cumsum (window keyed by the partition id —
+       parallel across partitions);
+    3. per-partition totals (a N_ABC_PARTS-row aggregate) become
+       exclusive offsets via a driver-side scan of that tiny list,
+       broadcast-joined back: global cum = offset + local cum.
+
+    Class boundaries compare EXACT INTEGER cents (cum*100 <= total*80)
+    — no float share crosses an engine boundary; the reported share
+    is a display column, 4dp floor-quantized.  The oracle restates the
+    plain global window (DuckDB's single node doesn't care), proving
+    the two-phase decomposition computes the identical ranking."""
+    from ..functions.numeric import cents
+
+    li = load_table(spark, sf_dir, "lineitem")
+    rev = li.groupBy("l_partkey").agg(
+        F.sum(cents(F.col("l_extendedprice"))).alias("rev_c")
+    )
+    ranged = rev.repartitionByRange(
+        N_ABC_PARTS, F.desc("rev_c"), F.asc("l_partkey")
+    ).withColumn("pid", F.spark_partition_id())
+    ranged = ranged.localCheckpoint(eager=True)
+
+    w_local = Window.partitionBy("pid").orderBy(
+        F.desc("rev_c"), F.asc("l_partkey")
+    ).rowsBetween(Window.unboundedPreceding, 0)
+    local = ranged.withColumn("cum_local", F.sum("rev_c").over(w_local))
+
+    totals = (
+        ranged.groupBy("pid").agg(F.sum("rev_c").alias("ptot")).collect()
+    )
+    totals.sort(key=lambda r: r.pid)
+    offsets, acc = [], 0
+    for r in totals:
+        offsets.append((r.pid, acc))
+        acc += r.ptot
+    grand = acc
+    off_df = spark.createDataFrame(offsets, "pid int, offset long")
+
+    cum = local.join(F.broadcast(off_df), "pid").select(
+        "l_partkey",
+        "rev_c",
+        (F.col("cum_local") + F.col("offset")).alias("cum_c"),
+    )
+    abc = (
+        F.when(F.col("cum_c") * 100 <= F.lit(grand) * 80, F.lit("A"))
+        .when(F.col("cum_c") * 100 <= F.lit(grand) * 95, F.lit("B"))
+        .otherwise(F.lit("C"))
+    )
+    share = F.floor(
+        F.col("cum_c").cast("double") / F.lit(float(grand)) * 1e4 * 10000
+        + F.lit(0.5)
+    ) / 10000
+    return cum.select(
+        "l_partkey",
+        "rev_c",
+        "cum_c",
+        share.alias("cum_share_bp"),
+        abc.alias("abc_class"),
+    )
+
+
+def _oracle_pareto_abc() -> str:
+    return """
+WITH rev AS (
+  SELECT l_partkey,
+         SUM(CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT)) AS rev_c
+  FROM lineitem GROUP BY 1
+), cum AS (
+  SELECT l_partkey, rev_c,
+         SUM(rev_c) OVER (ORDER BY rev_c DESC, l_partkey ASC
+                          ROWS UNBOUNDED PRECEDING) AS cum_c,
+         SUM(rev_c) OVER () AS grand
+  FROM rev
+)
+SELECT l_partkey,
+       CAST(rev_c AS BIGINT) AS rev_c,
+       CAST(cum_c AS BIGINT) AS cum_c,
+       FLOOR(CAST(cum_c AS DOUBLE) / CAST(grand AS DOUBLE) * 1e4 * 10000
+             + 0.5) / 10000 AS cum_share_bp,
+       CASE WHEN cum_c * 100 <= grand * 80 THEN 'A'
+            WHEN cum_c * 100 <= grand * 95 THEN 'B'
+            ELSE 'C' END AS abc_class
+FROM cum
+"""
+
+
+ORACLE_PARETO_ABC = _oracle_pareto_abc()
+
+
 QUERIES = {
+    "pareto_abc": q_pareto_abc,
     "calendar_dim": q_calendar_dim,
     "cnpj_validate": q_cnpj_validate,
     "customer_quartiles": q_customer_quartiles,
@@ -535,6 +640,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "pareto_abc": ORACLE_PARETO_ABC,
     "calendar_dim": ORACLE_CALENDAR,
     "cnpj_validate": ORACLE_CNPJ,
     "customer_quartiles": ORACLE_QUARTILES,
