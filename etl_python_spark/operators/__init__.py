@@ -41,6 +41,7 @@ VERIFY_PRIORITY = (
     "km_survival",
     "corr_matrix",
     "pareto_abc",
+    "temperature_mix",
     "dsir_scores",
     "hll_users",
     "cms_heavy_hitters",

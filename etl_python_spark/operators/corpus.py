@@ -10,7 +10,7 @@ hashing, so DuckDB restates them value-for-value.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..sources.tables import load_table, spread
@@ -482,6 +482,121 @@ def q_corpus_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+MIX_ALPHA = 0.3          # temperature exponent (Pile / mT5 convention)
+MIX_BUDGET_TOKENS = 1_000_000
+
+
+def q_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-weighted mixture allocation: per-source sampling
+    weights w_s ∝ tokens_s^α (α = MIX_ALPHA — the exponent that
+    up-weights small sources, the standard multilingual/Pile mixing
+    rule), and an integer token budget split across sources by
+    largest remainder so the allocations reconcile EXACTLY to the
+    budget.  Emits the effective up/down-sampling factor per source.
+
+    Determinism: each pow(tokens, α) is ONE float op quantized to
+    integer micro-units before any summation (the sum-order rule —
+    a float Σ over pow terms would be merge-order-sensitive), so the
+    normalization and the Hamilton split are exact integer arithmetic;
+    the reported weight/factor columns are 4dp floor-quantized
+    display values.
+
+    Scale shape: one hash aggregate over the corpus (map-side
+    combined) to a |sources|-row relation; every window after runs on
+    that metadata-sized list."""
+    docs = load_table(spark, sf_dir, "documents")
+    n_tokens = F.size(F.split(_norm_text(F.col("text")), " "))
+    cells = (
+        docs.select("source", n_tokens.alias("n"))
+        .groupBy("source")
+        .agg(F.sum("n").alias("tokens"))
+    )
+    w_micro = F.floor(
+        F.pow(F.col("tokens").cast("double"), F.lit(float(MIX_ALPHA))) * 1e6
+        + F.lit(0.5)
+    ).cast("long")
+    weighted = cells.withColumn("w_micro", w_micro)
+    w_all = Window.partitionBy(F.lit(1))
+    weighted = weighted.withColumn("w_tot", F.sum("w_micro").over(w_all))
+    base = F.expr(f"{MIX_BUDGET_TOKENS} * w_micro div w_tot")
+    rem = F.expr(f"{MIX_BUDGET_TOKENS} * w_micro % w_tot")
+    shares = (
+        weighted.withColumn("base", base)
+        .withColumn("rem", rem)
+        .withColumn(
+            "short",
+            F.lit(MIX_BUDGET_TOKENS) - F.sum("base").over(w_all),
+        )
+        .withColumn(
+            "rnk",
+            F.row_number().over(
+                Window.partitionBy(F.lit(1)).orderBy(
+                    F.desc("rem"), F.asc("source")
+                )
+            ),
+        )
+    )
+    alloc = F.col("base") + (F.col("rnk") <= F.col("short")).cast("long")
+    return shares.select(
+        "source",
+        F.col("tokens").cast("long").alias("tokens"),
+        (
+            F.floor(
+                F.col("w_micro").cast("double")
+                / F.col("w_tot").cast("double")
+                * 10000
+                * 10000
+                + F.lit(0.5)
+            )
+            / 10000
+        ).alias("weight_bp"),
+        alloc.alias("alloc_tokens"),
+        (
+            F.floor(
+                alloc.cast("double") / F.col("tokens").cast("double") * 10000
+                + F.lit(0.5)
+            )
+            / 10000
+        ).alias("sample_factor"),
+    )
+
+
+ORACLE_TEMPERATURE_MIX = f"""
+WITH cells AS (
+  SELECT source,
+         SUM(len(string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ')))
+           AS tokens
+  FROM documents GROUP BY 1
+), weighted AS (
+  SELECT source, tokens,
+         CAST(FLOOR(pow(CAST(tokens AS DOUBLE), {float(MIX_ALPHA)!r}) * 1e6 + 0.5)
+              AS BIGINT) AS w_micro
+  FROM cells
+), norm AS (
+  SELECT *, SUM(w_micro) OVER () AS w_tot FROM weighted
+), shares AS (
+  SELECT *,
+         CAST({MIX_BUDGET_TOKENS} * w_micro // w_tot AS BIGINT) AS base,
+         CAST({MIX_BUDGET_TOKENS} * w_micro % w_tot AS BIGINT) AS rem
+  FROM norm
+), ranked AS (
+  SELECT *,
+         {MIX_BUDGET_TOKENS} - SUM(base) OVER () AS short,
+         ROW_NUMBER() OVER (ORDER BY rem DESC, source ASC) AS rnk
+  FROM shares
+)
+SELECT source,
+       CAST(tokens AS BIGINT) AS tokens,
+       FLOOR(CAST(w_micro AS DOUBLE) / CAST(w_tot AS DOUBLE) * 10000 * 10000
+             + 0.5) / 10000 AS weight_bp,
+       CAST(base + CASE WHEN rnk <= short THEN 1 ELSE 0 END AS BIGINT)
+         AS alloc_tokens,
+       FLOOR(CAST(base + CASE WHEN rnk <= short THEN 1 ELSE 0 END AS DOUBLE)
+             / CAST(tokens AS DOUBLE) * 10000 + 0.5) / 10000 AS sample_factor
+FROM ranked
+"""
+
+
 ORACLE_CORPUS_MIX = """
 WITH base AS (
   SELECT source, lang,
@@ -772,6 +887,7 @@ QUERIES = {
     "pack_sequences": q_pack_sequences,
     "pack_manifest": q_pack_manifest,
     "corpus_mix": q_corpus_mix,
+    "temperature_mix": q_temperature_mix,
     "lm_perplexity": q_lm_perplexity,
     "dsir_scores": q_dsir_scores,
     "shard_balance": q_shard_balance,
@@ -784,6 +900,7 @@ ORACLES = {
     "pack_sequences": ORACLE_PACK_SEQUENCES,
     "pack_manifest": ORACLE_PACK_MANIFEST,
     "corpus_mix": ORACLE_CORPUS_MIX,
+    "temperature_mix": ORACLE_TEMPERATURE_MIX,
     "lm_perplexity": ORACLE_LM_PERPLEXITY,
     "shard_balance": ORACLE_SHARD_BALANCE,
     "dsir_scores": ORACLE_DSIR_SCORES,

@@ -429,3 +429,25 @@ def test_pareto_abc_two_phase_equals_global_cumsum(spark):
         .withColumn("pid", F.spark_partition_id())
     )
     assert rev.select("pid").distinct().count() > 1
+
+
+def test_temperature_mix_invariants(spark):
+    """Temperature mixing: allocations reconcile exactly to the
+    budget; alpha<1 up-weights small sources (smaller source gets a
+    LARGER sampling factor); weights are monotone in size."""
+    from etl_python_spark.operators.corpus import (
+        MIX_BUDGET_TOKENS,
+        q_temperature_mix,
+    )
+
+    rows = q_temperature_mix(spark, "/root/testdata/sf0.001").collect()
+    assert len(rows) > 1
+    assert sum(r.alloc_tokens for r in rows) == MIX_BUDGET_TOKENS
+    by_size = sorted(rows, key=lambda r: r.tokens)
+    # monotone weight in token count...
+    weights = [r.weight_bp for r in by_size]
+    assert weights == sorted(weights)
+    # ...but sub-linear: the smallest source is up-weighted relative
+    # to the largest (factor ratio exceeds the size ratio's inverse)
+    small, large = by_size[0], by_size[-1]
+    assert small.sample_factor > large.sample_factor
