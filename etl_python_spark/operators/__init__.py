@@ -115,6 +115,7 @@ def all_oracles() -> dict[str, str]:
 
 def _modules():
     from . import (
+        affinity,
         analytics_core,
         analytics_joins,
         analytics_windows,
@@ -133,6 +134,7 @@ def _modules():
     from ..streaming import file_stream
 
     return (
+        affinity,
         analytics_core,
         analytics_joins,
         analytics_windows,

@@ -1,0 +1,459 @@
+"""Affinity / behavioral-segmentation operators: market-basket pair
+affinity, Markov event transitions, RFM segmentation, Benford
+first-digit audit, and categorical-mix entropy.
+
+These extend the reference's commercial-analytics vocabulary (Curva
+ABC / recência / faturamento families — ``Recorrencia_*.sql``,
+``Algoritmo de Estruturação de Dados.py``) with the next reports a BI
+user of that repo would reach for: which products sell together,
+how users move between event types, classic RFM quintile scores,
+a Benford fraud screen over invoice totals, and how concentrated each
+nation's priority mix is.  All are pure DataFrame plans (no UDFs);
+every float that crosses the engine boundary is either an exact
+integer count, a single correctly-rounded IEEE-754 division of exact
+integers, or floor-quantized micro-units (see functions/numeric.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions.numeric import cents
+from ..sources.tables import load_table
+
+
+def _q6(col):
+    """Floor-quantize a double to 6dp — engine-identical given equal
+    input doubles (floor(x*1e6+0.5) is a single correctly-rounded
+    multiply/add per IEEE-754)."""
+    return F.floor(col * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)
+
+
+_SQL_Q6 = "FLOOR(({}) * 1e6 + 0.5) / 1e6"
+
+
+# ---------------------------------------------------------------------------
+# Market-basket pair affinity (support / confidence / lift)
+# ---------------------------------------------------------------------------
+
+MIN_PAIR_COUNT = 2  # drop singleton pairs — bounds output at any scale
+
+
+def q_market_basket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frequent part pairs within orders with support / lift.
+
+    Scale shape: ONE shuffle keyed on l_orderkey builds per-order
+    sorted item sets (basket size is bounded by order width — ~7 lines
+    in this schema — so the collect_set buffer is O(basket), never
+    O(relation)); the unordered pairs are generated NARROW with a
+    nested array transform (stays in whole-stage codegen, no
+    self-join re-shuffle of the item relation), then one hash
+    aggregate on (p1, p2) counts them.  Item supports reuse the same
+    basket relation via explode.  The count filter (>= MIN_PAIR_COUNT)
+    runs before the support joins, so only surviving pairs join the
+    per-item counts (broadcast at this scale; AQE decides at lake
+    scale — the item-count side is |parts|, dim-sized).
+
+    lift = cnt_ab * n_orders / (cnt_a * cnt_b): all four factors are
+    exact integers (products < 2^53), one double division each —
+    bit-identical across engines, then floor-quantized to 6dp.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    baskets = li.groupBy("l_orderkey").agg(
+        F.sort_array(F.collect_set("l_partkey")).alias("items")
+    )
+    baskets = baskets.localCheckpoint(eager=True)
+
+    n_orders = baskets.count()  # scalar anchor (single long to driver)
+
+    pairs = baskets.select(
+        F.explode(
+            F.flatten(
+                F.transform(
+                    "items",
+                    lambda x, i: F.transform(
+                        F.slice(
+                            F.col("items"), i + F.lit(2), F.size("items")
+                        ),
+                        lambda y: F.struct(
+                            x.alias("p1"), y.alias("p2")
+                        ),
+                    ),
+                )
+            )
+        ).alias("pr")
+    ).select("pr.p1", "pr.p2")
+
+    pair_cnt = (
+        pairs.groupBy("p1", "p2")
+        .agg(F.count(F.lit(1)).alias("cnt_ab"))
+        .filter(F.col("cnt_ab") >= MIN_PAIR_COUNT)
+    )
+
+    item_cnt = (
+        baskets.select(F.explode("items").alias("pk"))
+        .groupBy("pk")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+    joined = (
+        pair_cnt.join(
+            item_cnt.select(
+                F.col("pk").alias("p1"), F.col("cnt").alias("cnt_a")
+            ),
+            "p1",
+        )
+        .join(
+            item_cnt.select(
+                F.col("pk").alias("p2"), F.col("cnt").alias("cnt_b")
+            ),
+            "p2",
+        )
+    )
+    return joined.select(
+        "p1",
+        "p2",
+        "cnt_ab",
+        "cnt_a",
+        "cnt_b",
+        _q6(F.col("cnt_ab").cast("double") / F.lit(float(n_orders))).alias(
+            "support"
+        ),
+        _q6(
+            F.col("cnt_ab").cast("double") / F.col("cnt_a").cast("double")
+        ).alias("confidence"),
+        _q6(
+            (F.col("cnt_ab") * F.lit(n_orders)).cast("double")
+            / (F.col("cnt_a") * F.col("cnt_b")).cast("double")
+        ).alias("lift"),
+    )
+
+
+ORACLE_MARKET_BASKET = f"""
+WITH items AS (
+  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+), n AS (
+  SELECT COUNT(DISTINCT l_orderkey) AS n_orders FROM items
+), pair_cnt AS (
+  SELECT a.l_partkey AS p1, b.l_partkey AS p2, COUNT(*) AS cnt_ab
+  FROM items a JOIN items b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY 1, 2
+  HAVING COUNT(*) >= {MIN_PAIR_COUNT}
+), item_cnt AS (
+  SELECT l_partkey AS pk, COUNT(*) AS cnt FROM items GROUP BY 1
+)
+SELECT p.p1, p.p2, p.cnt_ab, ia.cnt AS cnt_a, ib.cnt AS cnt_b,
+       {_SQL_Q6.format('CAST(p.cnt_ab AS DOUBLE) / CAST(n.n_orders AS DOUBLE)')} AS support,
+       {_SQL_Q6.format('CAST(p.cnt_ab AS DOUBLE) / CAST(ia.cnt AS DOUBLE)')} AS confidence,
+       {_SQL_Q6.format('CAST(p.cnt_ab * n.n_orders AS DOUBLE) / CAST(ia.cnt * ib.cnt AS DOUBLE)')} AS lift
+FROM pair_cnt p
+JOIN item_cnt ia ON p.p1 = ia.pk
+JOIN item_cnt ib ON p.p2 = ib.pk
+CROSS JOIN n
+"""
+
+
+# ---------------------------------------------------------------------------
+# Markov event-transition matrix
+# ---------------------------------------------------------------------------
+
+def q_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over the event stream:
+    per user (ordered by ts, event_id tiebreak) each event's successor
+    type, counted into (from_type, to_type) cells with row-normalized
+    probabilities.
+
+    Scale shape: one shuffle keyed on user_id for the LEAD window
+    (per-user state, parallel across users), one K²-row hash aggregate
+    (K = |event types|, tiny), then the row totals come from a window
+    over the K²-row cell table — no second pass over the events.
+    Probability = exact-integer division, floor-quantized 6dp.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    steps = ev.select(
+        F.col("event_type").alias("from_type"),
+        F.lead("event_type").over(w).alias("to_type"),
+    ).filter(F.col("to_type").isNotNull())
+
+    cells = steps.groupBy("from_type", "to_type").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    w_from = Window.partitionBy("from_type")
+    return cells.select(
+        "from_type",
+        "to_type",
+        "cnt",
+        _q6(
+            F.col("cnt").cast("double")
+            / F.sum("cnt").over(w_from).cast("double")
+        ).alias("prob"),
+    )
+
+
+ORACLE_EVENT_TRANSITIONS = f"""
+WITH steps AS (
+  SELECT event_type AS from_type,
+         LEAD(event_type) OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS to_type
+  FROM events
+), cells AS (
+  SELECT from_type, to_type, COUNT(*) AS cnt
+  FROM steps WHERE to_type IS NOT NULL
+  GROUP BY 1, 2
+)
+SELECT from_type, to_type, cnt,
+       {_SQL_Q6.format('CAST(cnt AS DOUBLE) / CAST(SUM(cnt) OVER (PARTITION BY from_type) AS DOUBLE)')} AS prob
+FROM cells
+"""
+
+
+# ---------------------------------------------------------------------------
+# RFM segmentation (recency / frequency / monetary quintiles)
+# ---------------------------------------------------------------------------
+
+def q_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classic RFM: per customer the days since last order (anchored
+    at the dataset's max order date, the reference's date-window
+    convention — SURVEY §2.2 P8), order count, and lifetime revenue in
+    exact cents; each dimension scored 1-5 by NTILE over a fully
+    tie-broken global order (metric, then c_custkey, so the quintile
+    assignment is deterministic and engine-identical).
+
+    Scale shape: one shuffle for the per-customer aggregate, then
+    three NTILE windows.  A global un-partitioned NTILE serializes
+    through one task; customer-grain output is dim-sized (|customers|
+    ≪ |orders|) so this is the metadata-scale exception the repo's
+    plan conventions allow — the event-grain work (the aggregate) is
+    fully parallel.  R scores 5=most recent, F/M score 5=highest.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    anchor = o.agg(F.max("o_orderdate").alias("mx")).collect()[0]["mx"]
+
+    per_cust = o.groupBy("o_custkey").agg(
+        F.datediff(F.lit(anchor), F.max("o_orderdate")).alias(
+            "recency_days"
+        ),
+        F.count(F.lit(1)).alias("frequency"),
+        F.sum(cents(F.col("o_totalprice"))).alias("monetary_c"),
+    )
+    w_r = Window.orderBy(F.asc("recency_days"), F.asc("o_custkey"))
+    w_f = Window.orderBy(F.desc("frequency"), F.asc("o_custkey"))
+    w_m = Window.orderBy(F.desc("monetary_c"), F.asc("o_custkey"))
+    scored = per_cust.select(
+        "o_custkey",
+        "recency_days",
+        "frequency",
+        "monetary_c",
+        (F.lit(6) - F.ntile(5).over(w_r)).alias("r_score"),
+        (F.lit(6) - F.ntile(5).over(w_f)).alias("f_score"),
+        (F.lit(6) - F.ntile(5).over(w_m)).alias("m_score"),
+    )
+    return scored.withColumn(
+        "rfm",
+        (
+            F.col("r_score") * 100
+            + F.col("f_score") * 10
+            + F.col("m_score")
+        ).cast("int"),
+    )
+
+
+ORACLE_RFM = """
+WITH per_cust AS (
+  SELECT o_custkey,
+         DATE_DIFF('day', MAX(o_orderdate),
+                   (SELECT MAX(o_orderdate) FROM orders)) AS recency_days,
+         COUNT(*) AS frequency,
+         CAST(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT))
+              AS BIGINT) AS monetary_c
+  FROM orders GROUP BY 1
+)
+SELECT o_custkey, recency_days, frequency, monetary_c,
+       CAST(6 - NTILE(5) OVER (ORDER BY recency_days ASC, o_custkey ASC) AS INT) AS r_score,
+       CAST(6 - NTILE(5) OVER (ORDER BY frequency DESC, o_custkey ASC) AS INT) AS f_score,
+       CAST(6 - NTILE(5) OVER (ORDER BY monetary_c DESC, o_custkey ASC) AS INT) AS m_score,
+       CAST((6 - NTILE(5) OVER (ORDER BY recency_days ASC, o_custkey ASC)) * 100
+          + (6 - NTILE(5) OVER (ORDER BY frequency DESC, o_custkey ASC)) * 10
+          + (6 - NTILE(5) OVER (ORDER BY monetary_c DESC, o_custkey ASC)) AS INT) AS rfm
+FROM per_cust
+"""
+
+
+# ---------------------------------------------------------------------------
+# Benford first-digit audit
+# ---------------------------------------------------------------------------
+
+def q_benford_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford's-law screen over invoice totals (the fraud-audit
+    companion to the reference's accounting-integrity check,
+    ``JSON Resposta 1.sql`` / balance_integrity): observed first
+    significant digit distribution of o_totalprice vs the expected
+    log10(1 + 1/d) share.
+
+    The digit is taken from the EXACT INTEGER cents via integer
+    string conversion (bigint-to-string is engine-identical;
+    double-to-string and floor(log10(x)) are NOT — log10 misrounds at
+    power-of-ten boundaries).  One projection + one 9-row hash
+    aggregate; expected shares are Python-computed literals so no
+    transcendental crosses the engine boundary.  Deviation is
+    |observed - expected| in floor-quantized 6dp.
+    """
+    import math
+
+    o = load_table(spark, sf_dir, "orders")
+    digits = o.select(
+        F.substring(cents(F.col("o_totalprice")).cast("string"), 1, 1)
+        .cast("int")
+        .alias("digit")
+    )
+    total = digits.count()
+    counts = digits.groupBy("digit").agg(F.count(F.lit(1)).alias("cnt"))
+
+    expected = F.create_map(
+        *[
+            x
+            for d in range(1, 10)
+            for x in (
+                F.lit(d),
+                F.lit(
+                    math.floor(math.log10(1 + 1 / d) * 1e6 + 0.5) / 1e6
+                ),
+            )
+        ]
+    )
+    obs = _q6(F.col("cnt").cast("double") / F.lit(float(total)))
+    return counts.select(
+        "digit",
+        "cnt",
+        obs.alias("observed"),
+        expected[F.col("digit")].alias("expected"),
+        _q6(F.abs(obs - expected[F.col("digit")])).alias("abs_dev"),
+    )
+
+
+def _oracle_benford() -> str:
+    import math
+
+    exp_rows = ", ".join(
+        f"({d}, {math.floor(math.log10(1 + 1 / d) * 1e6 + 0.5) / 1e6!r})"
+        for d in range(1, 10)
+    )
+    obs = (
+        "FLOOR(CAST(c.cnt AS DOUBLE) / CAST(t.total AS DOUBLE) * 1e6 + 0.5)"
+        " / 1e6"
+    )
+    return f"""
+WITH digits AS (
+  SELECT CAST(SUBSTR(CAST(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)
+                          AS VARCHAR), 1, 1) AS INT) AS digit
+  FROM orders
+), c AS (
+  SELECT digit, COUNT(*) AS cnt FROM digits GROUP BY 1
+), t AS (
+  SELECT COUNT(*) AS total FROM digits
+), e(digit, expected) AS (VALUES {exp_rows})
+SELECT c.digit, c.cnt,
+       {obs} AS observed,
+       e.expected,
+       FLOOR(ABS({obs} - e.expected) * 1e6 + 0.5) / 1e6 AS abs_dev
+FROM c JOIN e ON c.digit = e.digit CROSS JOIN t
+"""
+
+
+ORACLE_BENFORD = _oracle_benford()
+
+
+# ---------------------------------------------------------------------------
+# Categorical-mix entropy per group
+# ---------------------------------------------------------------------------
+
+def q_priority_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shannon entropy (nats) of each nation's order-priority mix —
+    the concentration metric behind assortment/diversity reports.
+
+    Exact-integer decomposition: H = ln(N) - (1/N)·Σ c_i·ln(c_i).
+    Each c_i·ln(c_i) term is floor-quantized to INTEGER micro-nats
+    BEFORE the sum (the lm_perplexity convention, corpus.py:649), so
+    the aggregate is order-independent integer addition and the only
+    engine-boundary floats are one ln per distinct count value and
+    the final division — a 1-ulp ln disagreement cannot move the
+    6dp-floored result except within 1e-9 of a quantization boundary.
+    Plan: two hash aggregates (nation×priority cells → per-nation
+    fold), both dim-sized after the first shuffle.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+
+    cells = (
+        o.join(F.broadcast(c.select("c_custkey", "c_nationkey")),
+               o["o_custkey"] == c["c_custkey"])
+        .join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
+        .groupBy("n_name", "o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    term_micro = F.floor(
+        F.col("cnt").cast("double") * F.log(F.col("cnt").cast("double"))
+        * F.lit(1e6)
+        + F.lit(0.5)
+    ).cast("long")
+    per_nation = cells.groupBy("n_name").agg(
+        F.sum("cnt").alias("n_orders"),
+        F.sum(term_micro).alias("sum_micro"),
+        F.count(F.lit(1)).alias("n_categories"),
+    )
+    h = F.log(F.col("n_orders").cast("double")) - (
+        F.col("sum_micro").cast("double")
+        / F.lit(1e6)
+        / F.col("n_orders").cast("double")
+    )
+    return per_nation.select(
+        "n_name",
+        "n_orders",
+        "n_categories",
+        _q6(h).alias("entropy_nats"),
+    )
+
+
+ORACLE_PRIORITY_ENTROPY = f"""
+WITH cells AS (
+  SELECT n.n_name, o.o_orderpriority, COUNT(*) AS cnt
+  FROM orders o
+  JOIN customer c ON o.o_custkey = c.c_custkey
+  JOIN nation n ON c.c_nationkey = n.n_nationkey
+  GROUP BY 1, 2
+), per_nation AS (
+  SELECT n_name,
+         CAST(SUM(cnt) AS BIGINT) AS n_orders,
+         CAST(SUM(CAST(FLOOR(CAST(cnt AS DOUBLE) * LN(CAST(cnt AS DOUBLE))
+                             * 1e6 + 0.5) AS BIGINT)) AS BIGINT) AS sum_micro,
+         COUNT(*) AS n_categories
+  FROM cells GROUP BY 1
+)
+SELECT n_name, n_orders, n_categories,
+       {_SQL_Q6.format(
+           'LN(CAST(n_orders AS DOUBLE))'
+           ' - CAST(sum_micro AS DOUBLE) / 1e6 / CAST(n_orders AS DOUBLE)'
+       )} AS entropy_nats
+FROM per_nation
+"""
+
+
+QUERIES = {
+    "market_basket": q_market_basket,
+    "event_transitions": q_event_transitions,
+    "rfm_segments": q_rfm_segments,
+    "benford_audit": q_benford_audit,
+    "priority_entropy": q_priority_entropy,
+}
+
+ORACLES = {
+    "market_basket": ORACLE_MARKET_BASKET,
+    "event_transitions": ORACLE_EVENT_TRANSITIONS,
+    "rfm_segments": ORACLE_RFM,
+    "benford_audit": ORACLE_BENFORD,
+    "priority_entropy": ORACLE_PRIORITY_ENTROPY,
+}
