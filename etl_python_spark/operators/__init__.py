@@ -125,6 +125,7 @@ def _modules():
         curation,
         dedup,
         events,
+        fuzzy,
         multimodal,
         payroll,
         similarity,
@@ -144,6 +145,7 @@ def _modules():
         curation,
         dedup,
         events,
+        fuzzy,
         multimodal,
         payroll,
         similarity,

@@ -40,6 +40,37 @@ _SQL_Q6 = "FLOOR(({}) * 1e6 + 0.5) / 1e6"
 MIN_PAIR_COUNT = 2  # drop singleton pairs — bounds output at any scale
 
 
+def _baskets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-order sorted distinct item arrays, materialized once (ONE
+    orderkey shuffle; the collect_set buffer is O(basket width))."""
+    li = load_table(spark, sf_dir, "lineitem")
+    baskets = li.groupBy("l_orderkey").agg(
+        F.sort_array(F.collect_set("l_partkey")).alias("items")
+    )
+    return baskets.localCheckpoint(eager=True)
+
+
+def _basket_pairs(baskets: DataFrame) -> DataFrame:
+    """Unordered within-basket pairs (p1 < p2), generated NARROW by a
+    nested array transform — no self-join re-shuffle; O(basket²) rows
+    per order, basket = order width."""
+    return baskets.select(
+        F.explode(
+            F.flatten(
+                F.transform(
+                    "items",
+                    lambda x, i: F.transform(
+                        F.slice(
+                            F.col("items"), i + F.lit(2), F.size("items")
+                        ),
+                        lambda y: F.struct(x.alias("p1"), y.alias("p2")),
+                    ),
+                )
+            )
+        ).alias("pr")
+    ).select("pr.p1", "pr.p2")
+
+
 def q_market_basket(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Frequent part pairs within orders with support / lift.
 
@@ -59,34 +90,12 @@ def q_market_basket(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact integers (products < 2^53), one double division each —
     bit-identical across engines, then floor-quantized to 6dp.
     """
-    li = load_table(spark, sf_dir, "lineitem")
-    baskets = li.groupBy("l_orderkey").agg(
-        F.sort_array(F.collect_set("l_partkey")).alias("items")
-    )
-    baskets = baskets.localCheckpoint(eager=True)
+    baskets = _baskets(spark, sf_dir)
 
     n_orders = baskets.count()  # scalar anchor (single long to driver)
 
-    pairs = baskets.select(
-        F.explode(
-            F.flatten(
-                F.transform(
-                    "items",
-                    lambda x, i: F.transform(
-                        F.slice(
-                            F.col("items"), i + F.lit(2), F.size("items")
-                        ),
-                        lambda y: F.struct(
-                            x.alias("p1"), y.alias("p2")
-                        ),
-                    ),
-                )
-            )
-        ).alias("pr")
-    ).select("pr.p1", "pr.p2")
-
     pair_cnt = (
-        pairs.groupBy("p1", "p2")
+        _basket_pairs(baskets).groupBy("p1", "p2")
         .agg(F.count(F.lit(1)).alias("cnt_ab"))
         .filter(F.col("cnt_ab") >= MIN_PAIR_COUNT)
     )
@@ -442,8 +451,152 @@ FROM per_nation
 """
 
 
+# ---------------------------------------------------------------------------
+# PageRank over the part co-purchase graph (integer-quantized)
+# ---------------------------------------------------------------------------
+
+PR_ITERS = 5
+PR_SCALE = 1e12  # rank mass in integer micro-units
+
+
+def q_pagerank_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank over the undirected part co-purchase graph (edges =
+    part pairs bought together in >= MIN_PAIR_COUNT orders) — the
+    'products that anchor the assortment' ranking, and this repo's
+    reference pattern for a fully ORACLED iterative graph algorithm.
+
+    Iterative float PageRank cannot cross an engine boundary (per-node
+    neighbor sums are order-sensitive doubles and the error compounds
+    per iteration).  Here ALL rank state is exact integer micro-units:
+    each edge contribution is floor(u/outdeg + 0.5) (one correctly-
+    rounded double division of exact integers), the per-node sum is
+    integer addition (order-independent), and the damping step
+    re-quantizes once per node — so five Spark iterations and five
+    chained DuckDB CTEs produce bit-identical BIGINT ranks.
+
+    Scale shape: edges+degrees materialize ONCE (localCheckpoint);
+    each iteration is one hash join keyed on src (rank side is
+    node-sized — broadcast here, co-partitioned SMJ at lake scale
+    where AQE decides) + one dst-keyed integer sum; rank relations
+    are localCheckpointed per iteration so plan depth stays constant
+    (the bpe_train re-materialization rule).  Five iterations = five
+    bounded shuffles, no data-wide windows, no driver-side graph.
+    """
+    baskets = _baskets(spark, sf_dir)
+    pair_cnt = (
+        _basket_pairs(baskets)
+        .groupBy("p1", "p2")
+        .agg(F.count(F.lit(1)).alias("cnt_ab"))
+        .filter(F.col("cnt_ab") >= MIN_PAIR_COUNT)
+    )
+    edges = pair_cnt.select(
+        F.col("p1").alias("src"), F.col("p2").alias("dst")
+    ).unionAll(
+        pair_cnt.select(F.col("p2").alias("src"), F.col("p1").alias("dst"))
+    )
+    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
+    edges = edges.join(deg, "src").localCheckpoint(eager=True)
+
+    nodes = edges.select(F.col("src").alias("pk")).distinct()
+    nodes = nodes.localCheckpoint(eager=True)
+    n = nodes.count()
+
+    import math
+
+    u0 = math.floor(PR_SCALE / n + 0.5)
+    teleport = math.floor(0.15 * PR_SCALE / n + 0.5)
+
+    ranks = nodes.select("pk", F.lit(u0).cast("long").alias("u"))
+    for _ in range(PR_ITERS):
+        contribs = edges.join(ranks, edges["src"] == ranks["pk"]).select(
+            F.col("dst"),
+            F.floor(
+                F.col("u").cast("double") / F.col("outdeg").cast("double")
+                + F.lit(0.5)
+            )
+            .cast("long")
+            .alias("c"),
+        )
+        sums = contribs.groupBy("dst").agg(F.sum("c").alias("s"))
+        ranks = (
+            nodes.join(sums, nodes["pk"] == sums["dst"], "left")
+            .select(
+                "pk",
+                (
+                    F.lit(teleport)
+                    + F.floor(
+                        F.lit(0.85)
+                        * F.coalesce(F.col("s"), F.lit(0)).cast("double")
+                        + F.lit(0.5)
+                    ).cast("long")
+                )
+                .cast("long")
+                .alias("u"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return ranks.select(
+        F.col("pk").alias("p_partkey"),
+        F.col("u").alias("rank_micro"),
+        (F.col("u").cast("double") / F.lit(PR_SCALE)).alias("rank"),
+    )
+
+
+def _oracle_pagerank() -> str:
+    head = f"""
+WITH items AS (
+  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+), pair_cnt AS (
+  SELECT a.l_partkey AS p1, b.l_partkey AS p2
+  FROM items a JOIN items b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY 1, 2
+  HAVING COUNT(*) >= {MIN_PAIR_COUNT}
+), edges AS (
+  SELECT p1 AS src, p2 AS dst FROM pair_cnt
+  UNION ALL
+  SELECT p2 AS src, p1 AS dst FROM pair_cnt
+), deg AS (
+  SELECT src, COUNT(*) AS outdeg FROM edges GROUP BY 1
+), nodes AS (
+  SELECT DISTINCT src AS pk FROM edges
+), nn AS (
+  SELECT COUNT(*) AS n FROM nodes
+), r0 AS (
+  SELECT pk, CAST(FLOOR(1e12 / CAST(nn.n AS DOUBLE) + 0.5) AS BIGINT) AS u
+  FROM nodes CROSS JOIN nn
+)"""
+    iters = []
+    for i in range(1, PR_ITERS + 1):
+        iters.append(f""", r{i} AS (
+  SELECT n.pk,
+         CAST(FLOOR(CAST(0.15 AS DOUBLE) * 1e12 / CAST(nn.n AS DOUBLE)
+                    + 0.5) AS BIGINT)
+         + CAST(FLOOR(CAST(0.85 AS DOUBLE) * CAST(COALESCE(s.c, 0) AS DOUBLE)
+                      + 0.5) AS BIGINT) AS u
+  FROM nodes n CROSS JOIN nn LEFT JOIN (
+    SELECT e.dst,
+           CAST(SUM(CAST(FLOOR(CAST(r.u AS DOUBLE) / CAST(d.outdeg AS DOUBLE)
+                               + 0.5) AS BIGINT)) AS BIGINT) AS c
+    FROM edges e JOIN deg d ON e.src = d.src
+    JOIN r{i - 1} r ON e.src = r.pk
+    GROUP BY 1
+  ) s ON n.pk = s.dst
+)""")
+    tail = f"""
+SELECT pk AS p_partkey, u AS rank_micro,
+       CAST(u AS DOUBLE) / 1e12 AS rank
+FROM r{PR_ITERS}
+"""
+    return head + "".join(iters) + tail
+
+
+ORACLE_PAGERANK = _oracle_pagerank()
+
+
 QUERIES = {
     "market_basket": q_market_basket,
+    "pagerank_copurchase": q_pagerank_copurchase,
     "event_transitions": q_event_transitions,
     "rfm_segments": q_rfm_segments,
     "benford_audit": q_benford_audit,
@@ -452,6 +605,7 @@ QUERIES = {
 
 ORACLES = {
     "market_basket": ORACLE_MARKET_BASKET,
+    "pagerank_copurchase": ORACLE_PAGERANK,
     "event_transitions": ORACLE_EVENT_TRANSITIONS,
     "rfm_segments": ORACLE_RFM,
     "benford_audit": ORACLE_BENFORD,

@@ -1,0 +1,162 @@
+"""Fuzzy (edit-distance) entity matching with q-gram prefix filtering.
+
+The reference cleans free-typed Brazilian entity fields with
+normalize-then-exact De-Para maps (``Algoritmo de Estruturação de
+Dados.py``, the De-Para family — SURVEY §2.7).  This module adds the
+operator that family reaches for when normalization is NOT enough:
+match dirty strings against a clean dimension within Levenshtein
+distance K, at scale, WITHOUT the all-pairs product.
+
+Plan (AllPairs/EDJoin prefix filtering, Xiao et al., VLDB 2008):
+
+1. extract q-grams (q=3) from both sides — narrow transform+explode,
+   stays in codegen;
+2. rank each string's distinct grams by one GLOBAL frequency order
+   (rarest first; ties broken by the gram string).  If
+   ed(a, b) <= K, the two strings disagree on at most q*K grams, so
+   the first q*K+1 grams of each — under ANY shared total order —
+   must intersect: joining on kept grams is candidate-complete.  The
+   order only shapes candidate COUNT (rare grams give short postings),
+   never correctness, because of step 4;
+3. equi-join probe prefixes × clean prefixes on the gram (hash join
+   keyed on the gram — the only shuffle touching both relations),
+   dedup candidate pairs;
+4. verify exactly: length band |len(a)-len(b)| <= K, then
+   ``levenshtein(a, b) <= K`` (JVM builtin) — so the output equals
+   the brute-force all-pairs result, which is exactly what the
+   DuckDB oracle computes.
+
+Scale: the prefix keeps q*K+1 = 7 grams per string; a hot gram's
+posting list is the skew knob — df-cap or salt degenerate grams the
+way dedup.py caps stop-shingles if a corpus repeats prefixes.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..sources.tables import load_table
+
+Q = 3  # gram width
+K = 2  # edit-distance threshold
+PREFIX = Q * K + 1  # prefix-filter length: candidate-complete for ed<=K
+PROBE_MOD = 10  # deterministic probe sample (keeps the brute oracle feasible)
+
+
+def gram_explode(df: DataFrame, id_cols: list[str], s_col: str) -> DataFrame:
+    """(ids..., s) -> one row per distinct q-gram of s (strings shorter
+    than Q produce no rows, hence no candidates — callers match them
+    by other means)."""
+    return df.filter(F.length(s_col) >= Q).select(
+        *id_cols,
+        F.explode(
+            F.array_distinct(
+                F.expr(
+                    f"transform(sequence(1, length({s_col}) - {Q} + 1),"
+                    f" i -> substring({s_col}, i, {Q}))"
+                )
+            )
+        ).alias("gram"),
+    )
+
+
+def prefix_grams(grams: DataFrame, freq: DataFrame, id_col: str) -> DataFrame:
+    """Keep each string's PREFIX rarest grams under the shared global
+    (freq, gram) order.  Grams unseen in the freq table rank rarest
+    (freq 0)."""
+    ranked = grams.join(F.broadcast(freq), "gram", "left").withColumn(
+        "gfreq", F.coalesce(F.col("gfreq"), F.lit(0))
+    )
+    w = Window.partitionBy(id_col).orderBy(F.asc("gfreq"), F.asc("gram"))
+    return (
+        ranked.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= PREFIX)
+        .drop("rk", "gfreq")
+    )
+
+
+def fuzzy_match(probes: DataFrame, names: DataFrame) -> DataFrame:
+    """Match probes(probe_id, dirty) to names(name) with ed <= K.
+
+    Candidate-complete prefix-filtered join + exact verify; the output
+    equals brute force (the oracle computes exactly that)."""
+    clean_grams = gram_explode(
+        names.select(F.col("name"), F.col("name").alias("s")), ["name"], "s"
+    )
+    freq = clean_grams.groupBy("gram").agg(F.count(F.lit(1)).alias("gfreq"))
+    clean_pref = prefix_grams(clean_grams, freq, "name")
+
+    probe_grams = gram_explode(probes, ["probe_id", "dirty"], "dirty")
+    probe_pref = prefix_grams(probe_grams, freq, "probe_id")
+
+    cand = (
+        probe_pref.join(clean_pref, "gram")
+        .select("probe_id", "dirty", "name")
+        # dirty is functionally dependent on probe_id — including it in
+        # the distinct keys keeps the dedup a hash aggregate (first()
+        # would force a SortAggregate)
+        .dropDuplicates(["probe_id", "dirty", "name"])
+    )
+    return cand.filter(
+        (F.abs(F.length("dirty") - F.length("name")) <= F.lit(K))
+        & (F.levenshtein("dirty", "name") <= F.lit(K))
+    ).select(
+        "probe_id",
+        "dirty",
+        "name",
+        F.levenshtein("dirty", "name").cast("int").alias("dist"),
+    )
+
+
+def q_fuzzy_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Typo-tolerant match of perturbed part names back to the clean
+    part-name dimension.
+
+    The dirty side is DERIVED deterministically from the data (one
+    character deleted at position p_partkey mod length — the same
+    expression the oracle computes), so both engines corrupt the same
+    strings and the result is guaranteed non-trivial: every probe
+    recovers its source name at distance 1, plus any true
+    near-collisions.  The probe side is the deterministic 1-in-10
+    p_partkey sample so the oracle's brute-force verify stays feasible
+    at sf0.1; the Spark path needs no such cap."""
+    p = load_table(spark, sf_dir, "part")
+    cut = "cast(p_partkey % length(p_name) as int)"
+    probes = p.filter(F.col("p_partkey") % PROBE_MOD == 0).select(
+        F.col("p_partkey").alias("probe_id"),
+        F.concat(
+            F.expr(f"substring(p_name, 1, {cut})"),
+            F.expr(f"substring(p_name, {cut} + 2, length(p_name))"),
+        ).alias("dirty"),
+    )
+    names = p.select(F.col("p_name").alias("name")).distinct()
+    return fuzzy_match(probes, names)
+
+
+ORACLE_FUZZY_MATCH = f"""
+WITH probes AS (
+  SELECT p_partkey AS probe_id,
+         SUBSTRING(p_name, 1, CAST(p_partkey % LENGTH(p_name) AS INT))
+         || SUBSTRING(p_name,
+                      CAST(p_partkey % LENGTH(p_name) AS INT) + 2,
+                      LENGTH(p_name)) AS dirty
+  FROM part WHERE p_partkey % {PROBE_MOD} = 0
+), names AS (
+  SELECT DISTINCT p_name AS name FROM part
+)
+SELECT p.probe_id, p.dirty, n.name,
+       CAST(levenshtein(p.dirty, n.name) AS INT) AS dist
+FROM probes p JOIN names n
+  ON ABS(LENGTH(p.dirty) - LENGTH(n.name)) <= {K}
+ AND levenshtein(p.dirty, n.name) <= {K}
+"""
+
+
+QUERIES = {
+    "fuzzy_match": q_fuzzy_match,
+}
+
+ORACLES = {
+    "fuzzy_match": ORACLE_FUZZY_MATCH,
+}
