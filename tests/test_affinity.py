@@ -1,0 +1,198 @@
+"""Semantic invariants for the affinity/fuzzy family (round 8).
+
+The DuckDB oracles prove engine parity; these tests prove the
+operators compute the RIGHT thing on constructed inputs where the
+answer is known in closed form — the prefix filter finds every pair
+brute force finds (including first-character edits, the case naive
+prefix-blocking misses), PageRank conserves mass and orders hubs
+above leaves, and lift separates co-occurring from independent items.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+
+# ---------------------------------------------------------------------------
+# fuzzy_match: candidate completeness
+# ---------------------------------------------------------------------------
+
+def _brute(probes, names, k):
+    import difflib  # noqa: F401 (documentation only)
+
+    def lev(a, b):
+        if len(a) < len(b):
+            a, b = b, a
+        prev = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            cur = [i]
+            for j, cb in enumerate(b, 1):
+                cur.append(
+                    min(
+                        prev[j] + 1,
+                        cur[j - 1] + 1,
+                        prev[j - 1] + (ca != cb),
+                    )
+                )
+            prev = cur
+        return prev[-1]
+
+    return {
+        (pid, nm)
+        for pid, d in probes
+        for nm in names
+        if lev(d, nm) <= k
+    }
+
+
+def test_fuzzy_match_equals_brute_force(spark):
+    """Includes a FIRST-character edit ('xavender lace' vs 'lavender
+    lace') — found only because the prefix takes the globally rarest
+    grams, not a positional prefix of the string."""
+    from etl_python_spark.operators.fuzzy import K, fuzzy_match
+
+    names = [
+        "lavender lace shirt",
+        "lavender lace skirt",  # ed 1 from the first
+        "goldenrod chocolate",
+        "golden rod chocolate",  # ed 1 (insertion)
+        "spring green bolt",
+        "autumn copper plate",
+    ]
+    probes = [
+        (1, "xavender lace shirt"),  # first-char substitution, ed 1
+        (2, "goldenrod chocolat"),  # trailing deletion, ed 1
+        (3, "spring green bolts"),  # trailing insertion, ed 1
+        (4, "zzz unrelated zzz"),  # matches nothing
+        (5, "lavender lace shirt"),  # exact, ed 0
+    ]
+    probes_df = spark.createDataFrame(probes, "probe_id int, dirty string")
+    names_df = spark.createDataFrame([(n,) for n in names], "name string")
+
+    got = {
+        (r.probe_id, r.name)
+        for r in fuzzy_match(probes_df, names_df).collect()
+    }
+    want = _brute(probes, names, K)
+    assert got == want
+    assert (1, "lavender lace shirt") in got  # the first-char case
+    assert not any(pid == 4 for pid, _ in got)
+
+
+def test_fuzzy_match_distance_values(spark):
+    from etl_python_spark.operators.fuzzy import fuzzy_match
+
+    probes_df = spark.createDataFrame(
+        [(1, "abcdefghij")], "probe_id int, dirty string"
+    )
+    names_df = spark.createDataFrame(
+        [("abcdefghij",), ("abcdefghiX",), ("abXdefghiX",)], "name string"
+    )
+    dist = {
+        r.name: r.dist
+        for r in fuzzy_match(probes_df, names_df).collect()
+    }
+    assert dist == {"abcdefghij": 0, "abcdefghiX": 1, "abXdefghiX": 2}
+
+
+# ---------------------------------------------------------------------------
+# pagerank: structural properties on known graphs
+# ---------------------------------------------------------------------------
+
+def test_pagerank_mass_and_hub_ordering(spark, tmp_path):
+    """Star graph: hub co-purchased with each leaf — hub must outrank
+    every leaf, and total integer mass stays within per-node
+    quantization error of the full scale (1e12)."""
+    from etl_python_spark.operators.affinity import q_pagerank_copurchase
+
+    # lineitem with hub part 1 in every order, leaf i in order i (x2
+    # so the pair survives MIN_PAIR_COUNT)
+    rows = []
+    oid = 0
+    for leaf in range(2, 7):
+        for _ in range(2):
+            rows.append((oid, 1))
+            rows.append((oid, leaf))
+            oid += 1
+    spark.createDataFrame(
+        rows, "l_orderkey long, l_partkey long"
+    ).write.parquet(str(tmp_path / "lineitem.parquet"))
+
+    out = {
+        r.p_partkey: r.rank_micro
+        for r in q_pagerank_copurchase(spark, str(tmp_path)).collect()
+    }
+    assert set(out) == {1, 2, 3, 4, 5, 6}
+    hub, leaves = out[1], [out[i] for i in range(2, 7)]
+    assert all(hub > lv for lv in leaves)
+    # leaves are symmetric -> identical integer ranks
+    assert len(set(leaves)) == 1
+    # integer mass conservation: within n nodes * 1 unit of rounding
+    # per quantization site per iteration (3 sites, 5 iters, 6 nodes)
+    assert abs(sum(out.values()) - 1_000_000_000_000) < 6 * 3 * 5 + 6
+
+
+def test_pagerank_ring_is_uniform(spark, tmp_path):
+    """Symmetric ring: every node must get the identical integer rank
+    (any asymmetry would be an ordering/precision bug)."""
+    from etl_python_spark.operators.affinity import q_pagerank_copurchase
+
+    n = 8
+    rows = []
+    oid = 0
+    for i in range(n):
+        for _ in range(2):
+            rows.append((oid, i))
+            rows.append((oid, (i + 1) % n))
+            oid += 1
+    spark.createDataFrame(
+        rows, "l_orderkey long, l_partkey long"
+    ).write.parquet(str(tmp_path / "lineitem.parquet"))
+
+    out = [
+        r.rank_micro
+        for r in q_pagerank_copurchase(spark, str(tmp_path)).collect()
+    ]
+    assert len(out) == n
+    assert len(set(out)) == 1
+
+
+# ---------------------------------------------------------------------------
+# market basket: lift semantics
+# ---------------------------------------------------------------------------
+
+def test_market_basket_lift_separates_affinity(spark, tmp_path):
+    """Parts 1,2 always co-occur (lift >> 1); parts 1,3 co-occur at
+    the independence rate (lift ~ 1)."""
+    from etl_python_spark.operators.affinity import q_market_basket
+
+    rows = []
+    oid = 0
+    # 10 orders {1,2}; part 3 rides along in half of them
+    for i in range(10):
+        rows.append((oid, 1))
+        rows.append((oid, 2))
+        if i % 2 == 0:
+            rows.append((oid, 3))
+        oid += 1
+    # 10 orders {3, 4} so 3 also occurs alone
+    for _ in range(10):
+        rows.append((oid, 3))
+        rows.append((oid, 4))
+        oid += 1
+    spark.createDataFrame(
+        rows, "l_orderkey long, l_partkey long"
+    ).write.parquet(str(tmp_path / "lineitem.parquet"))
+
+    out = {
+        (r.p1, r.p2): r
+        for r in q_market_basket(spark, str(tmp_path)).collect()
+    }
+    # {1,2}: both in 10/20 orders, together 10 -> lift = 10*20/(10*10)=2
+    assert out[(1, 2)].lift == pytest.approx(2.0)
+    assert out[(1, 2)].support == pytest.approx(0.5)
+    assert out[(1, 2)].confidence == pytest.approx(1.0)
+    # {1,3}: 1 in 10, 3 in 15, together 5 -> lift = 5*20/150 = 0.666667
+    assert out[(1, 3)].lift == pytest.approx(0.666667, abs=1e-6)
+    assert out[(1, 2)].lift > out[(1, 3)].lift
