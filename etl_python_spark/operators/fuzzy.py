@@ -153,10 +153,100 @@ FROM probes p JOIN names n
 """
 
 
+def q_fuzzy_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity resolution: cluster the union of clean part names and
+    their perturbed variants (the q_fuzzy_match probe set — a dirty
+    population that GROWS with scale) into entities by transitive
+    ed <= K similarity.  Pipeline = the prefix-filtered self-similarity
+    join (never all-pairs) feeding min-label-propagation connected
+    components (dedup.connected_components — the shared CC kernel);
+    the entity id is the lexicographically smallest member string.
+    Singletons keep themselves as their entity (cluster_size 1), so
+    the output covers the full population — the join-back shape a
+    harmonization job needs.
+    """
+    from .dedup import connected_components
+
+    p = load_table(spark, sf_dir, "part")
+    cut = "cast(p_partkey % length(p_name) as int)"
+    dirty = p.filter(F.col("p_partkey") % PROBE_MOD == 0).select(
+        F.concat(
+            F.expr(f"substring(p_name, 1, {cut})"),
+            F.expr(f"substring(p_name, {cut} + 2, length(p_name))"),
+        ).alias("s")
+    )
+    strings = (
+        p.select(F.col("p_name").alias("s")).unionAll(dirty).distinct()
+    )
+    strings = strings.localCheckpoint(eager=True)
+
+    pairs = fuzzy_match(
+        strings.select(F.col("s").alias("probe_id"), F.col("s").alias("dirty")),
+        strings.select(F.col("s").alias("name")),
+    ).filter(F.col("probe_id") < F.col("name"))
+
+    comp = connected_components(
+        pairs.select(
+            F.col("probe_id").alias("doc_a"), F.col("name").alias("doc_b")
+        )
+    )
+    out = strings.join(
+        comp, strings["s"] == comp["doc_id"], "left"
+    ).select(
+        "s", F.coalesce("component_id", F.col("s")).alias("entity_id")
+    )
+    w = Window.partitionBy("entity_id")
+    return out.select(
+        "s",
+        "entity_id",
+        F.count(F.lit(1)).over(w).alias("cluster_size"),
+        (F.col("s") == F.col("entity_id")).alias("canonical"),
+    )
+
+
+ORACLE_FUZZY_COMPONENTS = f"""
+WITH RECURSIVE strings AS (
+  SELECT DISTINCT s FROM (
+    SELECT p_name AS s FROM part
+    UNION ALL
+    SELECT SUBSTRING(p_name, 1, CAST(p_partkey % LENGTH(p_name) AS INT))
+           || SUBSTRING(p_name,
+                        CAST(p_partkey % LENGTH(p_name) AS INT) + 2,
+                        LENGTH(p_name))
+    FROM part WHERE p_partkey % {PROBE_MOD} = 0
+  )
+), pairs AS (
+  SELECT a.s AS u, b.s AS w
+  FROM strings a JOIN strings b
+    ON a.s < b.s
+   AND ABS(LENGTH(a.s) - LENGTH(b.s)) <= {K}
+   AND levenshtein(a.s, b.s) <= {K}
+), verts AS (
+  SELECT u AS v FROM pairs UNION SELECT w FROM pairs
+), undirected AS (
+  SELECT u, w FROM pairs UNION SELECT w, u FROM pairs
+), reach AS (
+  SELECT v, v AS r FROM verts
+  UNION
+  SELECT e.u AS v, reach.r FROM undirected e JOIN reach ON e.w = reach.v
+), comp AS (
+  SELECT v, MIN(r) AS component_id FROM reach GROUP BY v
+)
+SELECT st.s,
+       COALESCE(c.component_id, st.s) AS entity_id,
+       COUNT(*) OVER (PARTITION BY COALESCE(c.component_id, st.s))
+         AS cluster_size,
+       st.s = COALESCE(c.component_id, st.s) AS canonical
+FROM strings st LEFT JOIN comp c ON st.s = c.v
+"""
+
+
 QUERIES = {
     "fuzzy_match": q_fuzzy_match,
+    "fuzzy_components": q_fuzzy_components,
 }
 
 ORACLES = {
     "fuzzy_match": ORACLE_FUZZY_MATCH,
+    "fuzzy_components": ORACLE_FUZZY_COMPONENTS,
 }
