@@ -64,6 +64,10 @@ EXTENDED = [
     "kmeans_embeddings",
     "dedup_components",
     "semantic_dedup",
+    # round-8 additions: graph + similarity-join heavies
+    "pagerank_copurchase",
+    "fuzzy_components",
+    "market_basket",
 ]
 
 
