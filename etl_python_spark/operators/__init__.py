@@ -129,6 +129,7 @@ def _modules():
         multimodal,
         payroll,
         similarity,
+        stats,
         text,
     )
     from ..ml import forecast
@@ -149,6 +150,7 @@ def _modules():
         multimodal,
         payroll,
         similarity,
+        stats,
         text,
         forecast,
         file_stream,

@@ -1,0 +1,303 @@
+"""Behavioral attribution + distribution-comparison statistics.
+
+`attribution_last_touch` closes the reference's marketing-funnel
+family (`Recorrencia_*.sql`, CRM lead flow in `ETL - CRM.py`): each
+conversion is credited to the latest preceding touchpoint within a
+lookback window.  `ks_segments` adds the two-sample
+Kolmogorov-Smirnov distance between every pair of customer segments'
+spend distributions — the statistical test behind "are these two
+segments actually different", computed with EXACT integer arithmetic
+so the verdict crosses the engine boundary bit-identically.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions.numeric import cents
+from ..sources.tables import load_table
+
+LOOKBACK_US = 7 * 24 * 3600 * 1_000_000  # attribution lookback (µs)
+TOUCH_TYPES = ("click", "view")
+CONVERSION_TYPE = "purchase"
+
+
+def q_attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-touch attribution: for every purchase, the most recent
+    click/view by the same user at or before the purchase, credited
+    only within the 7-day lookback; conversions with no in-window
+    touch stay in the output with NULL attribution (the unattributed
+    rate is itself a KPI).
+
+    Scale shape: ONE shuffle keyed on user_id; the running last-touch
+    is `last(..., ignorenulls=True)` over the per-user ordered window
+    (running state, no self-join against the touch stream, no
+    per-conversion re-scan).  Ordering ties broken by event_id so the
+    carried touch is deterministic.  Touch fields travel as one struct
+    so all of them come from the SAME carried event.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    touch = F.when(
+        F.col("event_type").isin(*TOUCH_TYPES),
+        F.struct(
+            F.col("ts").alias("t_ts"),
+            F.col("event_id").alias("t_id"),
+            F.col("event_type").alias("t_type"),
+        ),
+    )
+    carried = ev.select(
+        "user_id",
+        "event_id",
+        "event_type",
+        "ts",
+        F.last(touch, ignorenulls=True).over(w).alias("lt"),
+    ).filter(F.col("event_type") == CONVERSION_TYPE)
+
+    delay = F.unix_micros("ts") - F.unix_micros(F.col("lt.t_ts"))
+    in_window = F.col("lt").isNotNull() & (delay <= F.lit(LOOKBACK_US))
+    return carried.select(
+        "user_id",
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("purchase_ts"),
+        F.when(in_window, F.col("lt.t_id")).alias("touch_id"),
+        F.when(in_window, F.col("lt.t_type")).alias("touch_type"),
+        F.when(in_window, F.col("lt.t_ts")).alias("touch_ts"),
+        F.when(in_window, delay).alias("delay_us"),
+    )
+
+
+ORACLE_ATTRIBUTION = f"""
+WITH carried AS (
+  SELECT user_id, event_id, event_type, ts,
+         LAST_VALUE(CASE WHEN event_type IN ('click', 'view')
+                         THEN ts END IGNORE NULLS)
+           OVER w AS t_ts,
+         LAST_VALUE(CASE WHEN event_type IN ('click', 'view')
+                         THEN event_id END IGNORE NULLS)
+           OVER w AS t_id,
+         LAST_VALUE(CASE WHEN event_type IN ('click', 'view')
+                         THEN event_type END IGNORE NULLS)
+           OVER w AS t_type
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+               ROWS UNBOUNDED PRECEDING)
+)
+SELECT user_id,
+       event_id AS purchase_id,
+       ts AS purchase_ts,
+       CASE WHEN ok THEN t_id END AS touch_id,
+       CASE WHEN ok THEN t_type END AS touch_type,
+       CASE WHEN ok THEN t_ts END AS touch_ts,
+       CASE WHEN ok THEN delay END AS delay_us
+FROM (
+  SELECT *,
+         epoch_us(ts) - epoch_us(t_ts) AS delay,
+         t_ts IS NOT NULL
+           AND epoch_us(ts) - epoch_us(t_ts) <= {LOOKBACK_US} AS ok
+  FROM carried WHERE event_type = '{CONVERSION_TYPE}'
+)
+"""
+
+
+# ---------------------------------------------------------------------------
+# Two-sample Kolmogorov-Smirnov over all segment pairs
+# ---------------------------------------------------------------------------
+
+SEGMENTS = ("AUTOMOBILE", "BUILDING", "FURNITURE", "HOUSEHOLD", "MACHINERY")
+N_KS_PARTS = 8  # range partitions for the two-phase cumulative counts
+
+
+def q_ks_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KS distance D = max_x |F_a(x) - F_b(x)| between the order-value
+    distributions of every pair of customer market segments.
+
+    Exactness: values are integer cents; per-value per-segment counts
+    are integers; the cumulative counts are integers; and the CDF
+    difference is compared CROSS-MULTIPLIED — max |cum_a·n_b −
+    cum_b·n_a| as BIGINT — so no float exists until ONE final division
+    per pair.  (At n_a·n_b ≥ 2^63 move the cross-product to
+    DECIMAL(38,0); the shape is unchanged.)
+
+    Scale shape: one hash aggregate to per-value segment counts (5
+    int columns over distinct values), then the pareto_abc two-phase
+    GLOBAL cumsum — range-partition by value, per-partition local
+    cumsums (parallel), per-partition totals to the driver (N_KS_PARTS
+    × 5 ints), exclusive offsets broadcast back.  All 10 pair
+    statistics read the SAME cumulative relation via one stack/unpivot
+    + a 10-group max — the value stream is scanned once, no data-wide
+    single-task window, no per-pair pass.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    seg = o.join(
+        F.broadcast(c.select("c_custkey", "c_mktsegment")),
+        o["o_custkey"] == c["c_custkey"],
+    ).select(
+        cents(F.col("o_totalprice")).alias("v"), F.col("c_mktsegment")
+    )
+    per_v = seg.groupBy("v").agg(
+        *[
+            F.sum(
+                F.when(F.col("c_mktsegment") == s, 1).otherwise(0)
+            ).alias(f"c{i}")
+            for i, s in enumerate(SEGMENTS)
+        ]
+    )
+
+    ranged = per_v.repartitionByRange(N_KS_PARTS, F.asc("v")).withColumn(
+        "pid", F.spark_partition_id()
+    )
+    ranged = ranged.localCheckpoint(eager=True)
+
+    w_local = Window.partitionBy("pid").orderBy(F.asc("v")).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    local = ranged.select(
+        "v",
+        "pid",
+        *[F.sum(f"c{i}").over(w_local).alias(f"l{i}") for i in range(5)],
+    )
+    totals = (
+        ranged.groupBy("pid")
+        .agg(*[F.sum(f"c{i}").alias(f"t{i}") for i in range(5)])
+        .collect()
+    )
+    totals.sort(key=lambda r: r.pid)
+    offsets, acc = [], [0] * 5
+    for r in totals:
+        offsets.append((r.pid, *acc))
+        acc = [acc[i] + r[f"t{i}"] for i in range(5)]
+    n = acc  # grand totals per segment
+    off_df = spark.createDataFrame(
+        offsets, "pid int, " + ", ".join(f"o{i} long" for i in range(5))
+    )
+    cum = local.join(F.broadcast(off_df), "pid").select(
+        "v",
+        *[
+            (F.col(f"l{i}") + F.col(f"o{i}")).alias(f"cum{i}")
+            for i in range(5)
+        ],
+    )
+
+    pair_exprs = []
+    for i in range(5):
+        for j in range(i + 1, 5):
+            pair_exprs.append(
+                (
+                    f"'{SEGMENTS[i]}|{SEGMENTS[j]}'",
+                    f"abs(cum{i} * {n[j]}L - cum{j} * {n[i]}L)",
+                )
+            )
+    stacked = cum.select(
+        F.expr(
+            "stack("
+            + str(len(pair_exprs))
+            + ", "
+            + ", ".join(f"{k}, {e}" for k, e in pair_exprs)
+            + ") as (pair, xdiff)"
+        )
+    )
+    dmax = stacked.groupBy("pair").agg(F.max("xdiff").alias("dmax_scaled"))
+
+    n_map_a = F.create_map(
+        *[
+            x
+            for i in range(5)
+            for j in range(i + 1, 5)
+            for x in (
+                F.lit(f"{SEGMENTS[i]}|{SEGMENTS[j]}"),
+                F.lit(n[i]),
+            )
+        ]
+    )
+    n_map_b = F.create_map(
+        *[
+            x
+            for i in range(5)
+            for j in range(i + 1, 5)
+            for x in (
+                F.lit(f"{SEGMENTS[i]}|{SEGMENTS[j]}"),
+                F.lit(n[j]),
+            )
+        ]
+    )
+    return dmax.select(
+        F.split("pair", "\\|")[0].alias("seg_a"),
+        F.split("pair", "\\|")[1].alias("seg_b"),
+        n_map_a[F.col("pair")].alias("n_a"),
+        n_map_b[F.col("pair")].alias("n_b"),
+        "dmax_scaled",
+        (
+            F.col("dmax_scaled").cast("double")
+            / (n_map_a[F.col("pair")] * n_map_b[F.col("pair")]).cast(
+                "double"
+            )
+        ).alias("d_stat"),
+    )
+
+
+def _oracle_ks() -> str:
+    cums = ",\n         ".join(
+        f"CAST(SUM(CASE WHEN c_mktsegment = '{s}' THEN 1 ELSE 0 END)"
+        f" AS BIGINT) AS c{i}"
+        for i, s in enumerate(SEGMENTS)
+    )
+    wins = ",\n         ".join(
+        f"CAST(SUM(c{i}) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING)"
+        f" AS BIGINT) AS cum{i}"
+        for i in range(5)
+    )
+    tot = ",\n         ".join(
+        f"CAST(SUM(c{i}) AS BIGINT) AS n{i}" for i in range(5)
+    )
+    selects = []
+    for i in range(5):
+        for j in range(i + 1, 5):
+            selects.append(f"""
+SELECT '{SEGMENTS[i]}' AS seg_a, '{SEGMENTS[j]}' AS seg_b,
+       t.n{i} AS n_a, t.n{j} AS n_b,
+       CAST(MAX(ABS(c.cum{i} * t.n{j} - c.cum{j} * t.n{i})) AS BIGINT)
+         AS dmax_scaled,
+       CAST(MAX(ABS(c.cum{i} * t.n{j} - c.cum{j} * t.n{i})) AS DOUBLE)
+         / CAST(t.n{i} * t.n{j} AS DOUBLE) AS d_stat
+FROM cum c CROSS JOIN tot t
+GROUP BY t.n{i}, t.n{j}""")
+    return f"""
+WITH seg AS (
+  SELECT CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) AS v,
+         c.c_mktsegment
+  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+), per_v AS (
+  SELECT v,
+         {cums}
+  FROM seg GROUP BY v
+), cum AS (
+  SELECT v,
+         {wins}
+  FROM per_v
+), tot AS (
+  SELECT {tot}
+  FROM per_v
+)
+{" UNION ALL ".join(selects)}
+"""
+
+
+ORACLE_KS = _oracle_ks()
+
+
+QUERIES = {
+    "attribution_last_touch": q_attribution_last_touch,
+    "ks_segments": q_ks_segments,
+}
+
+ORACLES = {
+    "attribution_last_touch": ORACLE_ATTRIBUTION,
+    "ks_segments": ORACLE_KS,
+}
