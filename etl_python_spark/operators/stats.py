@@ -292,12 +292,105 @@ WITH seg AS (
 ORACLE_KS = _oracle_ks()
 
 
+# ---------------------------------------------------------------------------
+# Exponentially-weighted moving average (α = 1/2 — bit-exact)
+# ---------------------------------------------------------------------------
+
+EWMA_LAGS = 7  # truncation horizon: weight 2^-7 < 1% of the head weight
+
+
+def q_ewma_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """7-term exponentially-weighted moving average of daily revenue
+    per nation (α = 1/2, so weights are 1, 1/2, …, 1/64 — EXACT binary
+    doubles, and weight·cents is exact for cents < 2^53: the whole
+    smoothing is bit-identical across engines with NO quantization of
+    intermediate terms).  Missing leading lags drop out of numerator
+    and denominator together (the pandas ``ewm(adjust=True)`` head
+    convention), so early days are unbiased.
+
+    Scale shape: one (nation, day) hash aggregate, then a 7-LAG chain
+    in a nation-keyed window — fixed fan-in, no self-join, no
+    between-range scan; the lag chain is a single window pass.  The
+    truncated-EWMA-as-lags form is the scale answer to the recursive
+    definition, whose running state would serialize each group."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    daily = (
+        o.join(F.broadcast(c.select("c_custkey", "c_nationkey")),
+               o["o_custkey"] == c["c_custkey"])
+        .join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
+        .groupBy("n_name", F.col("o_orderdate").alias("dia"))
+        .agg(F.sum(cents(F.col("o_totalprice"))).alias("rev_c"))
+    )
+    w = Window.partitionBy("n_name").orderBy("dia")
+    lags = [F.col("rev_c").cast("double")] + [
+        F.lag("rev_c", k).over(w).cast("double")
+        for k in range(1, EWMA_LAGS)
+    ]
+    num = None
+    den = None
+    for k, x in enumerate(lags):
+        wk = F.lit(0.5**k)  # exact binary double
+        term = F.when(x.isNotNull(), x * wk).otherwise(F.lit(0.0))
+        dterm = F.when(x.isNotNull(), wk).otherwise(F.lit(0.0))
+        num = term if num is None else num + term
+        den = dterm if den is None else den + dterm
+    ewma = F.floor(num / den / F.lit(100.0) * 1e4 + F.lit(0.5)) / 1e4
+    return daily.select("n_name", "dia", "rev_c", ewma.alias("ewma"))
+
+
+def _oracle_ewma() -> str:
+    lag_cols = ", ".join(
+        f"LAG(rev_c, {k}) OVER (PARTITION BY n_name ORDER BY dia) AS x{k}"
+        for k in range(1, EWMA_LAGS)
+    )
+    num = " + ".join(
+        ["CAST(rev_c AS DOUBLE)"]
+        + [
+            f"CASE WHEN x{k} IS NOT NULL THEN CAST(x{k} AS DOUBLE)"
+            f" * CAST({0.5 ** k!r} AS DOUBLE) ELSE CAST(0 AS DOUBLE) END"
+            for k in range(1, EWMA_LAGS)
+        ]
+    )
+    den = " + ".join(
+        ["CAST(1 AS DOUBLE)"]
+        + [
+            f"CASE WHEN x{k} IS NOT NULL THEN CAST({0.5 ** k!r} AS DOUBLE)"
+            f" ELSE CAST(0 AS DOUBLE) END"
+            for k in range(1, EWMA_LAGS)
+        ]
+    )
+    return f"""
+WITH daily AS (
+  SELECT n.n_name, o.o_orderdate AS dia,
+         CAST(SUM(CAST(FLOOR(o.o_totalprice * 100 + 0.5) AS BIGINT))
+              AS BIGINT) AS rev_c
+  FROM orders o
+  JOIN customer c ON o.o_custkey = c.c_custkey
+  JOIN nation n ON c.c_nationkey = n.n_nationkey
+  GROUP BY 1, 2
+), lagged AS (
+  SELECT n_name, dia, rev_c, {lag_cols}
+  FROM daily
+)
+SELECT n_name, dia, rev_c,
+       FLOOR(({num}) / ({den}) / 100.0 * 1e4 + 0.5) / 1e4 AS ewma
+FROM lagged
+"""
+
+
+ORACLE_EWMA = _oracle_ewma()
+
+
 QUERIES = {
     "attribution_last_touch": q_attribution_last_touch,
     "ks_segments": q_ks_segments,
+    "ewma_revenue": q_ewma_revenue,
 }
 
 ORACLES = {
     "attribution_last_touch": ORACLE_ATTRIBUTION,
     "ks_segments": ORACLE_KS,
+    "ewma_revenue": ORACLE_EWMA,
 }

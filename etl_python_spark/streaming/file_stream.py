@@ -679,8 +679,92 @@ FROM raw
 """
 
 
+def stream_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming count-min sketch: the d×w cell table is a plain
+    streaming COUNT aggregate (CMS cells merge by SUM — the
+    mergeability that makes it a sketch), drained complete-mode;
+    the probe-side min-over-rows estimate runs batch-side against the
+    drained 4096-cell result.  Streaming state is d·w = 4096 counters
+    TOTAL — constant however many users flow past, which is why a
+    stream carries a CMS instead of per-key counts (whose state grows
+    with key cardinality).  Identical cell hashing to the batch
+    ``cms_heavy_hitters`` (operators/events.py), so the estimates
+    match the batch sketch exactly; the exact per-user count is
+    precisely what the stream cannot keep, so (like stream_hll_users)
+    the output carries the estimate only."""
+    from ..operators.dedup import hash60
+    from ..operators.events import CMS_D, CMS_PROBE_MOD, CMS_W
+
+    def cell(col):
+        def one(i):
+            return (
+                hash60(F.concat(F.lit(f"{i}|"), col.cast("string")))
+                % CMS_W
+            ).cast("int")
+
+        return F.explode(
+            F.array(
+                *[
+                    F.struct(F.lit(i).alias("i"), one(i).alias("c"))
+                    for i in range(CMS_D)
+                ]
+            )
+        )
+
+    stream = _events_stream(spark, sf_dir)
+    cells = stream.select(cell(F.col("user_id")).alias("p")).select(
+        "p.i", "p.c"
+    )
+    sketch = cells.groupBy("i", "c").agg(F.count(F.lit(1)).alias("n"))
+    drained = _drain_to_memory(sketch, "cms_cells", "complete")
+
+    from ..sources.tables import load_table
+
+    probe = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("user_id") % CMS_PROBE_MOD == 0)
+        .select("user_id")
+        .distinct()
+    )
+    probe_cells = probe.select("user_id", cell(F.col("user_id")).alias("p"))
+    return (
+        probe_cells.select("user_id", "p.i", "p.c")
+        .join(F.broadcast(drained), ["i", "c"])
+        .groupBy("user_id")
+        .agg(F.min("n").cast("long").alias("est_count"))
+    )
+
+
+def _oracle_stream_cms() -> str:
+    from ..operators.events import CMS_PROBE_MOD, CMS_W
+
+    return f"""
+WITH rows_d AS (
+  SELECT * FROM (VALUES (0), (1), (2), (3)) AS t(i)
+), cells AS (
+  SELECT d.i,
+         CAST(('0x'||substring(md5(d.i || '|' || CAST(e.user_id AS VARCHAR)),1,15))::BIGINT
+              % {CMS_W} AS INT) AS c
+  FROM events e CROSS JOIN rows_d d
+), sketch AS (
+  SELECT i, c, COUNT(*) AS n FROM cells GROUP BY 1, 2
+), probe AS (
+  SELECT DISTINCT user_id FROM events WHERE user_id % {CMS_PROBE_MOD} = 0
+), probe_cells AS (
+  SELECT p.user_id, d.i,
+         CAST(('0x'||substring(md5(d.i || '|' || CAST(p.user_id AS VARCHAR)),1,15))::BIGINT
+              % {CMS_W} AS INT) AS c
+  FROM probe p CROSS JOIN rows_d d
+)
+SELECT pc.user_id, CAST(MIN(s.n) AS BIGINT) AS est_count
+FROM probe_cells pc JOIN sketch s USING (i, c)
+GROUP BY pc.user_id
+"""
+
+
 QUERIES = {
     "stream_hourly_counts": hourly_counts_stream,
+    "stream_cms_heavy_hitters": stream_cms_heavy_hitters,
     "stream_static_enriched": stream_static_enriched,
     "stream_sessionize": session_window_stream,
     "stream_user_totals": stateful_user_totals_stream,
@@ -693,6 +777,7 @@ QUERIES = {
 
 ORACLES = {
     "stream_hll_users": ORACLE_STREAM_HLL,
+    "stream_cms_heavy_hitters": _oracle_stream_cms(),
     "stream_histogram_quantiles": _oracle_stream_histogram(),
     "stream_hourly_counts": ORACLE_STREAM_HOURLY,
     "stream_static_enriched": ORACLE_STREAM_ENRICHED,
