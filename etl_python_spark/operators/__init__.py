@@ -30,7 +30,20 @@ VERIFY_PRIORITY = (
     # driver verdict is round 5 or older; (c) top-up with the
     # alphabetically-first round-6-verdict queries.  The round-7
     # window rotates out entirely — its verdicts are freshest.
-    # (a) new or changed in round 8:
+    # (a) new or changed in round 8 (late-round batches 3-4 first —
+    # they have never had ANY driver verdict):
+    "market_basket",
+    "pagerank_copurchase",
+    "event_transitions",
+    "rfm_segments",
+    "benford_audit",
+    "priority_entropy",
+    "fuzzy_match",
+    "fuzzy_components",
+    "attribution_last_touch",
+    "ks_segments",
+    "ewma_revenue",
+    "stream_cms_heavy_hitters",
     "substring_spans",
     "histogram_quantiles",
     "gap_fill_interpolate",
