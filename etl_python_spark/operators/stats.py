@@ -235,10 +235,13 @@ def q_ks_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         "dmax_scaled",
         (
             F.col("dmax_scaled").cast("double")
-            / (n_map_a[F.col("pair")] * n_map_b[F.col("pair")]).cast(
-                "double"
+            / F.nullif(
+                (n_map_a[F.col("pair")] * n_map_b[F.col("pair")]).cast(
+                    "double"
+                ),
+                F.lit(0.0),
             )
-        ).alias("d_stat"),
+        ).alias("d_stat"),  # NULL when either sample is empty
     )
 
 
@@ -265,7 +268,7 @@ SELECT '{SEGMENTS[i]}' AS seg_a, '{SEGMENTS[j]}' AS seg_b,
        CAST(MAX(ABS(c.cum{i} * t.n{j} - c.cum{j} * t.n{i})) AS BIGINT)
          AS dmax_scaled,
        CAST(MAX(ABS(c.cum{i} * t.n{j} - c.cum{j} * t.n{i})) AS DOUBLE)
-         / CAST(t.n{i} * t.n{j} AS DOUBLE) AS d_stat
+         / NULLIF(CAST(t.n{i} * t.n{j} AS DOUBLE), 0.0) AS d_stat
 FROM cum c CROSS JOIN tot t
 GROUP BY t.n{i}, t.n{j}""")
     return f"""

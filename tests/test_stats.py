@@ -1,0 +1,133 @@
+"""Semantic invariants for the stats family (round 8): attribution
+credit rules on constructed event streams, EWMA equivalence to the
+pandas reference, and KS extremes with known closed-form answers."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import functions as F
+
+
+def _ev(spark, rows):
+    return spark.createDataFrame(
+        [
+            (i, dt.datetime(2024, 1, d, h, m), u, t, 1.0, "{}")
+            for i, (d, h, m, u, t) in enumerate(rows)
+        ],
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    )
+
+
+def test_attribution_credit_rules(spark, tmp_path):
+    from etl_python_spark.operators.stats import q_attribution_last_touch
+
+    rows = [
+        # user 1: click then purchase 1h later -> credited
+        (1, 9, 0, 1, "click"),
+        (1, 10, 0, 1, "purchase"),
+        # user 2: view 10 days before purchase -> outside lookback
+        (1, 9, 0, 2, "view"),
+        (11, 9, 0, 2, "purchase"),
+        # user 3: purchase with NO touch -> unattributed row kept
+        (5, 9, 0, 3, "purchase"),
+        # user 4: click AFTER the purchase must not be credited
+        (7, 9, 0, 4, "purchase"),
+        (7, 10, 0, 4, "click"),
+        # user 5: two touches -> the LATER one wins
+        (3, 8, 0, 5, "view"),
+        (3, 9, 0, 5, "click"),
+        (3, 10, 0, 5, "purchase"),
+    ]
+    _ev(spark, rows).write.parquet(str(tmp_path / "events.parquet"))
+    out = {
+        r.user_id: r
+        for r in q_attribution_last_touch(spark, str(tmp_path)).collect()
+    }
+    assert out[1].touch_type == "click" and out[1].delay_us == 3_600_000_000
+    assert out[2].touch_id is None  # beyond 7-day lookback
+    assert out[3].touch_id is None  # no touch at all
+    assert out[4].touch_id is None  # only a post-purchase touch
+    assert out[5].touch_type == "click"  # later touch wins
+    assert len(out) == 5  # every purchase present exactly once
+
+
+def test_ewma_matches_pandas(spark, tmp_path):
+    """The truncated-lag EWMA must equal pandas ewm(alpha=.5,
+    adjust=True) wherever >= EWMA_LAGS observations exist (the
+    truncation tail 2^-7 is below the 4dp quantum for these values)."""
+    import pandas as pd
+
+    from etl_python_spark.operators.stats import q_ewma_revenue
+
+    vals = [100.0, 200.0, 150.0, 300.0, 250.0, 400.0, 350.0, 500.0,
+            450.0, 600.0]
+    orders = spark.createDataFrame(
+        [
+            (i, 1, "O", float(v), dt.date(2024, 1, i + 1), "1-URGENT")
+            for i, v in enumerate(vals)
+        ],
+        "o_orderkey long, o_custkey long, o_orderstatus string,"
+        " o_totalprice double, o_orderdate date, o_orderpriority string",
+    )
+    orders.write.parquet(str(tmp_path / "orders.parquet"))
+    spark.createDataFrame(
+        [(1, "c", 0, 0.0, "BUILDING")],
+        "c_custkey long, c_name string, c_nationkey long,"
+        " c_acctbal double, c_mktsegment string",
+    ).write.parquet(str(tmp_path / "customer.parquet"))
+    spark.createDataFrame(
+        [(0, "BRAZIL", 0)],
+        "n_nationkey long, n_name string, n_regionkey long",
+    ).write.parquet(str(tmp_path / "nation.parquet"))
+
+    got = {
+        r.dia.day: r.ewma
+        for r in q_ewma_revenue(spark, str(tmp_path)).collect()
+    }
+    ref = (
+        pd.Series(vals).ewm(alpha=0.5, adjust=True).mean().tolist()
+    )
+    for day, want in zip(range(1, 11), ref):
+        if day >= 8:  # truncated tail: 2^-7 of the weight ≈ 1% of value
+            assert got[day] == pytest.approx(want, rel=2e-2), day
+        else:  # head (≤7 obs): all terms present — exact up to the 4dp quantum
+            assert got[day] == pytest.approx(want, abs=1e-4), day
+
+
+def test_ks_extremes(spark, tmp_path):
+    """Two identical samples -> D = 0; two disjoint samples -> D = 1
+    (dmax_scaled = n_a * n_b)."""
+    from etl_python_spark.operators.stats import q_ks_segments
+
+    custs, orders = [], []
+    # AUTOMOBILE and BUILDING customers get IDENTICAL order values;
+    # FURNITURE orders sit strictly above everything else.
+    for i, seg in enumerate(["AUTOMOBILE", "BUILDING", "FURNITURE"]):
+        custs.append((i, f"c{i}", 0, 0.0, seg))
+    for k in range(20):
+        orders.append((len(orders), 0, "O", 100.0 + k, dt.date(2024, 1, 1), "x"))
+        orders.append((len(orders), 1, "O", 100.0 + k, dt.date(2024, 1, 1), "x"))
+        orders.append((len(orders), 2, "O", 9000.0 + k, dt.date(2024, 1, 1), "x"))
+    spark.createDataFrame(
+        custs,
+        "c_custkey long, c_name string, c_nationkey long,"
+        " c_acctbal double, c_mktsegment string",
+    ).write.parquet(str(tmp_path / "customer.parquet"))
+    spark.createDataFrame(
+        orders,
+        "o_orderkey long, o_custkey long, o_orderstatus string,"
+        " o_totalprice double, o_orderdate date, o_orderpriority string",
+    ).write.parquet(str(tmp_path / "orders.parquet"))
+
+    out = {
+        (r.seg_a, r.seg_b): r
+        for r in q_ks_segments(spark, str(tmp_path)).collect()
+    }
+    same = out[("AUTOMOBILE", "BUILDING")]
+    assert same.dmax_scaled == 0 and same.d_stat == 0.0
+    disj = out[("AUTOMOBILE", "FURNITURE")]
+    assert disj.d_stat == 1.0
+    assert disj.dmax_scaled == disj.n_a * disj.n_b
