@@ -13,6 +13,18 @@ QUERIES = entrymod.queries()
 ORACLES = entrymod.oracle_sql()
 
 
+def test_every_query_is_oracled():
+    """Every queries() entry must have an oracle_sql() twin — a name
+    registered in QUERIES but not ORACLES is SILENTLY skipped by
+    check_correctness (bit round 8: ewma_revenue shipped uncheckable
+    for two commits).  The repo policy is zero rows-only queries, so
+    key-set equality is the invariant; a deliberate rows-only query
+    would move to an explicit allowlist here."""
+    assert set(QUERIES) == set(ORACLES), (
+        sorted(set(QUERIES) ^ set(ORACLES))
+    )
+
+
 def test_entry_smoke(spark):
     df = entrymod.entry(spark)
     rows = df.collect()
