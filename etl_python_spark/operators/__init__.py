@@ -44,6 +44,7 @@ VERIFY_PRIORITY = (
     "ks_segments",
     "ewma_revenue",
     "stream_cms_heavy_hitters",
+    "theil_sen_trend",
     "substring_spans",
     "histogram_quantiles",
     "gap_fill_interpolate",

@@ -386,14 +386,116 @@ FROM lagged
 ORACLE_EWMA = _oracle_ewma()
 
 
+# ---------------------------------------------------------------------------
+# Theil-Sen robust trend (median of pairwise slopes)
+# ---------------------------------------------------------------------------
+
+def q_theil_sen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil-Sen estimator of each nation's monthly-revenue trend:
+    the MEDIAN of all pairwise slopes (r_j - r_i)/(t_j - t_i) — robust
+    to ~29% outlier months, where the forecast family's OLS is not.
+
+    Exactness: revenues are integer cents, month ordinals integers,
+    so each slope is one correctly-rounded division of exact integers,
+    floor-quantized to integer micro-cents-per-month BEFORE the
+    median; the median of integers is exact in both engines (odd n:
+    the middle value; even n: the average of the two middle values —
+    a .0/.5 double).
+
+    Scale shape: one (nation, month) aggregate shrinks the input to
+    K·M rows (M = months — CALENDAR-sized, not data-sized), and the
+    pairwise self-join is keyed on nation over that aggregated
+    relation: O(M²) pairs per nation, bounded by the calendar span,
+    never by the order count.  The exact-median aggregate runs per
+    nation over the M²-row groups.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    monthly = (
+        o.join(F.broadcast(c.select("c_custkey", "c_nationkey")),
+               o["o_custkey"] == c["c_custkey"])
+        .join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
+        .groupBy(
+            "n_name",
+            (F.year("o_orderdate") * 12 + F.month("o_orderdate"))
+            .cast("long")
+            .alias("t"),
+        )
+        .agg(F.sum(cents(F.col("o_totalprice"))).alias("rev_c"))
+    )
+    a = monthly.select(
+        "n_name", F.col("t").alias("t1"), F.col("rev_c").alias("r1")
+    )
+    b = monthly.select(
+        "n_name", F.col("t").alias("t2"), F.col("rev_c").alias("r2")
+    )
+    # the monthly relation is calendar-sized (K nations × M months) by
+    # construction, so broadcasting one side is right at ANY data scale
+    pairs = a.join(F.broadcast(b), "n_name").filter(
+        F.col("t1") < F.col("t2")
+    )
+    slope_micro = F.floor(
+        (F.col("r2") - F.col("r1")).cast("double")
+        / (F.col("t2") - F.col("t1")).cast("double")
+        * F.lit(1e6)
+        + F.lit(0.5)
+    ).cast("long")
+    return (
+        pairs.select("n_name", slope_micro.alias("s"))
+        .groupBy("n_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.median("s").cast("double").alias("slope_micro_med"),
+        )
+        .select(
+            "n_name",
+            "n_pairs",
+            "slope_micro_med",
+            (F.col("slope_micro_med") / F.lit(1e6) / F.lit(100.0)).alias(
+                "slope_brl_per_month"
+            ),
+        )
+    )
+
+
+ORACLE_THEIL_SEN = """
+WITH monthly AS (
+  SELECT n.n_name,
+         CAST(YEAR(o.o_orderdate) * 12 + MONTH(o.o_orderdate) AS BIGINT)
+           AS t,
+         CAST(SUM(CAST(FLOOR(o.o_totalprice * 100 + 0.5) AS BIGINT))
+              AS BIGINT) AS rev_c
+  FROM orders o
+  JOIN customer c ON o.o_custkey = c.c_custkey
+  JOIN nation n ON c.c_nationkey = n.n_nationkey
+  GROUP BY 1, 2
+), pairs AS (
+  SELECT a.n_name,
+         CAST(FLOOR(CAST(b.rev_c - a.rev_c AS DOUBLE)
+                    / CAST(b.t - a.t AS DOUBLE) * 1e6 + 0.5) AS BIGINT)
+           AS s
+  FROM monthly a JOIN monthly b
+    ON a.n_name = b.n_name AND a.t < b.t
+)
+SELECT n_name,
+       CAST(COUNT(*) AS BIGINT) AS n_pairs,
+       CAST(MEDIAN(s) AS DOUBLE) AS slope_micro_med,
+       CAST(MEDIAN(s) AS DOUBLE) / 1e6 / 100.0 AS slope_brl_per_month
+FROM pairs GROUP BY 1
+"""
+
+
 QUERIES = {
     "attribution_last_touch": q_attribution_last_touch,
     "ks_segments": q_ks_segments,
     "ewma_revenue": q_ewma_revenue,
+    "theil_sen_trend": q_theil_sen_trend,
 }
 
 ORACLES = {
     "attribution_last_touch": ORACLE_ATTRIBUTION,
     "ks_segments": ORACLE_KS,
     "ewma_revenue": ORACLE_EWMA,
+    "theil_sen_trend": ORACLE_THEIL_SEN,
 }
