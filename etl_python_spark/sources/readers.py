@@ -627,3 +627,10 @@ def read_incremental(
         )
 
     return df, new_paths, commit
+
+
+def read_orc(spark: SparkSession, path: str) -> DataFrame:
+    """ORC scan (native Spark reader).  Column pruning and predicate
+    pushdown work exactly as for parquet — the plan-level contract is
+    pinned in tests/test_model_sources.py::test_orc_roundtrip."""
+    return spark.read.orc(path)

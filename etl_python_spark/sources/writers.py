@@ -583,3 +583,22 @@ def zorder_layout(
         .sortWithinPartitions(*lead, "__zkey")
         .drop("__zkey")
     )
+
+
+def write_orc(
+    df: DataFrame,
+    path: str,
+    partition_by: list[str] | None = None,
+    compression: str = "zstd",
+) -> None:
+    """ORC sink (native Spark writer — no extra package): columnar
+    layout with per-stripe min/max/bloom statistics, the interchange
+    format for Hive/Trino-side consumers of this engine's output.
+    Same predicate-pushdown contract as the parquet sink: Catalyst
+    pushes filters into the ORC scan (``PushedFilters`` in explain)
+    and stripe stats prune at read time — the roundtrip test pins
+    both directions."""
+    w = df.write.mode("overwrite").option("compression", compression)
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    w.orc(path)
