@@ -196,3 +196,55 @@ def test_market_basket_lift_separates_affinity(spark, tmp_path):
     # {1,3}: 1 in 10, 3 in 15, together 5 -> lift = 5*20/150 = 0.666667
     assert out[(1, 3)].lift == pytest.approx(0.666667, abs=1e-6)
     assert out[(1, 2)].lift > out[(1, 3)].lift
+
+
+# ---------------------------------------------------------------------------
+# determinism under physical layout
+# ---------------------------------------------------------------------------
+
+def test_market_basket_invariant_under_repartition(spark, tmp_path):
+    """The operator must produce IDENTICAL rows regardless of input
+    partitioning (a cluster reshuffle or file-split change must never
+    move a support/lift value — the engine-parity rule applied to
+    physical layout)."""
+    from etl_python_spark.operators.affinity import q_market_basket
+
+    rows = [(o, p) for o in range(50) for p in (o % 7, (o * 3) % 11, 13)]
+    df = spark.createDataFrame(rows, "l_orderkey long, l_partkey long")
+    df.coalesce(1).write.parquet(str(tmp_path / "a" / "lineitem.parquet"))
+    df.repartition(13).write.parquet(
+        str(tmp_path / "b" / "lineitem.parquet")
+    )
+
+    def canon(sf_dir):
+        return sorted(
+            map(tuple, q_market_basket(spark, sf_dir).collect())
+        )
+
+    assert canon(str(tmp_path / "a")) == canon(str(tmp_path / "b"))
+
+
+def test_pagerank_invariant_under_repartition(spark, tmp_path):
+    """Integer-quantized PageRank must be bit-identical across input
+    layouts — the property that makes an iterative algorithm safely
+    oracle-able at all."""
+    from etl_python_spark.operators.affinity import q_pagerank_copurchase
+
+    rows = []
+    oid = 0
+    for i in range(12):
+        for _ in range(2):
+            rows.append((oid, i))
+            rows.append((oid, (i * 5 + 1) % 12))
+            oid += 1
+    df = spark.createDataFrame(rows, "l_orderkey long, l_partkey long")
+    df.coalesce(1).write.parquet(str(tmp_path / "a" / "lineitem.parquet"))
+    df.repartition(7).write.parquet(str(tmp_path / "b" / "lineitem.parquet"))
+
+    def canon(sf_dir):
+        return sorted(
+            (r.p_partkey, r.rank_micro)
+            for r in q_pagerank_copurchase(spark, sf_dir).collect()
+        )
+
+    assert canon(str(tmp_path / "a")) == canon(str(tmp_path / "b"))
