@@ -45,6 +45,7 @@ VERIFY_PRIORITY = (
     "ewma_revenue",
     "stream_cms_heavy_hitters",
     "theil_sen_trend",
+    "mann_whitney",
     "substring_spans",
     "histogram_quantiles",
     "gap_fill_interpolate",

@@ -113,26 +113,18 @@ SEGMENTS = ("AUTOMOBILE", "BUILDING", "FURNITURE", "HOUSEHOLD", "MACHINERY")
 N_KS_PARTS = 8  # range partitions for the two-phase cumulative counts
 
 
-def q_ks_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """KS distance D = max_x |F_a(x) - F_b(x)| between the order-value
-    distributions of every pair of customer market segments.
+def _segment_cdf(spark: SparkSession, sf_dir: str):
+    """Shared rank machinery for the distribution tests (KS and
+    Mann-Whitney): per distinct order value (exact integer cents) the
+    per-segment counts c0..c4 AND global cumulative counts cum0..cum4,
+    plus the grand totals.
 
-    Exactness: values are integer cents; per-value per-segment counts
-    are integers; the cumulative counts are integers; and the CDF
-    difference is compared CROSS-MULTIPLIED — max |cum_a·n_b −
-    cum_b·n_a| as BIGINT — so no float exists until ONE final division
-    per pair.  (At n_a·n_b ≥ 2^63 move the cross-product to
-    DECIMAL(38,0); the shape is unchanged.)
-
-    Scale shape: one hash aggregate to per-value segment counts (5
-    int columns over distinct values), then the pareto_abc two-phase
-    GLOBAL cumsum — range-partition by value, per-partition local
-    cumsums (parallel), per-partition totals to the driver (N_KS_PARTS
-    × 5 ints), exclusive offsets broadcast back.  All 10 pair
-    statistics read the SAME cumulative relation via one stack/unpivot
-    + a 10-group max — the value stream is scanned once, no data-wide
-    single-task window, no per-pair pass.
-    """
+    The cumulative counts use the pareto_abc two-phase GLOBAL cumsum —
+    range-partition by value, per-partition local window cumsums
+    (parallel), per-partition totals to the driver (N_KS_PARTS × 5
+    ints), exclusive offsets broadcast back — so no data-wide
+    single-task window exists and the value stream is scanned once
+    for all downstream pair statistics."""
     o = load_table(spark, sf_dir, "orders")
     c = load_table(spark, sf_dir, "customer")
     seg = o.join(
@@ -161,6 +153,7 @@ def q_ks_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     local = ranged.select(
         "v",
         "pid",
+        *[F.col(f"c{i}") for i in range(5)],
         *[F.sum(f"c{i}").over(w_local).alias(f"l{i}") for i in range(5)],
     )
     totals = (
@@ -179,11 +172,36 @@ def q_ks_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     cum = local.join(F.broadcast(off_df), "pid").select(
         "v",
+        *[F.col(f"c{i}") for i in range(5)],
         *[
             (F.col(f"l{i}") + F.col(f"o{i}")).alias(f"cum{i}")
             for i in range(5)
         ],
     )
+    return cum, n
+
+
+def q_ks_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KS distance D = max_x |F_a(x) - F_b(x)| between the order-value
+    distributions of every pair of customer market segments.
+
+    Exactness: values are integer cents; per-value per-segment counts
+    are integers; the cumulative counts are integers; and the CDF
+    difference is compared CROSS-MULTIPLIED — max |cum_a·n_b −
+    cum_b·n_a| as BIGINT — so no float exists until ONE final division
+    per pair.  (At n_a·n_b ≥ 2^63 move the cross-product to
+    DECIMAL(38,0); the shape is unchanged.)
+
+    Scale shape: one hash aggregate to per-value segment counts (5
+    int columns over distinct values), then the pareto_abc two-phase
+    GLOBAL cumsum — range-partition by value, per-partition local
+    cumsums (parallel), per-partition totals to the driver (N_KS_PARTS
+    × 5 ints), exclusive offsets broadcast back.  All 10 pair
+    statistics read the SAME cumulative relation via one stack/unpivot
+    + a 10-group max — the value stream is scanned once, no data-wide
+    single-task window, no per-pair pass.
+    """
+    cum, n = _segment_cdf(spark, sf_dir)
 
     pair_exprs = []
     for i in range(5):
@@ -293,6 +311,138 @@ WITH seg AS (
 
 
 ORACLE_KS = _oracle_ks()
+
+
+# ---------------------------------------------------------------------------
+# Mann-Whitney U over all segment pairs (exact, tie-aware)
+# ---------------------------------------------------------------------------
+
+def q_mann_whitney(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Whitney U (Wilcoxon rank-sum) between the order-value
+    distributions of every segment pair — the nonparametric
+    location test companion to ``ks_segments``, sharing its ONE
+    two-phase cumulative pass (`_segment_cdf`).
+
+    Tie-aware and float-free: with per-value counts the pooled
+    average rank at value v is (2·before + c + 1)/2, so DOUBLED rank
+    sums are exact integers — 2R_a = Σ c_a·(2·before + c + 1) with
+    before = pooled cumulative strictly below v.  U_a follows as
+    (2R_a − n_a(n_a+1))/2, a .0/.5-exact double; the identity
+    U_a + U_b = n_a·n_b is pinned in tests.  No sort of the raw data
+    ever happens — ranks come from counts.
+    """
+    cum, n = _segment_cdf(spark, sf_dir)
+
+    pair_exprs = []
+    for i in range(5):
+        for j in range(i + 1, 5):
+            before = (
+                f"(cum{i} - c{i}) + (cum{j} - c{j})"
+            )
+            contrib = (
+                f"c{i} * (2 * ({before}) + (c{i} + c{j}) + 1)"
+            )
+            pair_exprs.append(
+                (f"'{SEGMENTS[i]}|{SEGMENTS[j]}'", contrib)
+            )
+    stacked = cum.select(
+        F.expr(
+            "stack("
+            + str(len(pair_exprs))
+            + ", "
+            + ", ".join(f"{k}, {e}" for k, e in pair_exprs)
+            + ") as (pair, r2_term)"
+        )
+    )
+    r2 = stacked.groupBy("pair").agg(
+        F.sum("r2_term").cast("long").alias("r2_a")
+    )
+
+    def seg_map(pick):
+        return F.create_map(
+            *[
+                x
+                for i in range(5)
+                for j in range(i + 1, 5)
+                for x in (
+                    F.lit(f"{SEGMENTS[i]}|{SEGMENTS[j]}"),
+                    F.lit(pick(i, j)),
+                )
+            ]
+        )
+
+    n_a = seg_map(lambda i, j: n[i])[F.col("pair")]
+    n_b = seg_map(lambda i, j: n[j])[F.col("pair")]
+    u_a = (
+        F.col("r2_a") - n_a * (n_a + F.lit(1))
+    ).cast("double") / F.lit(2.0)
+    return r2.select(
+        F.split("pair", "\\|")[0].alias("seg_a"),
+        F.split("pair", "\\|")[1].alias("seg_b"),
+        n_a.alias("n_a"),
+        n_b.alias("n_b"),
+        "r2_a",
+        u_a.alias("u_a"),
+        (n_a.cast("double") * n_b.cast("double") - u_a).alias("u_b"),
+    )
+
+
+def _oracle_mann_whitney() -> str:
+    cums = ",\n         ".join(
+        f"CAST(SUM(CASE WHEN c_mktsegment = '{s}' THEN 1 ELSE 0 END)"
+        f" AS BIGINT) AS c{i}"
+        for i, s in enumerate(SEGMENTS)
+    )
+    wins = ",\n         ".join(
+        [f"c{i}" for i in range(5)]
+        + [
+            f"CAST(SUM(c{i}) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING)"
+            f" AS BIGINT) AS cum{i}"
+            for i in range(5)
+        ]
+    )
+    tot = ",\n         ".join(
+        f"CAST(SUM(c{i}) AS BIGINT) AS n{i}" for i in range(5)
+    )
+    selects = []
+    for i in range(5):
+        for j in range(i + 1, 5):
+            before = f"(c.cum{i} - c.c{i}) + (c.cum{j} - c.c{j})"
+            r2 = (
+                f"CAST(SUM(c.c{i} * (2 * ({before}) + (c.c{i} + c.c{j})"
+                f" + 1)) AS BIGINT)"
+            )
+            ua = f"CAST({r2} - t.n{i} * (t.n{i} + 1) AS DOUBLE) / 2.0"
+            selects.append(f"""
+SELECT '{SEGMENTS[i]}' AS seg_a, '{SEGMENTS[j]}' AS seg_b,
+       t.n{i} AS n_a, t.n{j} AS n_b,
+       {r2} AS r2_a,
+       {ua} AS u_a,
+       CAST(t.n{i} AS DOUBLE) * CAST(t.n{j} AS DOUBLE) - {ua} AS u_b
+FROM cum c CROSS JOIN tot t
+GROUP BY t.n{i}, t.n{j}""")
+    return f"""
+WITH seg AS (
+  SELECT CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) AS v,
+         c.c_mktsegment
+  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+), per_v AS (
+  SELECT v,
+         {cums}
+  FROM seg GROUP BY v
+), cum AS (
+  SELECT v,
+         {wins}
+  FROM per_v
+), tot AS (
+  SELECT {tot}
+  FROM per_v
+)
+{" UNION ALL ".join(selects)}
+"""
+
+
+ORACLE_MANN_WHITNEY = _oracle_mann_whitney()
 
 
 # ---------------------------------------------------------------------------
@@ -491,6 +641,7 @@ QUERIES = {
     "ks_segments": q_ks_segments,
     "ewma_revenue": q_ewma_revenue,
     "theil_sen_trend": q_theil_sen_trend,
+    "mann_whitney": q_mann_whitney,
 }
 
 ORACLES = {
@@ -498,4 +649,5 @@ ORACLES = {
     "ks_segments": ORACLE_KS,
     "ewma_revenue": ORACLE_EWMA,
     "theil_sen_trend": ORACLE_THEIL_SEN,
+    "mann_whitney": ORACLE_MANN_WHITNEY,
 }

@@ -131,3 +131,47 @@ def test_ks_extremes(spark, tmp_path):
     disj = out[("AUTOMOBILE", "FURNITURE")]
     assert disj.d_stat == 1.0
     assert disj.dmax_scaled == disj.n_a * disj.n_b
+
+
+def test_mann_whitney_identity_and_known_value(spark, tmp_path):
+    """U_a + U_b = n_a·n_b always; and on a constructed two-sample
+    input with ties the U statistic matches the hand-computed value."""
+    import datetime as dt
+
+    from etl_python_spark.operators.stats import q_mann_whitney
+
+    custs = [
+        (0, "a", 0, 0.0, "AUTOMOBILE"),
+        (1, "b", 0, 0.0, "BUILDING"),
+    ]
+    # AUTOMOBILE: values [1, 2, 2];  BUILDING: values [2, 3]
+    # pooled sorted: 1(r1), 2,2,2 (avg r3), 3(r5)
+    # R_auto = 1 + 3 + 3 = 7 ; U_auto = 7 - 3*4/2 = 1
+    vals = [(0, 1.0), (0, 2.0), (0, 2.0), (1, 2.0), (1, 3.0)]
+    orders = [
+        (k, cust, "O", v, dt.date(2024, 1, 1), "x")
+        for k, (cust, v) in enumerate(vals)
+    ]
+    spark.createDataFrame(
+        custs,
+        "c_custkey long, c_name string, c_nationkey long,"
+        " c_acctbal double, c_mktsegment string",
+    ).write.parquet(str(tmp_path / "customer.parquet"))
+    spark.createDataFrame(
+        orders,
+        "o_orderkey long, o_custkey long, o_orderstatus string,"
+        " o_totalprice double, o_orderdate date, o_orderpriority string",
+    ).write.parquet(str(tmp_path / "orders.parquet"))
+
+    out = {
+        (r.seg_a, r.seg_b): r
+        for r in q_mann_whitney(spark, str(tmp_path)).collect()
+    }
+    ab = out[("AUTOMOBILE", "BUILDING")]
+    assert ab.n_a == 3 and ab.n_b == 2
+    assert ab.r2_a == 14  # 2·R_a
+    assert ab.u_a == 1.0
+    assert ab.u_a + ab.u_b == ab.n_a * ab.n_b
+    for r in out.values():  # identity holds for every pair incl. empty
+        if r.n_a and r.n_b:
+            assert r.u_a + r.u_b == r.n_a * r.n_b
