@@ -26,9 +26,13 @@ Plan (AllPairs/EDJoin prefix filtering, Xiao et al., VLDB 2008):
    the brute-force all-pairs result, which is exactly what the
    DuckDB oracle computes.
 
-Scale: the prefix keeps q*K+1 = 7 grams per string; a hot gram's
-posting list is the skew knob — df-cap or salt degenerate grams the
-way dedup.py caps stop-shingles if a corpus repeats prefixes.
+Scale: the prefix keeps q*K+1 = 7 grams per string, so candidate
+volume is bounded by posting-list lengths.  A degenerate corpus
+(every string sharing one rare gram) skews the candidate join on
+that gram's key — dropping the gram would break candidate
+completeness, so the mitigation is the join-level one: AQE's skew
+join (`spark.sql.adaptive.skewJoin`, on by default in the session)
+splits the hot gram's partition at runtime without changing results.
 """
 
 from __future__ import annotations
