@@ -46,6 +46,7 @@ VERIFY_PRIORITY = (
     "stream_cms_heavy_hitters",
     "theil_sen_trend",
     "mann_whitney",
+    "item_similarity",
     "substring_spans",
     "histogram_quantiles",
     "gap_fill_interpolate",

@@ -452,6 +452,117 @@ FROM per_nation
 
 
 # ---------------------------------------------------------------------------
+# Item-item collaborative similarity ("customers also bought")
+# ---------------------------------------------------------------------------
+
+SIM_TOP_N = 5
+
+
+def q_item_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Item-item collaborative filtering: for every part, the top-N
+    co-purchased neighbors ranked by the cosine of their order
+    co-occurrence vectors — cos(a,b) = cnt_ab / sqrt(cnt_a · cnt_b),
+    the binary-vector identity that needs only the pair and item
+    counts the basket machinery already produces (no explicit vectors
+    exist anywhere).
+
+    Exactness: counts are integers; sqrt and division are single
+    correctly-rounded IEEE-754 ops, identical across engines; the
+    cosine is floor-quantized to 6dp and the top-N rank fully
+    tie-broken (cosine desc, neighbor asc).  Scale shape: the basket
+    pipeline's one orderkey shuffle + pair aggregate, a mirror union
+    so each item sees its full neighbor list, and one window keyed on
+    the ITEM (never data-wide); the neighbor list per item is bounded
+    by the pair graph, and SIM_TOP_N caps the output."""
+    baskets = _baskets(spark, sf_dir)
+    pair_cnt = (
+        _basket_pairs(baskets)
+        .groupBy("p1", "p2")
+        .agg(F.count(F.lit(1)).alias("cnt_ab"))
+        .filter(F.col("cnt_ab") >= MIN_PAIR_COUNT)
+    )
+    item_cnt = (
+        baskets.select(F.explode("items").alias("pk"))
+        .groupBy("pk")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    mirrored = pair_cnt.select(
+        F.col("p1").alias("item"), F.col("p2").alias("neighbor"), "cnt_ab"
+    ).unionAll(
+        pair_cnt.select(
+            F.col("p2").alias("item"), F.col("p1").alias("neighbor"), "cnt_ab"
+        )
+    )
+    joined = (
+        mirrored.join(
+            item_cnt.select(
+                F.col("pk").alias("item"), F.col("cnt").alias("cnt_i")
+            ),
+            "item",
+        )
+        .join(
+            item_cnt.select(
+                F.col("pk").alias("neighbor"), F.col("cnt").alias("cnt_n")
+            ),
+            "neighbor",
+        )
+    )
+    cosine = _q6(
+        F.col("cnt_ab").cast("double")
+        / F.sqrt((F.col("cnt_i") * F.col("cnt_n")).cast("double"))
+    )
+    w = Window.partitionBy("item").orderBy(
+        F.desc("cosine"), F.asc("neighbor")
+    )
+    return (
+        joined.select("item", "neighbor", "cnt_ab", cosine.alias("cosine"))
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= SIM_TOP_N)
+        .select(
+            "item",
+            "neighbor",
+            "cnt_ab",
+            "cosine",
+            F.col("rk").cast("int").alias("rk"),
+        )
+    )
+
+
+ORACLE_ITEM_SIMILARITY = f"""
+WITH items AS (
+  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+), pair_cnt AS (
+  SELECT a.l_partkey AS p1, b.l_partkey AS p2, COUNT(*) AS cnt_ab
+  FROM items a JOIN items b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY 1, 2
+  HAVING COUNT(*) >= {MIN_PAIR_COUNT}
+), item_cnt AS (
+  SELECT l_partkey AS pk, COUNT(*) AS cnt FROM items GROUP BY 1
+), mirrored AS (
+  SELECT p1 AS item, p2 AS neighbor, cnt_ab FROM pair_cnt
+  UNION ALL
+  SELECT p2 AS item, p1 AS neighbor, cnt_ab FROM pair_cnt
+), scored AS (
+  SELECT m.item, m.neighbor, m.cnt_ab,
+         FLOOR(CAST(m.cnt_ab AS DOUBLE)
+               / SQRT(CAST(ci.cnt * cn.cnt AS DOUBLE)) * 1e6 + 0.5) / 1e6
+           AS cosine
+  FROM mirrored m
+  JOIN item_cnt ci ON m.item = ci.pk
+  JOIN item_cnt cn ON m.neighbor = cn.pk
+)
+SELECT item, neighbor, cnt_ab, cosine, CAST(rk AS INT) AS rk
+FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY item
+                               ORDER BY cosine DESC, neighbor ASC) AS rk
+  FROM scored
+)
+WHERE rk <= {SIM_TOP_N}
+"""
+
+
+# ---------------------------------------------------------------------------
 # PageRank over the part co-purchase graph (integer-quantized)
 # ---------------------------------------------------------------------------
 
@@ -597,6 +708,7 @@ ORACLE_PAGERANK = _oracle_pagerank()
 QUERIES = {
     "market_basket": q_market_basket,
     "pagerank_copurchase": q_pagerank_copurchase,
+    "item_similarity": q_item_similarity,
     "event_transitions": q_event_transitions,
     "rfm_segments": q_rfm_segments,
     "benford_audit": q_benford_audit,
@@ -606,6 +718,7 @@ QUERIES = {
 ORACLES = {
     "market_basket": ORACLE_MARKET_BASKET,
     "pagerank_copurchase": ORACLE_PAGERANK,
+    "item_similarity": ORACLE_ITEM_SIMILARITY,
     "event_transitions": ORACLE_EVENT_TRANSITIONS,
     "rfm_segments": ORACLE_RFM,
     "benford_audit": ORACLE_BENFORD,
