@@ -47,6 +47,8 @@ VERIFY_PRIORITY = (
     "theil_sen_trend",
     "mann_whitney",
     "item_similarity",
+    "duplicate_payments",
+    "cohort_ltv",
     "substring_spans",
     "histogram_quantiles",
     "gap_fill_interpolate",

@@ -636,8 +636,190 @@ FROM pairs GROUP BY 1
 """
 
 
+# ---------------------------------------------------------------------------
+# Duplicate-payment audit (fraud/error screen)
+# ---------------------------------------------------------------------------
+
+DUP_WINDOW_DAYS = 3
+
+
+def q_duplicate_payments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate-payment screen — the accounts-payable audit next
+    to ``benford_audit`` and ``balance_integrity``: pairs of orders by
+    the SAME customer within DUP_WINDOW_DAYS of each other whose cent
+    amounts agree within 10% (double-billing / double-pay / re-keyed
+    invoice candidates; exact duplicates match a fortiori).
+
+    The tolerance is pure integer arithmetic — 10·|Δcents| ≤
+    max(cents) — so no float crosses the engine boundary at all.
+
+    Scale shape: a self-equi-join keyed on the CUSTOMER — per-entity
+    pair generation bounded by that entity's order count (the
+    market-basket O(k²)-per-key bound applied to payers), with the
+    date and amount predicates as narrow post-filters.  A pathological
+    payer with millions of orders is the skew case: AQE's skew join
+    splits the key, and pre-bucketing by order month bounds k if a
+    deployment needs a hard cap."""
+    o = load_table(spark, sf_dir, "orders")
+    keyed = o.select(
+        "o_custkey",
+        cents(F.col("o_totalprice")).alias("amount_c"),
+        F.col("o_orderkey").alias("k"),
+        F.col("o_orderdate").alias("d"),
+    )
+    a = keyed.select(
+        "o_custkey",
+        F.col("amount_c").alias("a1"),
+        F.col("k").alias("k1"),
+        F.col("d").alias("d1"),
+    )
+    b = keyed.select(
+        "o_custkey",
+        F.col("amount_c").alias("a2"),
+        F.col("k").alias("k2"),
+        F.col("d").alias("d2"),
+    )
+    return (
+        a.join(b, "o_custkey")
+        .filter(
+            (F.col("k1") < F.col("k2"))
+            & (F.abs(F.datediff("d2", "d1")) <= DUP_WINDOW_DAYS)
+            & (
+                F.abs(F.col("a1") - F.col("a2")) * 10
+                <= F.greatest("a1", "a2")
+            )
+        )
+        .select(
+            "o_custkey",
+            "a1",
+            "a2",
+            "k1",
+            "k2",
+            "d1",
+            "d2",
+            F.abs(F.datediff("d2", "d1")).cast("int").alias("gap_days"),
+            (F.col("a1") == F.col("a2")).alias("exact_dup"),
+        )
+    )
+
+
+ORACLE_DUPLICATE_PAYMENTS = f"""
+WITH keyed AS (
+  SELECT o_custkey,
+         CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) AS amount_c,
+         o_orderkey AS k, o_orderdate AS d
+  FROM orders
+)
+SELECT a.o_custkey, a.amount_c AS a1, b.amount_c AS a2,
+       a.k AS k1, b.k AS k2, a.d AS d1, b.d AS d2,
+       CAST(ABS(DATE_DIFF('day', a.d, b.d)) AS INT) AS gap_days,
+       a.amount_c = b.amount_c AS exact_dup
+FROM keyed a JOIN keyed b
+  ON a.o_custkey = b.o_custkey
+ AND a.k < b.k
+ AND ABS(DATE_DIFF('day', a.d, b.d)) <= {DUP_WINDOW_DAYS}
+ AND ABS(a.amount_c - b.amount_c) * 10 <= GREATEST(a.amount_c, b.amount_c)
+"""
+
+
+# ---------------------------------------------------------------------------
+# Cohort LTV curves (cumulative revenue per customer by cohort age)
+# ---------------------------------------------------------------------------
+
+def q_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort lifetime-value curves — the revenue companion to
+    ``cohort_retention``: customers grouped by first-order month, and
+    for each cohort age (months since acquisition) the cumulative
+    revenue per acquired customer.
+
+    Scale shape: one customer-keyed aggregate finds each customer's
+    cohort month; the order stream joins that dim-sized table
+    (broadcast here / AQE at scale) and aggregates to (cohort, age)
+    cells — calendar²-sized — where the cumulative window runs
+    partitioned BY COHORT, never data-wide.  Exactness: integer-cent
+    sums, cohort sizes integers, one division at the end floor-
+    quantized to 4dp (cents-per-customer precision)."""
+    o = load_table(spark, sf_dir, "orders")
+    first = o.groupBy("o_custkey").agg(
+        F.min(
+            F.year("o_orderdate") * 12 + F.month("o_orderdate") - 1
+        ).alias("cohort_m")
+    )
+    sizes = first.groupBy("cohort_m").agg(
+        F.count(F.lit(1)).alias("cohort_size")
+    )
+    cells = (
+        o.join(F.broadcast(first), "o_custkey")
+        .groupBy(
+            "cohort_m",
+            (
+                F.year("o_orderdate") * 12 + F.month("o_orderdate") - 1
+                - F.col("cohort_m")
+            ).alias("age_m"),
+        )
+        .agg(F.sum(cents(F.col("o_totalprice"))).alias("rev_c"))
+    )
+    w = Window.partitionBy("cohort_m").orderBy("age_m").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    cum = cells.select(
+        "cohort_m",
+        "age_m",
+        "rev_c",
+        F.sum("rev_c").over(w).alias("cum_rev_c"),
+    ).join(F.broadcast(sizes), "cohort_m")
+    ltv = F.floor(
+        F.col("cum_rev_c").cast("double")
+        / F.col("cohort_size").cast("double")
+        / F.lit(100.0)
+        * 1e4
+        + F.lit(0.5)
+    ) / 1e4
+    return cum.select(
+        "cohort_m",
+        "age_m",
+        "cohort_size",
+        "rev_c",
+        "cum_rev_c",
+        ltv.alias("ltv_per_customer"),
+    )
+
+
+ORACLE_COHORT_LTV = """
+WITH first AS (
+  SELECT o_custkey,
+         CAST(MIN(YEAR(o_orderdate) * 12 + MONTH(o_orderdate) - 1)
+              AS BIGINT) AS cohort_m
+  FROM orders GROUP BY 1
+), sizes AS (
+  SELECT cohort_m, CAST(COUNT(*) AS BIGINT) AS cohort_size
+  FROM first GROUP BY 1
+), cells AS (
+  SELECT f.cohort_m,
+         CAST(YEAR(o.o_orderdate) * 12 + MONTH(o.o_orderdate) - 1
+              - f.cohort_m AS BIGINT) AS age_m,
+         CAST(SUM(CAST(FLOOR(o.o_totalprice * 100 + 0.5) AS BIGINT))
+              AS BIGINT) AS rev_c
+  FROM orders o JOIN first f ON o.o_custkey = f.o_custkey
+  GROUP BY 1, 2
+), cum AS (
+  SELECT cohort_m, age_m, rev_c,
+         CAST(SUM(rev_c) OVER (PARTITION BY cohort_m ORDER BY age_m
+                               ROWS UNBOUNDED PRECEDING) AS BIGINT)
+           AS cum_rev_c
+  FROM cells
+)
+SELECT c.cohort_m, c.age_m, s.cohort_size, c.rev_c, c.cum_rev_c,
+       FLOOR(CAST(c.cum_rev_c AS DOUBLE) / CAST(s.cohort_size AS DOUBLE)
+             / 100.0 * 1e4 + 0.5) / 1e4 AS ltv_per_customer
+FROM cum c JOIN sizes s ON c.cohort_m = s.cohort_m
+"""
+
+
 QUERIES = {
     "attribution_last_touch": q_attribution_last_touch,
+    "duplicate_payments": q_duplicate_payments,
+    "cohort_ltv": q_cohort_ltv,
     "ks_segments": q_ks_segments,
     "ewma_revenue": q_ewma_revenue,
     "theil_sen_trend": q_theil_sen_trend,
@@ -650,4 +832,6 @@ ORACLES = {
     "ewma_revenue": ORACLE_EWMA,
     "theil_sen_trend": ORACLE_THEIL_SEN,
     "mann_whitney": ORACLE_MANN_WHITNEY,
+    "duplicate_payments": ORACLE_DUPLICATE_PAYMENTS,
+    "cohort_ltv": ORACLE_COHORT_LTV,
 }
