@@ -49,6 +49,7 @@ VERIFY_PRIORITY = (
     "item_similarity",
     "duplicate_payments",
     "cohort_ltv",
+    "graph_triangles",
     "substring_spans",
     "histogram_quantiles",
     "gap_fill_interpolate",

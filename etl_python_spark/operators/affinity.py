@@ -705,8 +705,138 @@ FROM r{PR_ITERS}
 ORACLE_PAGERANK = _oracle_pagerank()
 
 
+# ---------------------------------------------------------------------------
+# Triangle counting + local clustering coefficient (degree-ordered)
+# ---------------------------------------------------------------------------
+
+def q_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact triangle counts and local clustering coefficients over
+    the part co-purchase graph — the cohesion metric behind 'does this
+    product sit inside a community or bridge between them'.
+
+    Scale shape (Cohen's MapReduce triangle counting / degree-ordered
+    orientation): every undirected edge is oriented from its
+    lower-(degree, id) endpoint to the higher, so each vertex's
+    OUT-degree is O(√m) even at power-law hubs — the wedge join keyed
+    on the shared source vertex generates Σ outdeg² = O(m^1.5) wedges
+    worst-case instead of the Σ deg² a naive orientation pays at a
+    hub.  One more equi-join of wedges against oriented edges verifies
+    closure; each triangle appears EXACTLY once.  Per-node counts come
+    from exploding the 3 corners; the coefficient 2T/(d(d−1)) is one
+    correctly-rounded integer division, floor-quantized 6dp.
+
+    The oracle restates the naive a<b<c double-join (DuckDB's single
+    node doesn't care), proving the oriented decomposition counts the
+    identical triangles."""
+    baskets = _baskets(spark, sf_dir)
+    pair_cnt = (
+        _basket_pairs(baskets)
+        .groupBy("p1", "p2")
+        .agg(F.count(F.lit(1)).alias("cnt_ab"))
+        .filter(F.col("cnt_ab") >= MIN_PAIR_COUNT)
+    )
+    und = pair_cnt.select("p1", "p2")
+    mirrored = und.unionAll(
+        und.select(F.col("p2").alias("p1"), F.col("p1").alias("p2"))
+    )
+    deg = mirrored.groupBy("p1").agg(F.count(F.lit(1)).alias("deg"))
+
+    with_deg = (
+        und.join(
+            deg.select(F.col("p1").alias("pk"), F.col("deg").alias("d1")),
+            und["p1"] == F.col("pk"),
+        )
+        .drop("pk")
+        .join(
+            deg.select(F.col("p1").alias("pk"), F.col("deg").alias("d2")),
+            und["p2"] == F.col("pk"),
+        )
+        .drop("pk")
+    )
+    lower_first = (F.col("d1") < F.col("d2")) | (
+        (F.col("d1") == F.col("d2")) & (F.col("p1") < F.col("p2"))
+    )
+    oriented = with_deg.select(
+        F.when(lower_first, F.col("p1")).otherwise(F.col("p2")).alias("src"),
+        F.when(lower_first, F.col("p2")).otherwise(F.col("p1")).alias("dst"),
+    ).localCheckpoint(eager=True)
+
+    e1 = oriented.select(F.col("src").alias("u"), F.col("dst").alias("v"))
+    e2 = oriented.select(F.col("src").alias("u"), F.col("dst").alias("w"))
+    wedges = e1.join(e2, "u").filter(F.col("v") < F.col("w"))
+    # closure check is a plain EQUI-join: wedges carry v < w, and the
+    # undirected edge list stores exactly the p1 < p2 pairs
+    tri = wedges.join(
+        und.select(F.col("p1").alias("v"), F.col("p2").alias("w")),
+        ["v", "w"],
+    ).select("u", "v", "w")
+
+    corners = (
+        tri.select(F.col("u").alias("pk"))
+        .unionAll(tri.select(F.col("v").alias("pk")))
+        .unionAll(tri.select(F.col("w").alias("pk")))
+        .groupBy("pk")
+        .agg(F.count(F.lit(1)).alias("triangles"))
+    )
+    out = deg.select(F.col("p1").alias("pk"), "deg").join(
+        corners, "pk", "left"
+    )
+    t = F.coalesce("triangles", F.lit(0)).cast("long")
+    coeff = F.when(
+        F.col("deg") >= 2,
+        _q6(
+            (t * 2).cast("double")
+            / (F.col("deg") * (F.col("deg") - 1)).cast("double")
+        ),
+    ).otherwise(F.lit(0.0))
+    return out.select(
+        F.col("pk").alias("p_partkey"),
+        F.col("deg").cast("long").alias("degree"),
+        t.alias("triangles"),
+        coeff.alias("clustering_coeff"),
+    )
+
+
+ORACLE_GRAPH_TRIANGLES = f"""
+WITH items AS (
+  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+), pair_cnt AS (
+  SELECT a.l_partkey AS p1, b.l_partkey AS p2
+  FROM items a JOIN items b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY 1, 2
+  HAVING COUNT(*) >= {MIN_PAIR_COUNT}
+), mirrored AS (
+  SELECT p1, p2 FROM pair_cnt UNION ALL SELECT p2, p1 FROM pair_cnt
+), deg AS (
+  SELECT p1 AS pk, CAST(COUNT(*) AS BIGINT) AS deg FROM mirrored GROUP BY 1
+), tri AS (
+  SELECT e1.p1 AS a, e1.p2 AS b, e2.p2 AS c
+  FROM pair_cnt e1
+  JOIN pair_cnt e2 ON e1.p2 = e2.p1
+  JOIN pair_cnt e3 ON e3.p1 = e1.p1 AND e3.p2 = e2.p2
+), corners AS (
+  SELECT pk, CAST(COUNT(*) AS BIGINT) AS triangles FROM (
+    SELECT a AS pk FROM tri
+    UNION ALL SELECT b FROM tri
+    UNION ALL SELECT c FROM tri
+  ) GROUP BY 1
+)
+SELECT d.pk AS p_partkey,
+       d.deg AS degree,
+       CAST(COALESCE(c.triangles, 0) AS BIGINT) AS triangles,
+       CASE WHEN d.deg >= 2
+            THEN FLOOR(CAST(COALESCE(c.triangles, 0) * 2 AS DOUBLE)
+                       / CAST(d.deg * (d.deg - 1) AS DOUBLE) * 1e6 + 0.5)
+                 / 1e6
+            ELSE 0.0 END AS clustering_coeff
+FROM deg d LEFT JOIN corners c ON d.pk = c.pk
+"""
+
+
 QUERIES = {
     "market_basket": q_market_basket,
+    "graph_triangles": q_graph_triangles,
     "pagerank_copurchase": q_pagerank_copurchase,
     "item_similarity": q_item_similarity,
     "event_transitions": q_event_transitions,
@@ -718,6 +848,7 @@ QUERIES = {
 ORACLES = {
     "market_basket": ORACLE_MARKET_BASKET,
     "pagerank_copurchase": ORACLE_PAGERANK,
+    "graph_triangles": ORACLE_GRAPH_TRIANGLES,
     "item_similarity": ORACLE_ITEM_SIMILARITY,
     "event_transitions": ORACLE_EVENT_TRANSITIONS,
     "rfm_segments": ORACLE_RFM,
