@@ -248,3 +248,42 @@ def test_pagerank_invariant_under_repartition(spark, tmp_path):
         )
 
     assert canon(str(tmp_path / "a")) == canon(str(tmp_path / "b"))
+
+
+def test_triangles_known_graphs(spark, tmp_path):
+    """K4 (complete graph on 4 nodes): every node sits in 3 triangles
+    with clustering coefficient 1.0; adding a pendant leaf gives the
+    leaf 0 triangles and coefficient 0."""
+    from etl_python_spark.operators.affinity import q_graph_triangles
+
+    rows = []
+    oid = 0
+    # K4 over parts 1-4: an order per edge, duplicated past MIN_PAIR_COUNT
+    for a in range(1, 5):
+        for b in range(a + 1, 5):
+            for _ in range(2):
+                rows.append((oid, a))
+                rows.append((oid, b))
+                oid += 1
+    # pendant leaf 5 attached to node 1 only
+    for _ in range(2):
+        rows.append((oid, 1))
+        rows.append((oid, 5))
+        oid += 1
+    spark.createDataFrame(
+        rows, "l_orderkey long, l_partkey long"
+    ).write.parquet(str(tmp_path / "lineitem.parquet"))
+
+    out = {
+        r.p_partkey: r
+        for r in q_graph_triangles(spark, str(tmp_path)).collect()
+    }
+    assert set(out) == {1, 2, 3, 4, 5}
+    for pk in (2, 3, 4):
+        assert out[pk].triangles == 3
+        assert out[pk].clustering_coeff == 1.0
+    # node 1 has degree 4 (K4 edges + leaf): still 3 triangles,
+    # coeff = 2*3/(4*3) = 0.5
+    assert out[1].degree == 4 and out[1].triangles == 3
+    assert out[1].clustering_coeff == 0.5
+    assert out[5].triangles == 0 and out[5].clustering_coeff == 0.0
