@@ -30,8 +30,11 @@ VERIFY_PRIORITY = (
     # driver verdict is round 5 or older; (c) top-up with the
     # alphabetically-first round-6-verdict queries.  The round-7
     # window rotates out entirely — its verdicts are freshest.
-    # (a) new or changed in round 8 (late-round batches 3-4 first —
+    # (a) new or changed in round 8 (late-round batches 3-5 first —
     # they have never had ANY driver verdict):
+    "chi_square_independence",
+    "spearman_corr",
+    "seasonal_decompose",
     "market_basket",
     "pagerank_copurchase",
     "event_transitions",

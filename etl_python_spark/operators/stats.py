@@ -816,10 +816,443 @@ FROM cum c JOIN sizes s ON c.cohort_m = s.cohort_m
 """
 
 
+# ---------------------------------------------------------------------------
+# Chi-square test of independence (priority x status contingency)
+# ---------------------------------------------------------------------------
+
+def q_chi_square_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson chi-square test of independence between order priority
+    and order status — the categorical counterpart of the KS/
+    Mann-Whitney family (are the two dimensions of the reference's
+    pivot reports — `EDA - Faturamento.py:110` builds exactly such a
+    crosstab — actually associated?).
+
+    Exactness: the cell statistic (obs - exp)^2 / exp is restated as
+    (obs*N - row*col)^2 / (N*row*col) so BOTH operands are exact
+    BIGINTs; the difference stays < 2^53, so casting it to double and
+    squaring is correctly rounded and bit-identical in any IEEE
+    engine, and the single division's result is floor-quantized to
+    integer micro-units BEFORE the cross-cell total so the chi2
+    statistic sums exactly in both engines.
+
+    Scale shape: ONE map-side-combined aggregate shrinks the data to
+    R*C contingency cells (domain-bounded: 5 priorities x 3
+    statuses), and every window below runs over that cells-sized
+    relation — the global (unpartitioned) windows are safe BY
+    CONSTRUCTION here because the relation is domain-sized, never
+    data-sized.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    cells = o.groupBy("o_orderpriority", "o_orderstatus").agg(
+        F.count(F.lit(1)).alias("obs")
+    )
+    w_row = Window.partitionBy("o_orderpriority")
+    w_col = Window.partitionBy("o_orderstatus")
+    w_all = Window.partitionBy()
+    enriched = cells.select(
+        "o_orderpriority",
+        "o_orderstatus",
+        "obs",
+        F.sum("obs").over(w_row).alias("row_tot"),
+        F.sum("obs").over(w_col).alias("col_tot"),
+        F.sum("obs").over(w_all).alias("n_tot"),
+    )
+    diff = (
+        F.col("obs") * F.col("n_tot") - F.col("row_tot") * F.col("col_tot")
+    ).cast("double")
+    denom = (
+        F.col("n_tot") * F.col("row_tot") * F.col("col_tot")
+    ).cast("double")
+    exp_micro = F.floor(
+        (F.col("row_tot") * F.col("col_tot")).cast("double")
+        / F.col("n_tot").cast("double")
+        * F.lit(1e6)
+        + F.lit(0.5)
+    ).cast("long")
+    contrib_micro = F.floor(
+        diff * diff / denom * F.lit(1e6) + F.lit(0.5)
+    ).cast("long")
+    scored = enriched.select(
+        "o_orderpriority",
+        "o_orderstatus",
+        "obs",
+        exp_micro.alias("exp_micro"),
+        contrib_micro.alias("contrib_micro"),
+    )
+    dims = scored.agg(
+        (
+            (F.countDistinct("o_orderpriority") - 1)
+            * (F.countDistinct("o_orderstatus") - 1)
+        ).alias("dof")
+    )
+    return scored.select(
+        "*", F.sum("contrib_micro").over(w_all).alias("chi2_micro")
+    ).join(F.broadcast(dims))
+
+
+ORACLE_CHI_SQUARE = """
+WITH cells AS (
+  SELECT o_orderpriority, o_orderstatus, CAST(COUNT(*) AS BIGINT) AS obs
+  FROM orders GROUP BY 1, 2
+), enriched AS (
+  SELECT *,
+         CAST(SUM(obs) OVER (PARTITION BY o_orderpriority) AS BIGINT)
+           AS row_tot,
+         CAST(SUM(obs) OVER (PARTITION BY o_orderstatus) AS BIGINT)
+           AS col_tot,
+         CAST(SUM(obs) OVER () AS BIGINT) AS n_tot
+  FROM cells
+), scored AS (
+  SELECT o_orderpriority, o_orderstatus, obs,
+         CAST(FLOOR(CAST(row_tot * col_tot AS DOUBLE)
+                    / CAST(n_tot AS DOUBLE) * 1e6 + 0.5) AS BIGINT)
+           AS exp_micro,
+         CAST(FLOOR(CAST(obs * n_tot - row_tot * col_tot AS DOUBLE)
+                    * CAST(obs * n_tot - row_tot * col_tot AS DOUBLE)
+                    / CAST(n_tot * row_tot * col_tot AS DOUBLE)
+                    * 1e6 + 0.5) AS BIGINT) AS contrib_micro
+  FROM enriched
+), dims AS (
+  SELECT CAST((COUNT(DISTINCT o_orderpriority) - 1)
+              * (COUNT(DISTINCT o_orderstatus) - 1) AS BIGINT) AS dof
+  FROM scored
+)
+SELECT s.o_orderpriority, s.o_orderstatus, s.obs, s.exp_micro,
+       s.contrib_micro,
+       CAST(SUM(s.contrib_micro) OVER () AS BIGINT) AS chi2_micro,
+       d.dof
+FROM scored s CROSS JOIN dims d
+"""
+
+
+# ---------------------------------------------------------------------------
+# Spearman rank correlation (account balance vs realized spend)
+# ---------------------------------------------------------------------------
+
+def q_spearman_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-nation Spearman rank correlation between a customer's
+    account balance and their realized total spend — the robust
+    (monotone, outlier-insensitive) companion to the Pearson-style
+    fits in the forecast family (ref `ETL - Análise Preditiva de
+    Dados.py` correlates features before fitting).
+
+    Exactness: ties use the textbook average rank, carried as the
+    DOUBLED rank 2*r_min + ties - 1 so it stays an exact BIGINT; the
+    correlation is Pearson over doubled ranks from exact integer
+    moment sums (n*Sxy - Sx*Sy etc.), with ONE final
+    num / (sqrt(denx) * sqrt(deny)) in double — the same expression
+    shape in both engines — floor-quantized to micro-units.
+
+    Scale shape: the spend aggregate and the customer join are the
+    only data-sized shuffles; ranking runs per nation (bounded
+    partitions), and the moment aggregate reduces each nation to one
+    row before the driver-free final projection.  denx/deny = 0
+    (constant column) yields NULL via nullif, not a crash.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    spend = o.groupBy("o_custkey").agg(
+        F.sum(cents(F.col("o_totalprice"))).alias("spend_c")
+    )
+    base = (
+        c.join(spend, c["c_custkey"] == spend["o_custkey"])
+        .join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
+        .select(
+            "n_name",
+            cents(F.col("c_acctbal")).alias("bal_c"),
+            "spend_c",
+        )
+    )
+
+    def doubled_rank(col: str) -> F.Column:
+        r = F.rank().over(Window.partitionBy("n_name").orderBy(col))
+        ties = F.count(F.lit(1)).over(
+            Window.partitionBy("n_name", col)
+        )
+        return (F.lit(2) * r + ties - F.lit(1)).cast("long")
+
+    ranked = base.select(
+        "n_name",
+        doubled_rank("bal_c").alias("dx"),
+        doubled_rank("spend_c").alias("dy"),
+    )
+    agg = ranked.groupBy("n_name").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("dx").alias("sx"),
+        F.sum("dy").alias("sy"),
+        F.sum(F.col("dx") * F.col("dx")).alias("sxx"),
+        F.sum(F.col("dy") * F.col("dy")).alias("syy"),
+        F.sum(F.col("dx") * F.col("dy")).alias("sxy"),
+    )
+    num = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast(
+        "long"
+    )
+    denx = (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast(
+        "long"
+    )
+    deny = (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")).cast(
+        "long"
+    )
+    rho_micro = F.floor(
+        num.cast("double")
+        / F.nullif(
+            F.sqrt(denx.cast("double")) * F.sqrt(deny.cast("double")),
+            F.lit(0.0),
+        )
+        * F.lit(1e6)
+        + F.lit(0.5)
+    ).cast("long")
+    return agg.select(
+        "n_name",
+        "n",
+        num.alias("num"),
+        denx.alias("denx"),
+        deny.alias("deny"),
+        rho_micro.alias("rho_micro"),
+    )
+
+
+ORACLE_SPEARMAN = """
+WITH spend AS (
+  SELECT o_custkey,
+         CAST(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT))
+              AS BIGINT) AS spend_c
+  FROM orders GROUP BY 1
+), base AS (
+  SELECT n.n_name,
+         CAST(FLOOR(c.c_acctbal * 100 + 0.5) AS BIGINT) AS bal_c,
+         s.spend_c
+  FROM customer c
+  JOIN spend s ON c.c_custkey = s.o_custkey
+  JOIN nation n ON c.c_nationkey = n.n_nationkey
+), ranked AS (
+  SELECT n_name,
+         CAST(2 * RANK() OVER (PARTITION BY n_name ORDER BY bal_c)
+              + COUNT(*) OVER (PARTITION BY n_name, bal_c) - 1
+              AS BIGINT) AS dx,
+         CAST(2 * RANK() OVER (PARTITION BY n_name ORDER BY spend_c)
+              + COUNT(*) OVER (PARTITION BY n_name, spend_c) - 1
+              AS BIGINT) AS dy
+  FROM base
+), agg AS (
+  SELECT n_name, CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(dx) AS BIGINT) AS sx, CAST(SUM(dy) AS BIGINT) AS sy,
+         CAST(SUM(dx * dx) AS BIGINT) AS sxx,
+         CAST(SUM(dy * dy) AS BIGINT) AS syy,
+         CAST(SUM(dx * dy) AS BIGINT) AS sxy
+  FROM ranked GROUP BY 1
+)
+SELECT n_name, n,
+       CAST(n * sxy - sx * sy AS BIGINT) AS num,
+       CAST(n * sxx - sx * sx AS BIGINT) AS denx,
+       CAST(n * syy - sy * sy AS BIGINT) AS deny,
+       CAST(FLOOR(CAST(n * sxy - sx * sy AS DOUBLE)
+                  / NULLIF(SQRT(CAST(n * sxx - sx * sx AS DOUBLE))
+                           * SQRT(CAST(n * syy - sy * sy AS DOUBLE)), 0.0)
+                  * 1e6 + 0.5) AS BIGINT) AS rho_micro
+FROM agg
+"""
+
+
+# ---------------------------------------------------------------------------
+# Classical seasonal decomposition (period-12 additive, integer 24ths)
+# ---------------------------------------------------------------------------
+
+def q_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classical additive seasonal decomposition of each nation's
+    monthly revenue (period 12): centered 2x12 moving-average trend,
+    month-of-year seasonal indexes centered to sum ~0, exact residual
+    — the deterministic restatement of what Prophet's
+    `yearly_seasonality=True` fits in the reference
+    (`Modelo de Previsão de Vendas.py:70-73`).
+
+    Exactness: revenue is integer cents on a ZERO-FILLED month spine
+    (gap months are real zeros, not missing rows), the 2x12 MA is
+    carried as the exact integer trend24 = x[t-6] + 2*(x[t-5..t+5])
+    + x[t+6] (24ths of a cent), the detrended series 24*x - trend24
+    is exact, and the only divisions (seasonal index = mean of
+    detrended per month-of-year; the centering mean of the 12
+    indexes) are single double divisions of exact integers,
+    floor-quantized to integer micro-cents so the residual is an
+    exact integer subtraction in both engines.
+
+    Scale shape: ONE data-sized aggregate to (nation, month) — then
+    the spine, windows, and seasonal indexes all run over the
+    calendar-sized relation (K nations x M months), with windows
+    partitioned per nation.  The spine is built from a 1-row min/max
+    aggregate cross-joined (broadcast) against the dim-sized nation
+    list — no data-sized shuffle below the first aggregate.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    monthly = (
+        o.join(
+            F.broadcast(c.select("c_custkey", "c_nationkey")),
+            o["o_custkey"] == c["c_custkey"],
+        )
+        .join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
+        .groupBy(
+            "n_name",
+            (F.year("o_orderdate") * 12 + F.month("o_orderdate"))
+            .cast("long")
+            .alias("t"),
+        )
+        .agg(F.sum(cents(F.col("o_totalprice"))).alias("rev_c"))
+    )
+    span = monthly.agg(
+        F.min("t").alias("t_min"), F.max("t").alias("t_max")
+    )
+    spine = (
+        n.select("n_name")
+        .join(F.broadcast(span))
+        .select(
+            "n_name",
+            F.explode(F.sequence("t_min", "t_max")).alias("t"),
+        )
+    )
+    # monthly is calendar-sized (K nations x M months) by construction,
+    # so broadcasting it is right at ANY data scale (theil_sen rule)
+    series = spine.join(F.broadcast(monthly), ["n_name", "t"], "left").select(
+        "n_name", "t", F.coalesce("rev_c", F.lit(0)).alias("rev_c")
+    )
+    w_ord = Window.partitionBy("n_name").orderBy("t")
+    w_11 = w_ord.rowsBetween(-5, 5)
+    inner = F.sum("rev_c").over(w_11)
+    edge_lo = F.lag("rev_c", 6).over(w_ord)
+    edge_hi = F.lead("rev_c", 6).over(w_ord)
+    trend24 = F.when(
+        edge_lo.isNotNull() & edge_hi.isNotNull(),
+        F.lit(2) * inner + edge_lo + edge_hi,
+    ).cast("long")
+    detr = series.select(
+        "n_name",
+        "t",
+        "rev_c",
+        trend24.alias("trend24"),
+        (F.lit(24) * F.col("rev_c") - trend24).alias("detr24"),
+    )
+    w_moy = Window.partitionBy("n_name", F.col("t") % 12)
+    idx_micro = F.floor(
+        F.sum("detr24").over(w_moy).cast("double")
+        / (F.count("detr24").over(w_moy) * F.lit(24)).cast("double")
+        * F.lit(1e6)
+        + F.lit(0.5)
+    ).cast("long")
+    w_nat = Window.partitionBy("n_name")
+    with_idx = detr.select("*", idx_micro.alias("idx_micro"))
+    # centering: subtract the mean of each nation's 12 DISTINCT indexes
+    # (every moy group shares one idx_micro, so avg-of-distinct == the
+    # textbook mean of the 12 indexes; carried as sum/12 over one row
+    # per moy, restated the same way in the oracle)
+    moy_one = F.when(
+        F.row_number().over(
+            Window.partitionBy("n_name", F.col("t") % 12).orderBy("t")
+        )
+        == 1,
+        F.col("idx_micro"),
+    )
+    centering = F.floor(
+        F.sum(moy_one).over(w_nat).cast("double")
+        / F.count(moy_one).over(w_nat).cast("double")
+        + F.lit(0.5)
+    ).cast("long")
+    seasonal = (F.col("idx_micro") - centering).cast("long")
+    resid = F.when(
+        F.col("trend24").isNotNull(),
+        F.lit(1000000) * F.col("rev_c")
+        - F.floor(
+            F.col("trend24").cast("double") / F.lit(24.0) * F.lit(1e6)
+            + F.lit(0.5)
+        ).cast("long")
+        - seasonal,
+    ).cast("long")
+    return with_idx.select(
+        "n_name",
+        "t",
+        "rev_c",
+        "trend24",
+        seasonal.alias("seasonal_micro"),
+        resid.alias("residual_micro"),
+    )
+
+
+ORACLE_SEASONAL = """
+WITH monthly AS (
+  SELECT n.n_name,
+         CAST(YEAR(o.o_orderdate) * 12 + MONTH(o.o_orderdate) AS BIGINT)
+           AS t,
+         CAST(SUM(CAST(FLOOR(o.o_totalprice * 100 + 0.5) AS BIGINT))
+              AS BIGINT) AS rev_c
+  FROM orders o
+  JOIN customer c ON o.o_custkey = c.c_custkey
+  JOIN nation n ON c.c_nationkey = n.n_nationkey
+  GROUP BY 1, 2
+), span AS (
+  SELECT MIN(t) AS t_min, MAX(t) AS t_max FROM monthly
+), spine AS (
+  SELECT n.n_name, CAST(gs.g AS BIGINT) AS t
+  FROM nation n
+  CROSS JOIN span s
+  CROSS JOIN LATERAL (
+    SELECT UNNEST(generate_series(s.t_min, s.t_max)) AS g
+  ) gs
+), series AS (
+  SELECT sp.n_name, sp.t, COALESCE(m.rev_c, 0) AS rev_c
+  FROM spine sp LEFT JOIN monthly m
+    ON sp.n_name = m.n_name AND sp.t = m.t
+), detr AS (
+  SELECT n_name, t, rev_c,
+         CASE WHEN LAG(rev_c, 6) OVER w IS NOT NULL
+               AND LEAD(rev_c, 6) OVER w IS NOT NULL
+              THEN 2 * SUM(rev_c) OVER (PARTITION BY n_name ORDER BY t
+                              ROWS BETWEEN 5 PRECEDING AND 5 FOLLOWING)
+                   + LAG(rev_c, 6) OVER w + LEAD(rev_c, 6) OVER w
+         END AS trend24
+  FROM series
+  WINDOW w AS (PARTITION BY n_name ORDER BY t)
+), detr2 AS (
+  SELECT *, 24 * rev_c - trend24 AS detr24 FROM detr
+), with_idx AS (
+  SELECT *,
+         CAST(FLOOR(CAST(SUM(detr24) OVER m AS DOUBLE)
+                    / CAST(COUNT(detr24) OVER m * 24 AS DOUBLE)
+                    * 1e6 + 0.5) AS BIGINT) AS idx_micro,
+         ROW_NUMBER() OVER (PARTITION BY n_name, t % 12 ORDER BY t)
+           AS moy_rn
+  FROM detr2
+  WINDOW m AS (PARTITION BY n_name, t % 12)
+), centered AS (
+  SELECT *,
+         CAST(FLOOR(
+           CAST(SUM(CASE WHEN moy_rn = 1 THEN idx_micro END)
+                OVER (PARTITION BY n_name) AS DOUBLE)
+           / CAST(COUNT(CASE WHEN moy_rn = 1 THEN idx_micro END)
+                  OVER (PARTITION BY n_name) AS DOUBLE)
+           + 0.5) AS BIGINT) AS centering
+  FROM with_idx
+)
+SELECT n_name, t, rev_c,
+       CAST(trend24 AS BIGINT) AS trend24,
+       CAST(idx_micro - centering AS BIGINT) AS seasonal_micro,
+       CAST(CASE WHEN trend24 IS NOT NULL
+                 THEN 1000000 * rev_c
+                      - CAST(FLOOR(CAST(trend24 AS DOUBLE) / 24.0 * 1e6
+                                   + 0.5) AS BIGINT)
+                      - (idx_micro - centering)
+            END AS BIGINT) AS residual_micro
+FROM centered
+"""
+
+
 QUERIES = {
     "attribution_last_touch": q_attribution_last_touch,
     "duplicate_payments": q_duplicate_payments,
     "cohort_ltv": q_cohort_ltv,
+    "chi_square_independence": q_chi_square_independence,
+    "spearman_corr": q_spearman_corr,
+    "seasonal_decompose": q_seasonal_decompose,
     "ks_segments": q_ks_segments,
     "ewma_revenue": q_ewma_revenue,
     "theil_sen_trend": q_theil_sen_trend,
@@ -828,6 +1261,9 @@ QUERIES = {
 
 ORACLES = {
     "attribution_last_touch": ORACLE_ATTRIBUTION,
+    "chi_square_independence": ORACLE_CHI_SQUARE,
+    "spearman_corr": ORACLE_SPEARMAN,
+    "seasonal_decompose": ORACLE_SEASONAL,
     "ks_segments": ORACLE_KS,
     "ewma_revenue": ORACLE_EWMA,
     "theil_sen_trend": ORACLE_THEIL_SEN,

@@ -175,3 +175,139 @@ def test_mann_whitney_identity_and_known_value(spark, tmp_path):
     for r in out.values():  # identity holds for every pair incl. empty
         if r.n_a and r.n_b:
             assert r.u_a + r.u_b == r.n_a * r.n_b
+
+
+def _write_orders(spark, tmp_path, rows):
+    spark.createDataFrame(
+        rows,
+        "o_orderkey long, o_custkey long, o_orderstatus string,"
+        " o_totalprice double, o_orderdate date, o_orderpriority string",
+    ).write.parquet(str(tmp_path / "orders.parquet"))
+
+
+def test_chi_square_known_2x2(spark, tmp_path):
+    """Hand-computed 2x2 table: obs [[10,20],[20,10]] has every
+    expected cell = 15, per-cell contribution 25/15, chi2 = 20/3."""
+    from etl_python_spark.operators.stats import q_chi_square_independence
+
+    rows = []
+    k = 0
+    for pri, st, cnt in (
+        ("P1", "A", 10), ("P1", "B", 20), ("P2", "A", 20), ("P2", "B", 10)
+    ):
+        for _ in range(cnt):
+            rows.append((k, 1, st, 100.0, dt.date(2024, 1, 1), pri))
+            k += 1
+    _write_orders(spark, tmp_path, rows)
+    out = {
+        (r.o_orderpriority, r.o_orderstatus): r
+        for r in q_chi_square_independence(spark, str(tmp_path)).collect()
+    }
+    assert len(out) == 4
+    for r in out.values():
+        assert r.exp_micro == 15_000_000  # exp = 15 exactly
+        assert r.contrib_micro == 1_666_667  # floor(25/15*1e6+.5)
+        assert r.chi2_micro == 4 * 1_666_667
+        assert r.dof == 1
+
+
+def test_chi_square_independent_is_zero(spark, tmp_path):
+    from etl_python_spark.operators.stats import q_chi_square_independence
+
+    rows = []
+    k = 0
+    for pri in ("P1", "P2", "P3"):
+        for st in ("A", "B"):
+            for _ in range(7):
+                rows.append((k, 1, st, 50.0, dt.date(2024, 2, 1), pri))
+                k += 1
+    _write_orders(spark, tmp_path, rows)
+    out = q_chi_square_independence(spark, str(tmp_path)).collect()
+    assert all(r.contrib_micro == 0 and r.chi2_micro == 0 for r in out)
+    assert out[0].dof == 2  # (3-1)*(2-1)
+
+
+def _write_nation_customers(spark, tmp_path, bals):
+    spark.createDataFrame(
+        [(0, "N0", 0, "x")],
+        "n_nationkey long, n_name string, n_regionkey long,"
+        " n_comment string",
+    ).write.parquet(str(tmp_path / "nation.parquet"))
+    spark.createDataFrame(
+        [(i, f"c{i}", 0, float(b), "BUILDING") for i, b in enumerate(bals)],
+        "c_custkey long, c_name string, c_nationkey long,"
+        " c_acctbal double, c_mktsegment string",
+    ).write.parquet(str(tmp_path / "customer.parquet"))
+
+
+def test_spearman_extremes_and_ties(spark, tmp_path):
+    """Monotone spend in balance order -> rho = +1; the tied-balance
+    case matches the textbook average-rank value 72/sqrt(72*80)."""
+    from etl_python_spark.operators.stats import q_spearman_corr
+
+    # balances [10, 20, 20, 30]; spends [100, 200, 300, 400]
+    _write_nation_customers(spark, tmp_path, [10, 20, 20, 30])
+    _write_orders(
+        spark,
+        tmp_path,
+        [
+            (i, i, "O", sp, dt.date(2024, 1, 1), "1-URGENT")
+            for i, sp in enumerate([100.0, 200.0, 300.0, 400.0])
+        ],
+    )
+    (r,) = q_spearman_corr(spark, str(tmp_path)).collect()
+    assert r.n == 4
+    assert (r.num, r.denx, r.deny) == (72, 72, 80)
+    assert r.rho_micro == 948_683  # floor(72/sqrt(5760)*1e6+.5)
+
+
+def test_spearman_perfect_negative(spark, tmp_path):
+    from etl_python_spark.operators.stats import q_spearman_corr
+
+    _write_nation_customers(spark, tmp_path, [10, 20, 30, 40])
+    _write_orders(
+        spark,
+        tmp_path,
+        [
+            (i, i, "O", sp, dt.date(2024, 1, 1), "1-URGENT")
+            for i, sp in enumerate([400.0, 300.0, 200.0, 100.0])
+        ],
+    )
+    (r,) = q_spearman_corr(spark, str(tmp_path)).collect()
+    assert r.rho_micro == -1_000_000
+
+
+SEAS = [600, -200, 400, -600, 200, -400, 300, -300, 100, -100, 500, -500]
+
+
+def test_seasonal_decompose_recovers_pure_signal(spark, tmp_path):
+    """Linear trend + zero-sum period-12 seasonal: the 2x12 MA
+    reproduces the trend EXACTLY, the seasonal indexes equal the
+    injected pattern, and every interior residual is exactly zero."""
+    from etl_python_spark.operators.stats import q_seasonal_decompose
+
+    _write_nation_customers(spark, tmp_path, [0.0])
+    rows = []
+    for t in range(48):  # 4 full years, one order per month
+        y, m = 2000 + t // 12, 1 + t % 12
+        cents_val = 100_000 + 1000 * t + SEAS[t % 12]
+        rows.append(
+            (t, 0, "O", cents_val / 100.0, dt.date(y, m, 1), "1-URGENT")
+        )
+    _write_orders(spark, tmp_path, rows)
+    out = sorted(
+        q_seasonal_decompose(spark, str(tmp_path)).collect(),
+        key=lambda r: r.t,
+    )
+    assert len(out) == 48
+    t0 = out[0].t
+    for r in out:
+        t = r.t - t0
+        moy = t % 12  # SEAS is indexed from the series origin
+        if 6 <= t < 42:  # interior: full 13-month window exists
+            assert r.trend24 == 24 * (100_000 + 1000 * t), r
+            assert r.residual_micro == 0, r
+        else:
+            assert r.trend24 is None and r.residual_micro is None
+        # the seasonal index is defined for every month-of-year here
+        assert r.seasonal_micro == SEAS[moy] * 1_000_000, r
