@@ -35,6 +35,9 @@ VERIFY_PRIORITY = (
     "chi_square_independence",
     "spearman_corr",
     "seasonal_decompose",
+    "gini_concentration",
+    "hhi_concentration",
+    "psi_drift",
     "market_basket",
     "pagerank_copurchase",
     "event_transitions",

@@ -1246,10 +1246,292 @@ FROM centered
 """
 
 
+# ---------------------------------------------------------------------------
+# Revenue-concentration measures: Gini coefficient + Herfindahl index
+# ---------------------------------------------------------------------------
+
+def q_gini_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini coefficient of customer-spend concentration per market
+    segment — the inequality measure behind the reference's Pareto/ABC
+    revenue report (`Base de Produtos Mais Vendidos.py` ranks by
+    cumulative revenue share; Gini is that curve's summary number).
+
+    Gini = (2*W - (n+1)*S) / (n*S) with W = sum(i * x_i) over spends
+    sorted ascending.  W is invariant under tie order (the sum of
+    positions across a tied block is fixed), so row_number ties cannot
+    flip the result.  W and S accumulate as DECIMAL(38,0) — BIGINT
+    would overflow around 1e18, which a 100 TB corpus's rank-weighted
+    sum exceeds — and the single final division is quantized to
+    integer micro-units.
+
+    Scale shape: one data-sized aggregate to per-customer spend, one
+    rank window per segment (bounded partitions), one moment aggregate
+    per segment.  No joins, no driver state.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    spend = o.groupBy("o_custkey").agg(
+        F.sum(cents(F.col("o_totalprice"))).alias("spend_c")
+    )
+    base = c.join(spend, c["c_custkey"] == spend["o_custkey"]).select(
+        "c_mktsegment", "spend_c"
+    )
+    i = F.row_number().over(
+        Window.partitionBy("c_mktsegment").orderBy("spend_c")
+    )
+    ranked = base.select(
+        "c_mktsegment",
+        "spend_c",
+        (i.cast("decimal(38,0)") * F.col("spend_c").cast("decimal(38,0)"))
+        .alias("iw"),
+    )
+    agg = ranked.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("spend_c").cast("decimal(38,0)")).alias("s"),
+        F.sum("iw").alias("w"),
+    )
+    num = (
+        F.lit(2).cast("decimal(38,0)") * F.col("w")
+        - (F.col("n") + 1).cast("decimal(38,0)") * F.col("s")
+    ).cast("double")
+    den = (F.col("n").cast("double") * F.col("s").cast("double"))
+    gini_micro = F.floor(num / den * F.lit(1e6) + F.lit(0.5)).cast("long")
+    return agg.select(
+        "c_mktsegment",
+        "n",
+        F.col("s").cast("double").alias("total_spend_c"),
+        gini_micro.alias("gini_micro"),
+    )
+
+
+ORACLE_GINI = """
+WITH spend AS (
+  SELECT o_custkey,
+         CAST(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT))
+              AS BIGINT) AS spend_c
+  FROM orders GROUP BY 1
+), base AS (
+  SELECT c.c_mktsegment, s.spend_c
+  FROM customer c JOIN spend s ON c.c_custkey = s.o_custkey
+), ranked AS (
+  SELECT c_mktsegment, spend_c,
+         CAST(ROW_NUMBER() OVER (PARTITION BY c_mktsegment
+                                 ORDER BY spend_c) AS HUGEINT)
+           * CAST(spend_c AS HUGEINT) AS iw
+  FROM base
+), agg AS (
+  SELECT c_mktsegment, CAST(COUNT(*) AS BIGINT) AS n,
+         SUM(CAST(spend_c AS HUGEINT)) AS s, SUM(iw) AS w
+  FROM ranked GROUP BY 1
+)
+SELECT c_mktsegment, n,
+       CAST(s AS DOUBLE) AS total_spend_c,
+       CAST(FLOOR(CAST(2 * w - (n + 1) * s AS DOUBLE)
+                  / (CAST(n AS DOUBLE) * CAST(s AS DOUBLE))
+                  * 1e6 + 0.5) AS BIGINT) AS gini_micro
+FROM agg
+"""
+
+
+def q_hhi_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Herfindahl-Hirschman index of revenue concentration per market
+    segment: HHI = sum over customers of (share_i)^2 = sum(x_i^2) /
+    S^2 — the antitrust-style companion to `gini_concentration`
+    (1/n = perfectly even, 1 = single-customer segment).
+
+    Exactness: x^2 and S accumulate as DECIMAL(38,0) (x^2 alone
+    overflows BIGINT once per-customer spend passes ~3e9 cents);
+    the single S^2 division runs in double with the identical
+    expression shape on both engines and is quantized to micro-units.
+
+    Scale shape: the same two aggregates as the Gini — no rank window
+    at all, so this one is pure map-side-combined groupBys.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    spend = o.groupBy("o_custkey").agg(
+        F.sum(cents(F.col("o_totalprice"))).alias("spend_c")
+    )
+    base = c.join(spend, c["c_custkey"] == spend["o_custkey"]).select(
+        "c_mktsegment", "spend_c"
+    )
+    dec = F.col("spend_c").cast("decimal(38,0)")
+    agg = base.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(dec).alias("s"),
+        F.sum(dec * dec).alias("ssq"),
+    )
+    hhi_micro = F.floor(
+        F.col("ssq").cast("double")
+        / (F.col("s").cast("double") * F.col("s").cast("double"))
+        * F.lit(1e6)
+        + F.lit(0.5)
+    ).cast("long")
+    return agg.select(
+        "c_mktsegment",
+        "n",
+        F.col("s").cast("double").alias("total_spend_c"),
+        hhi_micro.alias("hhi_micro"),
+    )
+
+
+ORACLE_HHI = """
+WITH spend AS (
+  SELECT o_custkey,
+         CAST(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT))
+              AS BIGINT) AS spend_c
+  FROM orders GROUP BY 1
+), base AS (
+  SELECT c.c_mktsegment, s.spend_c
+  FROM customer c JOIN spend s ON c.c_custkey = s.o_custkey
+), agg AS (
+  SELECT c_mktsegment, CAST(COUNT(*) AS BIGINT) AS n,
+         SUM(CAST(spend_c AS HUGEINT)) AS s,
+         SUM(CAST(spend_c AS HUGEINT) * CAST(spend_c AS HUGEINT)) AS ssq
+  FROM base GROUP BY 1
+)
+SELECT c_mktsegment, n,
+       CAST(s AS DOUBLE) AS total_spend_c,
+       CAST(FLOOR(CAST(ssq AS DOUBLE)
+                  / (CAST(s AS DOUBLE) * CAST(s AS DOUBLE))
+                  * 1e6 + 0.5) AS BIGINT) AS hhi_micro
+FROM agg
+"""
+
+
+# ---------------------------------------------------------------------------
+# Population Stability Index (distribution drift between periods)
+# ---------------------------------------------------------------------------
+
+PSI_BUCKETS = 10
+PSI_SPLIT_YEAR = 1998  # reference period < split, current period >= split
+
+
+def q_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population Stability Index of the order-value distribution
+    between the reference period (orders before PSI_SPLIT_YEAR) and
+    the current period — the standard ML-monitoring drift score for a
+    feature feeding the forecast family (PSI < 0.1 stable, > 0.25
+    shifted).
+
+    Buckets are PSI_BUCKETS equal-width cuts of the REFERENCE
+    period's [min, max] cent range (computed by a 1-row aggregate,
+    broadcast); out-of-range current values clamp into the edge
+    buckets, and the conventional Laplace floor (count 0 -> 1)
+    keeps ln() finite without dropping buckets.  Each bucket's term
+    (a/A - b/B) * ln((a*B)/(b*A)) is ONE double expression over exact
+    integers, floor-quantized to micro-units BEFORE the cross-bucket
+    total, so the statistic sums exactly in both engines.
+
+    Scale shape: one data-sized aggregate to (bucket, period) counts
+    (map-side combined, at most 2*PSI_BUCKETS output rows); everything
+    below is bucket-sized.  The min/max pass is a second data scan —
+    two scans total, no data-sized shuffle or join.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    val = cents(F.col("o_totalprice"))
+    is_ref = F.year("o_orderdate") < F.lit(PSI_SPLIT_YEAR)
+    rng = (
+        o.filter(is_ref)
+        .agg(
+            F.min(val).alias("lo"),
+            (F.max(val) + 1).alias("hi"),  # half-open top edge
+        )
+    )
+    bucket = F.least(
+        F.lit(PSI_BUCKETS - 1),
+        F.greatest(
+            F.lit(0),
+            F.floor(
+                (val - F.col("lo")).cast("double")
+                / (F.col("hi") - F.col("lo")).cast("double")
+                * F.lit(PSI_BUCKETS)
+            ).cast("int"),
+        ),
+    )
+    counts = (
+        o.join(F.broadcast(rng))
+        .groupBy(bucket.alias("bucket"))
+        .agg(
+            F.sum(F.when(is_ref, 1).otherwise(0)).alias("a_raw"),
+            F.sum(F.when(is_ref, 0).otherwise(1)).alias("b_raw"),
+        )
+    )
+    a = F.greatest(F.col("a_raw"), F.lit(1))
+    b = F.greatest(F.col("b_raw"), F.lit(1))
+    w_all = Window.partitionBy()
+    with_tot = counts.select(
+        "bucket",
+        "a_raw",
+        "b_raw",
+        a.alias("a"),
+        b.alias("b"),
+        F.sum(a).over(w_all).alias("ta"),
+        F.sum(b).over(w_all).alias("tb"),
+    )
+    term = (
+        F.col("a").cast("double") / F.col("ta").cast("double")
+        - F.col("b").cast("double") / F.col("tb").cast("double")
+    ) * F.log(
+        (F.col("a") * F.col("tb")).cast("double")
+        / (F.col("b") * F.col("ta")).cast("double")
+    )
+    term_micro = F.floor(term * F.lit(1e6) + F.lit(0.5)).cast("long")
+    return with_tot.select(
+        "bucket",
+        "a_raw",
+        "b_raw",
+        term_micro.alias("term_micro"),
+    ).select(
+        "*", F.sum("term_micro").over(w_all).alias("psi_micro")
+    )
+
+
+ORACLE_PSI = f"""
+WITH rng AS (
+  SELECT MIN(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)) AS lo,
+         MAX(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)) + 1 AS hi
+  FROM orders WHERE YEAR(o_orderdate) < {PSI_SPLIT_YEAR}
+), counts AS (
+  SELECT LEAST({PSI_BUCKETS} - 1, GREATEST(0, CAST(FLOOR(
+           CAST(CAST(FLOOR(o.o_totalprice * 100 + 0.5) AS BIGINT) - r.lo
+                AS DOUBLE)
+           / CAST(r.hi - r.lo AS DOUBLE) * {PSI_BUCKETS}) AS INT)))
+           AS bucket,
+         CAST(SUM(CASE WHEN YEAR(o.o_orderdate) < {PSI_SPLIT_YEAR}
+                       THEN 1 ELSE 0 END) AS BIGINT) AS a_raw,
+         CAST(SUM(CASE WHEN YEAR(o.o_orderdate) < {PSI_SPLIT_YEAR}
+                       THEN 0 ELSE 1 END) AS BIGINT) AS b_raw
+  FROM orders o CROSS JOIN rng r
+  GROUP BY 1
+), with_tot AS (
+  SELECT bucket, a_raw, b_raw,
+         GREATEST(a_raw, 1) AS a, GREATEST(b_raw, 1) AS b,
+         CAST(SUM(GREATEST(a_raw, 1)) OVER () AS BIGINT) AS ta,
+         CAST(SUM(GREATEST(b_raw, 1)) OVER () AS BIGINT) AS tb
+  FROM counts
+), terms AS (
+  SELECT bucket, a_raw, b_raw,
+         CAST(FLOOR((CAST(a AS DOUBLE) / CAST(ta AS DOUBLE)
+                     - CAST(b AS DOUBLE) / CAST(tb AS DOUBLE))
+                    * LN(CAST(a * tb AS DOUBLE)
+                         / CAST(b * ta AS DOUBLE))
+                    * 1e6 + 0.5) AS BIGINT) AS term_micro
+  FROM with_tot
+)
+SELECT bucket, a_raw, b_raw, term_micro,
+       CAST(SUM(term_micro) OVER () AS BIGINT) AS psi_micro
+FROM terms
+"""
+
+
 QUERIES = {
     "attribution_last_touch": q_attribution_last_touch,
     "duplicate_payments": q_duplicate_payments,
     "cohort_ltv": q_cohort_ltv,
+    "gini_concentration": q_gini_concentration,
+    "hhi_concentration": q_hhi_concentration,
+    "psi_drift": q_psi_drift,
     "chi_square_independence": q_chi_square_independence,
     "spearman_corr": q_spearman_corr,
     "seasonal_decompose": q_seasonal_decompose,
@@ -1261,6 +1543,9 @@ QUERIES = {
 
 ORACLES = {
     "attribution_last_touch": ORACLE_ATTRIBUTION,
+    "gini_concentration": ORACLE_GINI,
+    "hhi_concentration": ORACLE_HHI,
+    "psi_drift": ORACLE_PSI,
     "chi_square_independence": ORACLE_CHI_SQUARE,
     "spearman_corr": ORACLE_SPEARMAN,
     "seasonal_decompose": ORACLE_SEASONAL,

@@ -311,3 +311,79 @@ def test_seasonal_decompose_recovers_pure_signal(spark, tmp_path):
             assert r.trend24 is None and r.residual_micro is None
         # the seasonal index is defined for every month-of-year here
         assert r.seasonal_micro == SEAS[moy] * 1_000_000, r
+
+
+def test_gini_and_hhi_known_values(spark, tmp_path):
+    """Four customers, spends [100, 100, 100, 500] in one segment:
+    Gini = (2*W - (n+1)*S)/(n*S) with W = 1*100+2*100+3*100+4*500
+    = 2600 -> (5200 - 4000)/3200 = 0.375; HHI = (3*100^2 + 500^2)
+    / 800^2 = 0.4375.  Equal spends -> Gini 0, HHI 1/n."""
+    from etl_python_spark.operators.stats import (
+        q_gini_concentration,
+        q_hhi_concentration,
+    )
+
+    spark.createDataFrame(
+        [(i, f"c{i}", 0, 0.0, "BUILDING") for i in range(4)]
+        + [(i, f"c{i}", 0, 0.0, "MACHINERY") for i in range(4, 8)],
+        "c_custkey long, c_name string, c_nationkey long,"
+        " c_acctbal double, c_mktsegment string",
+    ).write.parquet(str(tmp_path / "customer.parquet"))
+    spends = {0: 1.0, 1: 1.0, 2: 1.0, 3: 5.0,  # BUILDING (cents 100..500)
+              4: 2.0, 5: 2.0, 6: 2.0, 7: 2.0}  # MACHINERY: all equal
+    _write_orders(
+        spark,
+        tmp_path,
+        [
+            (k, k, "O", v, dt.date(2024, 1, 1), "1-URGENT")
+            for k, v in spends.items()
+        ],
+    )
+    gini = {
+        r.c_mktsegment: r
+        for r in q_gini_concentration(spark, str(tmp_path)).collect()
+    }
+    assert gini["BUILDING"].gini_micro == 375_000
+    assert gini["MACHINERY"].gini_micro == 0
+    hhi = {
+        r.c_mktsegment: r
+        for r in q_hhi_concentration(spark, str(tmp_path)).collect()
+    }
+    assert hhi["BUILDING"].hhi_micro == 437_500
+    assert hhi["MACHINERY"].hhi_micro == 250_000  # 1/n, n = 4
+
+
+def test_psi_identical_distributions_is_zero(spark, tmp_path):
+    """The same value histogram in both periods -> every term 0."""
+    from etl_python_spark.operators.stats import q_psi_drift
+
+    rows = []
+    k = 0
+    for year in (1996, 2000):  # one reference year, one current year
+        for v in [10.0, 20.0, 30.0, 40.0, 50.0] * 4:
+            rows.append((k, 1, "O", v, dt.date(year, 1, 1), "1-URGENT"))
+            k += 1
+    _write_orders(spark, tmp_path, rows)
+    out = q_psi_drift(spark, str(tmp_path)).collect()
+    assert all(r.term_micro == 0 and r.psi_micro == 0 for r in out)
+
+
+def test_psi_shift_is_positive_and_clamps(spark, tmp_path):
+    """Current-period values far above the reference range clamp into
+    the top bucket and produce a large positive PSI."""
+    from etl_python_spark.operators.stats import q_psi_drift
+
+    rows = []
+    k = 0
+    for v in [10.0, 20.0, 30.0, 40.0, 50.0] * 4:  # reference
+        rows.append((k, 1, "O", v, dt.date(1996, 1, 1), "1-URGENT"))
+        k += 1
+    for v in [900.0] * 20:  # current: everything out of range (above)
+        rows.append((k, 1, "O", v, dt.date(2000, 1, 1), "1-URGENT"))
+        k += 1
+    _write_orders(spark, tmp_path, rows)
+    out = {r.bucket: r for r in q_psi_drift(spark, str(tmp_path)).collect()}
+    top = max(out)
+    assert out[top].b_raw == 20  # all current rows clamped to top bucket
+    psi = out[top].psi_micro
+    assert psi > 250_000  # way past the 0.25 "shifted" threshold
