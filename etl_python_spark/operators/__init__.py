@@ -38,6 +38,7 @@ VERIFY_PRIORITY = (
     "gini_concentration",
     "hhi_concentration",
     "psi_drift",
+    "embedding_covariance",
     "market_basket",
     "pagerank_copurchase",
     "event_transitions",

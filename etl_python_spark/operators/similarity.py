@@ -1091,8 +1091,184 @@ GROUP BY 1
 """
 
 
+def q_embedding_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Upper-triangle covariance matrix of the embedding corpus — the
+    input to PCA whitening (:func:`pca_project`), computed with EXACT
+    integer arithmetic so the matrix crosses engines bit-identically.
+
+    Each value is quantized once to integer micro-units; every
+    pairwise product q_i*q_j is then an exact BIGINT and the
+    mean-centered moment n*S(q_i q_j) - S(q_i)*S(q_j) accumulates in
+    DECIMAL(38,0) (the corr_matrix sum-order rule — BIGINT overflows
+    near 2^63 long before lake scale).  The only float ops are the
+    final casts and the cov_nano quantization, identical expressions
+    both engines.
+
+    Scale shape: one corpus scan exploding d(d+1)/2 = 2080 pair cells
+    per row, immediately collapsed by map-side partial aggregation —
+    the shuffle carries at most 2080 rows per task regardless of
+    corpus size; the per-dimension sums ride the same pattern (64
+    rows) and join the pair cells broadcast.  Nothing data-sized
+    leaves the first stage.
+    """
+    emb = _kmeans_emb(spark, sf_dir)
+    qa = F.transform(
+        F.col("v"), lambda x: F.floor(x * 1e6 + F.lit(0.5)).cast("long")
+    )
+    quant = emb.select(qa.alias("qa"))
+    pairs_arr = F.flatten(
+        F.transform(
+            F.sequence(F.lit(0), F.lit(EMB_DIM - 1)),
+            lambda i: F.transform(
+                F.sequence(i, F.lit(EMB_DIM - 1)),
+                lambda j: F.struct(
+                    i.alias("i"),
+                    j.alias("j"),
+                    (
+                        F.element_at(F.col("qa"), i + 1)
+                        * F.element_at(F.col("qa"), j + 1)
+                    ).alias("p"),
+                ),
+            ),
+        )
+    )
+    cells = (
+        quant.select(F.explode(pairs_arr).alias("c"))
+        .groupBy(F.col("c.i").alias("i"), F.col("c.j").alias("j"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("c.p").cast("decimal(38,0)")).alias("sp"),
+        )
+    )
+    dims = (
+        quant.select(F.posexplode("qa").alias("d", "q"))
+        .groupBy("d")
+        .agg(F.sum(F.col("q").cast("decimal(38,0)")).alias("s"))
+    )
+    di = dims.select(F.col("d").alias("i"), F.col("s").alias("si"))
+    dj = dims.select(F.col("d").alias("j"), F.col("s").alias("sj"))
+    sij = (
+        F.col("n").cast("decimal(38,0)") * F.col("sp")
+        - F.col("si") * F.col("sj")
+    )
+    cov_nano = F.floor(
+        sij.cast("double")
+        / (F.col("n").cast("double") * (F.col("n") - 1).cast("double"))
+        / F.lit(1e12)
+        * F.lit(1e9)
+        + F.lit(0.5)
+    ).cast("long")
+    return (
+        cells.join(F.broadcast(di), "i")
+        .join(F.broadcast(dj), "j")
+        .select(
+            "i",
+            "j",
+            "n",
+            sij.cast("double").alias("sij"),
+            cov_nano.alias("cov_nano"),
+        )
+    )
+
+
+ORACLE_EMB_COVARIANCE = f"""
+WITH q AS (
+  SELECT list_transform(
+           embedding,
+           x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1e6 + 0.5) AS BIGINT)
+         ) AS qa
+  FROM embeddings
+), pairs AS (
+  SELECT ii.i AS i, jj.j AS j, CAST(COUNT(*) AS BIGINT) AS n,
+         SUM(CAST(qa[ii.i + 1] AS HUGEINT)
+             * CAST(qa[jj.j + 1] AS HUGEINT)) AS sp
+  FROM q,
+       (SELECT unnest(range(0, {EMB_DIM})) AS i) ii,
+       (SELECT unnest(range(0, {EMB_DIM})) AS j) jj
+  WHERE jj.j >= ii.i
+  GROUP BY 1, 2
+), dims AS (
+  SELECT dd.d AS d, SUM(CAST(qa[dd.d + 1] AS HUGEINT)) AS s
+  FROM q, (SELECT unnest(range(0, {EMB_DIM})) AS d) dd
+  GROUP BY 1
+)
+SELECT p.i, p.j, p.n,
+       CAST(p.n * p.sp - di.s * dj.s AS DOUBLE) AS sij,
+       CAST(FLOOR(CAST(p.n * p.sp - di.s * dj.s AS DOUBLE)
+                  / (CAST(p.n AS DOUBLE) * CAST(p.n - 1 AS DOUBLE))
+                  / 1e12 * 1e9 + 0.5) AS BIGINT) AS cov_nano
+FROM pairs p
+JOIN dims di ON p.i = di.d
+JOIN dims dj ON p.j = dj.d
+"""
+
+
+PCA_COMPONENTS = 8
+
+
+def pca_project(
+    spark: SparkSession, sf_dir: str, k: int = PCA_COMPONENTS
+) -> DataFrame:
+    """PCA projection (whitening front-end for the ANN family): fit
+    the top-``k`` principal components from the exact covariance
+    matrix (:func:`q_embedding_covariance`) and project every
+    embedding onto them.
+
+    The eigendecomposition runs on the DRIVER over the d x d matrix —
+    dimension-bounded (64x64 here), the same bounded-metadata
+    pattern as the k-means codebook collect — and the component
+    matrix broadcasts into an Arrow-batched ``mapInPandas``
+    projection (one matmul per batch, no per-row Python).  Sign
+    convention: each component's largest-|coefficient| entry is made
+    positive, so the output is deterministic (eigenvectors are
+    otherwise sign-ambiguous, which is also why this operator has no
+    SQL oracle — the covariance feeding it is the driver-checked
+    surface).
+    """
+    import numpy as np
+
+    cov_rows = q_embedding_covariance(spark, sf_dir).collect()
+    d = EMB_DIM
+    cov = np.zeros((d, d))
+    for r in cov_rows:
+        v = r.cov_nano / 1e9
+        cov[r.i, r.j] = v
+        cov[r.j, r.i] = v
+    vals, vecs = np.linalg.eigh(cov)  # ascending eigenvalues
+    order = np.argsort(vals)[::-1][:k]
+    comps = vecs[:, order]  # d x k
+    for c in range(comps.shape[1]):  # deterministic sign
+        m = np.argmax(np.abs(comps[:, c]))
+        if comps[m, c] < 0:
+            comps[:, c] = -comps[:, c]
+    explained = vals[order]
+    bc = spark.sparkContext.broadcast(
+        (comps.astype("float64"), explained.astype("float64"))
+    )
+
+    emb = spread(load_table(spark, sf_dir, "embeddings"), "vec_id").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+
+    def project(batches):
+        import pandas as pd
+
+        mat, _ = bc.value
+        for pdf in batches:
+            x = np.vstack(pdf["v"].to_numpy())  # batch x d
+            proj = x @ mat  # batch x k
+            yield pd.DataFrame(
+                {"vec_id": pdf["vec_id"], "proj": list(proj)}
+            )
+
+    return emb.mapInPandas(
+        project, schema="vec_id long, proj array<double>"
+    )
+
+
 QUERIES = {
     "ann_bruteforce": q_ann_bruteforce,
+    "embedding_covariance": q_embedding_covariance,
     "ann_bruteforce_pandas": q_ann_bruteforce_pandas,
     "ann_lsh": q_ann_lsh,
     "ann_ivf": q_ann_ivf,
@@ -1108,6 +1284,7 @@ QUERIES = {
 
 ORACLES = {
     "ann_bruteforce": ORACLE_ANN_BRUTEFORCE,
+    "embedding_covariance": ORACLE_EMB_COVARIANCE,
     "ann_bruteforce_pandas": ORACLE_ANN_BRUTEFORCE,
     "ann_ivf": ORACLE_ANN_IVF,
     "ann_ivf_fitted": ORACLE_ANN_IVF_FITTED,

@@ -109,3 +109,35 @@ def test_partitioning_invariance(spark, name):
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", orig)
     assert a == b and len(a) > 0
+
+
+def test_pca_project_recovers_planted_axes(spark, tmp_path):
+    """Embeddings with variance planted on two orthogonal patterns in
+    dims 0 and 1 (var 25 and 4, exactly decorrelated): the first two
+    principal components must be those axes (positive by the sign
+    convention) and the projections must reproduce the coordinates."""
+    from etl_python_spark.operators import similarity as sim
+
+    n = 40
+    rows = []
+    for k in range(n):
+        a = 1.0 if (k // 2) % 2 == 0 else -1.0  # [1,1,-1,-1] blocks
+        b = 1.0 if k % 2 == 0 else -1.0         # [1,-1,1,-1]
+        v = [0.0] * sim.EMB_DIM
+        v[0], v[1] = 5.0 * a, 2.0 * b
+        rows.append((k, v, 0))
+    spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    ).write.parquet(str(tmp_path / "embeddings.parquet"))
+
+    out = {r.vec_id: r.proj for r in sim.pca_project(
+        spark, str(tmp_path), k=3
+    ).collect()}
+    assert len(out) == n
+    for k in range(n):
+        a = 5.0 if (k // 2) % 2 == 0 else -5.0
+        b = 2.0 if k % 2 == 0 else -2.0
+        got = out[k]
+        assert abs(got[0] - a) < 1e-3, (k, got)
+        assert abs(got[1] - b) < 1e-3, (k, got)
+        assert abs(got[2]) < 1e-3  # no variance beyond the two axes
