@@ -39,6 +39,7 @@ VERIFY_PRIORITY = (
     "hhi_concentration",
     "psi_drift",
     "embedding_covariance",
+    "leakage_safe_split",
     "market_basket",
     "pagerank_copurchase",
     "event_transitions",

@@ -435,6 +435,69 @@ def q_dedup_keep_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+SPLIT_FOLDS = 5
+
+
+def q_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-safe train/validation fold assignment: every document
+    gets a fold in [0, SPLIT_FOLDS), but near-duplicate documents are
+    assigned BY CLUSTER — the whole connected component lands in one
+    fold, so a validation split can never contain a near-copy of a
+    training document (the contamination mode exact-hash splits miss).
+
+    The fold key is the cluster's component id (min reachable doc_id)
+    for clustered docs and the doc's own id otherwise, pushed through
+    the engine-agnostic :func:`hash60` with a purpose salt so the
+    assignment is independent of the shard/export placements that use
+    the same hash family.
+
+    Scale shape: one left join of the corpus ids against the
+    pair-graph-sized component table (orders of magnitude below the
+    corpus — AQE broadcasts it; the corpus is never shuffled), then a
+    pure per-row hash projection.
+    """
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    comp = q_dedup_components(spark, sf_dir).select(
+        "doc_id", "component_id"
+    )
+    group = F.coalesce("component_id", "doc_id")
+    fold = (
+        hash60(F.concat(F.lit("split:"), group.cast("string")))
+        % SPLIT_FOLDS
+    ).cast("int")
+    return docs.join(comp, "doc_id", "left").select(
+        "doc_id",
+        group.alias("group_id"),
+        F.col("component_id").isNotNull().alias("clustered"),
+        fold.alias("fold"),
+    )
+
+
+ORACLE_LEAKAGE_SPLIT = (
+    "WITH RECURSIVE "
+    + _SQL_PAIRS_BODY
+    + f"""
+, verts AS (SELECT doc_a AS v FROM pairs UNION SELECT doc_b FROM pairs),
+undirected AS (
+  SELECT doc_a AS u, doc_b AS w FROM pairs
+  UNION SELECT doc_b, doc_a FROM pairs
+),
+reach AS (
+  SELECT v, v AS r FROM verts
+  UNION
+  SELECT e.u AS v, reach.r FROM undirected e JOIN reach ON e.w = reach.v
+),
+comp AS (SELECT v AS doc_id, MIN(r) AS component_id FROM reach GROUP BY v)
+SELECT d.doc_id,
+       COALESCE(c.component_id, d.doc_id) AS group_id,
+       c.component_id IS NOT NULL AS clustered,
+       CAST({sql_hash60("'split:' || CAST(COALESCE(c.component_id, d.doc_id) AS VARCHAR)")}
+            % {SPLIT_FOLDS} AS INT) AS fold
+FROM documents d LEFT JOIN comp c USING (doc_id)
+"""
+)
+
+
 # ---------------------------------------------------------------------------
 # MinHash + LSH banding (engine-agnostic hashes → full value oracle)
 # ---------------------------------------------------------------------------
@@ -935,6 +998,7 @@ QUERIES = {
     "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
     "dedup_components": q_dedup_components,
     "dedup_keep_canonical": q_dedup_keep_canonical,
+    "leakage_safe_split": q_leakage_safe_split,
     "minhash_lsh_pairs": q_minhash_lsh_pairs,
     "simhash": q_simhash,
     "simhash_neardup": q_simhash_neardup,
@@ -967,6 +1031,7 @@ ORACLES = {
     "ngram_jaccard_pairs": ORACLE_NGRAM_JACCARD,
     "dedup_components": ORACLE_DEDUP_COMPONENTS,
     "dedup_keep_canonical": ORACLE_DEDUP_KEEP,
+    "leakage_safe_split": ORACLE_LEAKAGE_SPLIT,
     "minhash_lsh_pairs": ORACLE_MINHASH_LSH,
     "simhash": ORACLE_SIMHASH,
     "simhash_neardup": ORACLE_SIMHASH_NEARDUP,

@@ -289,3 +289,38 @@ def test_duplicated_spans_gap_rule(spark):
     assert len(probe(0)) == 1
     # gap = K+1: starts at 1 and 2+K -> pos diff K+1 -> two spans
     assert len(probe(1)) == 2
+
+
+def test_leakage_safe_split_groups_clusters(spark, tmp_path):
+    """Near-duplicate documents must land in the SAME fold (split by
+    component, not by doc), singletons key on their own id, and every
+    fold is in range."""
+    from etl_python_spark.operators.dedup import (
+        SPLIT_FOLDS,
+        q_leakage_safe_split,
+    )
+
+    dup_a = "the quick brown fox jumps over the lazy dog again and again"
+    dup_b = "pack my box with five dozen liquor jugs before the dawn comes"
+    rows = [
+        (1, dup_a), (2, dup_a), (3, dup_a),      # cluster {1,2,3}
+        (10, dup_b), (11, dup_b),                # cluster {10,11}
+        (20, "completely unrelated text one"),   # singletons
+        (21, "another unrelated piece of text"),
+    ]
+    spark.createDataFrame(
+        [(i, t, "en", "s", len(t)) for i, t in rows],
+        "doc_id long, text string, lang string, source string,"
+        " n_chars long",
+    ).write.parquet(str(tmp_path / "documents.parquet"))
+
+    out = {r.doc_id: r for r in q_leakage_safe_split(
+        spark, str(tmp_path)
+    ).collect()}
+    assert len(out) == 7
+    assert out[1].fold == out[2].fold == out[3].fold
+    assert out[10].fold == out[11].fold
+    assert out[1].group_id == 1 and out[10].group_id == 10
+    assert out[1].clustered and out[11].clustered
+    assert not out[20].clustered and out[20].group_id == 20
+    assert all(0 <= r.fold < SPLIT_FOLDS for r in out.values())
