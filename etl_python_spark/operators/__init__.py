@@ -40,6 +40,7 @@ VERIFY_PRIORITY = (
     "psi_drift",
     "embedding_covariance",
     "leakage_safe_split",
+    "stream_psi_drift",
     "market_basket",
     "pagerank_copurchase",
     "event_transitions",

@@ -762,8 +762,134 @@ GROUP BY pc.user_id
 """
 
 
+PSI_STREAM_BUCKETS = 10
+PSI_STREAM_LO = 0       # cents — fixed edges: a stream cannot 2-pass min/max
+PSI_STREAM_HI = 50_000  # cents (value <= 500.00 in TESTDATA)
+PSI_STREAM_SPLIT = "2024-01-16 00:00:00"  # reference < split <= current
+
+
+def stream_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming Population Stability Index: the drift monitor a
+    live scoring pipeline runs — the reference period's value
+    distribution is a static batch aggregate, the current period's
+    bucket counts are a plain streaming COUNT aggregate (mergeable →
+    constant state: PSI_STREAM_BUCKETS counters total), and the PSI
+    assembles batch-side over the drained bucket table.
+
+    Differences from the batch ``psi_drift`` (operators/stats.py) are
+    exactly the streaming constraints: bucket edges are FIXED
+    constants with edge clamping (a stream cannot two-pass the
+    reference min/max — same rule as stream_histogram_quantiles), and
+    the period split is a timestamp constant.  The Laplace floor and
+    the micro-quantized per-bucket terms are identical, so the
+    statistic crosses engines exactly.
+    """
+    from ..functions.numeric import cents
+    from ..sources.tables import load_table, normalize_event_ts
+
+    split = F.lit(PSI_STREAM_SPLIT).cast("timestamp")
+    span = PSI_STREAM_HI - PSI_STREAM_LO
+
+    def bucket(col):
+        return F.least(
+            F.lit(PSI_STREAM_BUCKETS - 1),
+            F.greatest(
+                F.lit(0),
+                F.floor(
+                    (cents(col) - F.lit(PSI_STREAM_LO)).cast("double")
+                    / F.lit(float(span))
+                    * F.lit(PSI_STREAM_BUCKETS)
+                ).cast("int"),
+            ),
+        )
+
+    cur = (
+        _events_stream(spark, sf_dir)
+        .filter(F.col("ts") >= split)
+        .select(bucket(F.col("value")).alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("b_raw"))
+    )
+    drained = _drain_to_memory(cur, "psi_buckets", "complete")
+    ref = (
+        normalize_event_ts(load_table(spark, sf_dir, "events"))
+        .filter(F.col("ts") < split)
+        .select(bucket(F.col("value")).alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("a_raw"))
+    )
+    joined = ref.join(drained, "bucket", "full_outer").select(
+        "bucket",
+        F.coalesce("a_raw", F.lit(0)).alias("a_raw"),
+        F.coalesce("b_raw", F.lit(0)).alias("b_raw"),
+    )
+    a = F.greatest(F.col("a_raw"), F.lit(1))
+    b = F.greatest(F.col("b_raw"), F.lit(1))
+    w_all = Window.partitionBy()
+    with_tot = joined.select(
+        "bucket",
+        "a_raw",
+        "b_raw",
+        a.alias("a"),
+        b.alias("b"),
+        F.sum(a).over(w_all).alias("ta"),
+        F.sum(b).over(w_all).alias("tb"),
+    )
+    term = (
+        F.col("a").cast("double") / F.col("ta").cast("double")
+        - F.col("b").cast("double") / F.col("tb").cast("double")
+    ) * F.log(
+        (F.col("a") * F.col("tb")).cast("double")
+        / (F.col("b") * F.col("ta")).cast("double")
+    )
+    term_micro = F.floor(term * F.lit(1e6) + F.lit(0.5)).cast("long")
+    return with_tot.select(
+        "bucket", "a_raw", "b_raw", term_micro.alias("term_micro")
+    ).select("*", F.sum("term_micro").over(w_all).alias("psi_micro"))
+
+
+def _oracle_stream_psi() -> str:
+    span = PSI_STREAM_HI - PSI_STREAM_LO
+    bexpr = (
+        f"CAST(LEAST({PSI_STREAM_BUCKETS} - 1, GREATEST(0, CAST(FLOOR("
+        f"CAST(CAST(FLOOR(value * 100 + 0.5) AS BIGINT) - {PSI_STREAM_LO} "
+        f"AS DOUBLE) / {float(span)!r} * {PSI_STREAM_BUCKETS}) AS INT))) AS INT)"
+    )
+    return f"""
+WITH ref AS (
+  SELECT {bexpr} AS bucket, CAST(COUNT(*) AS BIGINT) AS a_raw
+  FROM events WHERE ts < TIMESTAMP '{PSI_STREAM_SPLIT}' GROUP BY 1
+), cur AS (
+  SELECT {bexpr} AS bucket, CAST(COUNT(*) AS BIGINT) AS b_raw
+  FROM events WHERE ts >= TIMESTAMP '{PSI_STREAM_SPLIT}' GROUP BY 1
+), joined AS (
+  SELECT COALESCE(r.bucket, c.bucket) AS bucket,
+         COALESCE(r.a_raw, 0) AS a_raw, COALESCE(c.b_raw, 0) AS b_raw
+  FROM ref r FULL OUTER JOIN cur c ON r.bucket = c.bucket
+), with_tot AS (
+  SELECT bucket, a_raw, b_raw,
+         GREATEST(a_raw, 1) AS a, GREATEST(b_raw, 1) AS b,
+         CAST(SUM(GREATEST(a_raw, 1)) OVER () AS BIGINT) AS ta,
+         CAST(SUM(GREATEST(b_raw, 1)) OVER () AS BIGINT) AS tb
+  FROM joined
+), terms AS (
+  SELECT bucket, a_raw, b_raw,
+         CAST(FLOOR((CAST(a AS DOUBLE) / CAST(ta AS DOUBLE)
+                     - CAST(b AS DOUBLE) / CAST(tb AS DOUBLE))
+                    * LN(CAST(a * tb AS DOUBLE)
+                         / CAST(b * ta AS DOUBLE))
+                    * 1e6 + 0.5) AS BIGINT) AS term_micro
+  FROM with_tot
+)
+SELECT bucket, a_raw, b_raw, term_micro,
+       CAST(SUM(term_micro) OVER () AS BIGINT) AS psi_micro
+FROM terms
+"""
+
+
 QUERIES = {
     "stream_hourly_counts": hourly_counts_stream,
+    "stream_psi_drift": stream_psi_drift,
     "stream_cms_heavy_hitters": stream_cms_heavy_hitters,
     "stream_static_enriched": stream_static_enriched,
     "stream_sessionize": session_window_stream,
@@ -777,6 +903,7 @@ QUERIES = {
 
 ORACLES = {
     "stream_hll_users": ORACLE_STREAM_HLL,
+    "stream_psi_drift": _oracle_stream_psi(),
     "stream_cms_heavy_hitters": _oracle_stream_cms(),
     "stream_histogram_quantiles": _oracle_stream_histogram(),
     "stream_hourly_counts": ORACLE_STREAM_HOURLY,

@@ -318,3 +318,29 @@ def test_stream_hll_oracle_constants_match_batch_params():
     assert f"<< ({scale} - m_j)" in ORACLE_STREAM_HLL
     assert f"{float(1 << scale)}" in ORACLE_STREAM_HLL
     assert f"{2.5 * HLL_M}" in ORACLE_STREAM_HLL
+
+
+def test_stream_psi_identical_periods_is_zero(spark, tmp_path):
+    """The same value histogram on both sides of the period split must
+    yield term 0 in every bucket — the streaming aggregate over the
+    current period and the static reference aggregate see identical
+    distributions."""
+    import datetime as dt
+
+    from etl_python_spark.streaming.file_stream import stream_psi_drift
+
+    rows = []
+    k = 0
+    for day in (5, 20):  # one timestamp per side of the Jan-16 split
+        for v in [10.0, 150.0, 320.0, 480.0] * 5:
+            rows.append((k, dt.datetime(2024, 1, day, 12, 0), k, "view", v, "{}"))
+            k += 1
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    ).write.parquet(str(tmp_path / "events.parquet"))
+    out = stream_psi_drift(spark, str(tmp_path)).collect()
+    assert len(out) > 0
+    assert all(r.term_micro == 0 and r.psi_micro == 0 for r in out)
+    assert all(r.a_raw == r.b_raw for r in out)
