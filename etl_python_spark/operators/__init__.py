@@ -41,6 +41,8 @@ VERIFY_PRIORITY = (
     "embedding_covariance",
     "leakage_safe_split",
     "stream_psi_drift",
+    "walk_forward_split",
+    "zipf_vocab_stats",
     "market_basket",
     "pagerank_copurchase",
     "event_transitions",
@@ -159,6 +161,7 @@ def _modules():
         similarity,
         stats,
         text,
+        vocab,
     )
     from ..ml import forecast
     from ..streaming import file_stream
@@ -180,6 +183,7 @@ def _modules():
         similarity,
         stats,
         text,
+        vocab,
         forecast,
         file_stream,
     )

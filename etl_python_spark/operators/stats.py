@@ -817,6 +817,81 @@ FROM cum c JOIN sizes s ON c.cohort_m = s.cohort_m
 
 
 # ---------------------------------------------------------------------------
+# Walk-forward cross-validation splits (purged temporal folds)
+# ---------------------------------------------------------------------------
+
+WF_FOLDS = 4
+WF_FIRST_TEST_M = 1998 * 12 + 1  # first fold's test period starts 1998-01
+WF_STEP_M = 6                    # folds advance by 6 months
+WF_HORIZON_M = 6                 # each test window spans 6 months
+WF_EMBARGO_M = 1                 # months dropped between train and test
+
+
+def q_walk_forward_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Walk-forward (expanding-window) cross-validation assignment
+    with an embargo gap — the temporal companion to
+    `leakage_safe_split`: each fold trains on everything up to its
+    cutoff, skips WF_EMBARGO_M months (so rolling features computed at
+    train time cannot peek into the test window), and tests on the
+    next WF_HORIZON_M months.  Orders outside a fold's train/test
+    windows are absent from that fold — the output is the exact
+    (fold, split) assignment a backtest harness iterates.
+
+    Scale shape: a WF_FOLDS-row spine broadcast against the fact scan
+    (the accepted tiny-side BNLJ) followed by a pure filter/projection
+    — no shuffle at all; the assignment is computable per input split.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    folds = spark.range(WF_FOLDS).select(
+        F.col("id").cast("int").alias("fold"),
+        (F.lit(WF_FIRST_TEST_M) + F.col("id") * WF_STEP_M)
+        .cast("long")
+        .alias("test_start_m"),
+    )
+    t = (F.year("o_orderdate") * 12 + F.month("o_orderdate")).cast("long")
+    labeled = o.select(
+        "o_orderkey", "o_orderdate", t.alias("t")
+    ).join(F.broadcast(folds))
+    split = F.when(
+        F.col("t") <= F.col("test_start_m") - 1 - F.lit(WF_EMBARGO_M),
+        F.lit("train"),
+    ).when(
+        (F.col("t") >= F.col("test_start_m"))
+        & (F.col("t") < F.col("test_start_m") + F.lit(WF_HORIZON_M)),
+        F.lit("test"),
+    )
+    return (
+        labeled.select(
+            "fold", "o_orderkey", "o_orderdate", split.alias("split")
+        )
+        .filter(F.col("split").isNotNull())
+    )
+
+
+ORACLE_WALK_FORWARD = f"""
+WITH folds AS (
+  SELECT CAST(k AS INT) AS fold,
+         CAST({WF_FIRST_TEST_M} + k * {WF_STEP_M} AS BIGINT) AS test_start_m
+  FROM (SELECT UNNEST(range(0, {WF_FOLDS})) AS k)
+), labeled AS (
+  SELECT f.fold, o.o_orderkey, o.o_orderdate,
+         CAST(YEAR(o.o_orderdate) * 12 + MONTH(o.o_orderdate) AS BIGINT)
+           AS t,
+         f.test_start_m
+  FROM orders o CROSS JOIN folds f
+)
+SELECT fold, o_orderkey, o_orderdate,
+       CASE WHEN t <= test_start_m - 1 - {WF_EMBARGO_M} THEN 'train'
+            WHEN t >= test_start_m
+                 AND t < test_start_m + {WF_HORIZON_M} THEN 'test'
+       END AS split
+FROM labeled
+WHERE (t <= test_start_m - 1 - {WF_EMBARGO_M})
+   OR (t >= test_start_m AND t < test_start_m + {WF_HORIZON_M})
+"""
+
+
+# ---------------------------------------------------------------------------
 # Chi-square test of independence (priority x status contingency)
 # ---------------------------------------------------------------------------
 
@@ -1530,6 +1605,7 @@ QUERIES = {
     "duplicate_payments": q_duplicate_payments,
     "cohort_ltv": q_cohort_ltv,
     "gini_concentration": q_gini_concentration,
+    "walk_forward_split": q_walk_forward_split,
     "hhi_concentration": q_hhi_concentration,
     "psi_drift": q_psi_drift,
     "chi_square_independence": q_chi_square_independence,
@@ -1544,6 +1620,7 @@ QUERIES = {
 ORACLES = {
     "attribution_last_touch": ORACLE_ATTRIBUTION,
     "gini_concentration": ORACLE_GINI,
+    "walk_forward_split": ORACLE_WALK_FORWARD,
     "hhi_concentration": ORACLE_HHI,
     "psi_drift": ORACLE_PSI,
     "chi_square_independence": ORACLE_CHI_SQUARE,

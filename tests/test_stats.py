@@ -387,3 +387,72 @@ def test_psi_shift_is_positive_and_clamps(spark, tmp_path):
     assert out[top].b_raw == 20  # all current rows clamped to top bucket
     psi = out[top].psi_micro
     assert psi > 250_000  # way past the 0.25 "shifted" threshold
+
+
+def test_walk_forward_split_windows_and_embargo(spark, tmp_path):
+    """One order per month across 1996-2000: each fold's train set
+    ends exactly embargo+1 months before its test start, the embargo
+    month itself is absent, and the test window spans the horizon."""
+    from etl_python_spark.operators.stats import (
+        WF_EMBARGO_M,
+        WF_FIRST_TEST_M,
+        WF_FOLDS,
+        WF_HORIZON_M,
+        WF_STEP_M,
+        q_walk_forward_split,
+    )
+
+    rows = []
+    k = 0
+    for y in range(1996, 2001):
+        for m in range(1, 13):
+            rows.append((k, 1, "O", 10.0, dt.date(y, m, 1), "x"))
+            k += 1
+    _write_orders(spark, tmp_path, rows)
+    out = q_walk_forward_split(spark, str(tmp_path)).collect()
+    by_fold = {}
+    for r in out:
+        t = r.o_orderdate.year * 12 + r.o_orderdate.month
+        by_fold.setdefault(r.fold, {"train": [], "test": []})[
+            r.split
+        ].append(t)
+    assert set(by_fold) == set(range(WF_FOLDS))
+    for fold, d in by_fold.items():
+        ts = WF_FIRST_TEST_M + fold * WF_STEP_M
+        assert max(d["train"]) == ts - 1 - WF_EMBARGO_M  # embargo gap
+        assert min(d["test"]) == ts
+        assert max(d["test"]) == ts + WF_HORIZON_M - 1
+        # embargo months appear in NEITHER set
+        gap = set(range(ts - WF_EMBARGO_M, ts))
+        assert gap.isdisjoint(set(d["train"]) | set(d["test"]))
+
+
+def test_zipf_slope_on_constructed_power_law(spark, tmp_path):
+    """A corpus with freq(rank r) = round(1000 / r) must fit a Zipf
+    slope near -1; a uniform-frequency corpus fits slope 0."""
+    from etl_python_spark.operators.vocab import q_zipf_vocab_stats
+
+    docs = []
+
+    def add_doc(i, words, source):
+        docs.append((i, " ".join(words), "en", source, len(words)))
+
+    words = []
+    for r in range(1, 51):  # 50 types, freq 1000/r
+        words += [f"w{r:03d}"] * round(1000 / r)
+    add_doc(1, words, "zipf")
+    add_doc(2, [f"u{j:03d}" for j in range(200)] * 5, "uniform")
+    spark.createDataFrame(
+        docs,
+        "doc_id long, text string, lang string, source string,"
+        " n_chars long",
+    ).write.parquet(str(tmp_path / "documents.parquet"))
+    out = {r.source: r for r in q_zipf_vocab_stats(
+        spark, str(tmp_path)
+    ).collect()}
+    z = out["zipf"]
+    assert z.distinct_tokens == 50 and z.zipf_k == 50
+    assert abs(z.zipf_slope_micro + 1_000_000) < 30_000  # slope ~ -1
+    u = out["uniform"]
+    assert u.zipf_slope_micro == 0  # all counts equal -> flat fit
+    assert u.distinct_tokens == 200 and u.total_tokens == 1000
