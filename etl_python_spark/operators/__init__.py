@@ -43,6 +43,7 @@ VERIFY_PRIORITY = (
     "stream_psi_drift",
     "walk_forward_split",
     "zipf_vocab_stats",
+    "heaps_vocab_growth",
     "market_basket",
     "pagerank_copurchase",
     "event_transitions",

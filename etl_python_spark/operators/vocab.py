@@ -148,10 +148,164 @@ FROM totals t JOIN moments m USING (source)
 """
 
 
+def q_heaps_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heaps'-law vocabulary growth fit per source: V(N) ~ k * N^beta
+    over the corpus in doc_id ingestion order (natural text sits near
+    beta 0.4-0.8; beta ~ 1 means near-random tokens — a tokenizer or
+    contamination smell).  The growth curve is computed WITHOUT any
+    distinct-so-far scan: a token contributes a new type exactly at
+    its first document (min doc_id), so per-doc new-type counts are
+    one aggregate and the curve is a cumulative sum — O(corpus), not
+    O(corpus x prefix).
+
+    Exactness: the log-log fit quantizes both axes to integer
+    micro-units per curve point, then accumulates the OLS moments in
+    DECIMAL(38,0) (x^2 sums overflow BIGINT past ~50k curve points)
+    with ONE final division.
+
+    Scale shape: one explode + two map-side-combined aggregates do
+    all data-sized work; the cumulative window and the fit run over
+    the docs-sized curve partitioned per source.
+    """
+    docs = spread(load_table(spark, sf_dir, "documents"), "doc_id")
+    toks = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+    tok = (
+        docs.select("source", "doc_id", F.explode(toks).alias("tok"))
+        .filter(F.col("tok") != "")
+    )
+    first = tok.groupBy("source", "tok").agg(
+        F.min("doc_id").alias("first_doc")
+    )
+    new_types = first.groupBy(
+        "source", F.col("first_doc").alias("doc_id")
+    ).agg(F.count(F.lit(1)).alias("new_types"))
+    per_doc = tok.groupBy("source", "doc_id").agg(
+        F.count(F.lit(1)).alias("n_toks")
+    )
+    curve_in = per_doc.join(new_types, ["source", "doc_id"], "left").select(
+        "source",
+        "doc_id",
+        "n_toks",
+        F.coalesce("new_types", F.lit(0)).alias("new_types"),
+    )
+    w_cum = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    curve = curve_in.select(
+        "source",
+        F.sum("n_toks").over(w_cum).alias("n_cum"),
+        F.sum("new_types").over(w_cum).alias("v_cum"),
+    )
+    x = F.floor(
+        F.log(F.col("n_cum").cast("double")) * 1e6 + F.lit(0.5)
+    ).cast("long")
+    y = F.floor(
+        F.log(F.col("v_cum").cast("double")) * 1e6 + F.lit(0.5)
+    ).cast("long")
+    dec = "decimal(38,0)"
+    moments = curve.select(
+        "source", "n_cum", "v_cum", x.alias("x"), y.alias("y")
+    ).groupBy("source").agg(
+        F.count(F.lit(1)).alias("pts"),
+        F.sum(F.col("x").cast(dec)).alias("sx"),
+        F.sum(F.col("y").cast(dec)).alias("sy"),
+        F.sum((F.col("x") * F.col("x")).cast(dec)).alias("sxx"),
+        F.sum((F.col("x") * F.col("y")).cast(dec)).alias("sxy"),
+        F.max("n_cum").alias("total_tokens"),
+        F.max("v_cum").alias("vocab_size"),
+    )
+    pts = F.col("pts").cast(dec)
+    num = (pts * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+    den = F.nullif(
+        (pts * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double"),
+        F.lit(0.0),
+    )
+    beta_micro = F.floor(num / den * F.lit(1e6) + F.lit(0.5)).cast("long")
+    # intercept ln(k) = (sy - beta*sx) / pts, from the SAME quantized
+    # beta so both engines subtract identical values
+    logk_micro = F.floor(
+        (
+            F.col("sy").cast("double")
+            - beta_micro.cast("double") / F.lit(1e6) * F.col("sx").cast("double")
+        )
+        / F.col("pts").cast("double")
+        + F.lit(0.5)
+    ).cast("long")
+    return moments.select(
+        "source",
+        F.col("pts").alias("docs"),
+        "total_tokens",
+        "vocab_size",
+        beta_micro.alias("heaps_beta_micro"),
+        logk_micro.alias("heaps_logk_micro"),
+    )
+
+
+ORACLE_HEAPS = """
+WITH tok AS (
+  SELECT source, doc_id, t.tok
+  FROM documents,
+       LATERAL (
+         SELECT UNNEST(regexp_split_to_array(lower(trim(text)), '\\s+'))
+           AS tok
+       ) t
+  WHERE t.tok <> ''
+), first AS (
+  SELECT source, tok, MIN(doc_id) AS first_doc
+  FROM tok GROUP BY 1, 2
+), new_types AS (
+  SELECT source, first_doc AS doc_id, CAST(COUNT(*) AS BIGINT) AS new_types
+  FROM first GROUP BY 1, 2
+), per_doc AS (
+  SELECT source, doc_id, CAST(COUNT(*) AS BIGINT) AS n_toks
+  FROM tok GROUP BY 1, 2
+), curve AS (
+  SELECT p.source,
+         CAST(SUM(p.n_toks) OVER w AS BIGINT) AS n_cum,
+         CAST(SUM(COALESCE(n.new_types, 0)) OVER w AS BIGINT) AS v_cum
+  FROM per_doc p LEFT JOIN new_types n USING (source, doc_id)
+  WINDOW w AS (PARTITION BY p.source ORDER BY p.doc_id
+               ROWS UNBOUNDED PRECEDING)
+), xy AS (
+  SELECT source,
+         CAST(FLOOR(LN(CAST(n_cum AS DOUBLE)) * 1e6 + 0.5) AS HUGEINT) AS x,
+         CAST(FLOOR(LN(CAST(v_cum AS DOUBLE)) * 1e6 + 0.5) AS HUGEINT) AS y,
+         n_cum, v_cum
+  FROM curve
+), moments AS (
+  SELECT source, CAST(COUNT(*) AS HUGEINT) AS pts,
+         SUM(x) AS sx, SUM(y) AS sy,
+         SUM(x * x) AS sxx, SUM(x * y) AS sxy,
+         CAST(MAX(n_cum) AS BIGINT) AS total_tokens,
+         CAST(MAX(v_cum) AS BIGINT) AS vocab_size
+  FROM xy GROUP BY 1
+), fit AS (
+  SELECT *,
+         CAST(FLOOR(CAST(pts * sxy - sx * sy AS DOUBLE)
+                    / NULLIF(CAST(pts * sxx - sx * sx AS DOUBLE), 0.0)
+                    * 1e6 + 0.5) AS BIGINT) AS heaps_beta_micro
+  FROM moments
+)
+SELECT source,
+       CAST(pts AS BIGINT) AS docs,
+       total_tokens, vocab_size, heaps_beta_micro,
+       CAST(FLOOR((CAST(sy AS DOUBLE)
+                   - CAST(heaps_beta_micro AS DOUBLE) / 1e6
+                     * CAST(sx AS DOUBLE))
+                  / CAST(pts AS DOUBLE) + 0.5) AS BIGINT)
+         AS heaps_logk_micro
+FROM fit
+"""
+
+
 QUERIES = {
     "zipf_vocab_stats": q_zipf_vocab_stats,
+    "heaps_vocab_growth": q_heaps_vocab_growth,
 }
 
 ORACLES = {
     "zipf_vocab_stats": ORACLE_ZIPF,
+    "heaps_vocab_growth": ORACLE_HEAPS,
 }

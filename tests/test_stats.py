@@ -456,3 +456,37 @@ def test_zipf_slope_on_constructed_power_law(spark, tmp_path):
     u = out["uniform"]
     assert u.zipf_slope_micro == 0  # all counts equal -> flat fit
     assert u.distinct_tokens == 200 and u.total_tokens == 1000
+
+
+def test_heaps_growth_on_constructed_corpora(spark, tmp_path):
+    """A corpus where every doc repeats the same vocabulary has a flat
+    growth curve after doc 1 (beta near 0); a corpus where every doc
+    introduces only fresh tokens grows linearly (beta = 1 exactly,
+    since V = N at every prefix)."""
+    from etl_python_spark.operators.vocab import q_heaps_vocab_growth
+
+    docs = []
+    fixed = " ".join(f"f{j}" for j in range(20))
+    for i in range(10):  # same 20 types every doc
+        docs.append((i, fixed, "en", "flat", 20))
+    k = 0
+    for i in range(10, 20):  # 20 fresh types per doc
+        docs.append(
+            (i, " ".join(f"n{k + j}" for j in range(20)), "en", "lin", 20)
+        )
+        k += 20
+    spark.createDataFrame(
+        docs,
+        "doc_id long, text string, lang string, source string,"
+        " n_chars long",
+    ).write.parquet(str(tmp_path / "documents.parquet"))
+    out = {r.source: r for r in q_heaps_vocab_growth(
+        spark, str(tmp_path)
+    ).collect()}
+    lin = out["lin"]
+    assert lin.vocab_size == lin.total_tokens == 200
+    assert lin.heaps_beta_micro == 1_000_000  # V = N exactly -> beta 1
+    assert lin.heaps_logk_micro == 0          # ln k = 0 -> k = 1
+    flat = out["flat"]
+    assert flat.vocab_size == 20 and flat.total_tokens == 200
+    assert 0 <= flat.heaps_beta_micro < 200_000  # near-flat growth
