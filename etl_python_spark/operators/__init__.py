@@ -44,6 +44,7 @@ VERIFY_PRIORITY = (
     "walk_forward_split",
     "zipf_vocab_stats",
     "heaps_vocab_growth",
+    "mad_outliers",
     "market_basket",
     "pagerank_copurchase",
     "event_transitions",

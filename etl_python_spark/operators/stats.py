@@ -817,6 +817,115 @@ FROM cum c JOIN sizes s ON c.cohort_m = s.cohort_m
 
 
 # ---------------------------------------------------------------------------
+# MAD outlier screen (robust alternative to the z-score outlier_events)
+# ---------------------------------------------------------------------------
+
+MAD_K = 1.4826       # consistency constant: MAD*K estimates sigma
+MAD_CUTOFF = 3.5     # |x - med| / (K*MAD) beyond this flags an outlier
+
+
+def q_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Median-absolute-deviation outlier screen over order values per
+    priority class — the robust companion to the mean/std z-score
+    `outlier_events` (one extreme order inflates a stddev and HIDES
+    its peers; the median pair is immune to ~50% contamination).
+
+    Exactness: values are integer cents, so each group median is an
+    exact .0/.5 double in any engine (the theil_sen precedent);
+    deviations |x - med| are then exact .0/.5 doubles and the MAD is
+    an exact .0/.25/.5/.75 double.  The single robust-z division is
+    micro-quantized; `nullif` keeps a zero-MAD group (>=50% identical
+    values) NULL-flagged rather than crashing.
+
+    Scale shape: one map-side-combined median aggregate per group
+    (K groups), broadcast back to the scan; a second bounded
+    aggregate over deviations; one final broadcast join + filter —
+    the fact table is never shuffled.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    keyed = o.select(
+        "o_orderkey",
+        "o_orderpriority",
+        cents(F.col("o_totalprice")).alias("amount_c"),
+    )
+    med = keyed.groupBy("o_orderpriority").agg(
+        F.median("amount_c").cast("double").alias("med")
+    )
+    dev = keyed.join(F.broadcast(med), "o_orderpriority").select(
+        "o_orderkey",
+        "o_orderpriority",
+        "amount_c",
+        "med",
+        F.abs(F.col("amount_c").cast("double") - F.col("med")).alias("dev"),
+    )
+    mad = dev.groupBy("o_orderpriority").agg(
+        F.median("dev").cast("double").alias("mad")
+    )
+    rz_micro = F.floor(
+        F.col("dev")
+        / F.nullif(F.col("mad") * F.lit(MAD_K), F.lit(0.0))
+        * F.lit(1e6)
+        + F.lit(0.5)
+    ).cast("long")
+    scored = dev.join(F.broadcast(mad), "o_orderpriority").select(
+        "o_orderkey",
+        "o_orderpriority",
+        "amount_c",
+        "med",
+        "mad",
+        rz_micro.alias("rz_micro"),
+        (F.col("dev") > F.col("mad") * F.lit(MAD_K) * F.lit(MAD_CUTOFF))
+        .alias("is_outlier"),
+    )
+    # report the TOP-N most extreme rows per group (flag carried as a
+    # column): a threshold-only output is empty on well-behaved data,
+    # which the correctness gate rightly treats as a weak check
+    w_top = Window.partitionBy("o_orderpriority").orderBy(
+        F.col("rz_micro").desc(), F.col("o_orderkey")
+    )
+    return (
+        scored.select(
+            "*", F.row_number().over(w_top).alias("extremeness_rank")
+        )
+        .filter(F.col("extremeness_rank") <= 20)
+    )
+
+
+ORACLE_MAD_OUTLIERS = f"""
+WITH keyed AS (
+  SELECT o_orderkey, o_orderpriority,
+         CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) AS amount_c
+  FROM orders
+), med AS (
+  SELECT o_orderpriority, CAST(MEDIAN(amount_c) AS DOUBLE) AS med
+  FROM keyed GROUP BY 1
+), dev AS (
+  SELECT k.o_orderkey, k.o_orderpriority, k.amount_c, m.med,
+         ABS(CAST(k.amount_c AS DOUBLE) - m.med) AS dev
+  FROM keyed k JOIN med m USING (o_orderpriority)
+), mad AS (
+  SELECT o_orderpriority, CAST(MEDIAN(dev) AS DOUBLE) AS mad
+  FROM dev GROUP BY 1
+), scored AS (
+  SELECT d.o_orderkey, d.o_orderpriority, d.amount_c, d.med, m.mad,
+         CAST(FLOOR(d.dev / NULLIF(m.mad * {MAD_K}, 0.0) * 1e6 + 0.5)
+              AS BIGINT) AS rz_micro,
+         d.dev > m.mad * {MAD_K} * {MAD_CUTOFF} AS is_outlier
+  FROM dev d JOIN mad m USING (o_orderpriority)
+)
+SELECT *
+FROM (
+  SELECT *,
+         ROW_NUMBER() OVER (PARTITION BY o_orderpriority
+                            ORDER BY rz_micro DESC, o_orderkey)
+           AS extremeness_rank
+  FROM scored
+)
+WHERE extremeness_rank <= 20
+"""
+
+
+# ---------------------------------------------------------------------------
 # Walk-forward cross-validation splits (purged temporal folds)
 # ---------------------------------------------------------------------------
 
@@ -1606,6 +1715,7 @@ QUERIES = {
     "cohort_ltv": q_cohort_ltv,
     "gini_concentration": q_gini_concentration,
     "walk_forward_split": q_walk_forward_split,
+    "mad_outliers": q_mad_outliers,
     "hhi_concentration": q_hhi_concentration,
     "psi_drift": q_psi_drift,
     "chi_square_independence": q_chi_square_independence,
@@ -1621,6 +1731,7 @@ ORACLES = {
     "attribution_last_touch": ORACLE_ATTRIBUTION,
     "gini_concentration": ORACLE_GINI,
     "walk_forward_split": ORACLE_WALK_FORWARD,
+    "mad_outliers": ORACLE_MAD_OUTLIERS,
     "hhi_concentration": ORACLE_HHI,
     "psi_drift": ORACLE_PSI,
     "chi_square_independence": ORACLE_CHI_SQUARE,

@@ -490,3 +490,32 @@ def test_heaps_growth_on_constructed_corpora(spark, tmp_path):
     flat = out["flat"]
     assert flat.vocab_size == 20 and flat.total_tokens == 200
     assert 0 <= flat.heaps_beta_micro < 200_000  # near-flat growth
+
+
+def test_mad_outliers_robust_to_contamination(spark, tmp_path):
+    """Ten clustered values plus two enormous ones: both extremes are
+    flagged (the pair inflates a stddev enough that a plain z-score
+    screen at 3 sigma misses them — the robustness argument), the
+    group median ignores the contamination, and the top-N output is
+    ranked by extremeness."""
+    from etl_python_spark.operators.stats import q_mad_outliers
+
+    vals = [100.0, 101.0, 99.0, 100.0, 102.0, 98.0, 100.0, 101.0,
+            99.0, 100.0, 90000.0, 80000.0]
+    _write_orders(
+        spark,
+        tmp_path,
+        [
+            (k, 1, "O", v, dt.date(2024, 1, 1), "1-URGENT")
+            for k, v in enumerate(vals)
+        ],
+    )
+    out = sorted(
+        q_mad_outliers(spark, str(tmp_path)).collect(),
+        key=lambda r: r.extremeness_rank,
+    )
+    assert len(out) == 12  # fewer rows than TOP-N: all kept
+    assert out[0].amount_c == 9_000_000 and out[0].is_outlier
+    assert out[1].amount_c == 8_000_000 and out[1].is_outlier
+    assert not any(r.is_outlier for r in out[2:])  # cluster all clean
+    assert out[0].med == 10_000.0  # median untouched by the extremes
