@@ -68,6 +68,9 @@ EXTENDED = [
     "pagerank_copurchase",
     "fuzzy_components",
     "market_basket",
+    # late round-8: the dedup-endgame composition (pair graph + CC +
+    # corpus join) — the soak's slowest entry, watch it per round
+    "leakage_safe_split",
 ]
 
 

@@ -93,7 +93,9 @@ def test_pq_invariants(spark):
 
 @pytest.mark.parametrize(
     "name",
-    ["incremental_dedup", "shard_balance", "outlier_events", "dedup_keep_best"],
+    ["incremental_dedup", "shard_balance", "outlier_events", "dedup_keep_best",
+     "leakage_safe_split", "walk_forward_split", "mad_outliers",
+     "heaps_vocab_growth"],
 )
 def test_partitioning_invariance(spark, name):
     """Scale-correctness property: the result must not depend on the
