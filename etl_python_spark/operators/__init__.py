@@ -45,6 +45,7 @@ VERIFY_PRIORITY = (
     "zipf_vocab_stats",
     "heaps_vocab_growth",
     "mad_outliers",
+    "markov_attribution",
     "market_basket",
     "pagerank_copurchase",
     "event_transitions",

@@ -834,8 +834,287 @@ FROM deg d LEFT JOIN corners c ON d.pk = c.pk
 """
 
 
+# ---------------------------------------------------------------------------
+# Markov removal-effect attribution (data-driven multi-touch)
+# ---------------------------------------------------------------------------
+
+MARKOV_CHANNELS = ("view", "click", "signup", "error")
+MARKOV_ITERS = 24  # fixed-point iterations; chains this shallow converge <10
+
+
+def _journey_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(from_state, to_state) journey-graph edge stream: per user the
+    event sequence splits into journeys at each purchase; START opens
+    every journey, CONV absorbs a converting journey, DROP absorbs an
+    abandoned one.  All data-sized work happens here — one user-keyed
+    shuffle for the windows, then edge rows."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    isp = F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+    steps = ev.select(
+        "user_id",
+        "ts",
+        "event_id",
+        "event_type",
+        isp.alias("isp"),
+        (
+            F.sum(isp).over(w.rowsBetween(Window.unboundedPreceding, 0))
+            - isp
+        ).alias("jid"),
+    )
+    jstats = steps.groupBy("user_id", "jid").agg(
+        F.max("isp").alias("has_conv"),
+        F.sum(F.lit(1) - F.col("isp")).alias("n_touch"),
+    )
+    wj = Window.partitionBy("user_id", "jid").orderBy("ts", "event_id")
+    touches = steps.filter(F.col("isp") == 0).select(
+        "user_id",
+        "jid",
+        "event_type",
+        F.row_number().over(wj).alias("rn"),
+        F.lead("event_type").over(wj).alias("nxt"),
+    )
+    first = touches.filter(F.col("rn") == 1).select(
+        F.lit("START").alias("from_state"),
+        F.col("event_type").alias("to_state"),
+    )
+    mid = touches.filter(F.col("nxt").isNotNull()).select(
+        F.col("event_type").alias("from_state"),
+        F.col("nxt").alias("to_state"),
+    )
+    last = (
+        touches.filter(F.col("nxt").isNull())
+        .join(jstats, ["user_id", "jid"])
+        .select(
+            F.col("event_type").alias("from_state"),
+            F.when(F.col("has_conv") == 1, F.lit("CONV"))
+            .otherwise(F.lit("DROP"))
+            .alias("to_state"),
+        )
+    )
+    instant = jstats.filter(
+        (F.col("has_conv") == 1) & (F.col("n_touch") == 0)
+    ).select(
+        F.lit("START").alias("from_state"), F.lit("CONV").alias("to_state")
+    )
+    return first.unionByName(mid).unionByName(last).unionByName(instant)
+
+
+def _absorb_micro(rows, iters: int = MARKOV_ITERS) -> int:
+    """P(absorb in CONV | START) in integer micro-units from
+    (from_state, to_state, prob_micro) rows — pure-integer fixed-point
+    iteration (round-half-up at each step), so the oracle's unrolled
+    HUGEINT CTE chain reproduces it bit-for-bit."""
+    transient = sorted({f for f, _, _ in rows})
+    p = {s: 0 for s in transient}
+    for _ in range(iters):
+        nxt = {}
+        for s in transient:
+            acc = 0
+            for f, t, pm in rows:
+                if f != s:
+                    continue
+                if t == "CONV":
+                    pv = 1_000_000
+                elif t == "DROP":
+                    pv = 0
+                else:
+                    pv = p.get(t, 0)
+                acc += pm * pv
+            nxt[s] = (2 * acc + 1_000_000) // 2_000_000
+        p = nxt
+    return p.get("START", 0)
+
+
+def q_markov_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Markov removal-effect attribution — the data-driven upgrade of
+    `attribution_last_touch`: each channel's credit is how much the
+    journey graph's conversion probability DROPS when that channel is
+    removed (its inbound edges redirected to abandonment), normalized
+    across channels.  Last-touch over-credits the final click; removal
+    effect prices every position on the path.
+
+    Exactness: transition probabilities quantize to integer
+    micro-units with the integer round-half-up (2a+b)//(2b) — no
+    floats anywhere — and the absorption fixed point iterates
+    MARKOV_ITERS steps in pure integer arithmetic, re-quantizing each
+    step, so the DuckDB oracle (an unrolled HUGEINT CTE chain built by
+    `_markov_oracle()`) reproduces every intermediate bit.
+
+    Scale shape: the data-sized stage is ONE user-keyed shuffle
+    producing journey edges + one K²-cell count aggregate (K = event
+    types + 3 marker states).  The <=49-cell matrix is
+    bounded-METADATA (the k-means codebook precedent), so the
+    5-scenario absorption solve runs on the driver in O(iters * K²) —
+    constant — and the result re-enters Spark as a 4-row DataFrame.
+    """
+    cells = (
+        _journey_edges(spark, sf_dir)
+        .groupBy("from_state", "to_state")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .collect()
+    )
+    tot = {}
+    for r in cells:
+        tot[r.from_state] = tot.get(r.from_state, 0) + r.cnt
+    tmat = [
+        (
+            r.from_state,
+            r.to_state,
+            (2 * r.cnt * 1_000_000 + tot[r.from_state])
+            // (2 * tot[r.from_state]),
+        )
+        for r in cells
+    ]
+    p_full = _absorb_micro(tmat)
+    out = []
+    effects = {}
+    for ch in MARKOV_CHANNELS:
+        removed = [
+            (f, "DROP" if t == ch else t, pm)
+            for f, t, pm in tmat
+            if f != ch
+        ]
+        p_rem = _absorb_micro(removed)
+        effects[ch] = p_full - p_rem
+    s_eff = sum(effects.values())
+    for ch in MARKOV_CHANNELS:
+        re_c = effects[ch]
+        attr = (
+            (2 * re_c * 1_000_000 + s_eff) // (2 * s_eff)
+            if s_eff > 0
+            else None
+        )
+        out.append((ch, p_full, p_full - re_c, re_c, attr))
+    return spark.createDataFrame(
+        out,
+        "channel string, p_full_micro long, p_removed_micro long,"
+        " removal_effect_micro long, attribution_micro long",
+    )
+
+
+def _markov_oracle() -> str:
+    """Unrolled-CTE DuckDB restatement of the full pipeline: journey
+    edges, integer-rounded transition matrix, and MARKOV_ITERS
+    fixed-point steps for the base chain and each removal scenario —
+    all in HUGEINT arithmetic matching the driver's Python ints."""
+    scen = {"full": None}
+    for ch in MARKOV_CHANNELS:
+        scen[f"no_{ch}"] = ch
+    parts = [
+        """
+WITH steps AS (
+  SELECT user_id, ts, event_id, event_type,
+         CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS isp,
+         SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+           OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS UNBOUNDED PRECEDING)
+           - CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS jid
+  FROM events
+), jstats AS (
+  SELECT user_id, jid, MAX(isp) AS has_conv,
+         SUM(1 - isp) AS n_touch
+  FROM steps GROUP BY 1, 2
+), touches AS (
+  SELECT user_id, jid, event_type,
+         ROW_NUMBER() OVER (PARTITION BY user_id, jid
+                            ORDER BY ts, event_id) AS rn,
+         LEAD(event_type) OVER (PARTITION BY user_id, jid
+                                ORDER BY ts, event_id) AS nxt
+  FROM steps WHERE isp = 0
+), edges AS (
+  SELECT 'START' AS from_state, event_type AS to_state
+  FROM touches WHERE rn = 1
+  UNION ALL
+  SELECT event_type, nxt FROM touches WHERE nxt IS NOT NULL
+  UNION ALL
+  SELECT t.event_type,
+         CASE WHEN j.has_conv = 1 THEN 'CONV' ELSE 'DROP' END
+  FROM touches t JOIN jstats j USING (user_id, jid)
+  WHERE t.nxt IS NULL
+  UNION ALL
+  SELECT 'START', 'CONV' FROM jstats WHERE has_conv = 1 AND n_touch = 0
+), cells AS (
+  SELECT from_state, to_state, CAST(COUNT(*) AS HUGEINT) AS cnt
+  FROM edges GROUP BY 1, 2
+), tmat AS MATERIALIZED (
+  SELECT from_state, to_state,
+         (2 * cnt * 1000000 + SUM(cnt) OVER (PARTITION BY from_state))
+           // (2 * SUM(cnt) OVER (PARTITION BY from_state)) AS prob_micro
+  FROM cells
+)"""
+    ]
+    for name, ch in scen.items():
+        if ch is None:
+            parts.append(
+                f", t_{name} AS MATERIALIZED (SELECT from_state, to_state, prob_micro"
+                f" FROM tmat)"
+            )
+        else:
+            parts.append(
+                f""", t_{name} AS MATERIALIZED (
+  SELECT from_state,
+         CASE WHEN to_state = '{ch}' THEN 'DROP' ELSE to_state END
+           AS to_state,
+         prob_micro
+  FROM tmat WHERE from_state <> '{ch}'
+)"""
+            )
+        prev = f"p_{name}_0"
+        parts.append(
+            f", {prev} AS MATERIALIZED (SELECT DISTINCT from_state AS state,"
+            f" CAST(0 AS HUGEINT) AS p_micro FROM t_{name})"
+        )
+        for k in range(1, MARKOV_ITERS + 1):
+            cur = f"p_{name}_{k}"
+            parts.append(
+                f""", {cur} AS MATERIALIZED (
+  SELECT t.from_state AS state,
+         (2 * SUM(t.prob_micro
+                  * (CASE WHEN t.to_state = 'CONV' THEN 1000000
+                          WHEN t.to_state = 'DROP' THEN 0
+                          ELSE COALESCE(p.p_micro, 0) END))
+          + 1000000) // 2000000 AS p_micro
+  FROM t_{name} t LEFT JOIN {prev} p ON p.state = t.to_state
+  GROUP BY 1
+)"""
+            )
+            prev = cur
+        parts.append(
+            f", r_{name} AS MATERIALIZED (SELECT COALESCE((SELECT p_micro FROM {prev}"
+            f" WHERE state = 'START'), 0) AS p)"
+        )
+    chans = ", ".join(f"('{c}')" for c in MARKOV_CHANNELS)
+    rem = " ".join(
+        f"WHEN c.channel = '{c}' THEN (SELECT p FROM r_no_{c})"
+        for c in MARKOV_CHANNELS
+    )
+    parts.append(
+        f""", chan AS (
+  SELECT c.channel,
+         (SELECT p FROM r_full) AS p_full,
+         CASE {rem} END AS p_rem
+  FROM (VALUES {chans}) AS c(channel)
+), eff AS (
+  SELECT channel, p_full, p_rem, p_full - p_rem AS re,
+         SUM(p_full - p_rem) OVER () AS s_eff
+  FROM chan
+)
+SELECT channel,
+       CAST(p_full AS BIGINT) AS p_full_micro,
+       CAST(p_rem AS BIGINT) AS p_removed_micro,
+       CAST(re AS BIGINT) AS removal_effect_micro,
+       CAST(CASE WHEN s_eff > 0
+                 THEN (2 * re * 1000000 + s_eff) // (2 * s_eff)
+            END AS BIGINT) AS attribution_micro
+FROM eff"""
+    )
+    return "".join(parts)
+
+
 QUERIES = {
     "market_basket": q_market_basket,
+    "markov_attribution": q_markov_attribution,
     "graph_triangles": q_graph_triangles,
     "pagerank_copurchase": q_pagerank_copurchase,
     "item_similarity": q_item_similarity,
@@ -847,6 +1126,7 @@ QUERIES = {
 
 ORACLES = {
     "market_basket": ORACLE_MARKET_BASKET,
+    "markov_attribution": _markov_oracle(),
     "pagerank_copurchase": ORACLE_PAGERANK,
     "graph_triangles": ORACLE_GRAPH_TRIANGLES,
     "item_similarity": ORACLE_ITEM_SIMILARITY,

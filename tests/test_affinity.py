@@ -287,3 +287,37 @@ def test_triangles_known_graphs(spark, tmp_path):
     assert out[1].degree == 4 and out[1].triangles == 3
     assert out[1].clustering_coeff == 0.5
     assert out[5].triangles == 0 and out[5].clustering_coeff == 0.0
+
+
+def test_markov_attribution_hand_computed(spark, tmp_path):
+    """Two journeys: A = view->click->purchase, B = view->(abandon).
+    Transition matrix: START->view 1.0; view->{click .5, DROP .5};
+    click->CONV 1.0.  So P(conv) = 0.5; removing view OR click kills
+    every converting path (removal effect 0.5 each, attribution split
+    50/50); signup/error never appear (effect 0)."""
+    import datetime as dt
+
+    from etl_python_spark.operators.affinity import q_markov_attribution
+
+    rows = [
+        (0, dt.datetime(2024, 1, 1, 9), 1, "view", 1.0, "{}"),
+        (1, dt.datetime(2024, 1, 1, 10), 1, "click", 1.0, "{}"),
+        (2, dt.datetime(2024, 1, 1, 11), 1, "purchase", 1.0, "{}"),
+        (3, dt.datetime(2024, 1, 1, 9), 2, "view", 1.0, "{}"),
+    ]
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    ).write.parquet(str(tmp_path / "events.parquet"))
+    out = {r.channel: r for r in q_markov_attribution(
+        spark, str(tmp_path)
+    ).collect()}
+    assert out["view"].p_full_micro == 500_000
+    assert out["view"].p_removed_micro == 0
+    assert out["click"].p_removed_micro == 0
+    assert out["view"].attribution_micro == 500_000
+    assert out["click"].attribution_micro == 500_000
+    assert out["signup"].removal_effect_micro == 0
+    assert out["error"].removal_effect_micro == 0
+    assert out["error"].p_removed_micro == 500_000  # chain untouched
