@@ -1,0 +1,108 @@
+"""Cross-row identities over the REAL sf0.001 testdata: each new-family
+query carries an internal algebraic identity that must hold exactly
+(or to the documented micro-rounding slack) on whatever data flows
+through — a drift guard complementing the value oracles, which only
+compare engines to each other."""
+
+import math
+
+from tests.conftest import SF_SMOKE
+
+
+def test_seasonal_decomposition_identity(spark):
+    """residual = 1e6*rev - trend_micro - seasonal for every interior
+    row, where trend_micro re-derives from the exposed trend24."""
+    from etl_python_spark.operators.stats import q_seasonal_decompose
+
+    for r in q_seasonal_decompose(spark, SF_SMOKE).collect():
+        if r.trend24 is None:
+            assert r.residual_micro is None
+            continue
+        trend_micro = math.floor(r.trend24 / 24.0 * 1e6 + 0.5)
+        assert (
+            r.residual_micro
+            == 1_000_000 * r.rev_c - trend_micro - r.seasonal_micro
+        ), r
+
+
+def test_chi_square_total_is_sum_of_contributions(spark):
+    from etl_python_spark.operators.stats import q_chi_square_independence
+
+    rows = q_chi_square_independence(spark, SF_SMOKE).collect()
+    total = sum(r.contrib_micro for r in rows)
+    assert all(r.chi2_micro == total for r in rows)
+    n_pri = len({r.o_orderpriority for r in rows})
+    n_st = len({r.o_orderstatus for r in rows})
+    assert rows[0].dof == (n_pri - 1) * (n_st - 1)
+
+
+def test_markov_attribution_shares_sum_to_one(spark):
+    """Removal can only destroy converting paths (effects >= 0 up to
+    one micro of per-step rounding) and shares reconcile to 1e6 within
+    the largest-remainder slack of four roundings."""
+    from etl_python_spark.operators.affinity import q_markov_attribution
+
+    rows = q_markov_attribution(spark, SF_SMOKE).collect()
+    assert len(rows) == 4
+    for r in rows:
+        assert r.removal_effect_micro >= -1, r
+        assert r.p_removed_micro <= r.p_full_micro + 1, r
+    if all(r.attribution_micro is not None for r in rows):
+        s = sum(r.attribution_micro for r in rows)
+        assert abs(s - 1_000_000) <= 4, s
+
+
+def test_walk_forward_windows_are_disjoint(spark):
+    """Within every fold train and test never share a month, and the
+    embargo month sits in neither; across folds the test windows tile
+    without overlap (step == horizon)."""
+    from etl_python_spark.operators.stats import q_walk_forward_split
+
+    rows = q_walk_forward_split(spark, SF_SMOKE).collect()
+    months = {}
+    for r in rows:
+        t = r.o_orderdate.year * 12 + r.o_orderdate.month
+        months.setdefault(r.fold, {"train": set(), "test": set()})[
+            r.split
+        ].add(t)
+    test_windows = []
+    for fold, d in months.items():
+        assert d["train"].isdisjoint(d["test"]), fold
+        assert max(d["train"]) + 1 < min(d["test"]), fold  # embargo gap
+        test_windows.append(d["test"])
+    for i in range(len(test_windows)):
+        for j in range(i + 1, len(test_windows)):
+            assert test_windows[i].isdisjoint(test_windows[j])
+
+
+def test_concentration_bounds_on_real_data(spark):
+    from etl_python_spark.operators.stats import (
+        q_gini_concentration,
+        q_hhi_concentration,
+    )
+
+    for g in q_gini_concentration(spark, SF_SMOKE).collect():
+        assert 0 <= g.gini_micro < 1_000_000, g
+    for h in q_hhi_concentration(spark, SF_SMOKE).collect():
+        assert h.n >= 1
+        assert h.hhi_micro >= math.floor(1e6 / h.n + 0.5) - 1, h
+        assert h.hhi_micro <= 1_000_000, h
+
+
+def test_heaps_and_zipf_plausible_on_real_corpus(spark):
+    """The synthetic documents corpus is natural-ish text: Zipf slope
+    strictly negative, Heaps beta in (0, 1], vocab <= tokens."""
+    from etl_python_spark.operators.vocab import (
+        q_heaps_vocab_growth,
+        q_zipf_vocab_stats,
+    )
+
+    for z in q_zipf_vocab_stats(spark, SF_SMOKE).collect():
+        assert z.zipf_slope_micro < 0, z
+        assert 0 < z.ttr_micro <= 1_000_000, z
+    for h in q_heaps_vocab_growth(spark, SF_SMOKE).collect():
+        # the synthetic corpus draws from a ~30-word vocabulary that
+        # saturates within the first documents, so beta legitimately
+        # quantizes to 0 for some sources — sub-linear is the bound
+        assert 0 <= h.heaps_beta_micro <= 1_000_000, h
+        assert h.vocab_size <= h.total_tokens, h
