@@ -22,67 +22,22 @@ from pyspark.sql import DataFrame, SparkSession
 #     their round-1 verdict remains valid evidence).
 # Names absent from this tuple keep module order after the block.
 VERIFY_PRIORITY = (
-    # Round-8 rotation (enforced by tests/test_rotation.py against
-    # tools/queries_at_base.json @ round-7 base, see tools/round_base.txt).
-    # Ordering: (a) new or changed this round — the txn/stream-sink
-    # hardening flipped every stream query's transitive fingerprint,
-    # plus the new changepoint spine; (b) the 25 queries whose last
-    # driver verdict is round 5 or older; (c) top-up with the
-    # alphabetically-first round-6-verdict queries.  The round-7
-    # window rotates out entirely — its verdicts are freshest.
-    # (a) new or changed in round 8 (late-round batches 3-5 first —
-    # they have never had ANY driver verdict):
-    "chi_square_independence",
-    "spearman_corr",
-    "seasonal_decompose",
-    "gini_concentration",
-    "hhi_concentration",
-    "psi_drift",
-    "embedding_covariance",
-    "leakage_safe_split",
-    "stream_psi_drift",
-    "walk_forward_split",
-    "zipf_vocab_stats",
-    "heaps_vocab_growth",
-    "mad_outliers",
-    "markov_attribution",
-    "market_basket",
-    "pagerank_copurchase",
-    "event_transitions",
-    "rfm_segments",
-    "benford_audit",
-    "priority_entropy",
-    "fuzzy_match",
-    "fuzzy_components",
-    "attribution_last_touch",
-    "ks_segments",
-    "ewma_revenue",
-    "stream_cms_heavy_hitters",
-    "theil_sen_trend",
-    "mann_whitney",
-    "item_similarity",
-    "duplicate_payments",
-    "cohort_ltv",
-    "graph_triangles",
-    "substring_spans",
-    "histogram_quantiles",
-    "gap_fill_interpolate",
-    "stream_histogram_quantiles",
-    "weighted_sample",
-    "proration",
-    "scd2_intervals",
-    "km_survival",
-    "corr_matrix",
-    "pareto_abc",
-    "temperature_mix",
-    "dsir_scores",
-    "hll_users",
-    "cms_heavy_hitters",
-    "stream_hll_users",
-    "kmv_overlap",
-    "bloom_semi_filter",
-    "nb_quality_scores",
+    # Round-9 rotation (enforced by tests/test_rotation.py against
+    # tools/queries_at_base.json @ round-8 base, see tools/round_base.txt).
+    # Ordering (round-8 verdict items 1-2): (a) queries that have NEVER
+    # had a driver verdict come first — ml_changepoint_spine landed at
+    # slot 51 in round 8 and is the only such query; (b) the 7 stream
+    # queries whose fingerprints were flipped by the round-8 txn
+    # hardening (their last DRIVER verdict predates the change — the
+    # round-8 off-window re-verification was builder-side evidence
+    # only); (c) new or changed in round 9; (d) the 25 queries whose
+    # last driver verdict is round 5; (e) top-up with the
+    # alphabetically-first round-6-verdict queries.  The round-7 and
+    # round-8 windows rotate out entirely — their verdicts are
+    # freshest (see the window-debt report in tools/verify_round.py).
+    # (a) never driver-verified (round-7 verdict item 7, still open):
     "ml_changepoint_spine",
+    # (b) fingerprint-flipped in round 8, driver verdict stale:
     "stream_dedup_exact",
     "stream_hourly_counts",
     "stream_incremental_dedup",
@@ -90,7 +45,8 @@ VERIFY_PRIORITY = (
     "stream_static_enriched",
     "stream_stream_join",
     "stream_user_totals",
-    # (b) last driver verdict round 5 or older:
+    # (c) new or changed in round 9:
+    # (d) last driver verdict round 5:
     "corpus_mix",
     "cube_report",
     "doc_fingerprint",
@@ -116,7 +72,7 @@ VERIFY_PRIORITY = (
     "tfidf_top_terms",
     "token_count",
     "value_counts",
-    # (c) top-up from the round-6-verdict cohort (alphabetical):
+    # (e) top-up from the round-6-verdict cohort (alphabetical):
     "ann_bruteforce",
     "ann_bruteforce_pandas",
     "ann_ivf",
@@ -127,6 +83,13 @@ VERIFY_PRIORITY = (
     "curation_pipeline",
     "decontaminate",
     "dedup_exact",
+    "dedup_keep_best",
+    "dedup_keep_canonical",
+    "dq_report",
+    "embedding_neardup",
+    "embedding_stats",
+    "faturamento_rollup",
+    "funnel_conversion",
 )
 
 

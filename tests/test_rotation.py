@@ -61,6 +61,69 @@ def test_changed_queries_sit_in_the_driver_window():
     )
 
 
+def test_never_driver_verified_queries_outrank_round_changes():
+    """Round-8 verdict item 2: the r8 window put 50 same-round new
+    queries ahead of ``ml_changepoint_spine`` — a query with NO driver
+    verdict in any round — which landed at slot 51 and ended the round
+    unverdicted.  Invariant: a query that existed at the round base and
+    has never received a green driver CORRECTNESS row must occupy a
+    window slot BEFORE any query changed/created during the round.
+    Changed queries at least carry builder-side ``offwindow_verified``
+    records when displaced; never-verified ones have nothing.
+    (This test fails on the round-8 ordering and passes on round 9's.)
+    """
+    import glob
+
+    from etl_python_spark import operators
+    from tools.rotation_hash import query_fingerprints
+
+    base = json.loads((REPO / "tools" / "queries_at_base.json").read_text())
+    current = query_fingerprints()
+
+    verified_ever: set[str] = set()
+    for p in glob.glob(str(REPO / "CORRECTNESS_r*.json")):
+        doc = json.loads(Path(p).read_text())
+        for name, row in doc.get("queries", doc).items():
+            if (
+                isinstance(row, dict)
+                and row.get("rows_match")
+                and row.get("schema_match", True)
+                and row.get("hash_match", True)
+                and not row.get("error")
+            ):
+                verified_ever.add(name)
+    assert verified_ever, "no green driver rows parsed — file format drift?"
+
+    window = [
+        n for n in operators.VERIFY_PRIORITY if n in operators.all_queries()
+    ][:50]
+    idx = {n: i for i, n in enumerate(window)}
+
+    # Debt = at the round base AND never driver-verified in any round.
+    debt = sorted(n for n in base if n not in verified_ever and n in current)
+    changed = sorted(n for n, h in current.items() if base.get(n) != h)
+
+    missing = [n for n in debt if n not in idx]
+    assert not missing, (
+        f"queries with NO driver verdict in any CORRECTNESS_r*.json must "
+        f"occupy the 50-slot window, not rely on builder-side records: "
+        f"{missing}"
+    )
+    if debt:
+        worst_debt = max(idx[n] for n in debt)
+        jumped = [
+            n
+            for n in changed
+            if n not in debt and n in idx and idx[n] < worst_debt
+        ]
+        assert not jumped, (
+            f"changed-this-round queries {jumped} occupy window slots ahead "
+            f"of never-driver-verified queries "
+            f"{[n for n in debt if idx[n] == worst_debt]} — reorder "
+            f"VERIFY_PRIORITY so verdict debt drains first"
+        )
+
+
 def test_window_is_exactly_the_first_fifty():
     """VERIFY_PRIORITY must resolve to actual queries — a typo'd name
     silently shrinks the window."""
