@@ -1206,6 +1206,32 @@ JOIN dims dj ON p.j = dj.d
 PCA_COMPONENTS = 8
 
 
+def _pca_fit_components(spark: SparkSession, sf_dir: str, k: int):
+    """Top-``k`` principal components of the embedding corpus: driver
+    eigh over the exact d x d covariance (:func:`q_embedding_covariance`
+    — the same bounded-metadata collect as the k-means codebook), with
+    the largest-|coefficient| entry of each component made positive so
+    the result is deterministic (eigenvectors are sign-ambiguous).
+    Returns ``(comps d x k, explained k)``."""
+    import numpy as np
+
+    cov_rows = q_embedding_covariance(spark, sf_dir).collect()
+    d = EMB_DIM
+    cov = np.zeros((d, d))
+    for r in cov_rows:
+        v = r.cov_nano / 1e9
+        cov[r.i, r.j] = v
+        cov[r.j, r.i] = v
+    vals, vecs = np.linalg.eigh(cov)  # ascending eigenvalues
+    order = np.argsort(vals)[::-1][:k]
+    comps = vecs[:, order]  # d x k
+    for c in range(comps.shape[1]):  # deterministic sign
+        m = np.argmax(np.abs(comps[:, c]))
+        if comps[m, c] < 0:
+            comps[:, c] = -comps[:, c]
+    return comps, vals[order]
+
+
 def pca_project(
     spark: SparkSession, sf_dir: str, k: int = PCA_COMPONENTS
 ) -> DataFrame:
@@ -1227,21 +1253,7 @@ def pca_project(
     """
     import numpy as np
 
-    cov_rows = q_embedding_covariance(spark, sf_dir).collect()
-    d = EMB_DIM
-    cov = np.zeros((d, d))
-    for r in cov_rows:
-        v = r.cov_nano / 1e9
-        cov[r.i, r.j] = v
-        cov[r.j, r.i] = v
-    vals, vecs = np.linalg.eigh(cov)  # ascending eigenvalues
-    order = np.argsort(vals)[::-1][:k]
-    comps = vecs[:, order]  # d x k
-    for c in range(comps.shape[1]):  # deterministic sign
-        m = np.argmax(np.abs(comps[:, c]))
-        if comps[m, c] < 0:
-            comps[:, c] = -comps[:, c]
-    explained = vals[order]
+    comps, explained = _pca_fit_components(spark, sf_dir, k)
     bc = spark.sparkContext.broadcast(
         (comps.astype("float64"), explained.astype("float64"))
     )
@@ -1266,6 +1278,96 @@ def pca_project(
     )
 
 
+# Pinned PCA components (round-8 verdict item 5): nano-quantized
+# eigenvector coefficients, PCA_COMPONENTS rows x EMB_DIM columns,
+# fitted ONCE at the driver's correctness scale with
+# ``python tools/pin_pca.py`` and shipped as literals so the Spark
+# query and the DuckDB oracle share the exact same matrix at every
+# scale factor.  eigh itself is not SQL-restatable; the fit is covered
+# by the oracled ``embedding_covariance`` + the planted-axes unit
+# test, and THIS surface value-checks the distributed projection.
+PCA_PINNED_NANO: tuple[tuple[int, ...], ...] = ()
+
+
+def q_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PCA projection onto the pinned component matrix — the oracled
+    surface of the PCA family (the runtime-fit path is
+    :func:`pca_project`; ref `Modelo de Previsão de Vendas.py` has no
+    PCA — this is part of the beyond-reference embedding toolkit).
+
+    Exactness: embeddings quantize once to integer micro-units and the
+    component coefficients are integer nano-units, so every term of
+    the matmul is an exact int64 product and the dot product is an
+    exact integer SUM — order-independent by construction (the
+    sum-order parity rule), which is what makes an Arrow-batched
+    numpy matmul hash-match a SQL SUM.  One final identical
+    floor-quantization emits integer micro-unit projections.
+
+    Scale shape: the component matrix is a kilobyte-sized closure
+    constant; the projection is ONE narrow mapInPandas pass (no
+    shuffle, no join), then a posexplode to (vec_id, pc) rows.  At
+    100 TB this is embarrassingly parallel and the int64 matmul is
+    BLAS-free (exact), batch-bounded memory.
+    """
+    import numpy as np
+
+    emb = spread(load_table(spark, sf_dir, "embeddings"), "vec_id").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    qa = F.transform(
+        F.col("v"), lambda x: F.floor(x * 1e6 + F.lit(0.5)).cast("long")
+    )
+    quant = emb.select("vec_id", qa.alias("qa"))
+    comps = np.array(PCA_PINNED_NANO, dtype="int64")  # k x d
+
+    def project(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            x = np.vstack(pdf["qa"].to_numpy()).astype("int64")  # n x d
+            raw = x @ comps.T  # n x k, exact int64 (max |term| ~4e15)
+            yield pd.DataFrame({"vec_id": pdf["vec_id"], "raw": list(raw)})
+
+    proj = quant.mapInPandas(project, schema="vec_id long, raw array<long>")
+    return proj.select(
+        "vec_id", F.posexplode("raw").alias("pc", "raw_c")
+    ).select(
+        "vec_id",
+        F.col("pc").cast("int").alias("pc"),
+        F.floor(F.col("raw_c").cast("double") / 1e9 + F.lit(0.5))
+        .cast("long")
+        .alias("proj_micro"),
+    )
+
+
+def _pca_oracle() -> str:
+    rows = ", ".join(
+        f"({c}, [{', '.join(str(x) for x in cv)}])"
+        for c, cv in enumerate(PCA_PINNED_NANO)
+    )
+    return f"""
+WITH q AS (
+  SELECT vec_id,
+         list_transform(
+           embedding,
+           x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1e6 + 0.5) AS BIGINT)
+         ) AS qa
+  FROM embeddings
+), comps AS (
+  SELECT * FROM (VALUES {rows}) AS t(pc, cv)
+), raw AS (
+  SELECT q.vec_id, comps.pc,
+         SUM(CAST(qa[d.d + 1] AS HUGEINT)
+             * CAST(cv[d.d + 1] AS HUGEINT)) AS s
+  FROM q, comps, (SELECT unnest(range(0, {EMB_DIM})) AS d) d
+  GROUP BY 1, 2
+)
+SELECT vec_id, CAST(pc AS INTEGER) AS pc,
+       CAST(FLOOR(CAST(s AS DOUBLE) / 1e9 + 0.5) AS BIGINT) AS proj_micro
+FROM raw
+"""
+
+
 QUERIES = {
     "ann_bruteforce": q_ann_bruteforce,
     "embedding_covariance": q_embedding_covariance,
@@ -1280,6 +1382,7 @@ QUERIES = {
     "pq_codes": q_pq_codes,
     "ann_pq_adc": q_ann_pq_adc,
     "embedding_stats": q_embedding_stats,
+    "pca_project": q_pca_project,
 }
 
 ORACLES = {

@@ -37,3 +37,29 @@ def test_bench_extended_group(spark, capsys, monkeypatch):
     assert doc["extended_total"] > 0
     assert abs(doc["value"] - sum(doc["queries"].values())) < 1e-6
     assert not set(bench.EXTENDED) & set(doc["queries"])
+
+
+def test_extended_gate_flags_injected_regression():
+    """Round-8 verdict item 4: the extended group is gated, not just
+    banked — verify_round.check_extended alarms on a 2x-and-+2s warm
+    regression vs the previous round's BENCH file, and stays quiet on
+    noise-sized drift, sub-second blips, and first bankings."""
+    import sys
+    from pathlib import Path
+
+    sys.path.insert(0, str(Path(__file__).resolve().parent.parent / "tools"))
+    from verify_round import check_extended
+
+    baseline = {"extended": {"semantic_dedup": 3.66, "pq_probe": 0.4}}
+    # 2.2x and +4.4s -> alarm
+    alarms = check_extended({"extended": {"semantic_dedup": 8.05}}, baseline)
+    assert len(alarms) == 1 and "semantic_dedup" in alarms[0]
+    # 1.5x -> no alarm
+    assert not check_extended({"extended": {"semantic_dedup": 5.5}}, baseline)
+    # 3x but sub-second absolute delta (+0.8s < +2s floor) -> no alarm
+    assert not check_extended({"extended": {"pq_probe": 1.2}}, baseline)
+    # first banking: query absent from baseline -> no alarm
+    assert not check_extended({"extended": {"new_heavy": 9.9}}, baseline)
+    # empty/missing baselines -> no alarm
+    assert not check_extended({"extended": {"semantic_dedup": 8.0}}, {})
+    assert not check_extended({}, baseline)

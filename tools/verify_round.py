@@ -97,12 +97,101 @@ def main() -> int:
             return 1
     if not bare_inventory():
         return 1
-    if not fast and not run("bench", [py, "bench.py"], 1800):
+    if not fast and not bench_gate(py):
         return 1
     if not fast and not soak_gate(py):
         return 1
     print("ALL GATES GREEN")
     return 0
+
+
+def check_extended(
+    current: dict, baseline: dict, factor: float = 2.0, slack: float = 2.0
+) -> list[str]:
+    """Alarm lines for extended-group regressions (round-8 verdict
+    item 4: the heavy-family bench group was banked but unguarded).
+
+    Mirrors the soak rule: a query alarms when its time exceeds BOTH
+    ``factor``x the previous round's banked value AND baseline+``slack``
+    seconds (the +slack floor keeps sub-second queries from alarming on
+    noise).  ``current``/``baseline`` are bench.py output docs; queries
+    absent from the baseline's ``extended`` map are skipped (first
+    banking has nothing to diff).
+    """
+    base = (baseline or {}).get("extended") or {}
+    cur = (current or {}).get("extended") or {}
+    alarms = []
+    for name, sec in cur.items():
+        ref = base.get(name)
+        if ref is not None and sec > factor * ref and sec > ref + slack:
+            alarms.append(
+                f"extended regression: {name} {sec:.2f}s vs banked "
+                f"{ref:.2f}s (>{factor:.0f}x and +{slack:.0f}s)"
+            )
+    return alarms
+
+
+def _latest_banked_bench() -> dict | None:
+    """Newest BENCH_r*.json that carries an ``extended`` map."""
+    import glob
+    import json
+    import re
+
+    banked = sorted(
+        glob.glob(os.path.join(REPO, "BENCH_r*.json")),
+        key=lambda p: int(re.search(r"r(\d+)", os.path.basename(p)).group(1)),
+    )
+    for path in reversed(banked):
+        try:
+            with open(path, encoding="utf-8") as fh:
+                doc = json.load(fh)
+        except (OSError, ValueError):
+            continue
+        if doc.get("extended"):
+            return doc
+    return None
+
+
+def bench_gate(py: str) -> bool:
+    """Run bench.py, then diff the extended group against the newest
+    banked round (soak-style 2x-and-+2s alarm)."""
+    import json
+
+    # -x: exact process-name match — `pgrep -f java` counts shell
+    # wrappers whose command line merely mentions java
+    strays = subprocess.run(
+        ["pgrep", "-cx", "java"], capture_output=True, text=True
+    ).stdout.strip()
+    if strays not in ("", "0"):
+        print(
+            f"WARN bench: {strays} java process(es) already running — "
+            f"timings may be load-contaminated (kill strays first)",
+            flush=True,
+        )
+    t0 = time.time()
+    print("==> bench: python bench.py", flush=True)
+    try:
+        proc = subprocess.run(
+            [py, "bench.py"], cwd=REPO, timeout=1800,
+            capture_output=True, text=True,
+        )
+    except subprocess.TimeoutExpired:
+        print("FAIL bench: timeout after 1800s")
+        return False
+    if proc.returncode != 0:
+        tail = "\n".join((proc.stdout + proc.stderr).splitlines()[-3:])
+        print(f"FAIL bench ({time.time()-t0:.0f}s)\n{tail}\n")
+        return False
+    line = [l for l in proc.stdout.splitlines() if l.startswith("{")][-1]
+    doc = json.loads(line)
+    print(
+        f"ok   bench ({time.time()-t0:.0f}s) headline={doc['value']}s "
+        f"extended={doc.get('extended_total', 'n/a')}s\n{line}\n"
+    )
+    alarms = check_extended(doc, _latest_banked_bench() or {})
+    for a in alarms:
+        print(f"FAIL {a}")
+    return not alarms
 
 
 def soak_gate(py: str) -> bool:
