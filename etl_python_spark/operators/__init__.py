@@ -46,6 +46,7 @@ VERIFY_PRIORITY = (
     "stream_stream_join",
     "stream_user_totals",
     # (c) new or changed in round 9:
+    "pca_project",
     # (d) last driver verdict round 5:
     "corpus_mix",
     "cube_report",

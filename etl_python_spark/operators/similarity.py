@@ -1286,7 +1286,16 @@ def pca_project(
 # scale factor.  eigh itself is not SQL-restatable; the fit is covered
 # by the oracled ``embedding_covariance`` + the planted-axes unit
 # test, and THIS surface value-checks the distributed projection.
-PCA_PINNED_NANO: tuple[tuple[int, ...], ...] = ()
+PCA_PINNED_NANO: tuple[tuple[int, ...], ...] = (
+    (-209639798, -120573271, 36547189, 11819823, 75669733, 13214945, 90584220, 286617809, 49546791, 414056555, 65304786, 182080199, 65131885, -36530783, 171149395, -185350107, 88990253, -157027507, -30137084, 32178795, 61212593, -110687863, -83475527, -55436816, 19550274, 199125823, -37517165, 149506910, -172879140, -6123928, -58715494, 62037892, 296538096, 106163313, -32042188, 104143031, 44539117, 61464023, 13005965, 21771101, -116678935, 5525273, -240838026, 95707349, -28307099, -225127460, 8731641, -79036867, -83680854, -118451527, 120459684, 72483089, -17185687, 81603863, -15032759, -66764517, -55650961, -51375616, 60197002, -91138842, 121986894, 50650586, -218211250, -102013917),
+    (-3837201, -54430865, -12568567, -88133452, 174858170, 25214572, 74946458, -69982005, 77447722, 30696455, 105758237, -17882518, 12975590, 133697544, 14559784, 41391547, 148411287, 360309074, -54188483, -50764818, 32543165, 35391149, 65334658, -309122059, -257681893, -239065451, -20637733, -223509, -86285799, -174533427, -24067981, -217544877, 29464071, 61538140, 33753233, 79219304, 59467437, 36498357, 182107008, 46673508, 8638, 46987620, -62767343, -179190502, 172687300, -188835421, -46946066, 145778945, 112924235, -113280805, -157431576, -81975818, 12980206, -16092574, 238034225, 23384124, -302820133, 16383017, 135434420, -121586213, -83669536, 84839689, -443196, -78615763),
+    (-148043631, -85123897, -63946940, -457796, -204374982, -43742004, 117753906, -284498680, 44402106, 23715660, -51180032, 35701762, -60179569, -34551910, 9449280, -234545697, 171372828, -84927589, 116047650, 77328902, 13131715, 175307846, -100648147, 53375390, 92557790, 100083547, 90637679, -134142867, 10278591, -105404119, -122860342, 90912519, 48251730, -180661078, -29769417, -102163181, 139077781, -212551798, -63456719, -103929687, 189479576, 190109493, -125854416, -208932703, 165865310, 52837419, 42796937, 18019677, -68320152, -51275376, -129498913, -106454497, 227800305, -153295223, -179152568, -1920207, -5379698, 109725011, 182794948, -52684361, -69558150, 288431034, -90080236, -75530208),
+    (68087175, 62691818, 8786532, 172524144, -257964254, 107122764, -23205224, 177544998, -115218245, 136204068, 7643389, 201942228, -60776072, -140225875, -93115195, 49306890, 96827954, 71427908, -9317683, -203162002, -225473412, 157658174, -11857465, 73233612, 27467582, -119086569, 116455504, -3832452, 128925585, -104519791, 152114697, 200575324, -81410626, -17675220, -116500456, 316190657, -116717864, -148440542, -10253046, -48285510, -14505889, -179310, -85651744, -17433549, -75736284, -41520072, -13621257, 369405382, -108513808, -153441717, 66472884, -19776461, 9332755, 5397445, -21911458, 101473839, -170909980, 92929132, -170722651, -73919234, -192063322, -96219232, -84047540, 26295356),
+    (-15083802, 13519610, -173892878, 22542583, 168960539, 308665756, -253094159, -106926899, -17909335, -66131402, -142848187, 361966246, 118300678, 117434254, 114940664, 55717509, -118721329, -113162175, -19022381, -245350196, 31912635, 34455635, -11090227, -109267888, 124750953, 166165827, 35269781, -141378339, -26185803, -182600470, 42271087, 16176277, -62295708, -28464818, -39872151, -53840119, -88026388, 235248962, 49053293, -263073666, -56560045, -100892423, -7516598, -50566196, 117239905, 9090826, -34997679, -20596562, 102960363, -212357076, -133754238, -83336368, -166696228, 96941218, -217878886, -4214554, -5634342, 42295336, 105651731, -4698847, 54060484, 32492896, 72616351, 65457395),
+    (-85441116, 11076948, -174430326, 199717485, 8515056, -29358278, 160187291, -13845192, -112902394, -42295877, 22158208, 36048890, -182302878, 478478270, -85519136, -17419521, 24877392, -196614266, -209696676, -102889593, -63406569, 34680427, 168365039, 34227425, 6175311, -22545304, -184349820, -25273677, 12002069, -52428592, 160649598, -102255490, -158912859, -183941154, -95223800, 15106192, 170469409, 55331950, -75203892, 204144581, -41850895, 269392687, -179156537, -44813580, -38454767, -116105079, 120824677, -7042731, 30181954, 47813001, 163797329, 14020845, 66078177, 111557105, -98578472, -93157399, -89694524, -103181070, -17878426, 136582874, 76578114, -74163547, 76911020, 14380282),
+    (-104675409, 43348660, 330823797, 52809660, 71547520, -239578785, -35971426, -50251426, 5446660, 215590347, -257250326, 80072297, 233532257, 63445789, 106960743, 195544805, 54969652, -158990214, -67737709, 47291582, -41213939, -66684809, -47791134, 27070886, -58880559, 8833990, -138990253, -158658700, 40306568, -125841335, 153661763, -225861330, -111819707, 104938479, 14503437, -188917876, 7212392, -204020798, -132550504, -204495876, 195718446, 87219443, 24971107, -17673154, -66018377, -64664642, -136596166, 44331800, -132115683, -86083672, -50071580, 218180457, 46031049, 149484966, 100367304, 65367329, -14217574, -11947249, -24573890, 14622313, -158237664, -45258519, 130151161, -37123445),
+    (280539125, -137158003, -41268570, 73326085, -19158792, -148486805, -113004886, 88897314, -17384742, 93503398, 153844249, -95338840, 103369117, 22933382, 75438190, 181782268, -160230757, 28634075, -51345873, -17840179, -9984743, 166715828, -3604531, 258527993, -157914664, 56125851, -98220278, -40298822, -14822342, 44012312, 48236567, -80105800, 29626138, 45613614, 103462977, -207261865, -144795272, -112115942, -32951124, 27501192, -101058010, -127308844, -191015225, -88993815, 111293400, 65802243, -142563405, 216763167, 141314032, -18007857, 232057506, -195089666, 10138406, 16705067, -187695948, -49310958, 12940987, -45928890, 316406875, 133030674, 3274098, 51654488, -158509959, -202794672),
+)
 
 
 def q_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1399,4 +1408,5 @@ ORACLES = {
     "pq_codes": ORACLE_PQ_CODES,
     "ann_pq_adc": ORACLE_ANN_PQ_ADC,
     "embedding_stats": ORACLE_EMBEDDING_STATS,
+    "pca_project": _pca_oracle(),
 }

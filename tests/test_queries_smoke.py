@@ -143,3 +143,31 @@ def test_pca_project_recovers_planted_axes(spark, tmp_path):
         assert abs(got[0] - a) < 1e-3, (k, got)
         assert abs(got[1] - b) < 1e-3, (k, got)
         assert abs(got[2]) < 1e-3  # no variance beyond the two axes
+
+
+def test_pca_project_pinned_matches_numpy_reference(spark):
+    """The oracled pca_project surface: quantized int64 matmul against
+    the PINNED component literals must equal an independent numpy
+    restatement of the same exact-integer pipeline (micro-quantize ->
+    int64 dot -> floor to micro-units)."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from etl_python_spark.operators import similarity as sim
+
+    tbl = pq.read_table(SF_SMOKE + "/embeddings.parquet").to_pydict()
+    comps = np.array(sim.PCA_PINNED_NANO, dtype="int64")
+    assert comps.shape == (sim.PCA_COMPONENTS, sim.EMB_DIM)
+    expect = {}
+    for vid, emb in zip(tbl["vec_id"], tbl["embedding"]):
+        qa = np.floor(np.asarray(emb, dtype="float64") * 1e6 + 0.5).astype(
+            "int64"
+        )
+        raw = qa @ comps.T
+        for pc in range(sim.PCA_COMPONENTS):
+            expect[(vid, pc)] = int(np.floor(raw[pc] / 1e9 + 0.5))
+
+    rows = sim.q_pca_project(spark, SF_SMOKE).collect()
+    assert len(rows) == len(expect)
+    for r in rows:
+        assert expect[(r.vec_id, r.pc)] == r.proj_micro, (r.vec_id, r.pc)
