@@ -341,19 +341,50 @@ FROM documents d LEFT JOIN comp c USING (doc_id)
 #  propagation / Hash-to-Min style CC-on-MapReduce.)
 # ---------------------------------------------------------------------------
 
-def connected_components(edges: DataFrame, max_iter: int = 50) -> DataFrame:
+# Kernel switch (round-8 verdict item 6).  Warm A/B on the near-dup
+# pair graph (fresh session each, min of warm runs — PLAN_AUDIT.md):
+# sf0.1 min_label 2.08 s vs star 2.57 s; sf1 (10x, replica-chained
+# clusters) min_label 14.1 s vs star 10.0 s.  The crossover is round
+# count: min_label pays O(diameter) rounds and the sf1 corpus chains
+# replicas into deeper clusters — exactly what a multi-source corpus
+# does at 100 TB — while the alternating large-star/small-star
+# contraction halves depth per round (O(log diameter); a 200-deep
+# path graph converges in <20 star rounds but needs ~199 min-label
+# rounds, pinned in tests/test_invariants.py).  Star is therefore the
+# scale default; min_label remains the cheaper kernel for graphs
+# known to be shallow.  Equality of the two kernels is pinned on real
+# pair graphs and deep chains.
+CC_ALGORITHM = "star"
+
+
+def connected_components(
+    edges: DataFrame, max_iter: int = 50, algorithm: str | None = None
+) -> DataFrame:
     """(doc_a, doc_b) undirected edges → (doc_id, component_id) with
     component_id = MIN doc_id reachable.
 
-    Iterative min-label propagation: each round every vertex adopts
-    the minimum label among itself and its neighbors; convergence in
-    ≤ graph-diameter rounds (near-dup clusters are shallow — dup
-    clusters of depth > ~5 are rare, and ``max_iter`` bounds the
-    worst case).  Each round is one join + one aggregate, all keyed
-    shuffles; the convergence check rides the same aggregate via a
-    driver-side count of changed labels (one scalar per round, no
-    data collected).  At lake scale, checkpoint every ~5 rounds to
-    truncate lineage; cluster counts here converge in 1-2 rounds."""
+    ``algorithm`` picks the kernel (default :data:`CC_ALGORITHM`):
+
+    * ``min_label`` — iterative min-label propagation: each round
+      every vertex adopts the minimum label among itself and its
+      neighbors; convergence in ≤ graph-diameter rounds (near-dup
+      clusters are shallow — dup clusters of depth > ~5 are rare, and
+      ``max_iter`` bounds the worst case).  Each round is one join +
+      one aggregate, all keyed shuffles; the convergence check rides
+      the same aggregate via a driver-side count of changed labels
+      (one scalar per round, no data collected).
+    * ``star`` — alternating large-star/small-star contraction
+      (public MapReduce-CC family, Kiveris et al. 2014): each round
+      hangs strictly-larger neighbors off the neighborhood minimum
+      (large-star) then contracts the remaining edges onto it
+      (small-star), halving component depth per round — O(log
+      diameter) rounds for deep chains.
+
+    Both kernels checkpoint per round to truncate lineage and fail
+    loudly on non-convergence (a silent partial result would split
+    components)."""
+    if (algorithm or CC_ALGORITHM) == "star":
+        return _cc_star(edges, max_iter)
     adj = (
         edges.select(F.col("doc_a").alias("u"), F.col("doc_b").alias("w"))
         .union(edges.select(F.col("doc_b").alias("u"), F.col("doc_a").alias("w")))
@@ -398,6 +429,87 @@ def connected_components(edges: DataFrame, max_iter: int = 50) -> DataFrame:
             "(pair-graph diameter exceeds the iteration budget); raise max_iter"
         )
     return labels.select(F.col("v").alias("doc_id"), F.col("lbl").alias("component_id"))
+
+
+def _cc_star(edges: DataFrame, max_iter: int = 50) -> DataFrame:
+    """Alternating large-star/small-star connected components.
+
+    Large-star (keyed on each vertex u over its symmetric
+    neighborhood): every strictly larger neighbor re-attaches to
+    m = min(N(u) ∪ {u}).  Small-star (keyed on the larger endpoint of
+    each edge): all smaller neighbors and u itself attach to the
+    neighborhood minimum.  Each pair of steps at least halves the
+    depth of every tree, so convergence takes O(log diameter) rounds;
+    at the fixed point the edge set is a star per component — (v,
+    root) for every non-root v — which IS the label table.
+
+    Scale shape: both steps are one groupBy + one keyed join on the
+    current edge set (which only shrinks toward star form — no
+    vertex-count blowup); the convergence check is two exact
+    set-difference counts per round on the checkpointed edge sets
+    (bounded driver traffic: two scalars).  Skew note: after one
+    round every high-degree hub IS a component minimum, so its edges
+    key on distinct smaller vertices, not one hot key."""
+    e = (
+        edges.select(F.col("doc_a").alias("u"), F.col("doc_b").alias("w"))
+        .filter(F.col("u") != F.col("w"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    verts = (
+        e.select(F.col("u").alias("v"))
+        .union(e.select(F.col("w").alias("v")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    converged = False
+    for _ in range(max_iter):
+        # large-star: attach strictly larger neighbors to the minimum
+        sym = e.union(e.select(F.col("w").alias("u"), F.col("u").alias("w")))
+        mins = (
+            sym.groupBy("u")
+            .agg(F.min("w").alias("mn"))
+            .select("u", F.least(F.col("u"), F.col("mn")).alias("m"))
+        )
+        large = (
+            sym.join(mins, "u")
+            .filter(F.col("w") > F.col("u"))
+            .select(F.col("w").alias("u"), F.col("m").alias("w"))
+            .distinct()
+        )
+        # small-star: key on the larger endpoint, contract onto the min
+        se = large.select(
+            F.greatest("u", "w").alias("u"), F.least("u", "w").alias("w")
+        )
+        mins2 = se.groupBy("u").agg(F.min("w").alias("m"))
+        joined = se.join(mins2, "u")
+        small = (
+            joined.filter(F.col("w") != F.col("m"))
+            .select(F.col("w").alias("u"), F.col("m").alias("w"))
+            .union(mins2.select("u", F.col("m").alias("w")))
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+        # exact fixed-point check (no hash shortcut: an early stop on a
+        # collision would silently split components)
+        if small.exceptAll(e).count() == 0 and e.exceptAll(small).count() == 0:
+            e = small
+            converged = True
+            break
+        e = small
+    if not converged:
+        raise RuntimeError(
+            f"connected_components(star) did not converge in {max_iter} "
+            "rounds; raise max_iter"
+        )
+    # star form: every non-root appears exactly once as u; roots only as w
+    non_roots = e.select(
+        F.col("u").alias("doc_id"), F.col("w").alias("component_id")
+    )
+    roots = verts.join(
+        e.select(F.col("u").alias("v")).distinct(), "v", "left_anti"
+    ).select(F.col("v").alias("doc_id"), F.col("v").alias("component_id"))
+    return non_roots.union(roots)
 
 
 def q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -106,3 +106,66 @@ def test_heaps_and_zipf_plausible_on_real_corpus(spark):
         # quantizes to 0 for some sources — sub-linear is the bound
         assert 0 <= h.heaps_beta_micro <= 1_000_000, h
         assert h.vocab_size <= h.total_tokens, h
+
+
+def test_cc_star_equals_min_label_on_real_pair_graph(spark):
+    """Round-8 verdict item 6: the two CC kernels must be
+    interchangeable — identical (doc_id, component_id) sets on the
+    real near-dup pair graph."""
+    from etl_python_spark.operators.dedup import (
+        connected_components,
+        q_ngram_jaccard_pairs,
+    )
+
+    pairs = q_ngram_jaccard_pairs(spark, SF_SMOKE).select("doc_a", "doc_b")
+    a = sorted(
+        map(tuple, connected_components(pairs, algorithm="min_label").collect())
+    )
+    b = sorted(
+        map(tuple, connected_components(pairs, algorithm="star").collect())
+    )
+    assert a == b and len(a) > 0
+
+
+def test_cc_star_converges_logarithmically_on_deep_chain(spark):
+    """A 200-vertex path graph has diameter 199: min-label needs ~199
+    rounds (it would blow a 20-round budget), while the alternating
+    star kernel halves depth per round and must finish inside 20 —
+    the O(log d) bound that motivates the switch."""
+    import pytest
+
+    from etl_python_spark.operators.dedup import connected_components
+
+    n = 200
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], "doc_a long, doc_b long"
+    )
+    out = connected_components(chain, max_iter=20, algorithm="star").collect()
+    assert len(out) == n
+    assert all(r.component_id == 0 for r in out)
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(chain, max_iter=20, algorithm="min_label")
+
+
+def test_cc_star_handles_multi_component_graphs(spark):
+    """Separate clusters, reversed/duplicated edges, self-loop noise."""
+    from etl_python_spark.operators.dedup import connected_components
+
+    edges = spark.createDataFrame(
+        [
+            (5, 3), (3, 9),          # component min 3
+            (20, 21), (21, 20),      # duplicate + reversed, min 20
+            (7, 7),                  # self-loop only: dropped entirely
+            (40, 41), (41, 42), (42, 43), (43, 44),  # chain, min 40
+        ],
+        "doc_a long, doc_b long",
+    )
+    got = {
+        r.doc_id: r.component_id
+        for r in connected_components(edges, algorithm="star").collect()
+    }
+    assert got == {
+        3: 3, 5: 3, 9: 3,
+        20: 20, 21: 20,
+        40: 40, 41: 40, 42: 40, 43: 40, 44: 40,
+    }
