@@ -47,6 +47,8 @@ VERIFY_PRIORITY = (
     "stream_user_totals",
     # (c) new or changed in round 9:
     "pca_project",
+    "kmeans_silhouette",
+    "late_supplier_blame",
     # (d) last driver verdict round 5:
     "corpus_mix",
     "cube_report",

@@ -560,8 +560,89 @@ SELECT o_custkey, 'novo' FROM (SELECT o_custkey FROM a98 EXCEPT SELECT o_custkey
 """
 
 
+def q_late_supplier_blame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21-shaped blame analysis (beyond the reference's join
+    inventory — the correlated EXISTS + NOT-EXISTS self-join shape):
+    suppliers who were the ONLY late shipper (> 60 days after order
+    date) in a finalized multi-supplier order, top 20 by blame count.
+
+    Spark-first restatement: instead of two correlated self-joins
+    (EXISTS another supplier / NOT EXISTS another late supplier), one
+    orderkey-grouped aggregate computes per-order distinct-supplier
+    and late-supplier counts, then a single orderkey-keyed join picks
+    the blamed rows — the lineitem fact crosses the wire once, and
+    both shuffles share the l_orderkey partitioning so AQE reuses the
+    exchange.  The supplier dim broadcasts; the final top-20 sorts an
+    aggregate that is supplier-count sized."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_shipdate"
+    )
+    orders = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderstatus") == "F")
+        .select("o_orderkey", "o_orderdate")
+    )
+    flagged = li.join(
+        orders, li.l_orderkey == orders.o_orderkey
+    ).select(
+        "l_orderkey",
+        "l_suppkey",
+        (F.datediff("l_shipdate", "o_orderdate") > 60).cast("int").alias("late"),
+    )
+    per_os = flagged.groupBy("l_orderkey", "l_suppkey").agg(
+        F.max("late").alias("late")
+    )
+    per_o = per_os.groupBy("l_orderkey").agg(
+        F.count(F.lit(1)).alias("n_supp"), F.sum("late").alias("n_late")
+    )
+    blamed = (
+        per_os.filter(F.col("late") == 1)
+        .join(
+            per_o.filter((F.col("n_supp") > 1) & (F.col("n_late") == 1)),
+            "l_orderkey",
+        )
+        .groupBy("l_suppkey")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+    )
+    supplier = load_table(spark, sf_dir, "supplier").select(
+        F.col("s_suppkey"), F.col("s_name")
+    )
+    return (
+        blamed.join(F.broadcast(supplier), blamed.l_suppkey == supplier.s_suppkey)
+        .select("s_name", "numwait")
+        .orderBy(F.desc("numwait"), F.asc("s_name"))
+        .limit(20)
+    )
+
+
+ORACLE_LATE_SUPPLIER_BLAME = """
+WITH flagged AS (
+  SELECT l.l_orderkey, l.l_suppkey,
+         CASE WHEN date_diff('day', o.o_orderdate, l.l_shipdate) > 60
+              THEN 1 ELSE 0 END AS late
+  FROM lineitem l
+  JOIN orders o ON l.l_orderkey = o.o_orderkey AND o.o_orderstatus = 'F'
+), per_os AS (
+  SELECT l_orderkey, l_suppkey, MAX(late) AS late
+  FROM flagged GROUP BY 1, 2
+), per_o AS (
+  SELECT l_orderkey, COUNT(*) AS n_supp, SUM(late) AS n_late
+  FROM per_os GROUP BY 1
+)
+SELECT s.s_name, COUNT(*) AS numwait
+FROM per_os p
+JOIN per_o o ON p.l_orderkey = o.l_orderkey
+JOIN supplier s ON p.l_suppkey = s.s_suppkey
+WHERE p.late = 1 AND o.n_supp > 1 AND o.n_late = 1
+GROUP BY 1
+ORDER BY numwait DESC, s.s_name ASC
+LIMIT 20
+"""
+
+
 QUERIES = {
     "sla_leadtime": q_sla_leadtime,
+    "late_supplier_blame": q_late_supplier_blame,
     "geo_spine_zerofill": q_geo_spine_zerofill,
     "set_ops": q_set_ops,
     "left_enrichment": q_left_enrichment,
@@ -579,6 +660,7 @@ QUERIES = {
 
 ORACLES = {
     "sla_leadtime": ORACLE_SLA,
+    "late_supplier_blame": ORACLE_LATE_SUPPLIER_BLAME,
     "geo_spine_zerofill": ORACLE_GEO_SPINE,
     "set_ops": ORACLE_SET_OPS,
     "left_enrichment": ORACLE_LEFT_ENRICHMENT,

@@ -1278,6 +1278,108 @@ def pca_project(
     )
 
 
+def q_kmeans_silhouette(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-cluster simplified (centroid-based) silhouette for the
+    fitted k-means clustering — the clustering-quality report a
+    curation pipeline reads before trusting cluster-confined passes
+    like :func:`q_semantic_dedup`.
+
+    Exact silhouette is O(n²); the standard scale substitute scores
+    each point by centroid distances only: a = dist to own centroid,
+    b = min dist to any other, s = (b − a) / max(a, b).  That keeps
+    the whole computation ONE projection over the corpus against the
+    K broadcast centroid literals (the same argmin-over-literals
+    shape as :func:`q_kmeans_assign` — no join, no per-point shuffle)
+    followed by a K-row aggregate.
+
+    Exactness: distances reuse the 6dp-rounded squared-L2 expression
+    both engines share; s quantizes once to integer micro-units per
+    point and aggregates as exact integer sums (sum-order rule), with
+    the mean derived from the sum by one identical floor division."""
+    emb = _kmeans_emb(spark, sf_dir)
+    centroids = _kmeans_fit(emb)
+    cells = F.array(
+        *[
+            F.struct(
+                _dist2_lit(F.col("v"), c).alias("d2"), F.lit(k).alias("k")
+            )
+            for k, c in enumerate(centroids)
+        ]
+    )
+    asg = F.array_min(cells)  # struct order = (d2, k): lowest-k tie-break
+    scored = emb.select(
+        asg["k"].alias("cluster"),
+        F.sqrt(asg["d2"]).alias("a"),
+        F.sqrt(
+            F.array_min(
+                F.filter(cells, lambda s: s["k"] != asg["k"])
+            )["d2"]
+        ).alias("b"),
+    )
+    s = F.when(
+        F.greatest("a", "b") > 0,
+        (F.col("b") - F.col("a")) / F.greatest("a", "b"),
+    ).otherwise(F.lit(0.0))
+    return (
+        scored.select(
+            "cluster",
+            F.floor(s * 1e6 + F.lit(0.5)).cast("long").alias("s_micro"),
+        )
+        .groupBy("cluster")
+        .agg(
+            F.count(F.lit(1)).alias("n_members"),
+            F.sum("s_micro").alias("sum_sil_micro"),
+        )
+        .select(
+            F.col("cluster").cast("int").alias("cluster"),
+            "n_members",
+            "sum_sil_micro",
+            F.floor(
+                F.col("sum_sil_micro").cast("double")
+                / F.col("n_members").cast("double")
+                + F.lit(0.5)
+            )
+            .cast("long")
+            .alias("mean_sil_micro"),
+        )
+    )
+
+
+ORACLE_KMEANS_SILHOUETTE = (
+    _kmeans_fit_ctes()
+    + f"""
+, d_all AS (
+  SELECT e.vec_id, c.k, {_sql_d2('e.v', 'c.c')} AS d2
+  FROM emb e CROSS JOIN {_CENT_FINAL} c
+), asg AS (
+  SELECT vec_id, k AS cluster, d2 AS a2 FROM (
+    SELECT vec_id, k, d2,
+           ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2 ASC, k ASC) AS rnk
+    FROM d_all
+  ) WHERE rnk = 1
+), scored AS (
+  SELECT a.vec_id, a.cluster, SQRT(a.a2) AS a,
+         SQRT(MIN(d.d2)) AS b
+  FROM asg a JOIN d_all d ON a.vec_id = d.vec_id AND d.k <> a.cluster
+  GROUP BY 1, 2, 3
+), s_micro AS (
+  SELECT cluster,
+         CAST(FLOOR(CASE WHEN GREATEST(a, b) > 0
+                         THEN (b - a) / GREATEST(a, b) ELSE 0.0 END
+                    * 1e6 + 0.5) AS BIGINT) AS s_micro
+  FROM scored
+)
+SELECT CAST(cluster AS INTEGER) AS cluster,
+       COUNT(*) AS n_members,
+       CAST(SUM(s_micro) AS BIGINT) AS sum_sil_micro,
+       CAST(FLOOR(CAST(SUM(s_micro) AS DOUBLE)
+                  / CAST(COUNT(*) AS DOUBLE) + 0.5) AS BIGINT)
+         AS mean_sil_micro
+FROM s_micro GROUP BY 1
+"""
+)
+
+
 # Pinned PCA components (round-8 verdict item 5): nano-quantized
 # eigenvector coefficients, PCA_COMPONENTS rows x EMB_DIM columns,
 # fitted ONCE at the driver's correctness scale with
@@ -1392,6 +1494,7 @@ QUERIES = {
     "ann_pq_adc": q_ann_pq_adc,
     "embedding_stats": q_embedding_stats,
     "pca_project": q_pca_project,
+    "kmeans_silhouette": q_kmeans_silhouette,
 }
 
 ORACLES = {
@@ -1409,4 +1512,5 @@ ORACLES = {
     "ann_pq_adc": ORACLE_ANN_PQ_ADC,
     "embedding_stats": ORACLE_EMBEDDING_STATS,
     "pca_project": _pca_oracle(),
+    "kmeans_silhouette": ORACLE_KMEANS_SILHOUETTE,
 }
