@@ -49,6 +49,7 @@ VERIFY_PRIORITY = (
     "pca_project",
     "kmeans_silhouette",
     "late_supplier_blame",
+    "training_shuffle",
     # (d) last driver verdict round 5:
     "corpus_mix",
     "cube_report",

@@ -880,7 +880,76 @@ FROM agg
 """
 
 
+SHUF_SALT = "epoch0"
+SHUF_PARTS = 16  # range partitions for the two-phase global row_number
+
+
+def q_training_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic global training shuffle: assign every document a
+    pseudo-random total-order position (1-based) for dataloader
+    consumption — the step between curation and packing that breaks
+    source/time locality in the training stream.  The order is
+    ``hash60(salt || doc_id)`` with doc_id tie-break, so it is
+    engine-agnostic, repartition-stable, and re-keyable per epoch by
+    changing the salt.
+
+    Scale shape (the pareto_abc two-phase pattern — a global
+    ROW_NUMBER without a single-task sort): range-repartition on the
+    shuffle key (pinned with localCheckpoint so both consumers see one
+    consistent partitioning), per-partition local row_number in
+    parallel, then per-partition counts (a SHUF_PARTS-row driver list)
+    become broadcast offsets: global_pos = offset + local position.
+    The oracle restates the plain global window, proving the
+    decomposition computes the identical permutation."""
+    docs = spread(load_table(spark, sf_dir, "documents"), "doc_id")
+    keyed = docs.select(
+        "doc_id",
+        hash60(
+            F.concat(F.lit(SHUF_SALT + "|"), F.col("doc_id").cast("string"))
+        ).alias("skey"),
+    )
+    ranged = keyed.repartitionByRange(
+        SHUF_PARTS, F.asc("skey"), F.asc("doc_id")
+    ).withColumn("pid", F.spark_partition_id())
+    ranged = ranged.localCheckpoint(eager=True)
+
+    from pyspark.sql import Window
+
+    w_local = Window.partitionBy("pid").orderBy(
+        F.asc("skey"), F.asc("doc_id")
+    )
+    local = ranged.withColumn("rn", F.row_number().over(w_local))
+
+    counts = ranged.groupBy("pid").agg(F.count(F.lit(1)).alias("n")).collect()
+    counts.sort(key=lambda r: r.pid)
+    offsets, acc = [], 0
+    for r in counts:
+        offsets.append((r.pid, acc))
+        acc += r.n
+    off_df = spark.createDataFrame(offsets, "pid int, offset long")
+
+    return local.join(F.broadcast(off_df), "pid").select(
+        "doc_id",
+        "skey",
+        (F.col("offset") + F.col("rn")).alias("pos"),
+    )
+
+
+ORACLE_TRAINING_SHUFFLE = f"""
+WITH keyed AS (
+  SELECT doc_id,
+         {sql_hash60(f"'{SHUF_SALT}|' || CAST(doc_id AS VARCHAR)")} AS skey
+  FROM documents
+)
+SELECT doc_id, skey,
+       CAST(ROW_NUMBER() OVER (ORDER BY skey ASC, doc_id ASC) AS BIGINT)
+         AS pos
+FROM keyed
+"""
+
+
 QUERIES = {
+    "training_shuffle": q_training_shuffle,
     "decontaminate": q_decontaminate,
     "sample_stratified": q_sample_stratified,
     "weighted_sample": q_weighted_sample,
@@ -894,6 +963,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "training_shuffle": ORACLE_TRAINING_SHUFFLE,
     "decontaminate": ORACLE_DECONTAMINATE,
     "sample_stratified": ORACLE_SAMPLE_STRATIFIED,
     "weighted_sample": ORACLE_WEIGHTED_SAMPLE,

@@ -169,3 +169,21 @@ def test_cc_star_handles_multi_component_graphs(spark):
         20: 20, 21: 20,
         40: 40, 41: 40, 42: 40, 43: 40, 44: 40,
     }
+
+
+def test_training_shuffle_is_a_permutation(spark):
+    """pos must be a bijection 1..n over the corpus, stable across
+    runs, and actually shuffled (not doc_id order)."""
+    from etl_python_spark.operators.corpus import q_training_shuffle
+
+    rows = q_training_shuffle(spark, SF_SMOKE).collect()
+    n = len(rows)
+    assert sorted(r.pos for r in rows) == list(range(1, n + 1))
+    by_doc = {r.doc_id: r.pos for r in rows}
+    assert len(by_doc) == n
+    # deterministic across a re-run
+    again = {r.doc_id: r.pos for r in q_training_shuffle(spark, SF_SMOKE).collect()}
+    assert again == by_doc
+    # the permutation must not be the identity-ish doc order
+    ordered_docs = sorted(by_doc)
+    assert [by_doc[d] for d in ordered_docs] != sorted(by_doc[d] for d in ordered_docs)
