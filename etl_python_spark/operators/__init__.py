@@ -50,6 +50,8 @@ VERIFY_PRIORITY = (
     "kmeans_silhouette",
     "late_supplier_blame",
     "training_shuffle",
+    "auc_roc",
+    "cluster_label_nmi",
     # (d) last driver verdict round 5:
     "corpus_mix",
     "cube_report",

@@ -1380,6 +1380,165 @@ FROM s_micro GROUP BY 1
 )
 
 
+def q_cluster_label_nmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """External clustering validation: normalized mutual information
+    and purity of the fitted k-means assignment against the ground-
+    truth ``label`` column — the metric that tells a curation pipeline
+    whether its cluster-confined passes (semantic_dedup) align with
+    real structure.
+
+    Exact-integer decomposition (the priority_entropy convention):
+    every log term is floor-quantized to integer micro-nats at the
+    CELL level — I(K;L) cells use n_kl·ln(n_kl·N/(n_k·n_l)), the two
+    entropies use n·ln(n) — so all three aggregates are
+    order-independent integer sums and the only engine-boundary
+    floats are one ln per cell and the final NMI division.  Purity is
+    purely integral: Σ_k max_l n_kl over N.
+
+    Scale shape: one corpus projection against the broadcast centroid
+    literals (argmin — no join), one hash aggregate to the K×L cell
+    table, and everything after runs on ≤ K·L rows."""
+    base = spread(load_table(spark, sf_dir, "embeddings"), "vec_id").select(
+        "vec_id",
+        F.col("embedding").cast("array<double>").alias("v"),
+        "label",
+    )
+    centroids = _kmeans_fit(base.select("vec_id", "v"))
+    cells_arr = F.array(
+        *[
+            F.struct(
+                _dist2_lit(F.col("v"), c).alias("d2"), F.lit(k).alias("k")
+            )
+            for k, c in enumerate(centroids)
+        ]
+    )
+    assigned = base.select(
+        F.array_min(cells_arr)["k"].alias("cluster"), "label"
+    )
+    cells = assigned.groupBy("cluster", "label").agg(
+        F.count(F.lit(1)).alias("n_kl")
+    )
+    nk = cells.groupBy("cluster").agg(F.sum("n_kl").alias("n_k"))
+    nl = cells.groupBy("label").agg(F.sum("n_kl").alias("n_l"))
+    n_total = F.sum("n_kl").over(Window.partitionBy())
+    joint = (
+        cells.join(F.broadcast(nk), "cluster")
+        .join(F.broadcast(nl), "label")
+        .withColumn("n", n_total)
+    )
+    micro = lambda x: F.floor(x * F.lit(1e6) + F.lit(0.5)).cast("long")
+    i_term = micro(
+        F.col("n_kl").cast("double")
+        * F.log(
+            F.col("n_kl").cast("double")
+            * F.col("n").cast("double")
+            / (F.col("n_k").cast("double") * F.col("n_l").cast("double"))
+        )
+    )
+    ent = lambda c: micro(c.cast("double") * F.log(c.cast("double")))
+    agg = joint.agg(
+        F.first("n").alias("n"),
+        F.countDistinct("cluster").alias("n_clusters"),
+        F.countDistinct("label").alias("n_labels"),
+        F.sum(i_term).alias("i_sum_micro"),
+    )
+    hk = nk.agg(F.sum(ent(F.col("n_k"))).alias("hk_cell_micro"))
+    hl = nl.agg(F.sum(ent(F.col("n_l"))).alias("hl_cell_micro"))
+    pure = (
+        cells.groupBy("cluster")
+        .agg(F.max("n_kl").alias("mx"))
+        .agg(F.sum("mx").alias("purity_hits"))
+    )
+    out = agg.crossJoin(hk).crossJoin(hl).crossJoin(pure)
+    nd = F.col("n").cast("double")
+    i_val = F.col("i_sum_micro").cast("double") / 1e6 / nd
+    h_k = F.log(nd) - F.col("hk_cell_micro").cast("double") / 1e6 / nd
+    h_l = F.log(nd) - F.col("hl_cell_micro").cast("double") / 1e6 / nd
+    nmi = F.when(
+        (h_k > 0) & (h_l > 0),
+        F.floor(i_val / F.sqrt(h_k * h_l) * 1e6 + F.lit(0.5)) / 1e6,
+    )
+    purity = (
+        F.floor(
+            F.col("purity_hits").cast("double") / nd * 1e6 + F.lit(0.5)
+        )
+        / 1e6
+    )
+    return out.select(
+        "n",
+        "n_clusters",
+        "n_labels",
+        "i_sum_micro",
+        "hk_cell_micro",
+        "hl_cell_micro",
+        "purity_hits",
+        nmi.alias("nmi"),
+        purity.alias("purity"),
+    )
+
+
+ORACLE_CLUSTER_LABEL_NMI = (
+    _kmeans_fit_ctes()
+    + f"""
+, labeled AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v, label
+  FROM embeddings
+), asg AS (
+  SELECT vec_id, label, k AS cluster FROM (
+    SELECT l.vec_id, l.label, c.k,
+           ROW_NUMBER() OVER (PARTITION BY l.vec_id
+             ORDER BY {_sql_d2('l.v', 'c.c')} ASC, c.k ASC) AS rnk
+    FROM labeled l CROSS JOIN {_CENT_FINAL} c
+  ) WHERE rnk = 1
+), cells AS (
+  SELECT cluster, label, CAST(COUNT(*) AS BIGINT) AS n_kl
+  FROM asg GROUP BY 1, 2
+), nk AS (SELECT cluster, CAST(SUM(n_kl) AS BIGINT) AS n_k FROM cells GROUP BY 1),
+nl AS (SELECT label, CAST(SUM(n_kl) AS BIGINT) AS n_l FROM cells GROUP BY 1),
+nn AS (SELECT CAST(SUM(n_kl) AS BIGINT) AS n FROM cells),
+joint AS (
+  SELECT c.cluster, c.label, c.n_kl, k.n_k, l.n_l, nn.n
+  FROM cells c JOIN nk k USING (cluster) JOIN nl l USING (label), nn
+), agg AS (
+  SELECT MAX(n) AS n,
+         CAST(COUNT(DISTINCT cluster) AS BIGINT) AS n_clusters,
+         CAST(COUNT(DISTINCT label) AS BIGINT) AS n_labels,
+         CAST(SUM(CAST(FLOOR(CAST(n_kl AS DOUBLE)
+               * LN(CAST(n_kl AS DOUBLE) * CAST(n AS DOUBLE)
+                    / (CAST(n_k AS DOUBLE) * CAST(n_l AS DOUBLE)))
+               * 1e6 + 0.5) AS BIGINT)) AS BIGINT) AS i_sum_micro
+  FROM joint
+), hk AS (
+  SELECT CAST(SUM(CAST(FLOOR(CAST(n_k AS DOUBLE) * LN(CAST(n_k AS DOUBLE))
+               * 1e6 + 0.5) AS BIGINT)) AS BIGINT) AS hk_cell_micro FROM nk
+), hl AS (
+  SELECT CAST(SUM(CAST(FLOOR(CAST(n_l AS DOUBLE) * LN(CAST(n_l AS DOUBLE))
+               * 1e6 + 0.5) AS BIGINT)) AS BIGINT) AS hl_cell_micro FROM nl
+), pure AS (
+  SELECT CAST(SUM(mx) AS BIGINT) AS purity_hits
+  FROM (SELECT cluster, MAX(n_kl) AS mx FROM cells GROUP BY 1)
+)
+SELECT a.n, a.n_clusters, a.n_labels, a.i_sum_micro,
+       hk.hk_cell_micro, hl.hl_cell_micro, p.purity_hits,
+       CASE WHEN (LN(CAST(a.n AS DOUBLE))
+                  - CAST(hk.hk_cell_micro AS DOUBLE) / 1e6 / CAST(a.n AS DOUBLE)) > 0
+             AND (LN(CAST(a.n AS DOUBLE))
+                  - CAST(hl.hl_cell_micro AS DOUBLE) / 1e6 / CAST(a.n AS DOUBLE)) > 0
+       THEN FLOOR(
+              (CAST(a.i_sum_micro AS DOUBLE) / 1e6 / CAST(a.n AS DOUBLE))
+              / SQRT((LN(CAST(a.n AS DOUBLE))
+                      - CAST(hk.hk_cell_micro AS DOUBLE) / 1e6 / CAST(a.n AS DOUBLE))
+                     * (LN(CAST(a.n AS DOUBLE))
+                        - CAST(hl.hl_cell_micro AS DOUBLE) / 1e6 / CAST(a.n AS DOUBLE)))
+              * 1e6 + 0.5) / 1e6
+       END AS nmi,
+       FLOOR(CAST(p.purity_hits AS DOUBLE) / CAST(a.n AS DOUBLE) * 1e6 + 0.5)
+         / 1e6 AS purity
+FROM agg a, hk, hl, pure p
+"""
+)
+
+
 # Pinned PCA components (round-8 verdict item 5): nano-quantized
 # eigenvector coefficients, PCA_COMPONENTS rows x EMB_DIM columns,
 # fitted ONCE at the driver's correctness scale with
@@ -1495,6 +1654,7 @@ QUERIES = {
     "embedding_stats": q_embedding_stats,
     "pca_project": q_pca_project,
     "kmeans_silhouette": q_kmeans_silhouette,
+    "cluster_label_nmi": q_cluster_label_nmi,
 }
 
 ORACLES = {
@@ -1513,4 +1673,5 @@ ORACLES = {
     "embedding_stats": ORACLE_EMBEDDING_STATS,
     "pca_project": _pca_oracle(),
     "kmeans_silhouette": ORACLE_KMEANS_SILHOUETTE,
+    "cluster_label_nmi": ORACLE_CLUSTER_LABEL_NMI,
 }

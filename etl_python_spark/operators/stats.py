@@ -1709,7 +1709,106 @@ FROM terms
 """
 
 
+def q_auc_roc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact tie-aware ROC AUC at corpus scale — the evaluation metric
+    a quality-classifier pipeline reports (here: document length as a
+    predictor of lang='en', the same fixed probe every stats query
+    uses so the oracle stays self-contained).
+
+    AUC = P(score_pos > score_neg) + ½·P(tie), computed exactly from
+    per-distinct-score class counts: for each score value v with p
+    positives, g negatives, and G = negatives strictly below v,
+    doubled pair hits are p·(2G + g) — an exact integer, so the
+    whole statistic is one integer sum and ONE final division
+    (doubled-units trick shared with mann_whitney, which this relates
+    to via AUC = U/(n₊·n₋)).
+
+    Scale shape: one hash aggregate to the distinct-score relation
+    (bounded by score cardinality, not corpus size), then the
+    two-phase global cumsum (range partition + local window +
+    broadcast offsets — no single-task sort), then a scalar fold.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    per_v = (
+        docs.select(
+            F.col("n_chars").alias("v"),
+            (F.col("lang") == "en").cast("int").alias("pos"),
+        )
+        .groupBy("v")
+        .agg(
+            F.sum("pos").alias("p"),
+            F.sum(1 - F.col("pos")).alias("g"),
+        )
+    )
+    ranged = per_v.repartitionByRange(N_KS_PARTS, F.asc("v")).withColumn(
+        "pid", F.spark_partition_id()
+    )
+    ranged = ranged.localCheckpoint(eager=True)
+    w_local = Window.partitionBy("pid").orderBy(F.asc("v")).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    local = ranged.select(
+        "v", "pid", "p", "g", F.sum("g").over(w_local).alias("lg")
+    )
+    totals = ranged.groupBy("pid").agg(F.sum("g").alias("tg")).collect()
+    totals.sort(key=lambda r: r.pid)
+    offsets, acc = [], 0
+    for r in totals:
+        offsets.append((r.pid, acc))
+        acc += r.tg
+    off_df = spark.createDataFrame(offsets, "pid int, og long")
+    hits2 = F.col("p") * (
+        2 * (F.col("lg") + F.col("og") - F.col("g")) + F.col("g")
+    )
+    agg = (
+        local.join(F.broadcast(off_df), "pid")
+        .agg(
+            F.sum("p").alias("n_pos"),
+            F.sum("g").alias("n_neg"),
+            F.sum(hits2).alias("hits2"),
+        )
+    )
+    auc = F.when(
+        (F.col("n_pos") > 0) & (F.col("n_neg") > 0),
+        F.floor(
+            F.col("hits2").cast("double")
+            / (2.0 * F.col("n_pos").cast("double") * F.col("n_neg").cast("double"))
+            * 1e6
+            + F.lit(0.5)
+        )
+        / 1e6,
+    )
+    return agg.select("n_pos", "n_neg", "hits2", auc.alias("auc"))
+
+
+ORACLE_AUC_ROC = """
+WITH per_v AS (
+  SELECT n_chars AS v,
+         CAST(SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS p,
+         CAST(SUM(CASE WHEN lang = 'en' THEN 0 ELSE 1 END) AS BIGINT) AS g
+  FROM documents GROUP BY 1
+), cum AS (
+  SELECT v, p, g,
+         SUM(g) OVER (ORDER BY v ASC ROWS UNBOUNDED PRECEDING) AS cg
+  FROM per_v
+), agg AS (
+  SELECT CAST(SUM(p) AS BIGINT) AS n_pos,
+         CAST(SUM(g) AS BIGINT) AS n_neg,
+         CAST(SUM(p * (2 * (cg - g) + g)) AS BIGINT) AS hits2
+  FROM cum
+)
+SELECT n_pos, n_neg, hits2,
+       CASE WHEN n_pos > 0 AND n_neg > 0 THEN
+         FLOOR(CAST(hits2 AS DOUBLE)
+               / (2.0 * CAST(n_pos AS DOUBLE) * CAST(n_neg AS DOUBLE))
+               * 1e6 + 0.5) / 1e6
+       END AS auc
+FROM agg
+"""
+
+
 QUERIES = {
+    "auc_roc": q_auc_roc,
     "attribution_last_touch": q_attribution_last_touch,
     "duplicate_payments": q_duplicate_payments,
     "cohort_ltv": q_cohort_ltv,
@@ -1728,6 +1827,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "auc_roc": ORACLE_AUC_ROC,
     "attribution_last_touch": ORACLE_ATTRIBUTION,
     "gini_concentration": ORACLE_GINI,
     "walk_forward_split": ORACLE_WALK_FORWARD,

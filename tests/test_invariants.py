@@ -187,3 +187,46 @@ def test_training_shuffle_is_a_permutation(spark):
     # the permutation must not be the identity-ish doc order
     ordered_docs = sorted(by_doc)
     assert [by_doc[d] for d in ordered_docs] != sorted(by_doc[d] for d in ordered_docs)
+
+
+def test_auc_roc_matches_bruteforce_pairs(spark):
+    """Exact AUC identity: the doubled-hit integer must equal the
+    brute-force count over all pos x neg pairs (2 per win, 1 per tie)
+    computed directly from the parquet."""
+    import pyarrow.parquet as pq
+
+    from etl_python_spark.operators.stats import q_auc_roc
+
+    t = pq.read_table(SF_SMOKE + "/documents.parquet").to_pydict()
+    pos = [c for c, l in zip(t["n_chars"], t["lang"]) if l == "en"]
+    neg = [c for c, l in zip(t["n_chars"], t["lang"]) if l != "en"]
+    hits2 = sum(2 if p > g else 1 if p == g else 0 for p in pos for g in neg)
+
+    r = q_auc_roc(spark, SF_SMOKE).collect()[0]
+    assert (r.n_pos, r.n_neg, r.hits2) == (len(pos), len(neg), hits2)
+    import math
+
+    assert r.auc == math.floor(hits2 / (2 * len(pos) * len(neg)) * 1e6 + 0.5) / 1e6
+    assert 0.0 <= r.auc <= 1.0
+
+
+def test_cluster_label_nmi_identities(spark):
+    """The exposed integer components must reproduce the derived NMI
+    and purity via the exact same floor expressions, and both scores
+    must live in their theoretical ranges."""
+    import math
+
+    from etl_python_spark.operators.similarity import q_cluster_label_nmi
+
+    r = q_cluster_label_nmi(spark, SF_SMOKE).collect()[0]
+    n = r.n
+    i_val = r.i_sum_micro / 1e6 / n
+    h_k = math.log(n) - r.hk_cell_micro / 1e6 / n
+    h_l = math.log(n) - r.hl_cell_micro / 1e6 / n
+    assert h_k > 0 and h_l > 0
+    expect_nmi = math.floor(i_val / math.sqrt(h_k * h_l) * 1e6 + 0.5) / 1e6
+    assert r.nmi == expect_nmi
+    assert -1e-6 <= r.nmi <= 1.0 + 1e-6
+    assert r.purity == math.floor(r.purity_hits / n * 1e6 + 0.5) / 1e6
+    # purity can never undercut the majority-label baseline
+    assert r.purity_hits * r.n_labels >= n
