@@ -52,6 +52,7 @@ VERIFY_PRIORITY = (
     "training_shuffle",
     "auc_roc",
     "cluster_label_nmi",
+    "dedup_source_matrix",
     # (d) last driver verdict round 5:
     "corpus_mix",
     "cube_report",

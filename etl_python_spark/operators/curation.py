@@ -601,7 +601,82 @@ SELECT doc_id, stage, stage = 'kept' AS manter FROM staged
 """
 
 
+def q_dedup_source_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source near-duplicate contamination matrix: for every
+    unordered source pair, how many near-dup pairs (exact Jaccard,
+    the dedup.py ladder) span it, plus each source's total dup
+    involvement share — the report that tells a curation pipeline
+    WHICH feeds re-publish each other before it picks per-source
+    sampling weights.
+
+    Scale shape: the pair graph (orders of magnitude below the
+    corpus) joins the doc→source map twice; the map is projected to
+    two columns so at lake scale it broadcasts or co-locates on
+    doc_id, and the matrix aggregate runs on source²-bounded rows.
+    Sources are canonically ordered (src_a <= src_b) so the matrix is
+    upper-triangular with within-source pairs on the diagonal."""
+    from .dedup import q_ngram_jaccard_pairs
+
+    pairs = q_ngram_jaccard_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    src = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    sa = src.select(
+        F.col("doc_id").alias("doc_a"), F.col("source").alias("sa")
+    )
+    sb = src.select(
+        F.col("doc_id").alias("doc_b"), F.col("source").alias("sb")
+    )
+    labeled = pairs.join(sa, "doc_a").join(sb, "doc_b")
+    matrix = (
+        labeled.select(
+            F.least("sa", "sb").alias("src_a"),
+            F.greatest("sa", "sb").alias("src_b"),
+        )
+        .groupBy("src_a", "src_b")
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+    )
+    total = Window.partitionBy()
+    return matrix.select(
+        "src_a",
+        "src_b",
+        "n_pairs",
+        (F.col("src_a") == F.col("src_b")).alias("within"),
+        F.floor(
+            F.col("n_pairs").cast("double")
+            / F.sum("n_pairs").over(total).cast("double")
+            * 1e6
+            + F.lit(0.5)
+        ).cast("long").alias("share_micro"),
+    )
+
+
+def _oracle_dedup_source_matrix() -> str:
+    from .dedup import _SQL_PAIRS_BODY
+
+    return (
+        "WITH "
+        + _SQL_PAIRS_BODY
+        + """
+, labeled AS (
+  SELECT LEAST(da.source, db.source) AS src_a,
+         GREATEST(da.source, db.source) AS src_b
+  FROM pairs p
+  JOIN documents da ON p.doc_a = da.doc_id
+  JOIN documents db ON p.doc_b = db.doc_id
+), matrix AS (
+  SELECT src_a, src_b, CAST(COUNT(*) AS BIGINT) AS n_pairs
+  FROM labeled GROUP BY 1, 2
+)
+SELECT src_a, src_b, n_pairs, src_a = src_b AS within,
+       CAST(FLOOR(CAST(n_pairs AS DOUBLE)
+                  / CAST(SUM(n_pairs) OVER () AS DOUBLE) * 1e6 + 0.5)
+            AS BIGINT) AS share_micro
+FROM matrix
+"""
+    )
+
+
 QUERIES = {
+    "dedup_source_matrix": q_dedup_source_matrix,
     "passage_dedup": q_passage_dedup,
     "passage_scrub": q_passage_scrub,
     "substring_spans": q_substring_spans,
@@ -611,6 +686,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "dedup_source_matrix": _oracle_dedup_source_matrix(),
     "passage_dedup": ORACLE_PASSAGE_DEDUP,
     "passage_scrub": ORACLE_PASSAGE_SCRUB,
     "substring_spans": ORACLE_SUBSTRING_SPANS,
