@@ -53,6 +53,7 @@ VERIFY_PRIORITY = (
     "auc_roc",
     "cluster_label_nmi",
     "dedup_source_matrix",
+    "skew_report",
     # (d) last driver verdict round 5:
     "corpus_mix",
     "cube_report",
@@ -132,6 +133,7 @@ def _modules():
         multimodal,
         payroll,
         similarity,
+        skew,
         stats,
         text,
         vocab,
@@ -154,6 +156,7 @@ def _modules():
         multimodal,
         payroll,
         similarity,
+        skew,
         stats,
         text,
         vocab,
