@@ -147,7 +147,9 @@ def _latest_banked_bench() -> dict | None:
                 doc = json.load(fh)
         except (OSError, ValueError):
             continue
-        if doc.get("extended"):
+        # driver-banked files nest the bench payload under "parsed"
+        doc = doc.get("parsed", doc)
+        if isinstance(doc, dict) and doc.get("extended"):
             return doc
     return None
 
