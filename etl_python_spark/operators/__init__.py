@@ -54,6 +54,9 @@ VERIFY_PRIORITY = (
     "cluster_label_nmi",
     "dedup_source_matrix",
     "skew_report",
+    "small_quantity_revenue",
+    "ann_probe_recall",
+    "pq_distortion",
     # (d) last driver verdict round 5:
     "corpus_mix",
     "cube_report",

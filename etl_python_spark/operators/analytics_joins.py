@@ -640,9 +640,85 @@ LIMIT 20
 """
 
 
+def q_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17-shaped correlated-average filter (beyond the
+    reference's join inventory): revenue locked in small-quantity
+    orders of one brand — lineitems whose quantity is below 20% of
+    that part's average quantity, reported as total and yearly-average
+    cents.
+
+    Spark-first restatement of the correlated scalar subquery: ONE
+    partkey-grouped aggregate computes every part's mean quantity,
+    then a partkey-keyed join applies the correlated predicate — the
+    brand's lineitem slice crosses the wire once and both sides share
+    the l_partkey partitioning.  The brand dim filter broadcasts and
+    prunes BEFORE any shuffle.
+
+    Exactness: quantities are integer-valued doubles (sums exact at
+    any order), so avg = sum/count is identical both engines; money
+    quantizes to integer cents per row and aggregates as BIGINT; the
+    yearly average is one identical floor division."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_quantity", "l_extendedprice"
+    )
+    brand_parts = (
+        load_table(spark, sf_dir, "part")
+        .filter(F.col("p_brand") == "Brand#1")
+        .select("p_partkey")
+    )
+    li_b = li.join(
+        F.broadcast(brand_parts), li.l_partkey == brand_parts.p_partkey
+    ).select("l_partkey", "l_quantity", "l_extendedprice")
+    avg_q = li_b.groupBy("l_partkey").agg(
+        (F.sum("l_quantity") / F.count(F.lit(1))).alias("avg_qty")
+    )
+    small = li_b.join(avg_q, "l_partkey").filter(
+        F.col("l_quantity") < 0.2 * F.col("avg_qty")
+    )
+    from ..functions.numeric import cents
+
+    agg = small.agg(
+        F.count(F.lit(1)).alias("n_lineitems"),
+        F.sum(cents(F.col("l_extendedprice"))).alias("rev_c"),
+    )
+    return agg.select(
+        "n_lineitems",
+        "rev_c",
+        F.floor(F.col("rev_c").cast("double") / 7.0 + F.lit(0.5))
+        .cast("long")
+        .alias("avg_yearly_c"),
+    )
+
+
+ORACLE_SMALL_QUANTITY = """
+WITH li_b AS (
+  SELECT l.l_partkey, l.l_quantity, l.l_extendedprice
+  FROM lineitem l
+  JOIN part p ON l.l_partkey = p.p_partkey AND p.p_brand = 'Brand#1'
+), avg_q AS (
+  SELECT l_partkey, SUM(l_quantity) / COUNT(*) AS avg_qty
+  FROM li_b GROUP BY 1
+), small AS (
+  SELECT b.l_extendedprice
+  FROM li_b b JOIN avg_q a ON b.l_partkey = a.l_partkey
+  WHERE b.l_quantity < 0.2 * a.avg_qty
+), agg AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_lineitems,
+         CAST(SUM(CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT))
+              AS BIGINT) AS rev_c
+  FROM small
+)
+SELECT n_lineitems, rev_c,
+       CAST(FLOOR(CAST(rev_c AS DOUBLE) / 7.0 + 0.5) AS BIGINT)
+         AS avg_yearly_c
+FROM agg
+"""
+
+
 QUERIES = {
     "sla_leadtime": q_sla_leadtime,
     "late_supplier_blame": q_late_supplier_blame,
+    "small_quantity_revenue": q_small_quantity_revenue,
     "geo_spine_zerofill": q_geo_spine_zerofill,
     "set_ops": q_set_ops,
     "left_enrichment": q_left_enrichment,
@@ -661,6 +737,7 @@ QUERIES = {
 ORACLES = {
     "sla_leadtime": ORACLE_SLA,
     "late_supplier_blame": ORACLE_LATE_SUPPLIER_BLAME,
+    "small_quantity_revenue": ORACLE_SMALL_QUANTITY,
     "geo_spine_zerofill": ORACLE_GEO_SPINE,
     "set_ops": ORACLE_SET_OPS,
     "left_enrichment": ORACLE_LEFT_ENRICHMENT,

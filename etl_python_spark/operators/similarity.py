@@ -583,7 +583,15 @@ def q_ann_ivf_fitted(spark: SparkSession, sf_dir: str) -> DataFrame:
     pipeline."""
     emb = _kmeans_emb(spark, sf_dir)
     centroids = _kmeans_fit(emb)
+    return _ivf_fitted_topk(emb, centroids, N_PROBE)
 
+
+def _ivf_fitted_topk(
+    emb: DataFrame, centroids: list[list[float]], n_probe: int
+) -> DataFrame:
+    """The probe/score/rank half of fitted IVF, parameterized on the
+    probe count so :func:`q_ann_probe_recall` can sweep it against
+    exact ground truth with ONE shared fit."""
     # Norms evaluated once per row here, not per candidate pair in the
     # final scoring join (identical expression → bit-identical doubles;
     # oracle untouched).
@@ -610,7 +618,7 @@ def q_ann_ivf_fitted(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("q_id", "q_emb", F.col("dc.c_id").alias("c_id"), F.col("dc.d2").alias("d2"))
         .withColumn("rnk", F.row_number().over(w_probe))
-        .filter(F.col("rnk") <= N_PROBE)
+        .filter(F.col("rnk") <= n_probe)
         .select("q_id", "q_emb", _norm(F.col("q_emb")).alias("q_nrm"), "c_id")
     )
 
@@ -1036,6 +1044,21 @@ FROM codes
 """
 )
 
+ORACLE_PQ_DISTORTION = (
+    _PQ_CTES
+    + """
+SELECT CAST(m AS INT) AS m,
+       CAST(COUNT(*) AS BIGINT) AS n_vectors,
+       CAST(SUM(CAST(FLOOR(d2 * 1e6 + 0.5) AS BIGINT)) AS BIGINT)
+         AS sum_err2_micro,
+       CAST(COUNT(DISTINCT code) AS BIGINT) AS codes_used,
+       CAST(FLOOR(
+         CAST(SUM(CAST(FLOOR(d2 * 1e6 + 0.5) AS BIGINT)) AS DOUBLE)
+         / CAST(COUNT(*) AS DOUBLE) + 0.5) AS BIGINT) AS mean_err2_micro
+FROM codes GROUP BY 1
+"""
+)
+
 ORACLE_ANN_PQ_ADC = (
     _PQ_CTES
     + f"""
@@ -1380,6 +1403,168 @@ FROM s_micro GROUP BY 1
 )
 
 
+PROBE_SWEEP = (1, 2, 4)
+
+
+def q_ann_probe_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Measure, don't guess — the IVF tuning curve: recall@k of the
+    FITTED IVF index against exact brute-force ground truth at each
+    probe count in ``PROBE_SWEEP``.  This is the table a 100 TB
+    deployment reads to pick N_PROBE: recall rises with probes while
+    scan cost rises linearly, and guessing either way burns a cluster.
+
+    One shared k-means fit serves every sweep point (the fit is the
+    expensive half); each point reuses the same posting lists and
+    differs only in the probe cut.  Ground truth is the exact cosine
+    top-k (brute force — affordable ONLY as an audit over the
+    N_QUERY-row query set, the same boundedness argument as
+    ann_bruteforce).  tp joins are on (q_id, n_id) over
+    N_QUERY·TOP_K-row relations."""
+    emb = _kmeans_emb(spark, sf_dir)
+    centroids = _kmeans_fit(emb)
+
+    queries = emb.filter(F.col("vec_id") < N_QUERY).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("v").alias("q_emb"),
+        _norm(F.col("v")).alias("q_nrm"),
+    )
+    corpus = emb.select(
+        F.col("vec_id").alias("n_id"),
+        F.col("v").alias("n_emb"),
+        _norm(F.col("v")).alias("n_nrm"),
+    )
+    cos = F.round(
+        _dot(F.col("q_emb"), F.col("n_emb"))
+        / F.nullif(F.col("q_nrm") * F.col("n_nrm"), F.lit(0.0)),
+        4,
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("cosine"), F.asc("n_id"))
+    exact = (
+        corpus.crossJoin(F.broadcast(queries))
+        .filter(F.col("q_id") != F.col("n_id"))
+        .select("q_id", "n_id", cos.alias("cosine"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_K)
+        .select("q_id", "n_id")
+    )
+    ex_n = exact.agg(F.count(F.lit(1)).alias("n_exact"))
+
+    parts = []
+    for p in PROBE_SWEEP:
+        approx = _ivf_fitted_topk(emb, centroids, p).select("q_id", "n_id")
+        tp = approx.join(exact, ["q_id", "n_id"]).agg(
+            F.count(F.lit(1)).alias("tp")
+        )
+        parts.append(
+            tp.crossJoin(ex_n).select(
+                F.lit(p).alias("n_probe"),
+                "tp",
+                "n_exact",
+                F.round(
+                    F.col("tp") / F.nullif(F.col("n_exact"), F.lit(0)), 4
+                ).alias("recall"),
+            )
+        )
+    out = parts[0]
+    for part in parts[1:]:
+        out = out.unionByName(part)
+    return out
+
+
+def _oracle_ann_probe_recall() -> str:
+    exact = f"""
+, exact AS (
+  SELECT q_id, n_id FROM (
+    SELECT q.vec_id AS q_id, n.vec_id AS n_id,
+           ROW_NUMBER() OVER (PARTITION BY q.vec_id
+             ORDER BY ROUND({_DK_COS.format(a='q.v', b='n.v')}, 4) DESC,
+                      n.vec_id ASC) AS rank
+    FROM emb q CROSS JOIN emb n
+    WHERE q.vec_id < {N_QUERY} AND q.vec_id <> n.vec_id
+  ) WHERE rank <= {TOP_K}
+), exn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_exact FROM exact)
+, corpus_cells AS (
+  SELECT vec_id AS n_id, v AS n_emb, k AS c_id FROM (
+    SELECT e.vec_id, e.v, c.k,
+           ROW_NUMBER() OVER (PARTITION BY e.vec_id
+             ORDER BY {_sql_d2('e.v', 'c.c')} ASC, c.k ASC) AS rnk
+    FROM emb e CROSS JOIN {_CENT_FINAL} c
+  ) WHERE rnk = 1
+)"""
+    stats = []
+    for p in PROBE_SWEEP:
+        stats.append(f"""
+, probes_{p} AS (
+  SELECT q_id, q_emb, c_id FROM (
+    SELECT e.vec_id AS q_id, e.v AS q_emb, c.k AS c_id,
+           ROW_NUMBER() OVER (PARTITION BY e.vec_id
+             ORDER BY {_sql_d2('e.v', 'c.c')} ASC, c.k ASC) AS rnk
+    FROM emb e CROSS JOIN {_CENT_FINAL} c
+    WHERE e.vec_id < {N_QUERY}
+  ) WHERE rnk <= {p}
+), approx_{p} AS (
+  SELECT q_id, n_id FROM (
+    SELECT s.q_id, s.n_id,
+           ROW_NUMBER() OVER (PARTITION BY s.q_id
+             ORDER BY s.cosine DESC, s.n_id ASC) AS rank
+    FROM (
+      SELECT p.q_id, cc.n_id,
+             ROUND({_DK_COS.format(a='p.q_emb', b='cc.n_emb')}, 4) AS cosine
+      FROM probes_{p} p JOIN corpus_cells cc ON p.c_id = cc.c_id
+      WHERE p.q_id <> cc.n_id
+    ) s
+  ) WHERE rank <= {TOP_K}
+), stat_{p} AS (
+  SELECT {p} AS n_probe,
+         CAST(COUNT(*) AS BIGINT) AS tp
+  FROM approx_{p} a JOIN exact e ON a.q_id = e.q_id AND a.n_id = e.n_id
+)""")
+        # each stat CTE joins exn in the final select
+    selects = "\nUNION ALL\n".join(
+        f"SELECT CAST(n_probe AS INT) AS n_probe, tp, exn.n_exact, "
+        f"ROUND(CAST(tp AS DOUBLE) / NULLIF(exn.n_exact, 0), 4) AS recall "
+        f"FROM stat_{p}, exn"
+        for p in PROBE_SWEEP
+    )
+    return _kmeans_fit_ctes() + exact + "".join(stats) + "\n" + selects
+
+
+def q_pq_distortion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-subspace PQ quantization quality: how much squared-L2 error
+    the code assignment leaves behind, per subspace — the audit that
+    says whether PQ_KS codes per subspace are enough before ADC search
+    results are trusted.  Pure aggregation over the already-oracled
+    code table (one corpus projection + an M-row aggregate); the
+    6dp-rounded per-row errors quantize to exact micro-units before
+    the sum (sum-order rule), mean by one identical floor division."""
+    emb = _kmeans_emb(spark, sf_dir)
+    codes = _pq_assign(emb, _pq_codebook(emb))
+    err_micro = F.floor(
+        F.col("err2") * F.lit(1e6) + F.lit(0.5)
+    ).cast("long")
+    return (
+        codes.groupBy(F.col("m").cast("int").alias("m"))
+        .agg(
+            F.count(F.lit(1)).alias("n_vectors"),
+            F.sum(err_micro).alias("sum_err2_micro"),
+            F.countDistinct("code").alias("codes_used"),
+        )
+        .select(
+            "m",
+            "n_vectors",
+            "sum_err2_micro",
+            "codes_used",
+            F.floor(
+                F.col("sum_err2_micro").cast("double")
+                / F.col("n_vectors").cast("double")
+                + F.lit(0.5)
+            )
+            .cast("long")
+            .alias("mean_err2_micro"),
+        )
+    )
+
+
 def q_cluster_label_nmi(spark: SparkSession, sf_dir: str) -> DataFrame:
     """External clustering validation: normalized mutual information
     and purity of the fitted k-means assignment against the ground-
@@ -1655,6 +1840,8 @@ QUERIES = {
     "pca_project": q_pca_project,
     "kmeans_silhouette": q_kmeans_silhouette,
     "cluster_label_nmi": q_cluster_label_nmi,
+    "ann_probe_recall": q_ann_probe_recall,
+    "pq_distortion": q_pq_distortion,
 }
 
 ORACLES = {
@@ -1674,4 +1861,6 @@ ORACLES = {
     "pca_project": _pca_oracle(),
     "kmeans_silhouette": ORACLE_KMEANS_SILHOUETTE,
     "cluster_label_nmi": ORACLE_CLUSTER_LABEL_NMI,
+    "ann_probe_recall": _oracle_ann_probe_recall(),
+    "pq_distortion": ORACLE_PQ_DISTORTION,
 }

@@ -230,3 +230,19 @@ def test_cluster_label_nmi_identities(spark):
     assert r.purity == math.floor(r.purity_hits / n * 1e6 + 0.5) / 1e6
     # purity can never undercut the majority-label baseline
     assert r.purity_hits * r.n_labels >= n
+
+
+def test_ann_probe_recall_is_monotone(spark):
+    """More probes can only widen the candidate set, so recall must be
+    non-decreasing in n_probe, and probing every cell the full config
+    uses must reproduce ann_ivf_fitted's hit count."""
+    from etl_python_spark.operators import similarity as sim
+
+    rows = sorted(
+        sim.q_ann_probe_recall(spark, SF_SMOKE).collect(),
+        key=lambda r: r.n_probe,
+    )
+    assert [r.n_probe for r in rows] == list(sim.PROBE_SWEEP)
+    recalls = [r.recall for r in rows]
+    assert recalls == sorted(recalls)
+    assert all(r.n_exact > 0 and 0 <= r.tp <= r.n_exact for r in rows)
