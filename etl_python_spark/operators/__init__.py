@@ -57,6 +57,7 @@ VERIFY_PRIORITY = (
     "small_quantity_revenue",
     "ann_probe_recall",
     "pq_distortion",
+    "simhash_recall_audit",
     # (d) last driver verdict round 5:
     "corpus_mix",
     "cube_report",

@@ -1138,7 +1138,86 @@ WHERE a.doc_id < b.doc_id
 """
 )
 
+def q_simhash_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SimHash twin of :func:`q_minhash_recall_audit` (round-9
+    audit symmetry): precision/recall of the hamming-banded SimHash
+    pair generator against the exact inverted-index Jaccard pairs —
+    the number that says what the 60-bit signature actually buys
+    before anyone swaps it in for the (costlier) MinHash path at
+    100 TB.  Same shape: one full-outer join of two already-bounded
+    pair relations + a single count fold."""
+    ex = q_ngram_jaccard_pairs(spark, sf_dir).select(
+        "doc_a", "doc_b", F.lit(True).alias("in_ex")
+    )
+    sh = q_simhash_neardup(spark, sf_dir).select(
+        "doc_a", "doc_b", F.lit(True).alias("in_sh")
+    )
+    j = sh.join(ex, ["doc_a", "doc_b"], "full_outer").select(
+        F.coalesce("in_sh", F.lit(False)).alias("in_sh"),
+        F.coalesce("in_ex", F.lit(False)).alias("in_ex"),
+    )
+    tp = F.sum((F.col("in_sh") & F.col("in_ex")).cast("int")).cast("bigint")
+    fp = F.sum((F.col("in_sh") & ~F.col("in_ex")).cast("int")).cast("bigint")
+    fn = F.sum((~F.col("in_sh") & F.col("in_ex")).cast("int")).cast("bigint")
+    return j.agg(tp.alias("tp"), fp.alias("fp"), fn.alias("fn")).select(
+        "tp",
+        "fp",
+        "fn",
+        F.round(F.col("tp") / F.nullif(F.col("tp") + F.col("fp"), F.lit(0)), 4)
+        .alias("precision"),
+        F.round(F.col("tp") / F.nullif(F.col("tp") + F.col("fn"), F.lit(0)), 4)
+        .alias("recall"),
+    )
+
+
+def _oracle_simhash_recall() -> str:
+    """Compose the Jaccard-pairs CTE body with the SimHash signature
+    body: the latter's ``norm``/``toks`` CTE names collide with the
+    former's (different definitions), so they are renamed — each
+    replace is count-asserted to fail loudly if either body drifts."""
+    body = _SQL_SIMHASH_SIG
+    for old, new, times in (
+        ("\nWITH norm AS", "\n, sh_norm AS", 1),
+        ("FROM norm\n", "FROM sh_norm\n", 1),
+        ("), toks AS", "), sh_toks AS", 1),
+        ("FROM toks", "FROM sh_toks", 1),
+    ):
+        assert body.count(old) == times, (old, body.count(old))
+        body = body.replace(old, new)
+    return (
+        "WITH "
+        + _SQL_PAIRS_BODY
+        + body
+        + f"""
+, banded AS (
+  {_SQL_SIMHASH_BANDS}
+), sh_pairs AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM banded a JOIN banded b ON a.band = b.band AND a.key = b.key
+  WHERE a.doc_id < b.doc_id
+    AND bit_count(xor(a.simhash, b.simhash)) <= {HAMMING_T}
+), j AS (
+  SELECT s.doc_a IS NOT NULL AS in_sh, e.doc_a IS NOT NULL AS in_ex
+  FROM sh_pairs s FULL OUTER JOIN pairs e
+    ON s.doc_a = e.doc_a AND s.doc_b = e.doc_b
+), agg AS (
+  SELECT CAST(SUM(CASE WHEN in_sh AND in_ex THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+         CAST(SUM(CASE WHEN in_sh AND NOT in_ex THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+         CAST(SUM(CASE WHEN NOT in_sh AND in_ex THEN 1 ELSE 0 END) AS BIGINT) AS fn
+  FROM j
+)
+SELECT tp, fp, fn,
+       ROUND(CAST(tp AS DOUBLE) / NULLIF(tp + fp, 0), 4) AS precision,
+       ROUND(CAST(tp AS DOUBLE) / NULLIF(tp + fn, 0), 4) AS recall
+FROM agg
+"""
+    )
+
+
+QUERIES["simhash_recall_audit"] = q_simhash_recall_audit
+
 ORACLES = {
+    "simhash_recall_audit": _oracle_simhash_recall(),
     "dedup_exact": ORACLE_DEDUP_EXACT,
     "ngram_jaccard_pairs": ORACLE_NGRAM_JACCARD,
     "dedup_components": ORACLE_DEDUP_COMPONENTS,
