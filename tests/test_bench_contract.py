@@ -63,3 +63,23 @@ def test_extended_gate_flags_injected_regression():
     # empty/missing baselines -> no alarm
     assert not check_extended({"extended": {"semantic_dedup": 8.0}}, {})
     assert not check_extended({}, baseline)
+
+
+def test_extended_gate_honors_deliberate_rebaselines():
+    """A deliberate tradeoff re-baselined in tools/extended_baseline.json
+    raises the reference to max(banked, override): the star-CC default
+    (~3.1s at sf0.1) must not alarm against the stale min-label
+    banking (1.94s), while a genuine 2x regression past the OVERRIDE
+    still fires."""
+    import sys
+    from pathlib import Path
+
+    sys.path.insert(0, str(Path(__file__).resolve().parent.parent / "tools"))
+    from verify_round import check_extended
+
+    banked = {"extended": {"dedup_components": 1.94}}
+    # post-switch time under the stale banking alone would alarm...
+    assert not check_extended({"extended": {"dedup_components": 4.36}}, banked)
+    # ...but a real regression beyond the override still fires
+    alarms = check_extended({"extended": {"dedup_components": 9.5}}, banked)
+    assert len(alarms) == 1 and "dedup_components" in alarms[0]

@@ -117,12 +117,36 @@ def check_extended(
     noise).  ``current``/``baseline`` are bench.py output docs; queries
     absent from the baseline's ``extended`` map are skipped (first
     banking has nothing to diff).
+
+    Deliberate design tradeoffs that move a query's expected time
+    (e.g. the round-9 star CC default: +1s at sf0.1, -30% at sf1) are
+    re-baselined in ``tools/extended_baseline.json``; the reference is
+    max(banked, override) so the alarm measures the intended design,
+    not a superseded banking.
     """
+    import json
+
     base = (baseline or {}).get("extended") or {}
     cur = (current or {}).get("extended") or {}
+    try:
+        with open(
+            os.path.join(REPO, "tools", "extended_baseline.json"),
+            encoding="utf-8",
+        ) as fh:
+            override = {
+                k: v
+                for k, v in json.load(fh).items()
+                if not k.startswith("_") and isinstance(v, (int, float))
+            }
+    except (OSError, ValueError):
+        override = {}
     alarms = []
     for name, sec in cur.items():
         ref = base.get(name)
+        if ref is not None and name in override:
+            ref = max(ref, override[name])
+        elif ref is None:
+            ref = override.get(name)
         if ref is not None and sec > factor * ref and sec > ref + slack:
             alarms.append(
                 f"extended regression: {name} {sec:.2f}s vs banked "
