@@ -22,74 +22,18 @@ from pyspark.sql import DataFrame, SparkSession
 #     their round-1 verdict remains valid evidence).
 # Names absent from this tuple keep module order after the block.
 VERIFY_PRIORITY = (
-    # Round-9 rotation (enforced by tests/test_rotation.py against
-    # tools/queries_at_base.json @ round-8 base, see tools/round_base.txt).
-    # Ordering (round-8 verdict items 1-2): (a) queries that have NEVER
-    # had a driver verdict come first — ml_changepoint_spine landed at
-    # slot 51 in round 8 and is the only such query; (b) the 7 stream
-    # queries whose fingerprints were flipped by the round-8 txn
-    # hardening (their last DRIVER verdict predates the change — the
-    # round-8 off-window re-verification was builder-side evidence
-    # only); (c) new or changed in round 9; (d) the 25 queries whose
-    # last driver verdict is round 5; (e) top-up with the
-    # alphabetically-first round-6-verdict queries.  The round-7 and
-    # round-8 windows rotate out entirely — their verdicts are
-    # freshest (see the window-debt report in tools/verify_round.py).
-    # (a) never driver-verified (round-7 verdict item 7, still open):
-    "ml_changepoint_spine",
-    # (b) fingerprint-flipped in round 8, driver verdict stale:
-    "stream_dedup_exact",
-    "stream_hourly_counts",
-    "stream_incremental_dedup",
-    "stream_sessionize",
-    "stream_static_enriched",
-    "stream_stream_join",
-    "stream_user_totals",
-    # (c) new or changed in round 9:
-    "pca_project",
-    "kmeans_silhouette",
-    "late_supplier_blame",
-    "training_shuffle",
-    "auc_roc",
-    "cluster_label_nmi",
-    "dedup_source_matrix",
-    "skew_report",
-    "small_quantity_revenue",
-    "ann_probe_recall",
-    "pq_distortion",
-    "simhash_recall_audit",
-    # (d) last driver verdict round 5:
-    "corpus_mix",
-    "cube_report",
-    "doc_fingerprint",
-    "faturamento_proc",
-    "forecast_revenue_change",
-    "frame_sample",
-    "json_export",
-    "lang_id",
-    "media_resize",
-    "mix_monthly_pivot",
-    "pack_sequences",
-    "pk_audit",
-    "pricing_summary",
-    "quality_filter",
-    "range_condition_join",
-    "repetition_metrics",
-    "rolling_chunks",
-    "sample_stratified",
-    "shipping_priority",
-    "sliding_event_counts",
-    "supplier_region_share",
-    "text_quality",
-    "tfidf_top_terms",
-    "token_count",
-    "value_counts",
-    # (e) top-up from the round-6-verdict cohort (alphabetical):
-    "ann_bruteforce",
-    "ann_bruteforce_pandas",
-    "ann_ivf",
-    "ann_ivf_fitted",
-    "ann_lsh",
+    # Round-10 rotation (enforced by tests/test_rotation.py against
+    # tools/queries_at_base.json @ round-9 base, tools/round_base.txt).
+    # Ordering (round-9 verdict item 1): (a) queries NEW or CHANGED in
+    # round 10 — their prior verdict (if any) is stale; (b) the full
+    # 39-query round-6-verdict cohort (tools/window_debt.py oldest
+    # tier) — draining the inventory's stalest driver evidence; (c)
+    # top-up with the alphabetically-first round-7-verdict names.
+    # Changed-this-round queries displaced past slot 50 carry
+    # offwindow_verified records at their HEAD fingerprint instead.
+    # (a) new or changed in round 10:
+    # -- slots reserved; names inserted as round-10 work lands --
+    # (b) round-6-verdict cohort (all 39):
     "ann_pq_adc",
     "cohort_retention",
     "curation_pipeline",
@@ -102,6 +46,42 @@ VERIFY_PRIORITY = (
     "embedding_stats",
     "faturamento_rollup",
     "funnel_conversion",
+    "incremental_dedup",
+    "kmeans_assign",
+    "kmeans_embeddings",
+    "lm_perplexity",
+    "media_features",
+    "minhash_lsh_pairs",
+    "minhash_recall_audit",
+    "ml_forecast_horizon",
+    "ml_forecast_per_group",
+    "ml_horizon_spine",
+    "ml_lag_features",
+    "ml_proxy_features",
+    "multimodal_metadata",
+    "ngram_jaccard_pairs",
+    "pack_manifest",
+    "passage_dedup",
+    "passage_scrub",
+    "pii_mask",
+    "pq_codes",
+    "revenue_percentiles",
+    "semantic_dedup",
+    "shard_balance",
+    "simhash",
+    "simhash_neardup",
+    "snapshot_diff",
+    "token_budget_mix",
+    "ts_autocorr",
+    # (c) top-up from the round-7-verdict cohort (alphabetical):
+    "anti_join",
+    "asof_rate_enrichment",
+    "balance_integrity",
+    "blacklist_filter",
+    "bpe_encode",
+    "bpe_token_count",
+    "bpe_train",
+    "calendar_dim",
 )
 
 
