@@ -74,9 +74,36 @@ EXTENDED = [
 ]
 
 
+def _env_conditions() -> dict:
+    """Host conditions captured BEFORE this bench's own JVM starts
+    (round-9 verdict item 8): stray java processes and load average,
+    so a future cross-round drift adjudication needs no archaeology —
+    uniform multi-query slowdowns under nonzero strays/load are host
+    contamination, not regressions."""
+    import subprocess
+
+    try:
+        out = subprocess.run(
+            ["pgrep", "-cx", "java"], capture_output=True, text=True
+        ).stdout.strip()
+        strays = int(out) if out else 0
+    except (OSError, ValueError):
+        strays = -1
+    try:
+        load1, load5, _ = os.getloadavg()
+    except OSError:
+        load1 = load5 = -1.0
+    return {
+        "stray_jvms_at_start": strays,
+        "load1_at_start": round(load1, 2),
+        "load5_at_start": round(load5, 2),
+    }
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
+    env_conditions = _env_conditions()
 
     from etl_python_spark.session import get_spark
     from etl_python_spark.operators import all_queries
@@ -136,6 +163,7 @@ def main() -> None:
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         "method": f"per-query warm pass + min of {n_runs} timed runs",
         "spread": spread,
+        "env": env_conditions,
     }
     if os.environ.get("SPARK_GRAFT_BENCH_EXTENDED", "1") != "0":
         ext, ext_spread = bench_group(EXTENDED)

@@ -51,18 +51,31 @@ def test_extended_gate_flags_injected_regression():
     from verify_round import check_extended
 
     baseline = {"extended": {"semantic_dedup": 3.66, "pq_probe": 0.4}}
+    # overrides passed EXPLICITLY (round-9 ADVICE: the injected
+    # scenarios must not depend on the live extended_baseline.json)
+    none = {}
     # 2.2x and +4.4s -> alarm
-    alarms = check_extended({"extended": {"semantic_dedup": 8.05}}, baseline)
+    alarms = check_extended(
+        {"extended": {"semantic_dedup": 8.05}}, baseline, overrides=none
+    )
     assert len(alarms) == 1 and "semantic_dedup" in alarms[0]
     # 1.5x -> no alarm
-    assert not check_extended({"extended": {"semantic_dedup": 5.5}}, baseline)
+    assert not check_extended(
+        {"extended": {"semantic_dedup": 5.5}}, baseline, overrides=none
+    )
     # 3x but sub-second absolute delta (+0.8s < +2s floor) -> no alarm
-    assert not check_extended({"extended": {"pq_probe": 1.2}}, baseline)
+    assert not check_extended(
+        {"extended": {"pq_probe": 1.2}}, baseline, overrides=none
+    )
     # first banking: query absent from baseline -> no alarm
-    assert not check_extended({"extended": {"new_heavy": 9.9}}, baseline)
+    assert not check_extended(
+        {"extended": {"new_heavy": 9.9}}, baseline, overrides=none
+    )
     # empty/missing baselines -> no alarm
-    assert not check_extended({"extended": {"semantic_dedup": 8.0}}, {})
-    assert not check_extended({}, baseline)
+    assert not check_extended(
+        {"extended": {"semantic_dedup": 8.0}}, {}, overrides=none
+    )
+    assert not check_extended({}, baseline, overrides=none)
 
 
 def test_extended_gate_honors_deliberate_rebaselines():
@@ -78,8 +91,94 @@ def test_extended_gate_honors_deliberate_rebaselines():
     from verify_round import check_extended
 
     banked = {"extended": {"dedup_components": 1.94}}
+    ov = {"dedup_components": 3.07}
     # post-switch time under the stale banking alone would alarm...
-    assert not check_extended({"extended": {"dedup_components": 4.36}}, banked)
+    assert not check_extended(
+        {"extended": {"dedup_components": 4.36}}, banked, overrides=ov
+    )
     # ...but a real regression beyond the override still fires
-    alarms = check_extended({"extended": {"dedup_components": 9.5}}, banked)
+    alarms = check_extended(
+        {"extended": {"dedup_components": 9.5}}, banked, overrides=ov
+    )
     assert len(alarms) == 1 and "dedup_components" in alarms[0]
+
+
+def test_extended_overrides_require_plan_audit_citation(tmp_path, capsys):
+    """Round-9 verdict item 4: an extended_baseline.json override
+    without a plan_audit_ref citation must FAIL the gate (ValueError
+    from the loader -> alarm line from check_extended), the live repo
+    file must parse clean, a stale override (banked caught up) prints
+    a removal warning, and the forgiven delta is printed per run."""
+    import json
+    import sys
+    from pathlib import Path
+
+    sys.path.insert(0, str(Path(__file__).resolve().parent.parent / "tools"))
+    import pytest
+
+    from verify_round import check_extended, load_extended_overrides
+
+    # bare-number override (the pre-round-10 schema) -> rejected
+    p = tmp_path / "bare.json"
+    p.write_text(json.dumps({"dedup_components": 3.07}))
+    with pytest.raises(ValueError, match="plan_audit_ref"):
+        load_extended_overrides(str(p))
+
+    # empty citation -> rejected
+    p2 = tmp_path / "empty_ref.json"
+    p2.write_text(
+        json.dumps({"x": {"sec": 1.0, "plan_audit_ref": "  "}})
+    )
+    with pytest.raises(ValueError, match="plan_audit_ref"):
+        load_extended_overrides(str(p2))
+
+    # cited override -> parses; commentary keys skipped
+    p3 = tmp_path / "ok.json"
+    p3.write_text(
+        json.dumps(
+            {
+                "_comment": "why",
+                "x": {"sec": 2.5, "plan_audit_ref": "PLAN_AUDIT.md:1"},
+            }
+        )
+    )
+    assert load_extended_overrides(str(p3)) == {"x": 2.5}
+
+    # the LIVE repo file must be fully cited
+    live = load_extended_overrides()
+    assert live, "repo extended_baseline.json should carry overrides"
+
+    # an invalid live-style load inside check_extended -> alarm, not crash
+    import verify_round as vr
+
+    orig = vr.load_extended_overrides
+    vr.load_extended_overrides = lambda path=None: (_ for _ in ()).throw(
+        ValueError("override 'x' must ... plan_audit_ref")
+    )
+    try:
+        alarms = check_extended(
+            {"extended": {"x": 1.0}}, {"extended": {"x": 1.0}}
+        )
+        assert alarms and "override invalid" in alarms[0]
+    finally:
+        vr.load_extended_overrides = orig
+
+    # stale override: banked >= override - noise -> removal warning
+    capsys.readouterr()
+    assert not check_extended(
+        {"extended": {"x": 3.1}},
+        {"extended": {"x": 3.0}},
+        overrides={"x": 3.05},
+    )
+    out = capsys.readouterr().out
+    assert "override stale" in out and "remove it" in out
+
+    # live override still forgiving: the delta is printed
+    capsys.readouterr()
+    assert not check_extended(
+        {"extended": {"x": 3.0}},
+        {"extended": {"x": 1.9}},
+        overrides={"x": 3.07},
+    )
+    out = capsys.readouterr().out
+    assert "forgiving" in out and "+1.17s" in out
