@@ -32,7 +32,9 @@ VERIFY_PRIORITY = (
     # Changed-this-round queries displaced past slot 50 carry
     # offwindow_verified records at their HEAD fingerprint instead.
     # (a) new or changed in round 10:
-    # -- slots reserved; names inserted as round-10 work lands --
+    "ivf_pq_search",
+    "ivf_pq_recall",
+    "cluster_label_nmi",
     # (b) round-6-verdict cohort (all 39):
     "ann_pq_adc",
     "cohort_retention",

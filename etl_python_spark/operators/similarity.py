@@ -907,25 +907,29 @@ PQ_KS = 4       # codes per subspace
 PQ_SAMPLE_BASE = 200  # codebook = subvectors of vec_ids 200..203
 
 
-def _pq_codebook(emb: DataFrame) -> list[list[list[float]]]:
+def _pq_codebook(
+    emb: DataFrame, m_parts: int = PQ_M, ks: int = PQ_KS
+) -> list[list[list[float]]]:
     """codebook[m][k] = the m-th subvector of sample vector k.
 
     Deterministic sample codebook (the same device :func:`q_ann_ivf`
     uses for its coarse centroids) so the WHOLE pipeline is restatable
     in the oracle; production fits per-subspace k-means exactly the way
-    :func:`q_ann_ivf_fitted` fits its coarse quantizer.  PQ_KS×dim
-    floats to the driver — kilobytes, same round-trip as k-means init."""
+    :func:`q_ann_ivf_fitted` fits its coarse quantizer (the composed
+    IVF×PQ index does — :func:`_pq_fit`).  ks×dim floats to the
+    driver — kilobytes, same round-trip as k-means init."""
+    dsub = EMB_DIM // m_parts
     rows = (
         emb.filter(
             (F.col("vec_id") >= PQ_SAMPLE_BASE)
-            & (F.col("vec_id") < PQ_SAMPLE_BASE + PQ_KS)
+            & (F.col("vec_id") < PQ_SAMPLE_BASE + ks)
         )
         .orderBy("vec_id")
         .collect()
     )
     return [
-        [list(r.v[m * PQ_DSUB : (m + 1) * PQ_DSUB]) for r in rows]
-        for m in range(PQ_M)
+        [list(r.v[m * dsub : (m + 1) * dsub]) for r in rows]
+        for m in range(m_parts)
     ]
 
 
@@ -933,10 +937,13 @@ def _pq_assign(emb: DataFrame, codebook) -> DataFrame:
     """(vec_id, m, code, err2): per-subspace argmin against the code
     literals — ONE projection + explode, no join, no shuffle (the same
     broadcast-literal pattern as :func:`_kmeans_assign`); distances are
-    6dp-rounded before the argmin, ties break toward the lowest code."""
+    6dp-rounded before the argmin, ties break toward the lowest code.
+    Subspace count and width are derived from the codebook shape."""
+    m_parts = len(codebook)
+    dsub = len(codebook[0][0])
     entries = []
-    for m in range(PQ_M):
-        sub = F.slice(F.col("v"), m * PQ_DSUB + 1, PQ_DSUB)
+    for m in range(m_parts):
+        sub = F.slice(F.col("v"), m * dsub + 1, dsub)
         d = F.array(*[_dist2_lit(sub, c) for c in codebook[m]])
         best = (F.array_position(d, F.array_min(d)) - 1).cast("int")
         entries.append(
@@ -1005,15 +1012,15 @@ def q_ann_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _sql_sub(v: str, m: str) -> str:
-    return f"list_slice({v}, {m} * {PQ_DSUB} + 1, {m} * {PQ_DSUB} + {PQ_DSUB})"
+def _sql_sub(v: str, m: str, dsub: int = PQ_DSUB) -> str:
+    return f"list_slice({v}, {m} * {dsub} + 1, {m} * {dsub} + {dsub})"
 
 
-_PQ_CTES = f"""
-WITH emb AS (
-  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
-  FROM embeddings
-), cb AS (
+# Body split out (no leading WITH/emb) so the IVF×PQ oracle can append
+# these CTEs to the k-means fit CTEs, which already open with the
+# identical ``emb`` definition.
+_PQ_CTES_BODY = f"""
+, cb AS (
   SELECT vec_id - {PQ_SAMPLE_BASE} AS code, v FROM emb
   WHERE vec_id >= {PQ_SAMPLE_BASE} AND vec_id < {PQ_SAMPLE_BASE + PQ_KS}
 ), ms AS (
@@ -1035,6 +1042,15 @@ WITH emb AS (
     FROM d
   ) WHERE rnk = 1
 )"""
+
+_PQ_CTES = (
+    """
+WITH emb AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+)"""
+    + _PQ_CTES_BODY
+)
 
 ORACLE_PQ_CODES = (
     _PQ_CTES
@@ -1073,6 +1089,537 @@ ORACLE_ANN_PQ_ADC = (
   FROM adist
 )
 SELECT q_id, n_id, adist, rank FROM ranked WHERE rank <= {TOP_K}
+"""
+)
+
+
+# Composed IVF×PQ index geometry.  The standalone PQ queries keep the
+# deliberately tiny PQ_M×PQ_KS book (16 bits/vector) whose oracle CTEs
+# stay readable; the composed index needs codes that can actually RANK
+# near-uniform unit vectors, so it spends 16 subspaces × 16 codes
+# (64 bits/vector — still 32× smaller than the raw floats).  The
+# shortlist keeps the top-R by approximate distance and re-scores only
+# those R raw vectors per query exactly.
+IVF_PQ_RERANK = 4 * TOP_K
+IVFPQ_M = 16
+IVFPQ_KS = 16
+IVFPQ_DSUB = EMB_DIM // IVFPQ_M
+PQ_FIT_ITERS = 2
+
+
+def _unit_emb(emb: DataFrame) -> DataFrame:
+    """(vec_id, v) with v L2-normalized and 6dp-rounded per component.
+
+    The composed index serves COSINE queries from an L2-metric code
+    scan; on unit vectors L2² = 2 − 2·cos, so ADC's ascending-distance
+    order is exactly descending-cosine order and the PQ tier stops
+    fighting the metric (measured at sf0.01: raw-vector ADC recall
+    0.04 vs 0.56 normalized).  Components are rounded AFTER the
+    division so both engines quantize identical doubles (the 6dp
+    convention every distance in this module uses); zero vectors map
+    to zero, not NULL."""
+    nrm = _norm(F.col("v"))
+    return emb.select(
+        "vec_id",
+        F.transform(
+            F.col("v"),
+            lambda x: F.when(nrm == F.lit(0.0), F.lit(0.0)).otherwise(
+                F.round(x / nrm, 6)
+            ),
+        ).alias("v"),
+    )
+
+
+def _pq_assign_sub(emb: DataFrame, cb) -> DataFrame:
+    """(m, code, s): per-subspace argmin assignment CARRYING the
+    subvector, in one projection — the fit's mean step never joins
+    assignment back to the corpus (the join would shuffle corpus×M
+    rows; this shape keeps Lloyd's per-iteration cost at exactly one
+    corpus scan, the same contract as :func:`_kmeans_fit`)."""
+    m_parts = len(cb)
+    dsub = len(cb[0][0])
+    entries = []
+    for m in range(m_parts):
+        sub = F.slice(F.col("v"), m * dsub + 1, dsub)
+        d = F.array(*[_dist2_lit(sub, c) for c in cb[m]])
+        best = (F.array_position(d, F.array_min(d)) - 1).cast("int")
+        entries.append(
+            F.struct(F.lit(m).alias("m"), best.alias("code"), sub.alias("s"))
+        )
+    return emb.select(F.explode(F.array(*entries)).alias("e")).select(
+        F.col("e.m").alias("m"), F.col("e.code").alias("code"), F.col("e.s").alias("s")
+    )
+
+
+def _pq_fit(emb: DataFrame, cb=None):
+    """PQ_FIT_ITERS rounds of per-subspace Lloyd's from the sample-
+    codebook init — the trained product quantizer of a real IVF×PQ
+    index (:func:`_pq_codebook` alone is the UNtrained init the
+    standalone PQ queries keep for oracle brevity).  All subspaces
+    fit simultaneously in one corpus scan per iteration (assignment
+    carries the subvector; means are one hash aggregate on
+    (m, code, pos)); M×KS×DSUB floats come to the driver per
+    iteration — kilobytes, the same round-trip as the coarse k-means
+    fit.  Means are 6dp-rounded exactly like :func:`_kmeans_fit` so
+    the oracle can restate every iteration; an empty (m, code) cell
+    keeps its previous code vector."""
+    if cb is None:
+        cb = _pq_codebook(emb, IVFPQ_M, IVFPQ_KS)
+    ks = len(cb[0])
+    m_parts = len(cb)
+    for _ in range(PQ_FIT_ITERS):
+        dims = _pq_assign_sub(emb, cb).select(
+            "m", "code", F.posexplode("s").alias("pos", "val")
+        )
+        rows = (
+            dims.groupBy("m", "code", "pos")
+            .agg(F.round(F.avg("val"), 6).alias("mu"))
+            .groupBy("m", "code")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "mu"))),
+                    lambda s: s["mu"],
+                ).alias("cs")
+            )
+            .collect()
+        )
+        new = {(r["m"], r["code"]): list(r["cs"]) for r in rows}
+        cb = [
+            [new.get((m, k), cb[m][k]) for k in range(ks)]
+            for m in range(m_parts)
+        ]
+    return cb
+
+
+def _ivf_pq_shortlist(
+    emb: DataFrame, uemb: DataFrame, centroids: list[list[float]], cb
+) -> DataFrame:
+    """(q_id, n_id, adist, arank): the IVF-routed, ADC-scored
+    candidate shortlist — the first two tiers of a composed IVF×PQ
+    index, shared by :func:`q_ivf_pq_search` and
+    :func:`q_ivf_pq_recall`.
+
+    Scale shape: the corpus contributes ONLY its cell id and PQ codes
+    (one projection each against broadcast literals — at 100 TB these
+    are the stored index, 8 small ints per vector, refreshed per
+    corpus snapshot, and raw floats never enter the scan).  The query
+    side is a per-query PQ_M×PQ_KS distance LUT plus its N_PROBE
+    nearest cells — kilobytes, broadcast.  Candidate scoring is a
+    broadcast equi-join on (m, code) restricted to probed cells plus
+    one hash aggregate, so per-query cost is O(n·probe/cells) code
+    lookups, never a float dot product.
+
+    Routing runs on the RAW vectors (sharing the coarse fit with the
+    rest of the kmeans family — measured ceiling 0.96 recall at
+    N_PROBE=4); codes and the ADC LUT run on ``uemb`` (unit vectors,
+    :func:`_unit_emb`) so approximate-L2 order is cosine order."""
+    posting = _kmeans_assign(emb, centroids).select(
+        F.col("vec_id").alias("n_id"), F.col("cluster").alias("c_id")
+    )
+    codes = _pq_assign(uemb, cb).select(
+        F.col("vec_id").alias("n_id"), "m", "code"
+    )
+
+    cells = F.array(
+        *[
+            F.struct(F.lit(k).alias("c_id"), _dist2_lit(F.col("v"), c).alias("d2"))
+            for k, c in enumerate(centroids)
+        ]
+    )
+    w_probe = Window.partitionBy("q_id").orderBy(F.asc("d2"), F.asc("c_id"))
+    probes = (
+        emb.filter(F.col("vec_id") < N_QUERY)
+        .select(F.col("vec_id").alias("q_id"), F.explode(cells).alias("dc"))
+        .select("q_id", F.col("dc.c_id").alias("c_id"), F.col("dc.d2").alias("d2"))
+        .withColumn("rnk", F.row_number().over(w_probe))
+        .filter(F.col("rnk") <= N_PROBE)
+        .select("q_id", "c_id")
+    )
+
+    dsub = len(cb[0][0])
+    lut_entries = []
+    for m in range(len(cb)):
+        sub = F.slice(F.col("v"), m * dsub + 1, dsub)
+        for k, c in enumerate(cb[m]):
+            lut_entries.append(
+                F.struct(
+                    F.lit(m).alias("m"),
+                    F.lit(k).alias("code"),
+                    _dist2_lit(sub, c).alias("d2"),
+                )
+            )
+    lut = (
+        uemb.filter(F.col("vec_id") < N_QUERY)
+        .select(
+            F.col("vec_id").alias("q_id"),
+            F.explode(F.array(*lut_entries)).alias("e"),
+        )
+        .select("q_id", "e.m", "e.code", "e.d2")
+    )
+
+    cand = posting.join(F.broadcast(probes), "c_id").filter(
+        F.col("q_id") != F.col("n_id")
+    )
+    adist = (
+        cand.join(codes, "n_id")
+        .join(F.broadcast(lut), ["q_id", "m", "code"])
+        .groupBy("q_id", "n_id")
+        .agg(F.round(F.sum("d2"), 6).alias("adist"))
+    )
+    w_short = Window.partitionBy("q_id").orderBy(F.asc("adist"), F.asc("n_id"))
+    return adist.withColumn("arank", F.row_number().over(w_short))
+
+
+def _exact_rerank(emb: DataFrame, shortlist: DataFrame) -> DataFrame:
+    """Exact-cosine re-rank of an (q_id, n_id, adist) shortlist: fetch
+    raw vectors for just the Q×R shortlist ids (the shortlist side is
+    broadcast — at 100 TB this is a broadcast-hash fetch against the
+    id-keyed corpus, NOT a corpus scan) and re-score with the same
+    rounded cosine as ann_bruteforce."""
+    q_raw = emb.filter(F.col("vec_id") < N_QUERY).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("v").alias("q_emb"),
+        _norm(F.col("v")).alias("q_nrm"),
+    )
+    n_raw = emb.select(
+        F.col("vec_id").alias("n_id"),
+        F.col("v").alias("n_emb"),
+        _norm(F.col("v")).alias("n_nrm"),
+    )
+    cos = F.round(
+        _dot(F.col("q_emb"), F.col("n_emb"))
+        / F.nullif(F.col("q_nrm") * F.col("n_nrm"), F.lit(0.0)),
+        4,
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("cosine"), F.asc("n_id"))
+    return (
+        n_raw.join(F.broadcast(shortlist), "n_id")
+        .join(F.broadcast(q_raw), "q_id")
+        .select("q_id", "n_id", "adist", cos.alias("cosine"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_K)
+    )
+
+
+def q_ivf_pq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed index a 100 TB embedding store actually serves
+    from — IVF routing × PQ-ADC scoring × exact top-R re-rank:
+
+    1. **route**: each query probes its N_PROBE nearest k-means cells
+       (fitted coarse quantizer, broadcast centroid literals);
+    2. **score**: candidates in probed cells are ranked by asymmetric
+       PQ distance — sums of per-subspace LUT entries keyed by the
+       corpus's stored codes; raw corpus floats are never read;
+    3. **re-rank**: only the top-``IVF_PQ_RERANK`` by approximate
+       distance are fetched and re-scored with exact cosine; the
+       final top-k is exact over that shortlist.
+
+    Fully value-oracled: the oracle restates the Lloyd fit CTEs, the
+    PQ code CTEs, and the same route/score/re-rank pipeline.  Ref has
+    no ANN surface (beyond-reference scale operator); recall quality
+    is graded by :func:`q_ivf_pq_recall`."""
+    emb = _kmeans_emb(spark, sf_dir)
+    centroids = _kmeans_fit(emb)
+    uemb = _unit_emb(emb).localCheckpoint(eager=True)
+    cb = _pq_fit(uemb)
+    shortlist = _ivf_pq_shortlist(emb, uemb, centroids, cb).filter(
+        F.col("arank") <= IVF_PQ_RERANK
+    ).select("q_id", "n_id", "adist")
+    return _exact_rerank(emb, shortlist)
+
+
+def q_ivf_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Measure, don't guess — recall@k of each tier of the composed
+    IVF×PQ index against exact brute-force ground truth, one row per
+    method:
+
+    - ``ivf_exact_cos``: IVF routing + exact cosine over ALL probed
+      candidates (the ceiling the re-rank can recover);
+    - ``ivf_pq_adc``: IVF routing + ADC ranking alone (what serving
+      from codes costs in recall);
+    - ``ivf_pq_rerank``: ADC shortlist + exact re-rank — the line
+      that justifies serving from PQ codes at all (recall climbs
+      back toward the IVF ceiling at 1/RERANK of the exact work).
+
+    One shared fit/codebook serves all three; ground truth is the
+    bounded N_QUERY-row brute force (the ann_probe_recall argument)."""
+    emb = _kmeans_emb(spark, sf_dir)
+    centroids = _kmeans_fit(emb)
+    uemb = _unit_emb(emb).localCheckpoint(eager=True)
+    cb = _pq_fit(uemb)
+
+    queries = emb.filter(F.col("vec_id") < N_QUERY).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("v").alias("q_emb"),
+        _norm(F.col("v")).alias("q_nrm"),
+    )
+    corpus = emb.select(
+        F.col("vec_id").alias("n_id"),
+        F.col("v").alias("n_emb"),
+        _norm(F.col("v")).alias("n_nrm"),
+    )
+    cos = F.round(
+        _dot(F.col("q_emb"), F.col("n_emb"))
+        / F.nullif(F.col("q_nrm") * F.col("n_nrm"), F.lit(0.0)),
+        4,
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("cosine"), F.asc("n_id"))
+    exact = (
+        corpus.crossJoin(F.broadcast(queries))
+        .filter(F.col("q_id") != F.col("n_id"))
+        .select("q_id", "n_id", cos.alias("cosine"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_K)
+        .select("q_id", "n_id")
+    )
+    ex_n = exact.agg(F.count(F.lit(1)).alias("n_exact"))
+
+    shortlist = _ivf_pq_shortlist(emb, uemb, centroids, cb)
+    methods = [
+        (
+            "ivf_exact_cos",
+            _ivf_fitted_topk(emb, centroids, N_PROBE).select("q_id", "n_id"),
+        ),
+        (
+            "ivf_pq_adc",
+            shortlist.filter(F.col("arank") <= TOP_K).select("q_id", "n_id"),
+        ),
+        (
+            "ivf_pq_rerank",
+            _exact_rerank(
+                emb,
+                shortlist.filter(F.col("arank") <= IVF_PQ_RERANK).select(
+                    "q_id", "n_id", "adist"
+                ),
+            ).select("q_id", "n_id"),
+        ),
+    ]
+    parts = []
+    for name, approx in methods:
+        tp = approx.join(exact, ["q_id", "n_id"]).agg(
+            F.count(F.lit(1)).alias("tp")
+        )
+        parts.append(
+            tp.crossJoin(ex_n).select(
+                F.lit(name).alias("method"),
+                "tp",
+                "n_exact",
+                F.round(
+                    F.col("tp") / F.nullif(F.col("n_exact"), F.lit(0)), 4
+                ).alias("recall"),
+            )
+        )
+    out = parts[0]
+    for part in parts[1:]:
+        out = out.unionByName(part)
+    return out
+
+
+def _pq_fit_ctes() -> str:
+    """DuckDB restatement of the per-subspace Lloyd fit: pqcent_0 is
+    the sample-codebook init, each iteration adds an assignment CTE
+    (6dp-rounded squared-L2 argmin per (vec_id, m), lowest-code
+    tie-break) and a mean-update CTE (per-dim 6dp-rounded means,
+    keep-previous fallback for empty cells) — the exact mirror of
+    :func:`_pq_fit`.  Ends with ``pqcodes``/``pqdist`` computed
+    against the FITTED codebook ``pqcent_{PQ_FIT_ITERS}``: pqcodes is
+    the corpus code table, pqdist the full (vec_id, m, code) distance
+    table the query-side ADC LUT slices from."""
+    parts = [
+        f"""
+, uemb AS (
+  SELECT vec_id,
+         CASE WHEN sqrt(list_sum(list_transform(v, y -> y * y))) = 0.0
+              THEN list_transform(v, x -> 0.0)
+              ELSE list_transform(v, x -> ROUND(
+                x / sqrt(list_sum(list_transform(v, y -> y * y))), 6))
+         END AS v
+  FROM emb
+), pqms AS (SELECT unnest(range(0, {IVFPQ_M})) AS m)
+, pqgrid AS (
+  SELECT pqms.m, ks.code FROM pqms
+  CROSS JOIN (SELECT unnest(range(0, {IVFPQ_KS})) AS code) ks
+), pqsub AS (
+  SELECT e.vec_id, pqms.m, {_sql_sub('e.v', 'pqms.m', IVFPQ_DSUB)} AS s
+  FROM uemb e CROSS JOIN pqms
+), pqcent_0 AS (
+  SELECT pqms.m, e.vec_id - {PQ_SAMPLE_BASE} AS code,
+         {_sql_sub('e.v', 'pqms.m', IVFPQ_DSUB)} AS cs
+  FROM uemb e CROSS JOIN pqms
+  WHERE e.vec_id >= {PQ_SAMPLE_BASE} AND e.vec_id < {PQ_SAMPLE_BASE + IVFPQ_KS}
+)"""
+    ]
+    d2 = (
+        f"ROUND(list_sum(list_transform(range(1, {IVFPQ_DSUB} + 1), "
+        f"i -> (s.s[i] - c.cs[i]) * (s.s[i] - c.cs[i]))), 6)"
+    )
+    for it in range(1, PQ_FIT_ITERS + 1):
+        prev = f"pqcent_{it - 1}"
+        parts.append(
+            f"""
+, pqd_{it} AS (
+  SELECT s.vec_id, s.m, c.code, {d2} AS d2
+  FROM pqsub s JOIN {prev} c ON s.m = c.m
+), pqassign_{it} AS (
+  SELECT vec_id, m, code FROM (
+    SELECT vec_id, m, code,
+           ROW_NUMBER() OVER (PARTITION BY vec_id, m
+             ORDER BY d2 ASC, code ASC) AS rnk
+    FROM pqd_{it}
+  ) WHERE rnk = 1
+), pqmeans_{it} AS (
+  SELECT m, code, list(mu ORDER BY j) AS cs FROM (
+    SELECT a.m, a.code, t.j, ROUND(AVG(s.s[t.j]), 6) AS mu
+    FROM pqassign_{it} a
+    JOIN pqsub s ON s.vec_id = a.vec_id AND s.m = a.m,
+         (SELECT unnest(range(1, {IVFPQ_DSUB} + 1)) AS j) t
+    GROUP BY 1, 2, 3
+  ) GROUP BY 1, 2
+), pqcent_{it} AS (
+  SELECT g.m, g.code, COALESCE(mn.cs, p.cs) AS cs
+  FROM pqgrid g
+  LEFT JOIN pqmeans_{it} mn ON g.m = mn.m AND g.code = mn.code
+  JOIN {prev} p ON g.m = p.m AND g.code = p.code
+)"""
+        )
+    parts.append(
+        f"""
+, pqdist AS (
+  SELECT s.vec_id, s.m, c.code, {d2} AS d2
+  FROM pqsub s JOIN pqcent_{PQ_FIT_ITERS} c ON s.m = c.m
+), pqcodes AS (
+  SELECT vec_id, m, code FROM (
+    SELECT vec_id, m, code,
+           ROW_NUMBER() OVER (PARTITION BY vec_id, m
+             ORDER BY d2 ASC, code ASC) AS rnk
+    FROM pqdist
+  ) WHERE rnk = 1
+)"""
+    )
+    return "".join(parts)
+
+
+def _ivf_pq_oracle_ctes() -> str:
+    """Coarse-fit CTEs + fitted-PQ CTEs + the shared route/score/
+    shortlist CTEs of the composed index (``shortlist`` ends with
+    arank)."""
+    return (
+        _kmeans_fit_ctes()
+        + _pq_fit_ctes()
+        + f"""
+, corpus_cells AS (
+  SELECT vec_id AS n_id, v AS n_emb, k AS c_id FROM (
+    SELECT e.vec_id, e.v, c.k,
+           ROW_NUMBER() OVER (PARTITION BY e.vec_id
+             ORDER BY {_sql_d2('e.v', 'c.c')} ASC, c.k ASC) AS rnk
+    FROM emb e CROSS JOIN {_CENT_FINAL} c
+  ) WHERE rnk = 1
+), probes AS (
+  SELECT q_id, q_emb, c_id FROM (
+    SELECT e.vec_id AS q_id, e.v AS q_emb, c.k AS c_id,
+           ROW_NUMBER() OVER (PARTITION BY e.vec_id
+             ORDER BY {_sql_d2('e.v', 'c.c')} ASC, c.k ASC) AS rnk
+    FROM emb e CROSS JOIN {_CENT_FINAL} c
+    WHERE e.vec_id < {N_QUERY}
+  ) WHERE rnk <= {N_PROBE}
+), ivfpq_cand AS (
+  SELECT p.q_id, cc.n_id
+  FROM probes p JOIN corpus_cells cc ON p.c_id = cc.c_id
+  WHERE p.q_id <> cc.n_id
+), ivfpq_adist AS (
+  SELECT ca.q_id, ca.n_id, ROUND(SUM(l.d2), 6) AS adist
+  FROM ivfpq_cand ca
+  JOIN pqcodes c ON c.vec_id = ca.n_id
+  JOIN pqdist l ON l.vec_id = ca.q_id AND l.m = c.m AND l.code = c.code
+  GROUP BY 1, 2
+), shortlist AS (
+  SELECT q_id, n_id, adist,
+         ROW_NUMBER() OVER (PARTITION BY q_id
+           ORDER BY adist ASC, n_id ASC) AS arank
+  FROM ivfpq_adist
+)"""
+    )
+
+
+ORACLE_IVF_PQ_SEARCH = (
+    _ivf_pq_oracle_ctes()
+    + f"""
+, rerank AS (
+  SELECT s.q_id, s.n_id, s.adist,
+         ROUND({_DK_COS.format(a='q.v', b='n.v')}, 4) AS cosine
+  FROM shortlist s
+  JOIN emb q ON q.vec_id = s.q_id
+  JOIN emb n ON n.vec_id = s.n_id
+  WHERE s.arank <= {IVF_PQ_RERANK}
+), reranked AS (
+  SELECT q_id, n_id, adist, cosine,
+         ROW_NUMBER() OVER (PARTITION BY q_id
+           ORDER BY cosine DESC, n_id ASC) AS rank
+  FROM rerank
+)
+SELECT q_id, n_id, adist, cosine, rank FROM reranked WHERE rank <= {TOP_K}
+"""
+)
+
+ORACLE_IVF_PQ_RECALL = (
+    _ivf_pq_oracle_ctes()
+    + f"""
+, exact AS (
+  SELECT q_id, n_id FROM (
+    SELECT q.vec_id AS q_id, n.vec_id AS n_id,
+           ROW_NUMBER() OVER (PARTITION BY q.vec_id
+             ORDER BY ROUND({_DK_COS.format(a='q.v', b='n.v')}, 4) DESC,
+                      n.vec_id ASC) AS rank
+    FROM emb q CROSS JOIN emb n
+    WHERE q.vec_id < {N_QUERY} AND q.vec_id <> n.vec_id
+  ) WHERE rank <= {TOP_K}
+), exn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_exact FROM exact)
+, m_ivf AS (
+  SELECT q_id, n_id FROM (
+    SELECT s.q_id, s.n_id,
+           ROW_NUMBER() OVER (PARTITION BY s.q_id
+             ORDER BY s.cosine DESC, s.n_id ASC) AS rank
+    FROM (
+      SELECT p.q_id, cc.n_id,
+             ROUND({_DK_COS.format(a='p.q_emb', b='cc.n_emb')}, 4) AS cosine
+      FROM probes p JOIN corpus_cells cc ON p.c_id = cc.c_id
+      WHERE p.q_id <> cc.n_id
+    ) s
+  ) WHERE rank <= {TOP_K}
+), m_adc AS (
+  SELECT q_id, n_id FROM shortlist WHERE arank <= {TOP_K}
+), m_rr AS (
+  SELECT q_id, n_id FROM (
+    SELECT s.q_id, s.n_id,
+           ROW_NUMBER() OVER (PARTITION BY s.q_id
+             ORDER BY ROUND({_DK_COS.format(a='q.v', b='n.v')}, 4) DESC,
+                      s.n_id ASC) AS rank
+    FROM shortlist s
+    JOIN emb q ON q.vec_id = s.q_id
+    JOIN emb n ON n.vec_id = s.n_id
+    WHERE s.arank <= {IVF_PQ_RERANK}
+  ) WHERE rank <= {TOP_K}
+), s_ivf AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS tp
+  FROM m_ivf a JOIN exact e ON a.q_id = e.q_id AND a.n_id = e.n_id
+), s_adc AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS tp
+  FROM m_adc a JOIN exact e ON a.q_id = e.q_id AND a.n_id = e.n_id
+), s_rr AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS tp
+  FROM m_rr a JOIN exact e ON a.q_id = e.q_id AND a.n_id = e.n_id
+)
+SELECT 'ivf_exact_cos' AS method, tp, exn.n_exact,
+       ROUND(CAST(tp AS DOUBLE) / NULLIF(exn.n_exact, 0), 4) AS recall
+FROM s_ivf, exn
+UNION ALL
+SELECT 'ivf_pq_adc' AS method, tp, exn.n_exact,
+       ROUND(CAST(tp AS DOUBLE) / NULLIF(exn.n_exact, 0), 4) AS recall
+FROM s_adc, exn
+UNION ALL
+SELECT 'ivf_pq_rerank' AS method, tp, exn.n_exact,
+       ROUND(CAST(tp AS DOUBLE) / NULLIF(exn.n_exact, 0), 4) AS recall
+FROM s_rr, exn
 """
 )
 
@@ -1605,11 +2152,14 @@ def q_cluster_label_nmi(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     nk = cells.groupBy("cluster").agg(F.sum("n_kl").alias("n_k"))
     nl = cells.groupBy("label").agg(F.sum("n_kl").alias("n_l"))
-    n_total = F.sum("n_kl").over(Window.partitionBy())
+    # n is summed over `cells` BEFORE the nk/nl joins — mirroring the
+    # oracle's nn CTE exactly, so a NULL cluster/label (dropped by the
+    # equi-joins in both engines) can never desync n between them.
+    nn = cells.agg(F.sum("n_kl").alias("n"))
     joint = (
         cells.join(F.broadcast(nk), "cluster")
         .join(F.broadcast(nl), "label")
-        .withColumn("n", n_total)
+        .crossJoin(F.broadcast(nn))
     )
     micro = lambda x: F.floor(x * F.lit(1e6) + F.lit(0.5)).cast("long")
     i_term = micro(
@@ -1836,6 +2386,8 @@ QUERIES = {
     "semantic_dedup": q_semantic_dedup,
     "pq_codes": q_pq_codes,
     "ann_pq_adc": q_ann_pq_adc,
+    "ivf_pq_search": q_ivf_pq_search,
+    "ivf_pq_recall": q_ivf_pq_recall,
     "embedding_stats": q_embedding_stats,
     "pca_project": q_pca_project,
     "kmeans_silhouette": q_kmeans_silhouette,
@@ -1857,6 +2409,8 @@ ORACLES = {
     "semantic_dedup": ORACLE_SEMANTIC_DEDUP,
     "pq_codes": ORACLE_PQ_CODES,
     "ann_pq_adc": ORACLE_ANN_PQ_ADC,
+    "ivf_pq_search": ORACLE_IVF_PQ_SEARCH,
+    "ivf_pq_recall": ORACLE_IVF_PQ_RECALL,
     "embedding_stats": ORACLE_EMBEDDING_STATS,
     "pca_project": _pca_oracle(),
     "kmeans_silhouette": ORACLE_KMEANS_SILHOUETTE,
