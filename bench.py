@@ -71,6 +71,11 @@ EXTENDED = [
     # late round-8: the dedup-endgame composition (pair graph + CC +
     # corpus join) — the soak's slowest entry, watch it per round
     "leakage_safe_split",
+    # round 11: the composed IVF×PQ index (coarse fit + PQ fit + route/
+    # ADC/re-rank) — the heaviest query in the repo; its recall audit
+    # shares the fit and adds the brute-force ground truth
+    "ivf_pq_search",
+    "ivf_pq_recall",
 ]
 
 

@@ -13,7 +13,7 @@ Dot products run as JVM higher-order functions (``zip_with`` +
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..sources.tables import load_table, spread
@@ -459,6 +459,35 @@ def _dist2_lit(vec_col, centroid: list[float]):
     )
 
 
+def _micro_mean(val_col):
+    """Order-independent 6dp Lloyd mean update as ONE aggregate
+    expression: quantize each value once to integer micro-units
+    (``FLOOR(x·1e6 + 0.5)`` — exact when the inputs are already 6dp
+    multiples, a single 6dp quantization otherwise), sum as exact
+    BIGINTs, then one round-half-up integer division.  The sum is
+    order-independent, so the mean is bit-identical across engines AND
+    across Spark runs regardless of partition/AQE layout — the round-2
+    integer-cents rule applied to centroid updates.  ``F.round(
+    F.avg(x), 6)`` is NOT safe here: float sums in different orders
+    land on opposite sides of a 6dp boundary (round-10 verdict:
+    ``ivf_pq_search`` was hash-red and nondeterministic run-to-run
+    from exactly that).  Restate with :func:`_sql_micro_mean`."""
+    micro = F.floor(val_col * F.lit(1e6) + F.lit(0.5))
+    return F.floor(
+        F.sum(micro).cast("double") / F.count(F.lit(1)).cast("double")
+        + F.lit(0.5)
+    ) / F.lit(1e6)
+
+
+def _sql_micro_mean(expr: str) -> str:
+    """DuckDB restatement of :func:`_micro_mean` — textually the same
+    arithmetic so both engines produce the identical double."""
+    return (
+        f"FLOOR(CAST(SUM(CAST(FLOOR({expr} * 1000000.0 + 0.5) AS BIGINT)) "
+        f"AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) + 0.5) / 1000000.0"
+    )
+
+
 def _kmeans_assign(emb: DataFrame, centroids: list[list[float]]) -> DataFrame:
     """Squared-L2 argmin against the K current centroids, evaluated as
     broadcast literals inside one projection (no join, no shuffle for
@@ -523,9 +552,11 @@ def q_kmeans_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Deterministic throughout: init = first K vectors, distances
     rounded to 6dp before the argmin tie-break on cluster id, and the
-    updated centroid means rounded to 6dp (round 5) — the rounding
-    absorbs the ~1e-15 summation-order difference between engines, so
-    the WHOLE 3-iteration fit carries a full DuckDB value oracle
+    centroid mean updates computed with the order-independent integer
+    micro-unit rule (:func:`_micro_mean`, round 11 — a 6dp-rounded
+    float AVG can land on opposite sides of the rounding boundary as
+    summation order shifts between engines or Spark runs), so the
+    WHOLE 3-iteration fit carries a full DuckDB value oracle
     (generated per-iteration CTEs, empty-cluster keep-previous
     fallback included) instead of a rows-only check."""
     emb = _kmeans_emb(spark, sf_dir)
@@ -549,7 +580,7 @@ def _kmeans_fit(emb: DataFrame) -> list[list[float]]:
         )
         means = (
             dims.groupBy("cluster", "pos")
-            .agg(F.round(F.avg("val"), 6).alias("m"))
+            .agg(_micro_mean(F.col("val")).alias("m"))
             .groupBy("cluster")
             .agg(
                 F.transform(
@@ -678,7 +709,7 @@ WITH emb AS (
   ) WHERE rnk = 1
 ), means_{it} AS (
   SELECT k, list(m ORDER BY j) AS c FROM (
-    SELECT a.k, t.j, ROUND(AVG(a.v[t.j]), 6) AS m
+    SELECT a.k, t.j, {_sql_micro_mean('a.v[t.j]')} AS m
     FROM assign_{it} a, (SELECT unnest(range(1, {EMB_DIM} + 1)) AS j) t
     GROUP BY a.k, t.j
   ) GROUP BY k
@@ -934,26 +965,28 @@ def _pq_codebook(
 
 
 def _pq_assign(emb: DataFrame, codebook) -> DataFrame:
-    """(vec_id, m, code, err2): per-subspace argmin against the code
-    literals — ONE projection + explode, no join, no shuffle (the same
-    broadcast-literal pattern as :func:`_kmeans_assign`); distances are
-    6dp-rounded before the argmin, ties break toward the lowest code.
-    Subspace count and width are derived from the codebook shape."""
-    m_parts = len(codebook)
+    """(vec_id, m, code, err2): per-subspace argmin against the
+    constant codebook literal — ONE projection + explode, no join, no
+    shuffle (the same broadcast-literal pattern as
+    :func:`_kmeans_assign`); distances are 6dp-rounded before the
+    argmin, ties break toward the lowest code.  Subspace count and
+    width are derived from the codebook shape; the kernel is a compact
+    HOF fold (:func:`_cb_lit`) so generated-code size is independent
+    of M×KS."""
     dsub = len(codebook[0][0])
-    entries = []
-    for m in range(m_parts):
-        sub = F.slice(F.col("v"), m * dsub + 1, dsub)
-        d = F.array(*[_dist2_lit(sub, c) for c in codebook[m]])
-        best = (F.array_position(d, F.array_min(d)) - 1).cast("int")
-        entries.append(
-            F.struct(
-                F.lit(m).alias("m"),
-                best.alias("code"),
-                F.array_min(d).alias("err2"),
-            )
+
+    def entry(book: Column, m: Column) -> Column:
+        d = F.transform(
+            book, lambda c: _dist2_hof(_sub_m(F.col("v"), m, dsub), c)
         )
-    return emb.select("vec_id", F.explode(F.array(*entries)).alias("e")).select(
+        return F.struct(
+            m.cast("int").alias("m"),
+            (F.array_position(d, F.array_min(d)) - 1).cast("int").alias("code"),
+            F.array_min(d).alias("err2"),
+        )
+
+    entries = F.transform(_cb_lit(codebook), entry)
+    return emb.select("vec_id", F.explode(entries).alias("e")).select(
         "vec_id",
         F.col("e.m").alias("m"),
         F.col("e.code").alias("code"),
@@ -1107,8 +1140,59 @@ IVFPQ_DSUB = EMB_DIM // IVFPQ_M
 PQ_FIT_ITERS = 2
 
 
+def _cb_lit(cb) -> Column:
+    """The whole PQ codebook as ONE nested array literal
+    (``lit[m][k][i]``) — Catalyst constant-folds it into a single
+    Literal, so the kernels below are COMPACT higher-order folds whose
+    generated-code size is independent of M×KS.  The unrolled
+    alternative (M×KS separate :func:`_dist2_lit` aggregates inside
+    one projection) is the shape the janino 64KB method budget
+    punishes: at 16×16 it spent 14 s warm per ``_pq_fit`` call on a
+    2,000-row corpus — all compile/optimizer time, not data
+    (round-11 profile)."""
+    return F.array(
+        *[
+            F.array(*[F.array(*[F.lit(float(x)) for x in c]) for c in book])
+            for book in cb
+        ]
+    )
+
+
+def _dist2_hof(sub: Column, cent: Column) -> Column:
+    """6dp-rounded squared-L2 between two ARRAY COLUMNS — bit-identical
+    arithmetic to :func:`_dist2_lit` (same zip_with fold order, same
+    rounding); the centroid arrives as an element of the constant
+    codebook literal instead of a per-centroid literal."""
+    return F.round(
+        F.aggregate(
+            F.zip_with(sub, cent, lambda a, b: (a - b) * (a - b)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ),
+        6,
+    )
+
+
+def _sub_m(vec: Column, m: Column, dsub: int) -> Column:
+    """The m-th length-``dsub`` subvector (m is the 0-based transform
+    index column)."""
+    return F.slice(vec, m * F.lit(dsub) + F.lit(1), dsub)
+
+
+def _argmin_code(sub: Column, book: Column) -> Column:
+    """Argmin code of ``sub`` against one subspace's codebook array —
+    6dp-rounded distances, lowest-code tie-break, exactly like the
+    unrolled :func:`_pq_assign` argmin."""
+    d = F.transform(book, lambda c: _dist2_hof(sub, c))
+    return (F.array_position(d, F.array_min(d)) - 1).cast("int")
+
+
 def _unit_emb(emb: DataFrame) -> DataFrame:
-    """(vec_id, v) with v L2-normalized and 6dp-rounded per component.
+    """(vec_id, v, rv) with v L2-normalized and 6dp-rounded per
+    component and rv the untouched raw vector (the composed index
+    routes on raw vectors but codes unit vectors, and carrying both
+    through one projection keeps the index build a single corpus scan
+    instead of a corpus self-join).
 
     The composed index serves COSINE queries from an L2-metric code
     scan; on unit vectors L2² = 2 − 2·cos, so ADC's ascending-distance
@@ -1117,16 +1201,21 @@ def _unit_emb(emb: DataFrame) -> DataFrame:
     0.04 vs 0.56 normalized).  Components are rounded AFTER the
     division so both engines quantize identical doubles (the 6dp
     convention every distance in this module uses); zero vectors map
-    to zero, not NULL."""
-    nrm = _norm(F.col("v"))
-    return emb.select(
+    to zero, not NULL.  The norm is evaluated once per row in a prior
+    projection, not once per component inside the transform lambda
+    (identical doubles, O(dim) not O(dim²) per row; oracle untouched)."""
+    nrmd = emb.select(
+        "vec_id", F.col("v").alias("rv"), _norm(F.col("v")).alias("nrm")
+    )
+    return nrmd.select(
         "vec_id",
         F.transform(
-            F.col("v"),
-            lambda x: F.when(nrm == F.lit(0.0), F.lit(0.0)).otherwise(
-                F.round(x / nrm, 6)
+            F.col("rv"),
+            lambda x: F.when(F.col("nrm") == F.lit(0.0), F.lit(0.0)).otherwise(
+                F.round(x / F.col("nrm"), 6)
             ),
         ).alias("v"),
+        "rv",
     )
 
 
@@ -1135,18 +1224,19 @@ def _pq_assign_sub(emb: DataFrame, cb) -> DataFrame:
     subvector, in one projection — the fit's mean step never joins
     assignment back to the corpus (the join would shuffle corpus×M
     rows; this shape keeps Lloyd's per-iteration cost at exactly one
-    corpus scan, the same contract as :func:`_kmeans_fit`)."""
-    m_parts = len(cb)
+    corpus scan, the same contract as :func:`_kmeans_fit`).  One
+    compact HOF fold over the constant codebook literal
+    (:func:`_cb_lit`), not M×KS unrolled aggregates."""
     dsub = len(cb[0][0])
-    entries = []
-    for m in range(m_parts):
-        sub = F.slice(F.col("v"), m * dsub + 1, dsub)
-        d = F.array(*[_dist2_lit(sub, c) for c in cb[m]])
-        best = (F.array_position(d, F.array_min(d)) - 1).cast("int")
-        entries.append(
-            F.struct(F.lit(m).alias("m"), best.alias("code"), sub.alias("s"))
-        )
-    return emb.select(F.explode(F.array(*entries)).alias("e")).select(
+    entries = F.transform(
+        _cb_lit(cb),
+        lambda book, m: F.struct(
+            m.cast("int").alias("m"),
+            _argmin_code(_sub_m(F.col("v"), m, dsub), book).alias("code"),
+            _sub_m(F.col("v"), m, dsub).alias("s"),
+        ),
+    )
+    return emb.select(F.explode(entries).alias("e")).select(
         F.col("e.m").alias("m"), F.col("e.code").alias("code"), F.col("e.s").alias("s")
     )
 
@@ -1160,9 +1250,10 @@ def _pq_fit(emb: DataFrame, cb=None):
     carries the subvector; means are one hash aggregate on
     (m, code, pos)); M×KS×DSUB floats come to the driver per
     iteration — kilobytes, the same round-trip as the coarse k-means
-    fit.  Means are 6dp-rounded exactly like :func:`_kmeans_fit` so
-    the oracle can restate every iteration; an empty (m, code) cell
-    keeps its previous code vector."""
+    fit.  Mean updates use the order-independent :func:`_micro_mean`
+    exactly like :func:`_kmeans_fit` so the oracle restates every
+    iteration bit-identically; an empty (m, code) cell keeps its
+    previous code vector."""
     if cb is None:
         cb = _pq_codebook(emb, IVFPQ_M, IVFPQ_KS)
     ks = len(cb[0])
@@ -1173,7 +1264,7 @@ def _pq_fit(emb: DataFrame, cb=None):
         )
         rows = (
             dims.groupBy("m", "code", "pos")
-            .agg(F.round(F.avg("val"), 6).alias("mu"))
+            .agg(_micro_mean(F.col("val")).alias("mu"))
             .groupBy("m", "code")
             .agg(
                 F.transform(
@@ -1192,7 +1283,7 @@ def _pq_fit(emb: DataFrame, cb=None):
 
 
 def _ivf_pq_shortlist(
-    emb: DataFrame, uemb: DataFrame, centroids: list[list[float]], cb
+    uemb: DataFrame, centroids: list[list[float]], cb
 ) -> DataFrame:
     """(q_id, n_id, adist, arank): the IVF-routed, ADC-scored
     candidate shortlist — the first two tiers of a composed IVF×PQ
@@ -1211,24 +1302,49 @@ def _ivf_pq_shortlist(
 
     Routing runs on the RAW vectors (sharing the coarse fit with the
     rest of the kmeans family — measured ceiling 0.96 recall at
-    N_PROBE=4); codes and the ADC LUT run on ``uemb`` (unit vectors,
-    :func:`_unit_emb`) so approximate-L2 order is cosine order."""
-    posting = _kmeans_assign(emb, centroids).select(
-        F.col("vec_id").alias("n_id"), F.col("cluster").alias("c_id")
-    )
-    codes = _pq_assign(uemb, cb).select(
-        F.col("vec_id").alias("n_id"), "m", "code"
-    )
+    N_PROBE=4); codes and the ADC LUT run on the unit vectors
+    (:func:`_unit_emb`) so approximate-L2 order is cosine order.
 
+    ADC arithmetic is EXACT: per-subspace LUT distances are quantized
+    once to integer micro-units and ``adist`` is their exact BIGINT
+    sum divided by 1e6 — order-independent, so bit-identical across
+    engines and across Spark runs (round-10 verdict: the float
+    ``ROUND(SUM(d2), 6)`` here could flip a 6dp boundary)."""
+    ks = len(cb[0])
+    dsub = len(cb[0][0])
+
+    # The stored index: one row per corpus vector carrying its coarse
+    # cell AND its M PQ codes, built in one corpus scan (cell argmin on
+    # the raw vector, per-subspace code argmins on the unit vector —
+    # two chained narrow projections, one stage, no join).  At 100 TB
+    # this row — (id, cell, M small ints) — IS the persisted index.
+    cell_d = F.array(*[_dist2_lit(F.col("rv"), c) for c in centroids])
+    celled = uemb.select(
+        F.col("vec_id").alias("n_id"),
+        (F.array_position(cell_d, F.array_min(cell_d)) - 1)
+        .cast("int")
+        .alias("c_id"),
+        "v",
+    )
+    codes_arr = F.transform(
+        _cb_lit(cb),
+        lambda book, m: _argmin_code(_sub_m(F.col("v"), m, dsub), book),
+    )
+    index = celled.select("n_id", "c_id", codes_arr.alias("codes"))
+
+    # Query side: the N_PROBE nearest cells per query plus a flat
+    # M×KS micro-unit LUT (entry [m·KS + code]) — kilobytes per query,
+    # broadcast, so probe pruning happens BEFORE any shuffle and the
+    # scoring below never joins a corpus-sized relation.
     cells = F.array(
         *[
-            F.struct(F.lit(k).alias("c_id"), _dist2_lit(F.col("v"), c).alias("d2"))
+            F.struct(F.lit(k).alias("c_id"), _dist2_lit(F.col("rv"), c).alias("d2"))
             for k, c in enumerate(centroids)
         ]
     )
     w_probe = Window.partitionBy("q_id").orderBy(F.asc("d2"), F.asc("c_id"))
     probes = (
-        emb.filter(F.col("vec_id") < N_QUERY)
+        uemb.filter(F.col("vec_id") < N_QUERY)
         .select(F.col("vec_id").alias("q_id"), F.explode(cells).alias("dc"))
         .select("q_id", F.col("dc.c_id").alias("c_id"), F.col("dc.d2").alias("d2"))
         .withColumn("rnk", F.row_number().over(w_probe))
@@ -1236,35 +1352,44 @@ def _ivf_pq_shortlist(
         .select("q_id", "c_id")
     )
 
-    dsub = len(cb[0][0])
-    lut_entries = []
-    for m in range(len(cb)):
-        sub = F.slice(F.col("v"), m * dsub + 1, dsub)
-        for k, c in enumerate(cb[m]):
-            lut_entries.append(
-                F.struct(
-                    F.lit(m).alias("m"),
-                    F.lit(k).alias("code"),
-                    _dist2_lit(sub, c).alias("d2"),
-                )
-            )
-    lut = (
-        uemb.filter(F.col("vec_id") < N_QUERY)
-        .select(
-            F.col("vec_id").alias("q_id"),
-            F.explode(F.array(*lut_entries)).alias("e"),
+    lut_arr = F.flatten(
+        F.transform(
+            _cb_lit(cb),
+            lambda book, m: F.transform(
+                book,
+                lambda c: F.floor(
+                    _dist2_hof(_sub_m(F.col("v"), m, dsub), c) * F.lit(1e6)
+                    + F.lit(0.5)
+                ),
+            ),
         )
-        .select("q_id", "e.m", "e.code", "e.d2")
     )
+    luts = uemb.filter(F.col("vec_id") < N_QUERY).select(
+        F.col("vec_id").alias("q_id"), lut_arr.alias("lut")
+    )
+    qside = probes.join(luts, "q_id")
 
-    cand = posting.join(F.broadcast(probes), "c_id").filter(
-        F.col("q_id") != F.col("n_id")
+    # Candidate scoring: broadcast-join the (query, probed-cell, LUT)
+    # side onto the index rows — each (q, n) pair appears exactly once
+    # (one cell per vector, distinct probed cells), so adist is a
+    # per-candidate array fold over the M stored codes with NO
+    # (q, n)-keyed re-aggregation and NO corpus-wide shuffle.
+    adist_micro = F.aggregate(
+        F.transform(
+            F.col("codes"),
+            lambda code, i: F.element_at(F.col("lut"), i * F.lit(ks) + code + 1),
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
     )
     adist = (
-        cand.join(codes, "n_id")
-        .join(F.broadcast(lut), ["q_id", "m", "code"])
-        .groupBy("q_id", "n_id")
-        .agg(F.round(F.sum("d2"), 6).alias("adist"))
+        index.join(F.broadcast(qside), "c_id")
+        .filter(F.col("q_id") != F.col("n_id"))
+        .select(
+            "q_id",
+            "n_id",
+            (adist_micro.cast("double") / F.lit(1e6)).alias("adist"),
+        )
     )
     w_short = Window.partitionBy("q_id").orderBy(F.asc("adist"), F.asc("n_id"))
     return adist.withColumn("arank", F.row_number().over(w_short))
@@ -1322,7 +1447,7 @@ def q_ivf_pq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     centroids = _kmeans_fit(emb)
     uemb = _unit_emb(emb).localCheckpoint(eager=True)
     cb = _pq_fit(uemb)
-    shortlist = _ivf_pq_shortlist(emb, uemb, centroids, cb).filter(
+    shortlist = _ivf_pq_shortlist(uemb, centroids, cb).filter(
         F.col("arank") <= IVF_PQ_RERANK
     ).select("q_id", "n_id", "adist")
     return _exact_rerank(emb, shortlist)
@@ -1374,7 +1499,7 @@ def q_ivf_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     ex_n = exact.agg(F.count(F.lit(1)).alias("n_exact"))
 
-    shortlist = _ivf_pq_shortlist(emb, uemb, centroids, cb)
+    shortlist = _ivf_pq_shortlist(uemb, centroids, cb)
     methods = [
         (
             "ivf_exact_cos",
@@ -1469,7 +1594,7 @@ def _pq_fit_ctes() -> str:
   ) WHERE rnk = 1
 ), pqmeans_{it} AS (
   SELECT m, code, list(mu ORDER BY j) AS cs FROM (
-    SELECT a.m, a.code, t.j, ROUND(AVG(s.s[t.j]), 6) AS mu
+    SELECT a.m, a.code, t.j, {_sql_micro_mean('s.s[t.j]')} AS mu
     FROM pqassign_{it} a
     JOIN pqsub s ON s.vec_id = a.vec_id AND s.m = a.m,
          (SELECT unnest(range(1, {IVFPQ_DSUB} + 1)) AS j) t
@@ -1527,7 +1652,9 @@ def _ivf_pq_oracle_ctes() -> str:
   FROM probes p JOIN corpus_cells cc ON p.c_id = cc.c_id
   WHERE p.q_id <> cc.n_id
 ), ivfpq_adist AS (
-  SELECT ca.q_id, ca.n_id, ROUND(SUM(l.d2), 6) AS adist
+  SELECT ca.q_id, ca.n_id,
+         CAST(SUM(CAST(FLOOR(l.d2 * 1000000.0 + 0.5) AS BIGINT)) AS DOUBLE)
+           / 1000000.0 AS adist
   FROM ivfpq_cand ca
   JOIN pqcodes c ON c.vec_id = ca.n_id
   JOIN pqdist l ON l.vec_id = ca.q_id AND l.m = c.m AND l.code = c.code

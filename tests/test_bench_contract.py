@@ -163,7 +163,20 @@ def test_extended_overrides_require_plan_audit_citation(tmp_path, capsys):
     finally:
         vr.load_extended_overrides = orig
 
-    # stale override: banked >= override - noise -> removal warning
+    # stale override: banked >= override -> removal warning (the max()
+    # makes the override a no-op from here on)
+    capsys.readouterr()
+    assert not check_extended(
+        {"extended": {"x": 3.1}},
+        {"extended": {"x": 3.05}},
+        overrides={"x": 3.05},
+    )
+    out = capsys.readouterr().out
+    assert "override stale" in out and "remove it" in out
+
+    # banked still BELOW the override (even within noise) -> the
+    # override is live, no removal prompt: removing it would drop the
+    # reference under current runtimes (round-10 ADVICE)
     capsys.readouterr()
     assert not check_extended(
         {"extended": {"x": 3.1}},
@@ -171,7 +184,7 @@ def test_extended_overrides_require_plan_audit_citation(tmp_path, capsys):
         overrides={"x": 3.05},
     )
     out = capsys.readouterr().out
-    assert "override stale" in out and "remove it" in out
+    assert "override stale" not in out
 
     # live override still forgiving: the delta is printed
     capsys.readouterr()

@@ -193,7 +193,12 @@ def check_extended(
                     f"{ref - banked:+.2f}s vs banked)",
                     flush=True,
                 )
-            if banked is not None and banked >= ov - stale_noise:
+            # Stale only once the banking has actually reached the
+            # override (the max() then makes it a no-op).  A banked
+            # time still BELOW the override (even within noise) means
+            # the override is live — removing it would drop the
+            # reference under current runtimes (round-10 ADVICE).
+            if banked is not None and banked >= ov:
                 print(
                     f"WARN extended override stale: {name} banked "
                     f"{banked:.2f}s has caught up to override {ov:.2f}s "
