@@ -615,9 +615,9 @@ def q_dedup_source_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc_id, and the matrix aggregate runs on source²-bounded rows.
     Sources are canonically ordered (src_a <= src_b) so the matrix is
     upper-triangular with within-source pairs on the diagonal."""
-    from .dedup import q_ngram_jaccard_pairs
+    from .dedup import dedup_pairs
 
-    pairs = q_ngram_jaccard_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    pairs = dedup_pairs(spark, sf_dir)
     src = load_table(spark, sf_dir, "documents").select("doc_id", "source")
     sa = src.select(
         F.col("doc_id").alias("doc_a"), F.col("source").alias("sa")
