@@ -22,68 +22,76 @@ from pyspark.sql import DataFrame, SparkSession
 #     their round-1 verdict remains valid evidence).
 # Names absent from this tuple keep module order after the block.
 VERIFY_PRIORITY = (
-    # Round-10 rotation (enforced by tests/test_rotation.py against
-    # tools/queries_at_base.json @ round-9 base, tools/round_base.txt).
-    # Ordering (round-9 verdict item 1): (a) queries NEW or CHANGED in
-    # round 10 — their prior verdict (if any) is stale; (b) the full
-    # 39-query round-6-verdict cohort (tools/window_debt.py oldest
-    # tier) — draining the inventory's stalest driver evidence; (c)
-    # top-up with the alphabetically-first round-7-verdict names.
-    # Changed-this-round queries displaced past slot 50 carry
-    # offwindow_verified records at their HEAD fingerprint instead.
-    # (a) new or changed in round 10:
+    # Round-11 rotation (enforced by tests/test_rotation.py against
+    # tools/queries_at_base.json @ round-10 HEAD, tools/round_base.txt).
+    # Ordering: (a) slot 1 = the inventory's ONLY never-driver-verified
+    # query (ivf_pq_search — r10's red row, fixed this round; the debt
+    # rule says it outranks everything); (b) queries whose VALUES
+    # changed this round — the integer micro-unit Lloyd/moment rewrites
+    # (whole similarity family, outlier_events, embedding_stats) and
+    # the new/rewritten stream_neardup + ivf_pq_recall; (c) the
+    # materialized-endgame + minhash/simhash families (code paths
+    # reworked; values unchanged but re-verified freshest); (d) the
+    # changed ∩ oldest-verdict (round-7 cohort) names for staleness
+    # double duty; (e) the fingerprint-flipped streaming family.  The
+    # remaining 41 fingerprint-only flips (shared dedup.py helpers)
+    # carry offwindow_verified records at their HEAD fingerprint
+    # (tools/check_correctness.py --record, full sf0.01 re-runs).
+    # (a) never-driver-verified debt:
     "ivf_pq_search",
+    # (b) value-changed this round:
     "ivf_pq_recall",
-    "cluster_label_nmi",
-    # (b) round-6-verdict cohort (all 39):
+    "stream_neardup",
+    "ann_bruteforce",
+    "ann_bruteforce_pandas",
+    "ann_ivf",
+    "ann_ivf_fitted",
+    "ann_lsh",
     "ann_pq_adc",
-    "cohort_retention",
-    "curation_pipeline",
-    "decontaminate",
-    "dedup_exact",
-    "dedup_keep_best",
-    "dedup_keep_canonical",
-    "dq_report",
+    "ann_probe_recall",
+    "cluster_label_nmi",
+    "embedding_covariance",
     "embedding_neardup",
     "embedding_stats",
-    "faturamento_rollup",
-    "funnel_conversion",
-    "incremental_dedup",
     "kmeans_assign",
     "kmeans_embeddings",
-    "lm_perplexity",
-    "media_features",
+    "kmeans_silhouette",
+    "pca_project",
+    "pq_codes",
+    "pq_distortion",
+    "semantic_dedup",
+    "outlier_events",
+    # (c) endgame + pair-generator families:
+    "dedup_components",
+    "dedup_keep_best",
+    "dedup_keep_canonical",
+    "leakage_safe_split",
+    "dedup_source_matrix",
     "minhash_lsh_pairs",
     "minhash_recall_audit",
-    "ml_forecast_horizon",
-    "ml_forecast_per_group",
-    "ml_horizon_spine",
-    "ml_lag_features",
-    "ml_proxy_features",
-    "multimodal_metadata",
     "ngram_jaccard_pairs",
-    "pack_manifest",
-    "passage_dedup",
-    "passage_scrub",
-    "pii_mask",
-    "pq_codes",
-    "revenue_percentiles",
-    "semantic_dedup",
-    "shard_balance",
     "simhash",
     "simhash_neardup",
-    "snapshot_diff",
-    "token_budget_mix",
-    "ts_autocorr",
-    # (c) top-up from the round-7-verdict cohort (alphabetical):
-    "anti_join",
-    "asof_rate_enrichment",
-    "balance_integrity",
-    "blacklist_filter",
-    "bpe_encode",
-    "bpe_token_count",
-    "bpe_train",
-    "calendar_dim",
+    "simhash_recall_audit",
+    # (d) changed ∩ round-7-verdict cohort (oldest driver evidence):
+    "hourly_event_counts",
+    "props_extract",
+    "sessionize",
+    # (e) fingerprint-flipped streaming family + remaining dedup core:
+    "stream_cms_heavy_hitters",
+    "stream_dedup_exact",
+    "stream_histogram_quantiles",
+    "stream_hll_users",
+    "stream_hourly_counts",
+    "stream_incremental_dedup",
+    "stream_psi_drift",
+    "stream_sessionize",
+    "stream_static_enriched",
+    "stream_stream_join",
+    "stream_user_totals",
+    "dedup_exact",
+    "incremental_dedup",
+    "lm_perplexity",
 )
 
 

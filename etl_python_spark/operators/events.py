@@ -182,9 +182,13 @@ def q_outlier_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     Per-type stats come from a GROUP BY + broadcast join back, NOT an
     unordered window over the type partition: a window would hold each
     type's full event set in one task (unbounded at 100 TB), while the
-    aggregate reduces map-side and broadcasts K rows.  Mean/std are
-    rounded at 6dp first so both engines derive z from bit-identical
-    anchors; z rounds at 4dp before the threshold test.
+    aggregate reduces map-side and broadcasts K rows.  Mean/std come
+    from exact integer micro-unit moments (round 11 — the Lloyd-fix
+    class: ``ROUND(AVG(double), 6)`` anchors can flip a 6dp boundary
+    as summation order shifts, and here a flipped anchor would change
+    WHICH EVENTS pass the z-filter); z rounds at 4dp before the
+    threshold test.  std = √((n·Σq² − (Σq)²)/(n(n−1)))/1e6 on the
+    exact moments, the ``embedding_covariance`` diagonal rule.
 
     Degenerate groups (stddev rounds to 0 — near-constant types) are
     excluded EXPLICITLY on both sides: Spark's x/0 is NULL while
@@ -192,9 +196,21 @@ def q_outlier_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     ABS(z) > 3 — the same query text would silently diverge between
     engines exactly on those groups."""
     events = load_table(spark, sf_dir, "events")
-    stats = events.groupBy("event_type").agg(
-        F.round(F.avg("value"), 6).alias("m"),
-        F.round(F.stddev_samp("value"), 6).alias("s"),
+    q = F.floor(F.col("value") * F.lit(1e6) + F.lit(0.5))
+    moments = events.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(q).alias("s1"),
+        F.sum((q * q).cast("decimal(38,0)")).alias("s2"),
+    )
+    n = F.col("n").cast("double")
+    var_micro2 = (
+        F.col("n").cast("decimal(38,0)") * F.col("s2")
+        - F.col("s1").cast("decimal(38,0)") * F.col("s1").cast("decimal(38,0)")
+    ).cast("double") / (n * (n - F.lit(1.0)))
+    stats = moments.select(
+        "event_type",
+        F.round(F.col("s1").cast("double") / n / F.lit(1e6), 6).alias("m"),
+        F.round(F.sqrt(var_micro2) / F.lit(1e6), 6).alias("s"),
     )
     z = F.round((F.col("value") - F.col("m")) / F.col("s"), 4)
     return (
@@ -206,9 +222,23 @@ def q_outlier_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ORACLE_OUTLIERS = """
-WITH stats AS (
-  SELECT event_type, ROUND(AVG(value), 6) AS m, ROUND(stddev_samp(value), 6) AS s
+WITH moments AS (
+  SELECT event_type,
+         COUNT(*) AS n,
+         SUM(CAST(FLOOR(value * 1000000.0 + 0.5) AS BIGINT)) AS s1,
+         SUM(CAST(CAST(FLOOR(value * 1000000.0 + 0.5) AS BIGINT)
+                  * CAST(FLOOR(value * 1000000.0 + 0.5) AS BIGINT)
+                  AS DECIMAL(38,0))) AS s2
   FROM events GROUP BY 1
+), stats AS (
+  SELECT event_type,
+         ROUND(CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE) / 1000000.0, 6) AS m,
+         ROUND(sqrt(CAST(CAST(n AS DECIMAL(38,0)) * s2
+                         - CAST(s1 AS DECIMAL(38,0)) * CAST(s1 AS DECIMAL(38,0))
+                         AS DOUBLE)
+                    / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0)))
+               / 1000000.0, 6) AS s
+  FROM moments
 )
 SELECT e.event_id, e.event_type, e.value,
        ROUND((e.value - st.m) / st.s, 4) AS z

@@ -1758,33 +1758,64 @@ def q_embedding_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     is built.  ``posexplode`` + one hash aggregate keyed by dimension:
     map-side partial aggregation does almost all the work, and the
     shuffle moves only EMB_DIM × partial-state rows regardless of
-    corpus size.  Mean/std rounded at 6dp (the k-means precedent) so
-    the engines' summation-order drift can't flip a digit; min/max are
-    exact float values needing no rounding."""
+    corpus size.  Mean/std come from exact integer micro-unit moments
+    (one 6dp input quantization, then BIGINT/DECIMAL sums and a single
+    float expression at the end — round 11, same class as the Lloyd
+    fix: a ``ROUND(AVG(double), 6)`` can flip a 6dp boundary as
+    summation order shifts); min/max are exact float values needing
+    no rounding.  std = √((n·Σq² − (Σq)²) / (n(n−1))) / 1e6 on the
+    exact moments — the :func:`q_embedding_covariance` diagonal rule."""
     emb = _kmeans_emb(spark, sf_dir)
-    return (
+    q = F.floor(F.col("val") * F.lit(1e6) + F.lit(0.5))
+    moments = (
         emb.select(F.posexplode("v").alias("dim", "val"))
         .groupBy("dim")
         .agg(
-            F.round(F.avg("val"), 6).alias("mean"),
-            F.round(F.stddev_samp("val"), 6).alias("std"),
+            F.count(F.lit(1)).alias("n"),
+            F.sum(q).alias("s1"),
+            F.sum((q * q).cast("decimal(38,0)")).alias("s2"),
             F.min("val").alias("vmin"),
             F.max("val").alias("vmax"),
         )
+    )
+    n = F.col("n").cast("double")
+    var_micro2 = (
+        F.col("n").cast("decimal(38,0)") * F.col("s2")
+        - F.col("s1").cast("decimal(38,0)") * F.col("s1").cast("decimal(38,0)")
+    ).cast("double") / (n * (n - F.lit(1.0)))
+    return moments.select(
+        "dim",
+        F.round(F.col("s1").cast("double") / n / F.lit(1e6), 6).alias("mean"),
+        F.round(F.sqrt(var_micro2) / F.lit(1e6), 6).alias("std"),
+        "vmin",
+        "vmax",
     )
 
 
 ORACLE_EMBEDDING_STATS = f"""
 WITH emb AS (
   SELECT list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings
+), moments AS (
+  SELECT CAST(t.j - 1 AS INT) AS dim,
+         COUNT(*) AS n,
+         SUM(CAST(FLOOR(v[t.j] * 1000000.0 + 0.5) AS BIGINT)) AS s1,
+         SUM(CAST(CAST(FLOOR(v[t.j] * 1000000.0 + 0.5) AS BIGINT)
+                  * CAST(FLOOR(v[t.j] * 1000000.0 + 0.5) AS BIGINT)
+                  AS DECIMAL(38,0))) AS s2,
+         MIN(v[t.j]) AS vmin,
+         MAX(v[t.j]) AS vmax
+  FROM emb, (SELECT unnest(range(1, {EMB_DIM} + 1)) AS j) t
+  GROUP BY 1
 )
-SELECT CAST(t.j - 1 AS INT) AS dim,
-       ROUND(AVG(v[t.j]), 6) AS mean,
-       ROUND(stddev_samp(v[t.j]), 6) AS std,
-       MIN(v[t.j]) AS vmin,
-       MAX(v[t.j]) AS vmax
-FROM emb, (SELECT unnest(range(1, {EMB_DIM} + 1)) AS j) t
-GROUP BY 1
+SELECT dim,
+       ROUND(CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE) / 1000000.0, 6) AS mean,
+       ROUND(sqrt(CAST(CAST(n AS DECIMAL(38,0)) * s2
+                       - CAST(s1 AS DECIMAL(38,0)) * CAST(s1 AS DECIMAL(38,0))
+                       AS DOUBLE)
+                  / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0)))
+             / 1000000.0, 6) AS std,
+       vmin, vmax
+FROM moments
 """
 
 
