@@ -1282,8 +1282,35 @@ def _pq_fit(emb: DataFrame, cb=None):
     return cb
 
 
+def _ivf_pq_index(uemb: DataFrame, centroids: list[list[float]], cb) -> DataFrame:
+    """(n_id, c_id, codes): the STORED rows of the composed IVF×PQ
+    index, built in one corpus scan — cell argmin on the raw vector,
+    per-subspace code argmins on the unit vector, two chained narrow
+    projections (one stage, no join).  At 100 TB these rows — id,
+    cell, M small ints — ARE the persisted index
+    (:func:`materialize_ann_index` publishes them through the txn
+    layer; raw floats never enter the serving scan)."""
+    dsub = len(cb[0][0])
+    cell_d = F.array(*[_dist2_lit(F.col("rv"), c) for c in centroids])
+    celled = uemb.select(
+        F.col("vec_id").alias("n_id"),
+        (F.array_position(cell_d, F.array_min(cell_d)) - 1)
+        .cast("int")
+        .alias("c_id"),
+        "v",
+    )
+    codes_arr = F.transform(
+        _cb_lit(cb),
+        lambda book, m: _argmin_code(_sub_m(F.col("v"), m, dsub), book),
+    )
+    return celled.select("n_id", "c_id", codes_arr.alias("codes"))
+
+
 def _ivf_pq_shortlist(
-    uemb: DataFrame, centroids: list[list[float]], cb
+    uemb: DataFrame,
+    centroids: list[list[float]],
+    cb,
+    index: DataFrame | None = None,
 ) -> DataFrame:
     """(q_id, n_id, adist, arank): the IVF-routed, ADC-scored
     candidate shortlist — the first two tiers of a composed IVF×PQ
@@ -1313,24 +1340,11 @@ def _ivf_pq_shortlist(
     ks = len(cb[0])
     dsub = len(cb[0][0])
 
-    # The stored index: one row per corpus vector carrying its coarse
-    # cell AND its M PQ codes, built in one corpus scan (cell argmin on
-    # the raw vector, per-subspace code argmins on the unit vector —
-    # two chained narrow projections, one stage, no join).  At 100 TB
-    # this row — (id, cell, M small ints) — IS the persisted index.
-    cell_d = F.array(*[_dist2_lit(F.col("rv"), c) for c in centroids])
-    celled = uemb.select(
-        F.col("vec_id").alias("n_id"),
-        (F.array_position(cell_d, F.array_min(cell_d)) - 1)
-        .cast("int")
-        .alias("c_id"),
-        "v",
-    )
-    codes_arr = F.transform(
-        _cb_lit(cb),
-        lambda book, m: _argmin_code(_sub_m(F.col("v"), m, dsub), book),
-    )
-    index = celled.select("n_id", "c_id", codes_arr.alias("codes"))
+    # The stored index rows (:func:`_ivf_pq_index`) — built inline
+    # from the corpus here, or passed in from a txn snapshot by the
+    # SPARK_GRAFT_ANN_CACHE path (identical rows by construction).
+    if index is None:
+        index = _ivf_pq_index(uemb, centroids, cb)
 
     # Query side: the N_PROBE nearest cells per query plus a flat
     # M×KS micro-unit LUT (entry [m·KS + code]) — kilobytes per query,
@@ -1426,6 +1440,120 @@ def _exact_rerank(emb: DataFrame, shortlist: DataFrame) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# Materialized ANN index (round 11 — the dedup-endgame pattern applied
+# to the IVF×PQ index).
+#
+# The composed index has an expensive BUILD (coarse Lloyd fit + PQ
+# Lloyd fit + one corpus coding scan) and a cheap SERVE (broadcast
+# probe/LUT join + re-rank fetch).  Inline build is the DRIVER CONTRACT
+# default, but a production store builds nightly and serves every query
+# batch from the snapshot: ``materialize_ann_index`` txn-publishes the
+# index rows (n_id, c_id, codes) plus the fitted model (centroids +
+# codebook, kilobytes) and ``SPARK_GRAFT_ANN_CACHE=<root>`` points the
+# search/recall queries at it — identical results by construction
+# (pinned by tests/test_ann_cache.py; the fits are deterministic, so
+# snapshot and inline parameters are the same doubles).
+# ---------------------------------------------------------------------------
+
+ANN_CACHE_ENV = "SPARK_GRAFT_ANN_CACHE"
+
+
+def _ann_cache_root() -> str | None:
+    import os
+
+    return os.environ.get(ANN_CACHE_ENV) or None
+
+
+def _ivf_pq_runtime(spark: SparkSession, sf_dir: str):
+    """(emb, quemb, centroids, cb, index_or_None): everything the
+    search/recall pipelines need, from the txn snapshot when
+    ``SPARK_GRAFT_ANN_CACHE`` is set, else fitted inline.
+
+    Inline: the corpus is checkpointed once (the fits scan it
+    repeatedly) and ``quemb`` is the full unit-vector relation (the
+    index build consumes it too).  Cached: the corpus is a plain
+    pruned parquet scan (nothing iterates over it — re-rank fetches
+    and the query slice are its only readers), ``quemb`` is the unit
+    transform of just the N_QUERY query rows (identical per-row
+    expression → identical values), the model table brings K×dim +
+    M×KS×dsub doubles to the driver (kilobytes), and ``index`` is the
+    snapshot's (n_id, c_id, codes) rows."""
+    root = _ann_cache_root()
+    if root is None:
+        emb = _kmeans_emb(spark, sf_dir)
+        centroids = _kmeans_fit(emb)
+        uemb = _unit_emb(emb).localCheckpoint(eager=True)
+        cb = _pq_fit(uemb)
+        return emb, uemb, centroids, cb, None
+
+    from ..sources.txn import txn_read
+
+    emb = spread(load_table(spark, sf_dir, "embeddings"), "vec_id").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    quemb = _unit_emb(emb.filter(F.col("vec_id") < N_QUERY))
+    model = txn_read(spark, f"{root}/model").collect()
+    centroids_d = {r.k: list(r.vec) for r in model if r.kind == "centroid"}
+    centroids = [centroids_d[k] for k in sorted(centroids_d)]
+    cb_d = {(r.m, r.k): list(r.vec) for r in model if r.kind == "pq"}
+    m_parts = 1 + max(m for m, _ in cb_d)
+    ks = 1 + max(k for _, k in cb_d)
+    cb = [[cb_d[(m, k)] for k in range(ks)] for m in range(m_parts)]
+    index = txn_read(spark, f"{root}/index").select("n_id", "c_id", "codes")
+    return emb, quemb, centroids, cb, index
+
+
+def materialize_ann_index(
+    spark: SparkSession, sf_dir: str, root: str
+) -> dict[str, int]:
+    """Fit the coarse quantizer + product quantizer ONCE, code the
+    corpus, and publish index rows + model as transactional tables
+    under ``root`` (atomic rename publish — a refresh never exposes a
+    half-written index).  Returns {table: committed version}.  This is
+    the nightly index-build job of a 100 TB embedding store; serving
+    (``SPARK_GRAFT_ANN_CACHE``) then reads 8 small ints per corpus
+    vector and never touches raw floats outside the bounded re-rank
+    fetch."""
+    from pyspark.sql.types import (
+        ArrayType,
+        DoubleType,
+        IntegerType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    from ..sources.txn import txn_write
+
+    emb = _kmeans_emb(spark, sf_dir)
+    centroids = _kmeans_fit(emb)
+    uemb = _unit_emb(emb).localCheckpoint(eager=True)
+    cb = _pq_fit(uemb)
+
+    schema = StructType(
+        [
+            StructField("kind", StringType()),
+            StructField("m", IntegerType()),
+            StructField("k", IntegerType()),
+            StructField("vec", ArrayType(DoubleType())),
+        ]
+    )
+    rows = [("centroid", 0, k, [float(x) for x in c]) for k, c in enumerate(centroids)]
+    rows += [
+        ("pq", m, k, [float(x) for x in cb[m][k]])
+        for m in range(len(cb))
+        for k in range(len(cb[m]))
+    ]
+    versions = {
+        "model": txn_write(spark, spark.createDataFrame(rows, schema), f"{root}/model")
+    }
+    versions["index"] = txn_write(
+        spark, _ivf_pq_index(uemb, centroids, cb), f"{root}/index"
+    )
+    return versions
+
+
 def q_ivf_pq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The composed index a 100 TB embedding store actually serves
     from — IVF routing × PQ-ADC scoring × exact top-R re-rank:
@@ -1442,12 +1570,12 @@ def q_ivf_pq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     Fully value-oracled: the oracle restates the Lloyd fit CTEs, the
     PQ code CTEs, and the same route/score/re-rank pipeline.  Ref has
     no ANN surface (beyond-reference scale operator); recall quality
-    is graded by :func:`q_ivf_pq_recall`."""
-    emb = _kmeans_emb(spark, sf_dir)
-    centroids = _kmeans_fit(emb)
-    uemb = _unit_emb(emb).localCheckpoint(eager=True)
-    cb = _pq_fit(uemb)
-    shortlist = _ivf_pq_shortlist(uemb, centroids, cb).filter(
+    is graded by :func:`q_ivf_pq_recall`.  With
+    ``SPARK_GRAFT_ANN_CACHE`` set, fits and index come from the txn
+    snapshot (:func:`materialize_ann_index`) — identical results, no
+    Lloyd jobs at serve time."""
+    emb, quemb, centroids, cb, index = _ivf_pq_runtime(spark, sf_dir)
+    shortlist = _ivf_pq_shortlist(quemb, centroids, cb, index=index).filter(
         F.col("arank") <= IVF_PQ_RERANK
     ).select("q_id", "n_id", "adist")
     return _exact_rerank(emb, shortlist)
@@ -1467,11 +1595,12 @@ def q_ivf_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
       back toward the IVF ceiling at 1/RERANK of the exact work).
 
     One shared fit/codebook serves all three; ground truth is the
-    bounded N_QUERY-row brute force (the ann_probe_recall argument)."""
-    emb = _kmeans_emb(spark, sf_dir)
-    centroids = _kmeans_fit(emb)
-    uemb = _unit_emb(emb).localCheckpoint(eager=True)
-    cb = _pq_fit(uemb)
+    bounded N_QUERY-row brute force (the ann_probe_recall argument).
+    ``SPARK_GRAFT_ANN_CACHE`` serves fits/index from the txn snapshot
+    (the ground-truth brute force and the ivf_exact_cos ceiling still
+    scan the corpus — they are audits of the index, not servable from
+    it)."""
+    emb, quemb, centroids, cb, index = _ivf_pq_runtime(spark, sf_dir)
 
     queries = emb.filter(F.col("vec_id") < N_QUERY).select(
         F.col("vec_id").alias("q_id"),
@@ -1499,7 +1628,7 @@ def q_ivf_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     ex_n = exact.agg(F.count(F.lit(1)).alias("n_exact"))
 
-    shortlist = _ivf_pq_shortlist(uemb, centroids, cb)
+    shortlist = _ivf_pq_shortlist(quemb, centroids, cb, index=index)
     methods = [
         (
             "ivf_exact_cos",
