@@ -197,10 +197,15 @@ def q_outlier_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     engines exactly on those groups."""
     events = load_table(spark, sf_dir, "events")
     q = F.floor(F.col("value") * F.lit(1e6) + F.lit(0.5))
+    # Square in DECIMAL(19,0), not LongType: a long q*q silently wraps
+    # past 2^63 (|value| ≳ 3e3) in non-ANSI Spark while DuckDB raises —
+    # the engines would diverge silently.  19+19 ≤ 38 keeps the product
+    # an exact DECIMAL(38,0) in BOTH engines (round-11 advice).
+    qd = q.cast("decimal(19,0)")
     moments = events.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n"),
         F.sum(q).alias("s1"),
-        F.sum((q * q).cast("decimal(38,0)")).alias("s2"),
+        F.sum(qd * qd).alias("s2"),
     )
     n = F.col("n").cast("double")
     var_micro2 = (
@@ -226,9 +231,8 @@ WITH moments AS (
   SELECT event_type,
          COUNT(*) AS n,
          SUM(CAST(FLOOR(value * 1000000.0 + 0.5) AS BIGINT)) AS s1,
-         SUM(CAST(CAST(FLOOR(value * 1000000.0 + 0.5) AS BIGINT)
-                  * CAST(FLOOR(value * 1000000.0 + 0.5) AS BIGINT)
-                  AS DECIMAL(38,0))) AS s2
+         SUM(CAST(FLOOR(value * 1000000.0 + 0.5) AS DECIMAL(19,0))
+             * CAST(FLOOR(value * 1000000.0 + 0.5) AS DECIMAL(19,0))) AS s2
   FROM events GROUP BY 1
 ), stats AS (
   SELECT event_type,

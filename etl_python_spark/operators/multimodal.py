@@ -295,11 +295,33 @@ def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     no unused columns."""
     media = as_media(spread(load_table(spark, sf_dir, "documents"), "doc_id"))
     feats = extract_features(media.select("media_id", "modality", "payload"))
-    return feats.groupBy("modality").agg(
+    # Round-12 hardening (the last triaged ROUND(AVG(double)) site —
+    # the class that flipped ivf_pq_search in round 10): quantize each
+    # per-doc feature ONCE to integer micro-units, sum exactly in
+    # BIGINT, and divide a single time at the end.  The per-doc floats
+    # are engine-identical (mean_byte is one IEEE division of exact
+    # integers; entropy's summation-order ulps are absorbed by the 6dp
+    # quantization), so the aggregate can no longer flip a 4dp boundary
+    # as partial-sum order shifts.
+    mb_micro = F.floor(F.col("mean_byte") * F.lit(1e6) + F.lit(0.5))
+    ent_micro = F.floor(F.col("byte_entropy") * F.lit(1e6) + F.lit(0.5))
+    agg = feats.groupBy("modality").agg(
         F.count("*").alias("n_objects"),
-        F.round(F.avg("mean_byte"), 4).alias("avg_mean_byte"),
-        F.round(F.avg("byte_entropy"), 4).alias("avg_entropy"),
+        F.sum(mb_micro).alias("mb_s"),
+        F.sum(ent_micro).alias("ent_s"),
         F.max("width").alias("max_width"),
+    )
+    n = F.col("n_objects").cast("double")
+    return agg.select(
+        "modality",
+        "n_objects",
+        F.round(F.col("mb_s").cast("double") / n / F.lit(1e6), 4).alias(
+            "avg_mean_byte"
+        ),
+        F.round(F.col("ent_s").cast("double") / n / F.lit(1e6), 4).alias(
+            "avg_entropy"
+        ),
+        "max_width",
     )
 
 
@@ -336,17 +358,24 @@ per_doc AS (
 -- left join back to d: an empty/NULL payload yields no bytes rows
 -- (range(1, 1) is empty) so the doc would vanish from per_doc, while
 -- the decoder emits mean_byte=0 / entropy=0 / width=1 for it
+-- per-doc micro-unit quantization (round-12: the integer micro-unit
+-- rule — sum exact BIGINTs, divide once at the end, so partial-sum
+-- order can never flip the 4dp output boundary)
 all_docs AS (
   SELECT d.doc_id,
-         coalesce(p.mean_byte, 0.0) AS mean_byte,
-         coalesce(p.entropy, 0.0) AS entropy,
+         CAST(FLOOR(coalesce(p.mean_byte, 0.0) * 1000000.0 + 0.5)
+              AS BIGINT) AS mb_micro,
+         CAST(FLOOR(coalesce(p.entropy, 0.0) * 1000000.0 + 0.5)
+              AS BIGINT) AS ent_micro,
          coalesce(p.width, 1) AS width
   FROM d LEFT JOIN per_doc p USING (doc_id)
 )
 SELECT ['image', 'audio', 'video'][CAST(doc_id % 3 AS INT) + 1] AS modality,
        COUNT(*) AS n_objects,
-       ROUND(AVG(mean_byte), 4) AS avg_mean_byte,
-       ROUND(AVG(entropy), 4) AS avg_entropy,
+       ROUND(CAST(SUM(mb_micro) AS DOUBLE) / COUNT(*) / 1000000.0, 4)
+         AS avg_mean_byte,
+       ROUND(CAST(SUM(ent_micro) AS DOUBLE) / COUNT(*) / 1000000.0, 4)
+         AS avg_entropy,
        CAST(MAX(width) AS INT) AS max_width
 FROM all_docs
 GROUP BY 1

@@ -1896,13 +1896,18 @@ def q_embedding_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact moments — the :func:`q_embedding_covariance` diagonal rule."""
     emb = _kmeans_emb(spark, sf_dir)
     q = F.floor(F.col("val") * F.lit(1e6) + F.lit(0.5))
+    # Square in DECIMAL(19,0), not LongType: a long q*q silently wraps
+    # past 2^63 in non-ANSI Spark while DuckDB raises (round-11 advice;
+    # same fix as q_outlier_events).  19+19 ≤ 38 keeps the product an
+    # exact DECIMAL(38,0) in both engines.
+    qd = q.cast("decimal(19,0)")
     moments = (
         emb.select(F.posexplode("v").alias("dim", "val"))
         .groupBy("dim")
         .agg(
             F.count(F.lit(1)).alias("n"),
             F.sum(q).alias("s1"),
-            F.sum((q * q).cast("decimal(38,0)")).alias("s2"),
+            F.sum(qd * qd).alias("s2"),
             F.min("val").alias("vmin"),
             F.max("val").alias("vmax"),
         )
@@ -1928,9 +1933,8 @@ WITH emb AS (
   SELECT CAST(t.j - 1 AS INT) AS dim,
          COUNT(*) AS n,
          SUM(CAST(FLOOR(v[t.j] * 1000000.0 + 0.5) AS BIGINT)) AS s1,
-         SUM(CAST(CAST(FLOOR(v[t.j] * 1000000.0 + 0.5) AS BIGINT)
-                  * CAST(FLOOR(v[t.j] * 1000000.0 + 0.5) AS BIGINT)
-                  AS DECIMAL(38,0))) AS s2,
+         SUM(CAST(FLOOR(v[t.j] * 1000000.0 + 0.5) AS DECIMAL(19,0))
+             * CAST(FLOOR(v[t.j] * 1000000.0 + 0.5) AS DECIMAL(19,0))) AS s2,
          MIN(v[t.j]) AS vmin,
          MAX(v[t.j]) AS vmax
   FROM emb, (SELECT unnest(range(1, {EMB_DIM} + 1)) AS j) t
