@@ -105,10 +105,36 @@ def _env_conditions() -> dict:
     }
 
 
+MAX_BANKABLE_LOAD1 = 2.0
+
+
+def _await_clean_host(max_wait_s: float) -> dict:
+    """Round-11 verdict item 6: bench.py used to CAPTURE the host env
+    and then bank regardless (BENCH_r11 shipped with 1 stray JVM and
+    load1 10.47).  Now it actively waits (up to
+    $SPARK_GRAFT_BENCH_WAIT seconds, default 180, polled every 5 s)
+    for zero stray JVMs and load1 <= 2, and stamps the banked artifact
+    ``env.contaminated`` when the host never settled — so a loaded-host
+    number can never masquerade as a clean banking again.  Unknown
+    readings (-1) don't block: they mean "can't measure", not "dirty"."""
+    deadline = time.time() + max_wait_s
+    while True:
+        env = _env_conditions()
+        dirty = env["stray_jvms_at_start"] > 0 or (
+            env["load1_at_start"] > MAX_BANKABLE_LOAD1
+        )
+        if not dirty or time.time() >= deadline:
+            env["contaminated"] = dirty
+            env["waited_s"] = round(max(0.0, max_wait_s - (deadline - time.time())), 1)
+            return env
+        time.sleep(5)
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
-    env_conditions = _env_conditions()
+    max_wait = float(os.environ.get("SPARK_GRAFT_BENCH_WAIT", "180"))
+    env_conditions = _await_clean_host(max_wait)
 
     from etl_python_spark.session import get_spark
     from etl_python_spark.operators import all_queries

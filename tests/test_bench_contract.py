@@ -9,6 +9,9 @@ import json
 def test_bench_emits_one_json_line(spark, capsys, monkeypatch):
     monkeypatch.setenv("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001")
     monkeypatch.setenv("SPARK_GRAFT_BENCH_RUNS", "1")
+    # in-process run: the test session's own JVM would read as a
+    # "stray", so don't wait for a clean host here
+    monkeypatch.setenv("SPARK_GRAFT_BENCH_WAIT", "0")
     import bench
 
     bench.main()
@@ -28,6 +31,7 @@ def test_bench_extended_group(spark, capsys, monkeypatch):
     separate from the headline total (baseline continuity)."""
     monkeypatch.setenv("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001")
     monkeypatch.setenv("SPARK_GRAFT_BENCH_RUNS", "1")
+    monkeypatch.setenv("SPARK_GRAFT_BENCH_WAIT", "0")
     import bench
 
     bench.main()
@@ -195,3 +199,35 @@ def test_extended_overrides_require_plan_audit_citation(tmp_path, capsys):
     )
     out = capsys.readouterr().out
     assert "forgiving" in out and "+1.17s" in out
+
+
+def test_await_clean_host_gates_on_env(monkeypatch):
+    """Round-11 verdict item 6: the banked env block must carry an
+    explicit contamination verdict.  Dirty host past the wait budget ->
+    contaminated: true; clean host -> false immediately; unknown
+    readings (-1) never block."""
+    import bench
+
+    def fake_env(strays, load1):
+        return lambda: {
+            "stray_jvms_at_start": strays,
+            "load1_at_start": load1,
+            "load5_at_start": load1,
+        }
+
+    monkeypatch.setattr(bench, "_env_conditions", fake_env(1, 9.0))
+    env = bench._await_clean_host(0)
+    assert env["contaminated"] is True
+
+    monkeypatch.setattr(bench, "_env_conditions", fake_env(0, 0.3))
+    env = bench._await_clean_host(60)  # returns without sleeping
+    assert env["contaminated"] is False and env["waited_s"] < 5
+
+    monkeypatch.setattr(bench, "_env_conditions", fake_env(-1, -1.0))
+    env = bench._await_clean_host(60)
+    assert env["contaminated"] is False
+
+    # load1 just over the threshold with no strays -> dirty
+    monkeypatch.setattr(bench, "_env_conditions", fake_env(0, 2.5))
+    env = bench._await_clean_host(0)
+    assert env["contaminated"] is True
