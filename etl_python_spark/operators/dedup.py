@@ -546,8 +546,14 @@ def dedup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     when ``SPARK_GRAFT_DEDUP_CACHE`` is set, else computed inline."""
     root = _dedup_cache_root()
     if root:
+        from ..sources.fingerprint import check_snapshot_fresh
         from ..sources.txn import txn_read
 
+        # staleness guard (round-11 verdict item 2): refuse to serve a
+        # pair graph built from a different documents corpus
+        check_snapshot_fresh(
+            spark, f"{root}/{_CACHE_PAIRS}", sf_dir, "documents"
+        )
         return txn_read(spark, f"{root}/{_CACHE_PAIRS}").select(
             "doc_a", "doc_b"
         )
@@ -560,8 +566,12 @@ def dedup_component_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
     the CC kernel over :func:`dedup_pairs`."""
     root = _dedup_cache_root()
     if root:
+        from ..sources.fingerprint import check_snapshot_fresh
         from ..sources.txn import txn_read
 
+        check_snapshot_fresh(
+            spark, f"{root}/{_CACHE_COMPONENTS}", sf_dir, "documents"
+        )
         return txn_read(spark, f"{root}/{_CACHE_COMPONENTS}").select(
             "doc_id", "component_id"
         )
@@ -580,16 +590,27 @@ def materialize_dedup_endgame(
     queries become pair-graph-sized joins against these snapshots
     instead of each re-running shingling + CC (~3× the family cost at
     sf1, measured in SOAK_r11)."""
+    from ..sources.fingerprint import META_KEY, corpus_fingerprint
     from ..sources.txn import txn_write
+
+    # banked in both commits' app_meta; the cached read paths verify it
+    # against the corpus they are pointed at and refuse on mismatch
+    meta = {
+        META_KEY: corpus_fingerprint(sf_dir, "documents"),
+        "source_table": "documents",
+        "sf_dir": sf_dir,
+    }
 
     pairs = q_ngram_jaccard_pairs(spark, sf_dir).select("doc_a", "doc_b")
     pairs = pairs.localCheckpoint(eager=True)  # CC reuses it below
     versions = {
-        _CACHE_PAIRS: txn_write(spark, pairs, f"{root}/{_CACHE_PAIRS}")
+        _CACHE_PAIRS: txn_write(
+            spark, pairs, f"{root}/{_CACHE_PAIRS}", app_meta=meta
+        )
     }
     comp = connected_components(pairs)
     versions[_CACHE_COMPONENTS] = txn_write(
-        spark, comp, f"{root}/{_CACHE_COMPONENTS}"
+        spark, comp, f"{root}/{_CACHE_COMPONENTS}", app_meta=meta
     )
     return versions
 

@@ -1487,7 +1487,14 @@ def _ivf_pq_runtime(spark: SparkSession, sf_dir: str):
         cb = _pq_fit(uemb)
         return emb, uemb, centroids, cb, None
 
+    from ..sources.fingerprint import check_snapshot_fresh
     from ..sources.txn import txn_read
+
+    # Staleness guard (round-11 verdict item 2): refuse — loudly — to
+    # serve a snapshot built from a different embeddings corpus than
+    # the one this query is being asked about.  Driver-side stat walk,
+    # no job.
+    check_snapshot_fresh(spark, f"{root}/model", sf_dir, "embeddings")
 
     emb = spread(load_table(spark, sf_dir, "embeddings"), "vec_id").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("v")
@@ -1524,7 +1531,16 @@ def materialize_ann_index(
         StructType,
     )
 
+    from ..sources.fingerprint import META_KEY, corpus_fingerprint
     from ..sources.txn import txn_write
+
+    # banked in both commits' app_meta; the cached serve path verifies
+    # it against the corpus it is pointed at and refuses on mismatch
+    meta = {
+        META_KEY: corpus_fingerprint(sf_dir, "embeddings"),
+        "source_table": "embeddings",
+        "sf_dir": sf_dir,
+    }
 
     emb = _kmeans_emb(spark, sf_dir)
     centroids = _kmeans_fit(emb)
@@ -1546,10 +1562,15 @@ def materialize_ann_index(
         for k in range(len(cb[m]))
     ]
     versions = {
-        "model": txn_write(spark, spark.createDataFrame(rows, schema), f"{root}/model")
+        "model": txn_write(
+            spark,
+            spark.createDataFrame(rows, schema),
+            f"{root}/model",
+            app_meta=meta,
+        )
     }
     versions["index"] = txn_write(
-        spark, _ivf_pq_index(uemb, centroids, cb), f"{root}/index"
+        spark, _ivf_pq_index(uemb, centroids, cb), f"{root}/index", app_meta=meta
     )
     return versions
 
