@@ -676,13 +676,17 @@ def _sql_d2(v: str, c: str) -> str:
     )
 
 
-def _kmeans_fit_ctes() -> str:
+def _kmeans_fit_ctes(fit_where: str = "") -> str:
     """The shared DuckDB restatement of the Lloyd fit: for each of the
     KMEANS_ITERS iterations, an assignment CTE (rounded squared-L2
     argmin, lowest-cluster tie-break) and a centroid-update CTE
     (per-dim 6dp-rounded means, keep-previous fallback for empty
     clusters).  Ends with the ``cent_{KMEANS_ITERS}`` CTE both the
-    kmeans report oracle and the fitted-IVF oracle build on."""
+    kmeans report oracle and the fitted-IVF oracle build on.
+
+    ``fit_where`` (e.g. ``"WHERE e.vec_id % 10 <> 9"``) restricts the
+    rows the FIT sees — the incremental-maintenance oracle fits the
+    frozen model on the base slice while coding the grown corpus."""
     parts = [
         f"""
 WITH emb AS (
@@ -695,12 +699,13 @@ WITH emb AS (
 )"""
     ]
     cur = "cent_0"
+    fw = f"\n  {fit_where}" if fit_where else ""
     for it in range(1, KMEANS_ITERS + 1):
         parts.append(
             f"""
 , d_{it} AS (
   SELECT e.vec_id, e.v, c.k, {_sql_d2('e.v', 'c.c')} AS d2
-  FROM emb e CROSS JOIN {cur} c
+  FROM emb e CROSS JOIN {cur} c{fw}
 ), assign_{it} AS (
   SELECT vec_id, v, k FROM (
     SELECT vec_id, v, k,
@@ -1500,13 +1505,7 @@ def _ivf_pq_runtime(spark: SparkSession, sf_dir: str):
         "vec_id", F.col("embedding").cast("array<double>").alias("v")
     )
     quemb = _unit_emb(emb.filter(F.col("vec_id") < N_QUERY))
-    model = txn_read(spark, f"{root}/model").collect()
-    centroids_d = {r.k: list(r.vec) for r in model if r.kind == "centroid"}
-    centroids = [centroids_d[k] for k in sorted(centroids_d)]
-    cb_d = {(r.m, r.k): list(r.vec) for r in model if r.kind == "pq"}
-    m_parts = 1 + max(m for m, _ in cb_d)
-    ks = 1 + max(k for _, k in cb_d)
-    cb = [[cb_d[(m, k)] for k in range(ks)] for m in range(m_parts)]
+    centroids, cb = _snapshot_model(spark, root)
     index = txn_read(spark, f"{root}/index").select("n_id", "c_id", "codes")
     return emb, quemb, centroids, cb, index
 
@@ -1573,6 +1572,125 @@ def materialize_ann_index(
         spark, _ivf_pq_index(uemb, centroids, cb), f"{root}/index", app_meta=meta
     )
     return versions
+
+
+def _snapshot_model(spark: SparkSession, root: str):
+    """(centroids, cb) decoded from the txn model table — kilobytes to
+    the driver, the same shape :func:`_ivf_pq_runtime` serves from."""
+    from ..sources.txn import txn_read
+
+    model = txn_read(spark, f"{root}/model").collect()
+    centroids_d = {r.k: list(r.vec) for r in model if r.kind == "centroid"}
+    centroids = [centroids_d[k] for k in sorted(centroids_d)]
+    cb_d = {(r.m, r.k): list(r.vec) for r in model if r.kind == "pq"}
+    m_parts = 1 + max(m for m, _ in cb_d)
+    ks = 1 + max(k for _, k in cb_d)
+    cb = [[cb_d[(m, k)] for k in range(ks)] for m in range(m_parts)]
+    return centroids, cb
+
+
+def refresh_ann_index_incremental(
+    spark: SparkSession, sf_dir: str, root: str
+) -> dict[str, int]:
+    """Incremental index refresh after the corpus GREW: code only the
+    vectors not yet in the snapshot against the FROZEN model and MERGE
+    their rows into the published index (txn copy-on-write upsert —
+    readers never see a partial index), then re-bank the grown
+    corpus's fingerprint on both tables so the staleness guard accepts
+    the new corpus.  Returns {table: new version}.
+
+    NO Lloyd job runs (pinned by tests/test_incremental_maintenance.py)
+    and the merged rows are byte-identical to a from-scratch recode of
+    the grown corpus under the same frozen model — coding is a pure
+    per-row function (the ``ann_index_incremental`` oracle proves the
+    same identity value-for-value at 3 SFs).  At 100 TB the work is
+    one anti-join on ids plus one scan of the ARRIVING vectors against
+    broadcast model literals; re-FITTING on the grown corpus is a
+    separate deliberate decision (:func:`materialize_ann_index`), not
+    a correctness requirement."""
+    from ..sources.fingerprint import META_KEY, corpus_fingerprint
+    from ..sources.txn import txn_merge_upsert, txn_read, txn_write
+
+    centroids, cb = _snapshot_model(spark, root)
+    emb = spread(load_table(spark, sf_dir, "embeddings"), "vec_id").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    have = txn_read(spark, f"{root}/index").select(
+        F.col("n_id").alias("vec_id")
+    )
+    delta = emb.join(have, "vec_id", "left_anti")
+    rows = _ivf_pq_index(_unit_emb(delta), centroids, cb)
+    meta = {
+        META_KEY: corpus_fingerprint(sf_dir, "embeddings"),
+        "source_table": "embeddings",
+        "sf_dir": sf_dir,
+        "op": "incremental_refresh",
+    }
+    versions = {
+        "index": txn_merge_upsert(
+            spark, rows, f"{root}/index", keys=["n_id"], app_meta=meta
+        ),
+        # model data is frozen; rewrite only to re-bank the fingerprint
+        # (kilobytes — the model table is K×dim + M×KS×dsub doubles)
+        "model": txn_write(
+            spark, txn_read(spark, f"{root}/model"), f"{root}/model", app_meta=meta
+        ),
+    }
+    return versions
+
+
+# ---------------------------------------------------------------------------
+# Incremental index maintenance (round 12 — the natural next step after
+# the materialized index: new vectors arrive, and instead of a full
+# rebuild the index gains ONLY their code rows, coded against the
+# FROZEN model).
+# ---------------------------------------------------------------------------
+
+# The "newly arrived" slice: 1% of the corpus, chosen OFF the model's
+# deterministic sample ids (k-means init = vec_ids 0..7, PQ codebook
+# init = vec_ids 200..215) so the base-only fit sees the exact sample
+# rows the full-corpus fit would.
+ANN_DELTA_MOD, ANN_DELTA_REM = 100, 97
+
+
+def _ann_base_delta(emb: DataFrame) -> tuple[DataFrame, DataFrame]:
+    pred = F.col("vec_id") % ANN_DELTA_MOD == ANN_DELTA_REM
+    return emb.filter(~pred), emb.filter(pred)
+
+
+def q_ann_index_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental IVF×PQ index maintenance, stated as a relation: the
+    corpus is split into a base (99%) and a newly-arrived delta
+    (vec_id % 100 == 97); the coarse quantizer and PQ codebook are fit
+    on the BASE ONLY and frozen; the delta rows are coded against that
+    frozen model and unioned with the base index rows.  Output =
+    (n_id, c_id, m, code) of the grown index in long form.
+
+    The invariant this query pins — and the reason incremental
+    maintenance is sound at all — is code(base) ∪ code(delta) ≡
+    code(base ∪ delta) under a frozen model: coding is a pure per-row
+    function of the model, so the merged index is bit-identical to a
+    from-scratch recode of the grown corpus (the oracle restates
+    exactly that: fit CTEs restricted to the base slice, coding CTEs
+    over the full corpus).  At 100 TB the base side is the STORED
+    index (``materialize_ann_index``; see
+    :func:`refresh_ann_index_incremental` for the txn MERGE that
+    publishes the delta rows); only the delta — one scan of the
+    arriving vectors against broadcast model literals, no shuffle —
+    is ever recoded.  Re-FITTING on the grown corpus is the separate,
+    deliberate nightly decision; serving correctness never depends on
+    it."""
+    emb = _kmeans_emb(spark, sf_dir)
+    base, delta = _ann_base_delta(emb)
+    centroids = _kmeans_fit(base)  # frozen model: fit sees base only
+    ubase = _unit_emb(base).localCheckpoint(eager=True)
+    cb = _pq_fit(ubase)
+    merged = _ivf_pq_index(ubase, centroids, cb).unionByName(
+        _ivf_pq_index(_unit_emb(delta), centroids, cb)
+    )
+    return merged.select(
+        "n_id", "c_id", F.posexplode("codes").alias("m", "code")
+    )
 
 
 def q_ivf_pq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1690,7 +1808,7 @@ def q_ivf_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
-def _pq_fit_ctes() -> str:
+def _pq_fit_ctes(fit_where: str = "") -> str:
     """DuckDB restatement of the per-subspace Lloyd fit: pqcent_0 is
     the sample-codebook init, each iteration adds an assignment CTE
     (6dp-rounded squared-L2 argmin per (vec_id, m), lowest-code
@@ -1699,7 +1817,12 @@ def _pq_fit_ctes() -> str:
     :func:`_pq_fit`.  Ends with ``pqcodes``/``pqdist`` computed
     against the FITTED codebook ``pqcent_{PQ_FIT_ITERS}``: pqcodes is
     the corpus code table, pqdist the full (vec_id, m, code) distance
-    table the query-side ADC LUT slices from."""
+    table the query-side ADC LUT slices from.
+
+    ``fit_where`` (e.g. ``"WHERE s.vec_id % 10 <> 9"``) restricts the
+    rows the FIT iterations see while the final coding CTEs still
+    cover the whole corpus — the frozen-model contract of
+    :func:`q_ann_index_incremental`."""
     parts = [
         f"""
 , uemb AS (
@@ -1728,13 +1851,14 @@ def _pq_fit_ctes() -> str:
         f"ROUND(list_sum(list_transform(range(1, {IVFPQ_DSUB} + 1), "
         f"i -> (s.s[i] - c.cs[i]) * (s.s[i] - c.cs[i]))), 6)"
     )
+    fw = f"\n  {fit_where}" if fit_where else ""
     for it in range(1, PQ_FIT_ITERS + 1):
         prev = f"pqcent_{it - 1}"
         parts.append(
             f"""
 , pqd_{it} AS (
   SELECT s.vec_id, s.m, c.code, {d2} AS d2
-  FROM pqsub s JOIN {prev} c ON s.m = c.m
+  FROM pqsub s JOIN {prev} c ON s.m = c.m{fw}
 ), pqassign_{it} AS (
   SELECT vec_id, m, code FROM (
     SELECT vec_id, m, code,
@@ -1897,6 +2021,32 @@ UNION ALL
 SELECT 'ivf_pq_rerank' AS method, tp, exn.n_exact,
        ROUND(CAST(tp AS DOUBLE) / NULLIF(exn.n_exact, 0), 4) AS recall
 FROM s_rr, exn
+"""
+)
+
+# Restates q_ann_index_incremental: the fit CTEs see only the base
+# slice (the frozen model), the coding CTEs (cells + pqcodes) cover
+# the FULL corpus — so the oracle IS the from-scratch recode of the
+# grown corpus and a hash match proves merge ≡ rebuild.
+ORACLE_ANN_INDEX_INCREMENTAL = (
+    _kmeans_fit_ctes(
+        fit_where=f"WHERE e.vec_id % {ANN_DELTA_MOD} <> {ANN_DELTA_REM}"
+    )
+    + _pq_fit_ctes(
+        fit_where=f"WHERE s.vec_id % {ANN_DELTA_MOD} <> {ANN_DELTA_REM}"
+    )
+    + f"""
+, cells AS (
+  SELECT vec_id AS n_id, k AS c_id FROM (
+    SELECT e.vec_id, c.k,
+           ROW_NUMBER() OVER (PARTITION BY e.vec_id
+             ORDER BY {_sql_d2('e.v', 'c.c')} ASC, c.k ASC) AS rnk
+    FROM emb e CROSS JOIN {_CENT_FINAL} c
+  ) WHERE rnk = 1
+)
+SELECT cc.n_id, CAST(cc.c_id AS INT) AS c_id,
+       CAST(pc.m AS INT) AS m, CAST(pc.code AS INT) AS code
+FROM cells cc JOIN pqcodes pc ON pc.vec_id = cc.n_id
 """
 )
 
@@ -2700,6 +2850,7 @@ QUERIES = {
     "ann_pq_adc": q_ann_pq_adc,
     "ivf_pq_search": q_ivf_pq_search,
     "ivf_pq_recall": q_ivf_pq_recall,
+    "ann_index_incremental": q_ann_index_incremental,
     "embedding_stats": q_embedding_stats,
     "pca_project": q_pca_project,
     "kmeans_silhouette": q_kmeans_silhouette,
@@ -2723,6 +2874,7 @@ ORACLES = {
     "ann_pq_adc": ORACLE_ANN_PQ_ADC,
     "ivf_pq_search": ORACLE_IVF_PQ_SEARCH,
     "ivf_pq_recall": ORACLE_IVF_PQ_RECALL,
+    "ann_index_incremental": ORACLE_ANN_INDEX_INCREMENTAL,
     "embedding_stats": ORACLE_EMBEDDING_STATS,
     "pca_project": _pca_oracle(),
     "kmeans_silhouette": ORACLE_KMEANS_SILHOUETTE,
