@@ -222,19 +222,33 @@ def q_ngram_jaccard_pairs(
         .select("h")
     )
     keptrows = sh.join(kept, "h", "left_semi")
+    return _jaccard_from_counts(_pair_counts(keptrows))
+
+
+def _pair_counts(keptrows: DataFrame) -> DataFrame:
+    """PRE-threshold co-occurrence relation over kept shingle rows:
+    (doc_a, doc_b, size_a, size_b, inter) with inter = shared kept
+    shingle count — the hash-keyed self-equi-join + pair aggregate of
+    :func:`q_ngram_jaccard_pairs`, split out because the incremental
+    pair update adjusts THIS relation (jaccard is a pure projection of
+    it)."""
     a = keptrows.select(
         "h", F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("size_a")
     )
     b = keptrows.select(
         "h", F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("size_b")
     )
-    co = (
+    return (
         a.join(b, "h")
         .filter(F.col("doc_a") < F.col("doc_b"))
         .groupBy("doc_a", "doc_b", "size_a", "size_b")
         .agg(F.count("*").alias("inter"))
     )
-    return co.select(
+
+
+def _jaccard_from_counts(counts: DataFrame) -> DataFrame:
+    """(doc_a, doc_b, jaccard ≥ 0.2) from the pre-threshold counts."""
+    return counts.select(
         "doc_a",
         "doc_b",
         F.round(
@@ -613,6 +627,183 @@ def materialize_dedup_endgame(
         spark, comp, f"{root}/{_CACHE_COMPONENTS}", app_meta=meta
     )
     return versions
+
+
+# ---------------------------------------------------------------------------
+# Incremental dedup-endgame maintenance (round 12).
+#
+# New documents arrive; instead of re-shingling the whole corpus, the
+# pair graph is updated with delta-sized work.  The subtlety is the
+# document-frequency cap: a base shingle that GAINS delta occurrences
+# can cross MAX_DF, at which point every base pair that counted it
+# must LOSE that contribution — pair-graph maintenance is adds AND
+# exact adjustments, not just appends.  The update is provably exact:
+#
+# * a shingle with base df = 1 that becomes kept only ever connects
+#   its single base doc to delta docs — covered by the delta join;
+# * a shingle with base df > MAX_DF stays over the cap forever (df is
+#   monotone under growth) — never re-enters;
+# * base-base pairs therefore only ever lose intersection counts, and
+#   the loss is exactly the co-occurrence of cap-crossing shingles —
+#   a bounded computation (each such shingle had df ≤ MAX_DF).
+#
+# ``q_dedup_pairs_incremental`` states the identity as a driver query
+# (oracle = the full-corpus pair SQL); ``refresh_dedup_endgame_
+# incremental`` runs the same kernel against the txn-materialized
+# state and republishes — byte-identical to a from-scratch rebuild on
+# the grown corpus (tests/test_incremental_maintenance.py).
+# ---------------------------------------------------------------------------
+
+# The "newly arrived" document slice for the driver query: 10%.
+DOC_DELTA_MOD, DOC_DELTA_REM = 10, 9
+
+_CACHE_SIZES = "sizes"          # (doc_id, n_sh) — every indexed doc
+_CACHE_POSTINGS = "postings"    # (doc_id, n_sh, h) for df ≤ MAX_DF shingles
+_CACHE_DF = "df"                # (h, df) — every distinct shingle
+_CACHE_COUNTS = "counts"        # pre-threshold (doc_a, doc_b, sizes, inter)
+
+
+def _incremental_pair_counts(
+    base_sh: DataFrame,
+    base_df: DataFrame,
+    base_counts: DataFrame,
+    delta_sh: DataFrame,
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """The delta-sized pair-graph update.  Inputs: the base shingle
+    rows (at least every row whose shingle has base df ≤ MAX_DF), the
+    full base df relation, the PRE-threshold base pair counts, and the
+    delta docs' shingle rows.  Returns ``(counts_new, adjusted_delta,
+    df_changed)``:
+
+    * ``counts_new`` — the exact pre-threshold counts of the GROWN
+      corpus (adjusted base-base pairs with inter > 0, plus every pair
+      involving a delta doc);
+    * ``adjusted_delta`` — only the rows that CHANGED vs base_counts
+      (for merge-style publication), including inter = 0 tombstones;
+    * ``df_changed`` — updated (h, df) rows for shingles the delta
+      touched.
+
+    Shape at 100 TB: delta_df is delta-sized; the cap-crossing
+    adjustment touches ≤ MAX_DF rows per crossing shingle; the delta
+    pair join runs over base rows semi-joined to the delta's shingle
+    hashes — every stage is delta-proportional, never corpus×corpus."""
+    delta_df = delta_sh.groupBy("h").agg(F.count("*").alias("d_df"))
+    df_changed = (
+        base_df.join(delta_df, "h", "right")
+        .select(
+            "h",
+            (F.coalesce(F.col("df"), F.lit(0)) + F.col("d_df")).alias("df"),
+        )
+    )
+    # full new df relation (only needed as a membership filter below;
+    # shingles the delta never touched keep their banked df)
+    df_new = base_df.join(delta_df.select("h"), "h", "left_anti").unionByName(
+        df_changed
+    )
+    kept_new = df_new.filter(
+        (F.col("df") >= 2) & (F.col("df") <= MAX_DF)
+    ).select("h")
+
+    # base-kept shingles pushed over the cap by the delta: subtract
+    # their co-occurrence from the banked base-base counts
+    dropped = (
+        base_df.filter((F.col("df") >= 2) & (F.col("df") <= MAX_DF))
+        .join(df_changed.filter(F.col("df") > MAX_DF), "h", "left_semi")
+        .select("h")
+    )
+    sub = _pair_counts(base_sh.join(dropped, "h", "left_semi")).select(
+        "doc_a", "doc_b", F.col("inter").alias("minus")
+    )
+    adjusted_delta = base_counts.join(sub, ["doc_a", "doc_b"]).select(
+        "doc_a",
+        "doc_b",
+        "size_a",
+        "size_b",
+        (F.col("inter") - F.col("minus")).alias("inter"),
+    )
+    adjusted = base_counts.join(
+        sub.select("doc_a", "doc_b"), ["doc_a", "doc_b"], "left_anti"
+    ).unionByName(adjusted_delta)
+
+    # pairs involving a delta doc, counted over the grown kept rows —
+    # base side pruned to the delta's shingle hashes first (delta-
+    # proportional, and the hot-hash set is broadcastable)
+    delta_ids = delta_sh.select("doc_id").distinct()
+    hot_h = delta_sh.select("h").distinct()
+    all_rows = (
+        base_sh.join(F.broadcast(hot_h), "h", "left_semi")
+        .unionByName(delta_sh)
+        .join(kept_new, "h", "left_semi")
+    )
+    flagged = all_rows.join(
+        F.broadcast(delta_ids.withColumn("is_new", F.lit(True))),
+        "doc_id",
+        "left",
+    ).select(
+        "doc_id", "n_sh", "h", F.coalesce("is_new", F.lit(False)).alias("is_new")
+    )
+    d = flagged.filter(F.col("is_new")).select(
+        "h", F.col("doc_id").alias("doc_d"), F.col("n_sh").alias("size_d")
+    )
+    o = flagged.select(
+        "h",
+        F.col("doc_id").alias("doc_o"),
+        F.col("n_sh").alias("size_o"),
+        "is_new",
+    )
+    joined = d.join(o, "h").filter(
+        (~F.col("is_new") & (F.col("doc_o") != F.col("doc_d")))
+        | (F.col("is_new") & (F.col("doc_o") > F.col("doc_d")))
+    )
+    delta_counts = (
+        joined.select(
+            F.least("doc_d", "doc_o").alias("doc_a"),
+            F.greatest("doc_d", "doc_o").alias("doc_b"),
+            F.when(F.col("doc_d") < F.col("doc_o"), F.col("size_d"))
+            .otherwise(F.col("size_o"))
+            .alias("size_a"),
+            F.when(F.col("doc_d") < F.col("doc_o"), F.col("size_o"))
+            .otherwise(F.col("size_d"))
+            .alias("size_b"),
+        )
+        .groupBy("doc_a", "doc_b", "size_a", "size_b")
+        .agg(F.count("*").alias("inter"))
+    )
+    counts_new = adjusted.filter(F.col("inter") > 0).unionByName(delta_counts)
+    return counts_new, adjusted_delta.unionByName(delta_counts), df_changed
+
+
+def q_dedup_pairs_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental near-dup pair maintenance, stated as a relation:
+    the corpus splits into a base (90%) and newly-arrived delta docs
+    (doc_id % 10 == 9); the base's inverted index, df table, and
+    pre-threshold pair counts stand in for the banked state
+    (:func:`materialize_dedup_endgame` publishes exactly these), and
+    the delta is folded in with :func:`_incremental_pair_counts` —
+    delta-sized joins plus the exact cap-crossing adjustment, never a
+    full re-shingle.  Output = (doc_a, doc_b, jaccard): the oracle is
+    the FULL-corpus pair SQL, so a hash match proves the incremental
+    update reproduces the from-scratch pair graph value-for-value —
+    including pairs whose jaccard changed or vanished when a shared
+    shingle crossed MAX_DF."""
+    docs = load_table(spark, sf_dir, "documents")
+    is_delta = (F.col("doc_id") % DOC_DELTA_MOD) == DOC_DELTA_REM
+    base_sh = _materialize(
+        hashed_shingle_stream(docs.filter(~is_delta)), "checkpoint"
+    )
+    delta_sh = _materialize(
+        hashed_shingle_stream(docs.filter(is_delta)), "checkpoint"
+    )
+    base_df = base_sh.groupBy("h").agg(F.count("*").alias("df"))
+    base_kept = base_sh.join(
+        base_df.filter((F.col("df") >= 2) & (F.col("df") <= MAX_DF)),
+        "h",
+        "left_semi",
+    )
+    counts_new, _, _ = _incremental_pair_counts(
+        base_sh, base_df, _pair_counts(base_kept), delta_sh
+    )
+    return _jaccard_from_counts(counts_new)
 
 
 def q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1272,6 +1463,7 @@ FROM agg
 QUERIES = {
     "dedup_exact": q_dedup_exact,
     "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
+    "dedup_pairs_incremental": q_dedup_pairs_incremental,
     "dedup_components": q_dedup_components,
     "dedup_keep_canonical": q_dedup_keep_canonical,
     "leakage_safe_split": q_leakage_safe_split,
@@ -1384,6 +1576,9 @@ ORACLES = {
     "simhash_recall_audit": _oracle_simhash_recall(),
     "dedup_exact": ORACLE_DEDUP_EXACT,
     "ngram_jaccard_pairs": ORACLE_NGRAM_JACCARD,
+    # the incremental update must reproduce the FULL-corpus pair graph
+    # value-for-value — same oracle text as ngram_jaccard_pairs
+    "dedup_pairs_incremental": ORACLE_NGRAM_JACCARD,
     "dedup_components": ORACLE_DEDUP_COMPONENTS,
     "dedup_keep_canonical": ORACLE_DEDUP_KEEP,
     "leakage_safe_split": ORACLE_LEAKAGE_SPLIT,
