@@ -547,6 +547,12 @@ def _cc_star(edges: DataFrame, max_iter: int = 50) -> DataFrame:
 DEDUP_CACHE_ENV = "SPARK_GRAFT_DEDUP_CACHE"
 _CACHE_PAIRS = "pairs"
 _CACHE_COMPONENTS = "components"
+# round-12 additions: the intermediate state the INCREMENTAL refresh
+# needs (see refresh_dedup_endgame_incremental)
+_CACHE_SIZES = "sizes"          # (doc_id, n_sh) — every indexed doc
+_CACHE_POSTINGS = "postings"    # (doc_id, n_sh, h) for df ≤ MAX_DF shingles
+_CACHE_DF = "df"                # (h, df) — every distinct shingle
+_CACHE_COUNTS = "counts"        # pre-threshold (doc_a, doc_b, sizes, inter)
 
 
 def _dedup_cache_root() -> str | None:
@@ -607,25 +613,43 @@ def materialize_dedup_endgame(
     from ..sources.fingerprint import META_KEY, corpus_fingerprint
     from ..sources.txn import txn_write
 
-    # banked in both commits' app_meta; the cached read paths verify it
-    # against the corpus they are pointed at and refuse on mismatch
+    # banked in every commit's app_meta; the cached read paths verify
+    # it against the corpus they are pointed at and refuse on mismatch
     meta = {
         META_KEY: corpus_fingerprint(sf_dir, "documents"),
         "source_table": "documents",
         "sf_dir": sf_dir,
     }
 
-    pairs = q_ngram_jaccard_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    # one shingle pass feeds everything (the q_ngram_jaccard_pairs
+    # plan, unrolled so the intermediate state can be published too —
+    # the incremental refresh consumes it instead of re-shingling)
+    docs = load_table(spark, sf_dir, "documents")
+    sh = _materialize(hashed_shingle_stream(docs), "checkpoint")
+    df = sh.groupBy("h").agg(F.count("*").alias("df"))
+    df = _materialize(df, "checkpoint")
+    postings = sh.join(df.filter(F.col("df") <= MAX_DF), "h", "left_semi")
+    kept = sh.join(
+        df.filter((F.col("df") >= 2) & (F.col("df") <= MAX_DF)),
+        "h",
+        "left_semi",
+    )
+    counts = _materialize(_pair_counts(kept), "checkpoint")
+    pairs = _jaccard_from_counts(counts).select("doc_a", "doc_b")
     pairs = pairs.localCheckpoint(eager=True)  # CC reuses it below
+
+    w = lambda frame, name: txn_write(  # noqa: E731
+        spark, frame, f"{root}/{name}", app_meta=meta
+    )
     versions = {
-        _CACHE_PAIRS: txn_write(
-            spark, pairs, f"{root}/{_CACHE_PAIRS}", app_meta=meta
-        )
+        _CACHE_SIZES: w(sh.select("doc_id", "n_sh").distinct(), _CACHE_SIZES),
+        _CACHE_POSTINGS: w(postings, _CACHE_POSTINGS),
+        _CACHE_DF: w(df, _CACHE_DF),
+        _CACHE_COUNTS: w(counts, _CACHE_COUNTS),
+        _CACHE_PAIRS: w(pairs, _CACHE_PAIRS),
     }
     comp = connected_components(pairs)
-    versions[_CACHE_COMPONENTS] = txn_write(
-        spark, comp, f"{root}/{_CACHE_COMPONENTS}", app_meta=meta
-    )
+    versions[_CACHE_COMPONENTS] = w(comp, _CACHE_COMPONENTS)
     return versions
 
 
@@ -656,11 +680,6 @@ def materialize_dedup_endgame(
 
 # The "newly arrived" document slice for the driver query: 10%.
 DOC_DELTA_MOD, DOC_DELTA_REM = 10, 9
-
-_CACHE_SIZES = "sizes"          # (doc_id, n_sh) — every indexed doc
-_CACHE_POSTINGS = "postings"    # (doc_id, n_sh, h) for df ≤ MAX_DF shingles
-_CACHE_DF = "df"                # (h, df) — every distinct shingle
-_CACHE_COUNTS = "counts"        # pre-threshold (doc_a, doc_b, sizes, inter)
 
 
 def _incremental_pair_counts(
@@ -804,6 +823,165 @@ def q_dedup_pairs_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         base_sh, base_df, _pair_counts(base_kept), delta_sh
     )
     return _jaccard_from_counts(counts_new)
+
+
+def _incremental_components(
+    base_labels: DataFrame, base_pairs: DataFrame, new_pairs: DataFrame
+) -> DataFrame:
+    """Exact (doc_id, component_id = min reachable) labels of the NEW
+    pair graph, recomputing ONLY the components the edge diff touches.
+
+    Edge diff = added ∪ removed pairs.  A component none of whose
+    members touch a changed edge keeps its banked labels verbatim
+    (every surviving edge inside it is unchanged, and new edges cannot
+    reach it without making it touched); everything else — members of
+    touched components plus never-labeled (new) docs — re-runs the
+    star CC kernel over its slice of the new graph.  Removed edges are
+    handled for free: the touched subgraph is rebuilt from the NEW
+    graph, so splits fall out of the recompute (incremental CC under
+    deletions is unsound any other way).  Work is proportional to the
+    touched subgraph, not the corpus."""
+    added = new_pairs.join(base_pairs, ["doc_a", "doc_b"], "left_anti")
+    removed = base_pairs.join(new_pairs, ["doc_a", "doc_b"], "left_anti")
+    changed_docs = (
+        added.unionByName(removed)
+        .select(F.col("doc_a").alias("doc_id"))
+        .unionByName(
+            added.unionByName(removed).select(F.col("doc_b").alias("doc_id"))
+        )
+        .distinct()
+    )
+    touched_comps = (
+        base_labels.join(changed_docs, "doc_id")
+        .select("component_id")
+        .distinct()
+    )
+    touched_docs = base_labels.join(
+        touched_comps, "component_id", "left_semi"
+    ).select("doc_id")
+    # recompute scope: touched members + docs with no banked label
+    # (newly arrived).  Closure: an edge with one endpoint in scope has
+    # both (an unchanged edge lies inside one base component; a changed
+    # edge made both endpoints' components touched).
+    labeled = base_labels.select("doc_id")
+    in_scope = touched_docs.unionByName(
+        new_pairs.select(F.col("doc_a").alias("doc_id"))
+        .unionByName(new_pairs.select(F.col("doc_b").alias("doc_id")))
+        .distinct()
+        .join(labeled, "doc_id", "left_anti")
+    )
+    sub_edges = new_pairs.join(
+        in_scope.select(F.col("doc_id").alias("doc_a")), "doc_a", "left_semi"
+    ).unionByName(
+        new_pairs.join(
+            in_scope.select(F.col("doc_id").alias("doc_b")),
+            "doc_b",
+            "left_semi",
+        )
+    ).distinct()
+    frozen = base_labels.join(touched_comps, "component_id", "left_anti")
+    return frozen.unionByName(
+        connected_components(sub_edges.select("doc_a", "doc_b"))
+    ).select("doc_id", "component_id")
+
+
+def refresh_dedup_endgame_incremental(
+    spark: SparkSession, sf_dir: str, root: str
+) -> dict[str, int]:
+    """Incremental endgame refresh after the corpus GREW: detect the
+    new docs (anti-join against the banked ``sizes`` table), shingle
+    ONLY them, fold them into the pair graph with
+    :func:`_incremental_pair_counts` (delta-sized joins + the exact
+    MAX_DF cap-crossing adjustment), update the component labels with
+    :func:`_incremental_components` (touched components only), and
+    republish — every commit re-banks the grown corpus's fingerprint
+    so the staleness guard accepts it.  Returns {table: new version}.
+
+    Publication strategy per table: ``sizes``/``postings``/``df``/
+    ``counts`` are txn MERGEs of only the changed rows (delta docs'
+    rows, touched shingles' dfs, adjusted pair counts — counts keeps
+    inter = 0 tombstones, which are inert: a pair with no shared kept
+    shingles can never be re-subtracted); ``pairs`` and ``components``
+    are full snapshot writes — they are pair-graph-sized (orders of
+    magnitude below the corpus) and genuinely shrink when jaccard
+    falls below threshold or a component splits, which a keyed upsert
+    cannot express.  Byte-identity with a from-scratch rebuild on the
+    grown corpus is pinned by tests/test_incremental_maintenance.py."""
+    from ..sources.fingerprint import META_KEY, corpus_fingerprint
+    from ..sources.txn import txn_merge_upsert, txn_read, txn_write
+
+    meta = {
+        META_KEY: corpus_fingerprint(sf_dir, "documents"),
+        "source_table": "documents",
+        "sf_dir": sf_dir,
+        "op": "incremental_refresh",
+    }
+
+    sizes = txn_read(spark, f"{root}/{_CACHE_SIZES}")
+    base_df = txn_read(spark, f"{root}/{_CACHE_DF}")
+    postings = txn_read(spark, f"{root}/{_CACHE_POSTINGS}")
+    base_counts = txn_read(spark, f"{root}/{_CACHE_COUNTS}")
+    base_pairs = txn_read(spark, f"{root}/{_CACHE_PAIRS}").select(
+        "doc_a", "doc_b"
+    )
+    base_labels = txn_read(spark, f"{root}/{_CACHE_COMPONENTS}").select(
+        "doc_id", "component_id"
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    new_docs = docs.join(sizes.select("doc_id"), "doc_id", "left_anti")
+    delta_sh = _materialize(hashed_shingle_stream(new_docs), "checkpoint")
+
+    counts_new, counts_changed, df_changed = _incremental_pair_counts(
+        postings, base_df, base_counts, delta_sh
+    )
+    counts_new = _materialize(counts_new, "checkpoint")
+    pairs_new = _jaccard_from_counts(counts_new).select("doc_a", "doc_b")
+    pairs_new = pairs_new.localCheckpoint(eager=True)  # CC + diff reuse it
+    labels_new = _incremental_components(base_labels, base_pairs, pairs_new)
+
+    # postings gains only delta rows of shingles still under the cap
+    # (an over-cap shingle never re-enters — df is monotone)
+    delta_postings = delta_sh.join(
+        df_changed.filter(F.col("df") <= MAX_DF), "h", "left_semi"
+    )
+    versions = {
+        _CACHE_SIZES: txn_merge_upsert(
+            spark,
+            delta_sh.select("doc_id", "n_sh").distinct(),
+            f"{root}/{_CACHE_SIZES}",
+            keys=["doc_id"],
+            app_meta=meta,
+        ),
+        _CACHE_POSTINGS: txn_merge_upsert(
+            spark,
+            delta_postings,
+            f"{root}/{_CACHE_POSTINGS}",
+            keys=["doc_id", "h"],
+            app_meta=meta,
+        ),
+        _CACHE_DF: txn_merge_upsert(
+            spark,
+            df_changed,
+            f"{root}/{_CACHE_DF}",
+            keys=["h"],
+            app_meta=meta,
+        ),
+        _CACHE_COUNTS: txn_merge_upsert(
+            spark,
+            counts_changed,
+            f"{root}/{_CACHE_COUNTS}",
+            keys=["doc_a", "doc_b"],
+            app_meta=meta,
+        ),
+        _CACHE_PAIRS: txn_write(
+            spark, pairs_new, f"{root}/{_CACHE_PAIRS}", app_meta=meta
+        ),
+        _CACHE_COMPONENTS: txn_write(
+            spark, labels_new, f"{root}/{_CACHE_COMPONENTS}", app_meta=meta
+        ),
+    }
+    return versions
 
 
 def q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -102,3 +102,121 @@ class TestAnnIncremental:
         # idempotent re-run: nothing new to code, still commits cleanly
         versions = S.refresh_ann_index_incremental(spark, grown, root)
         assert versions["index"] >= 3
+
+
+class TestDedupIncremental:
+    @pytest.fixture(scope="class")
+    def dirs(self, spark, tmp_path_factory):
+        tmp = tmp_path_factory.mktemp("dedup_incr")
+        base, grown = _split_corpus(
+            spark, tmp, "documents", "doc_id", 10, 9
+        )
+        root = str(tmp / "root")
+        from etl_python_spark.operators.dedup import materialize_dedup_endgame
+
+        materialize_dedup_endgame(spark, base, root)
+        return base, grown, root
+
+    def test_refresh_matches_from_scratch_rebuild(self, spark, dirs, tmp_path):
+        """The whole point: incremental refresh on the grown corpus is
+        byte-identical — pairs, components, counts — to a from-scratch
+        materialization of the grown corpus."""
+        from etl_python_spark.operators.dedup import (
+            materialize_dedup_endgame,
+            refresh_dedup_endgame_incremental,
+        )
+        from etl_python_spark.sources.txn import txn_read
+
+        base, grown, root = dirs
+        versions = refresh_dedup_endgame_incremental(spark, grown, root)
+        assert len(versions) == 6 and all(v == 2 for v in versions.values())
+
+        scratch = str(tmp_path / "scratch")
+        materialize_dedup_endgame(spark, grown, scratch)
+        for table in ("pairs", "components"):
+            got = _canon(txn_read(spark, f"{root}/{table}"))
+            want = _canon(txn_read(spark, f"{scratch}/{table}"))
+            assert got == want, f"{table}: incremental != rebuild"
+        # counts may carry inert inter=0 tombstones; compare live rows
+        import pyspark.sql.functions as F
+
+        got = _canon(txn_read(spark, f"{root}/counts").filter(F.col("inter") > 0))
+        want = _canon(txn_read(spark, f"{scratch}/counts"))
+        assert got == want, "counts: incremental != rebuild"
+
+    def test_refreshed_cache_serves_grown_corpus(self, spark, dirs, monkeypatch):
+        """After the refresh the staleness guard accepts the grown
+        corpus and the endgame queries serve from the snapshot with
+        results identical to inline."""
+        from etl_python_spark import operators
+
+        base, grown, root = dirs
+        qs = operators.all_queries()
+        inline = _canon(qs["dedup_components"](spark, grown))
+        monkeypatch.setenv("SPARK_GRAFT_DEDUP_CACHE", root)
+        cached = _canon(qs["dedup_components"](spark, grown))
+        assert cached == inline
+
+    def test_refresh_is_idempotent(self, spark, dirs):
+        """Re-running with no new docs publishes clean no-op versions."""
+        from etl_python_spark.operators.dedup import (
+            refresh_dedup_endgame_incremental,
+        )
+        from etl_python_spark.sources.txn import txn_read
+
+        base, grown, root = dirs
+        before = _canon(txn_read(spark, f"{root}/pairs"))
+        refresh_dedup_endgame_incremental(spark, grown, root)
+        assert _canon(txn_read(spark, f"{root}/pairs")) == before
+
+
+def test_cap_crossing_adjustment_is_exact(spark, tmp_path):
+    """Synthetic hot shingle: a base pair exists only through a
+    shingle at df = MAX_DF; delta docs push that shingle over the cap,
+    so the pair must VANISH from the incremental result exactly as it
+    does from a full recompute."""
+    import pyspark.sql.functions as F
+
+    from etl_python_spark.operators.dedup import (
+        MAX_DF,
+        _incremental_pair_counts,
+        _jaccard_from_counts,
+        _pair_counts,
+        hashed_shingle_stream,
+    )
+
+    # base: MAX_DF docs all sharing one hot text (df(shingles)=MAX_DF,
+    # exactly at the cap -> pairs exist); delta: 2 more copies -> over
+    # the cap -> every pair through it must disappear
+    hot = "alpha beta gamma delta epsilon"
+    base_rows = [(i, hot) for i in range(MAX_DF)]
+    delta_rows = [(1000 + i, hot) for i in range(2)]
+    base_docs = spark.createDataFrame(base_rows, "doc_id long, text string")
+    delta_docs = spark.createDataFrame(delta_rows, "doc_id long, text string")
+
+    base_sh = hashed_shingle_stream(base_docs).localCheckpoint(eager=True)
+    delta_sh = hashed_shingle_stream(delta_docs).localCheckpoint(eager=True)
+    base_df = base_sh.groupBy("h").agg(F.count("*").alias("df"))
+    base_kept = base_sh.join(
+        base_df.filter((F.col("df") >= 2) & (F.col("df") <= MAX_DF)),
+        "h",
+        "left_semi",
+    )
+    base_counts = _pair_counts(base_kept)
+    assert base_counts.count() == MAX_DF * (MAX_DF - 1) // 2  # at the cap
+
+    counts_new, changed, df_changed = _incremental_pair_counts(
+        base_sh, base_df, base_counts, delta_sh
+    )
+    assert _jaccard_from_counts(counts_new).count() == 0  # all pairs gone
+    # the changed-rows feed carries the tombstones for the merge
+    assert changed.filter(F.col("inter") > 0).count() == 0
+    # full recompute agrees
+    grown_sh = base_sh.unionByName(delta_sh)
+    grown_df = grown_sh.groupBy("h").agg(F.count("*").alias("df"))
+    grown_kept = grown_sh.join(
+        grown_df.filter((F.col("df") >= 2) & (F.col("df") <= MAX_DF)),
+        "h",
+        "left_semi",
+    )
+    assert _jaccard_from_counts(_pair_counts(grown_kept)).count() == 0
