@@ -1255,6 +1255,27 @@ ORACLE_MINHASH_LSH = (
 )
 
 
+def doc_hsets(docs: DataFrame) -> DataFrame:
+    """(doc_id, hset) — the distinct 60-bit hashed-shingle set per
+    document, as pure per-row projections (no aggregation, so it runs
+    unchanged on streaming frames).  The shared vocabulary between the
+    per-row streaming band build (:func:`minhash_band_stream`) and the
+    batch-side overflow compaction
+    (:func:`etl_python_spark.streaming.file_stream.neardup_overflow_compaction`):
+    both sides derive the SAME integer set for a doc, so exact-Jaccard
+    verification in either engine yields identical values."""
+    toked = docs.select(
+        "doc_id", F.split(_norm_text(F.col("text")), " ").alias("toks")
+    )
+    hset = F.array_distinct(
+        F.transform(
+            _shingles_from_tokens(F.col("toks")),
+            lambda s: hash60(s) % HASH_P,
+        )
+    )
+    return toked.select("doc_id", hset.alias("hset"))
+
+
 def minhash_band_stream(docs: DataFrame) -> DataFrame:
     """(doc_id, hset, band, key) computed PER ROW — pure projections
     (shingle → hash → per-band MinHash fold), no aggregation, so the
@@ -1273,16 +1294,7 @@ def minhash_band_stream(docs: DataFrame) -> DataFrame:
     consumer (``streaming.file_stream.stream_neardup``) keeps bucket
     membership in state and verifies exact Jaccard over the carried
     hsets."""
-    toked = docs.select(
-        "doc_id", F.split(_norm_text(F.col("text")), " ").alias("toks")
-    )
-    hset = F.array_distinct(
-        F.transform(
-            _shingles_from_tokens(F.col("toks")),
-            lambda s: hash60(s) % HASH_P,
-        )
-    )
-    with_hset = toked.select("doc_id", hset.alias("hset"))
+    with_hset = doc_hsets(docs)
     mh = [
         F.array_min(
             F.transform(

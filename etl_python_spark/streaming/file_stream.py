@@ -401,7 +401,15 @@ WHERE doc_id % 10 >= 8
 """
 
 
-def neardup_pairs_stream(banded: DataFrame) -> DataFrame:
+#: Default cap on stored members per LSH bucket (the stream-state
+#: compaction policy, round-11 verdict item 4).  Overridable via
+#: ``SPARK_GRAFT_NEARDUP_MAX_BUCKET``; ``0`` disables the cap.
+NEARDUP_MAX_BUCKET = 64
+
+
+def neardup_pairs_stream(
+    banded: DataFrame, max_members: int | None = None
+) -> DataFrame:
     """The stateful core of streaming near-dup detection: group the
     per-row MinHash band stream (``operators.dedup.minhash_band_stream``)
     by LSH bucket and keep each bucket's membership — (doc_id, hashed
@@ -413,19 +421,36 @@ def neardup_pairs_stream(banded: DataFrame) -> DataFrame:
     engine's expressions verbatim (a Python ``round`` here would
     half-even where both engines half-up).
 
-    State is per (band, key) bucket and grows with bucket size, not
-    stream length — the LSH premise; at production scale it lives in
-    the RocksDB state store, and (as with
-    :func:`stream_incremental_dedup`) content similarity has no
-    event-time horizon, so expiry belongs to a snapshot-compaction
-    policy, not a watermark."""
+    State is per (band, key) bucket and — under the LSH premise —
+    stays small; hot buckets (a common band key) are BOUNDED by the
+    compaction policy: once a bucket holds ``max_members`` stored
+    members, its membership is FROZEN.  A later arrival is still
+    compared against every stored member (those pairs are exact and
+    final), but instead of being stored it emits an OVERFLOW marker
+    row (``inter = -1``, ``doc_b`` = the bucket's stored size at that
+    moment, plus the bucket's (band, key)).  The only pairs the frozen
+    state can no longer see are overflow×overflow within the same
+    bucket; :func:`neardup_overflow_compaction` recomputes exactly
+    those batch-side, so the union of stream pairs + compaction pairs
+    equals the unbounded result by construction (pinned by
+    ``tests/test_streaming_neardup.py``'s hot-bucket test).  State is
+    therefore O(max_members · |hset|) per bucket regardless of stream
+    length; at production scale it lives in the RocksDB state store
+    and the compaction job runs on the batch engine where a hot
+    bucket's pair join shuffles instead of growing pickled state."""
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    if max_members is None:
+        max_members = int(
+            os.environ.get("SPARK_GRAFT_NEARDUP_MAX_BUCKET", NEARDUP_MAX_BUCKET)
+        )
 
     def bucket_pairs(key, pdfs, state: GroupState):
         import pickle
 
         import pandas as pd
 
+        band_val, key_val = int(key[0]), int(key[1])
         members = pickle.loads(state.get[0]) if state.exists else []
         batch = []
         for pdf in pdfs:
@@ -442,22 +467,98 @@ def neardup_pairs_stream(banded: DataFrame) -> DataFrame:
                     if a == doc_id
                     else (len(other_hs), len(hs))
                 )
-                rows.append((a, b, inter, sa, sb))
-            members.append((doc_id, hs))
+                rows.append((a, b, inter, sa, sb, band_val, key_val))
+            if max_members and len(members) >= max_members:
+                # Frozen bucket: doc compared above but NOT stored.
+                # Marker carries the stored size so tests can pin
+                # boundedness from inside the state function itself.
+                rows.append(
+                    (doc_id, len(members), -1, 0, 0, band_val, key_val)
+                )
+            else:
+                members.append((doc_id, hs))
         state.update((pickle.dumps(members),))
         if rows:
             yield pd.DataFrame(
-                rows, columns=["doc_a", "doc_b", "inter", "size_a", "size_b"]
+                rows,
+                columns=[
+                    "doc_a",
+                    "doc_b",
+                    "inter",
+                    "size_a",
+                    "size_b",
+                    "band",
+                    "key",
+                ],
             )
 
     return banded.groupBy("band", "key").applyInPandasWithState(
         bucket_pairs,
         outputStructType=(
-            "doc_a long, doc_b long, inter int, size_a int, size_b int"
+            "doc_a long, doc_b long, inter int, size_a int, size_b int, "
+            "band int, key long"
         ),
         stateStructType="members binary",
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def neardup_overflow_compaction(
+    drained: DataFrame, docs: DataFrame
+) -> DataFrame:
+    """Batch-side compaction for frozen LSH buckets: the pairs the
+    capped stream state could not see are EXACTLY overflow×overflow
+    within each bucket (an overflow arrival was still compared against
+    every stored member, and stored members see all later arrivals).
+    Re-derive each overflow doc's hashed-shingle set with the batch
+    engine's own projection (``operators.dedup.doc_hsets`` — the same
+    integer set the stream carried) and self-join within (band, key)
+    on ``doc_a < doc_b`` with the same exact-integer intersection.
+
+    Scale shape: overflow rows exist only for buckets past the cap, so
+    the hset join touches |overflow| docs, and the within-bucket pair
+    join is a keyed shuffle on (band, key) — the batch engine absorbs
+    a hot bucket as a skewed-but-shuffled join (AQE splits it) instead
+    of an O(members²) Python loop over pickled state."""
+    from ..operators.dedup import doc_hsets
+
+    ov = (
+        drained.filter(F.col("inter") < 0)
+        .select("band", "key", F.col("doc_a").alias("doc_id"))
+        .distinct()
+    )
+    with_hs = ov.join(doc_hsets(docs), "doc_id")
+    a = with_hs.select(
+        "band",
+        "key",
+        F.col("doc_id").alias("doc_a"),
+        F.col("hset").alias("hs_a"),
+    )
+    # fresh attribute ids on the b side: the two branches share the
+    # memory-sink view's band/key attributes, which Spark's self-join
+    # dedup does not re-alias
+    b = with_hs.select(
+        F.col("band").alias("band_b"),
+        F.col("key").alias("key_b"),
+        F.col("doc_id").alias("doc_b"),
+        F.col("hset").alias("hs_b"),
+    )
+    inter = F.size(F.array_intersect(F.col("hs_a"), F.col("hs_b")))
+    return (
+        a.join(
+            b,
+            (F.col("band") == F.col("band_b"))
+            & (F.col("key") == F.col("key_b")),
+        )
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select(
+            "doc_a",
+            "doc_b",
+            inter.cast("int").alias("inter"),
+            F.size("hs_a").cast("int").alias("size_a"),
+            F.size("hs_b").cast("int").alias("size_b"),
+        )
     )
 
 
@@ -467,7 +568,12 @@ def finish_neardup(pairs: DataFrame) -> DataFrame:
     identical integer rows), then compute the 4dp jaccard and apply
     the ≥ 0.2 threshold with the SAME Spark expressions as the batch
     :func:`operators.dedup.q_minhash_lsh_pairs` — value parity with
-    its oracle is by construction."""
+    its oracle is by construction.  Accepts the raw drained stream
+    output (overflow markers filtered, bucket columns dropped so a
+    pair found in two buckets collapses) or an already-5-column pair
+    frame from the compaction union."""
+    keep = [c for c in pairs.columns if c not in ("band", "key")]
+    pairs = pairs.filter(F.col("inter") >= 0).select(*keep)
     union = (
         F.col("size_a") + F.col("size_b") - F.col("inter")
     ).cast("double")
@@ -492,12 +598,28 @@ def stream_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     equivalent to ``q_minhash_lsh_pairs`` — same (doc_a, doc_b,
     jaccard) rows, same DuckDB oracle — while pairs across
     micro-batches are found through state, not recomputation (the
-    late-data test pins that)."""
+    late-data test pins that).
+
+    Bucket state is bounded by the compaction policy (round-11 verdict
+    item 4): buckets freeze at ``NEARDUP_MAX_BUCKET`` stored members
+    and the drained overflow markers route exactly the missed
+    overflow×overflow comparisons through
+    :func:`neardup_overflow_compaction` on the batch engine — the
+    final pair set is unbounded-equivalent by construction, so the
+    DuckDB oracle is unchanged."""
     from ..operators.dedup import minhash_band_stream
+    from ..sources.tables import load_table
 
     stream = _table_stream(spark, sf_dir, "documents")
     out = neardup_pairs_stream(minhash_band_stream(stream))
-    return finish_neardup(_drain_to_memory(out, "neardup", "update"))
+    drained = _drain_to_memory(out, "neardup", "update")
+    stream_pairs = drained.filter(F.col("inter") >= 0).select(
+        "doc_a", "doc_b", "inter", "size_a", "size_b"
+    )
+    compacted = neardup_overflow_compaction(
+        drained, load_table(spark, sf_dir, "documents")
+    )
+    return finish_neardup(stream_pairs.unionByName(compacted))
 
 
 def stream_upsert_sink(

@@ -86,3 +86,84 @@ def test_neardup_pairs_cross_micro_batches(spark, tmp_path):
     rows = {(r.doc_a, r.doc_b) for r in result.collect()}
     assert (1, 2) in rows, f"cross-batch near-dup pair missing: {rows}"
     assert all(7 not in pair for pair in rows)
+
+
+def test_hot_bucket_state_is_bounded_and_compaction_restores_pairs(
+    spark, tmp_path
+):
+    """Round-11 verdict item 4: a hot LSH bucket (many docs, one band
+    key — here N exact copies, the worst case: they collide in ALL
+    bands) must NOT grow stream state without bound.  Pins:
+
+    - the bucket freezes at ``max_members``: every overflow marker's
+      stored-size field (written by the state function itself) equals
+      the cap — state never held more than ``cap`` members;
+    - overflow markers exist for exactly the ``N - cap`` docs past the
+      cap, in every band;
+    - stream pairs ∪ overflow compaction == the unbounded result (all
+      C(N,2) copy pairs at jaccard 1.0, none involving the decoy).
+    """
+    import uuid as _uuid
+
+    from etl_python_spark.operators.dedup import minhash_band_stream
+    from etl_python_spark.streaming.file_stream import (
+        finish_neardup,
+        neardup_overflow_compaction,
+        neardup_pairs_stream,
+    )
+
+    cap, n_copies = 4, 12
+    text = (
+        "the quick brown fox jumps over the lazy dog and keeps on "
+        "running through the quiet green field until the sun goes down"
+    )
+    rows = [(i, text) for i in range(1, n_copies + 1)]
+    rows.append((99, "an entirely unrelated decoy document about ships"))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    src = tmp_path / "hot_src"
+    docs.coalesce(1).write.mode("overwrite").parquet(str(src))
+    stream = spark.readStream.schema("doc_id long, text string").parquet(
+        str(src)
+    )
+    out = neardup_pairs_stream(minhash_band_stream(stream), max_members=cap)
+    name = f"hot_{_uuid.uuid4().hex[:8]}"
+    q = (
+        out.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "hot_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(300)
+    drained = spark.table(name)
+
+    markers = drained.filter(F.col("inter") < 0).collect()
+    assert markers, "cap never engaged — hot bucket test is vacuous"
+    # state never exceeded the cap (size recorded inside the state fn)
+    assert {m.doc_b for m in markers} == {cap}
+    # every band's bucket froze: N - cap overflow docs × 8 bands
+    assert len(markers) == (n_copies - cap) * 8
+    overflow_docs = {m.doc_a for m in markers}
+    assert len(overflow_docs) == n_copies - cap and 99 not in overflow_docs
+
+    stream_pairs = drained.filter(F.col("inter") >= 0).select(
+        "doc_a", "doc_b", "inter", "size_a", "size_b"
+    )
+    # stream alone is missing the overflow×overflow pairs
+    got_stream = {
+        (r.doc_a, r.doc_b) for r in finish_neardup(stream_pairs).collect()
+    }
+    expected = {
+        (a, b)
+        for a in range(1, n_copies + 1)
+        for b in range(a + 1, n_copies + 1)
+    }
+    assert got_stream < expected
+
+    full = finish_neardup(
+        stream_pairs.unionByName(neardup_overflow_compaction(drained, docs))
+    )
+    got = {(r.doc_a, r.doc_b, r.jaccard) for r in full.collect()}
+    assert got == {(a, b, 1.0) for a, b in expected}
