@@ -1202,3 +1202,34 @@ def vacuum(
             fs.delete(st.getPath(), True)
             removed.append(name)
     return sorted(removed)
+
+
+def vacuum_root(
+    spark: SparkSession, root: str, min_age_seconds: float = 0.0
+) -> dict[str, list[str]]:
+    """:func:`vacuum` every txn table under a snapshot-cache root (a
+    child directory is a txn table iff it carries a ``_commits`` log —
+    the ANN cache publishes ``model``/``index``, the dedup endgame its
+    pair/label/posting tables).  This is the maintenance entry point
+    the nightly refresh loop calls after each publish: the retention
+    window protects any version a concurrent reader (which re-resolves
+    the latest commit per query) could still be scanning, and the
+    latest commit's dirs are never touched regardless.  Returns
+    {table: removed dir names} for the tables that reclaimed
+    anything."""
+    jvm, fs, hroot = _fs(spark, root)
+    if not fs.exists(hroot):
+        return {}
+    out: dict[str, list[str]] = {}
+    for st in fs.listStatus(hroot):
+        if not st.isDirectory():
+            continue
+        table = st.getPath().getName()
+        if not fs.exists(
+            jvm.org.apache.hadoop.fs.Path(f"{root}/{table}/{_COMMITS}")
+        ):
+            continue
+        removed = vacuum(spark, f"{root}/{table}", min_age_seconds)
+        if removed:
+            out[table] = removed
+    return out

@@ -409,6 +409,161 @@ def ann(out_path: str | None = None) -> int:
     return 1 if mismatches else 0
 
 
+def retention(out_path: str | None = None, cycles: int = 3) -> int:
+    """Vacuum/retention soak for the snapshot-cache roots (round-11
+    verdict item 7): run the REAL refresh loop ``cycles`` times at sf1
+    for both cache families, vacuuming with a retention window after
+    every publish, while a concurrent reader hammers the cached serve
+    path.  Requires (exit 1 otherwise):
+
+    - the windowed vacuum reclaims NOTHING younger than the window;
+    - the reader never errors and every result it sees is
+      byte-identical (the atomic-publish + retention contract);
+    - after aging versions past the window, vacuum reclaims down to
+      exactly the live snapshot and disk returns to ~single-version
+      size (banked as steady-state usage — the number that says the
+      nightly refresh cycle does not leak disk)."""
+    import shutil
+    import threading
+    from pathlib import Path
+
+    import __spark_entry__ as entrymod
+
+    from etl_python_spark.operators.dedup import (
+        DEDUP_CACHE_ENV,
+        materialize_dedup_endgame,
+    )
+    from etl_python_spark.operators.similarity import (
+        ANN_CACHE_ENV,
+        materialize_ann_index,
+    )
+    from etl_python_spark.sources.txn import read_commit, vacuum_root
+
+    spark = _session(warm=True)
+    qs = entrymod.queries()
+
+    def du(root):
+        return sum(
+            f.stat().st_size for f in Path(root).rglob("*") if f.is_file()
+        )
+
+    def backdate(root, seconds=7200.0):
+        past = time.time() - seconds
+        for table in Path(root).iterdir():
+            if table.is_dir():
+                for v in table.iterdir():
+                    if v.name.startswith("v-"):
+                        os.utime(v, (past, past))
+
+    def vdirs(table):
+        return {
+            p.name for p in Path(table).iterdir() if p.name.startswith("v-")
+        }
+
+    families = [
+        ("ann", "/tmp/sf1_ann_retention", materialize_ann_index,
+         ANN_CACHE_ENV, "ivf_pq_search"),
+        ("dedup", "/tmp/sf1_dedup_retention", materialize_dedup_endgame,
+         DEDUP_CACHE_ENV, "dedup_components"),
+    ]
+    doc, violations = {"sf": "~1 (10x sf0.1)", "cycles": cycles}, []
+    for name, root, build, env, query in families:
+        shutil.rmtree(root, ignore_errors=True)
+        t0 = time.time()
+        build(spark, DST, root)
+        first = {"build_s": round(time.time() - t0, 2), "bytes": du(root)}
+        print(f"{name}: cycle 1 build {first['build_s']}s "
+              f"{first['bytes']:,}B", flush=True)
+
+        os.environ[env] = root
+        rep = {"first_cycle": first, "cycles": [], "reader": {}}
+        try:
+            baseline = _canon_hash(qs[query](spark, DST))
+            results, errors, stop = [], [], threading.Event()
+
+            def reader():
+                while not stop.is_set():
+                    try:
+                        results.append(_canon_hash(qs[query](spark, DST)))
+                    except Exception as e:  # noqa: BLE001 — the gate
+                        errors.append(repr(e))
+                        return
+
+            t = threading.Thread(target=reader, daemon=True)
+            t.start()
+            try:
+                for c in range(2, cycles + 1):
+                    t1 = time.time()
+                    build(spark, DST, root)
+                    removed = vacuum_root(spark, root, min_age_seconds=600)
+                    cyc = {
+                        "build_s": round(time.time() - t1, 2),
+                        "bytes": du(root),
+                        "windowed_vacuum_removed": removed,
+                    }
+                    rep["cycles"].append(cyc)
+                    print(f"{name}: cycle {c} build {cyc['build_s']}s "
+                          f"{cyc['bytes']:,}B removed={removed}", flush=True)
+                    if removed:
+                        violations.append(
+                            f"{name}: windowed vacuum reclaimed young "
+                            f"versions: {removed}"
+                        )
+            finally:
+                stop.set()
+                t.join(timeout=600)
+            rep["reader"] = {
+                "iterations": len(results),
+                "errors": errors,
+                "all_identical": all(r == baseline for r in results),
+            }
+            if errors:
+                violations.append(f"{name}: reader errored: {errors[:1]}")
+            if not results:
+                violations.append(f"{name}: reader finished 0 queries")
+            if not rep["reader"]["all_identical"]:
+                violations.append(f"{name}: reader saw a divergent result")
+
+            backdate(root)
+            rep["aged_vacuum_removed"] = vacuum_root(
+                spark, root, min_age_seconds=3600
+            )
+            for table in (p.name for p in Path(root).iterdir() if p.is_dir()):
+                live = set(read_commit(spark, f"{root}/{table}")["dirs"])
+                if vdirs(f"{root}/{table}") != live:
+                    violations.append(
+                        f"{name}/{table}: leftover dirs != live snapshot"
+                    )
+            rep["steady_state_bytes"] = du(root)
+            rep["steady_vs_first"] = round(
+                rep["steady_state_bytes"] / first["bytes"], 3
+            )
+            if rep["steady_state_bytes"] > 1.2 * first["bytes"]:
+                violations.append(
+                    f"{name}: steady-state disk {rep['steady_state_bytes']:,}B"
+                    f" > 1.2x first-cycle {first['bytes']:,}B"
+                )
+            if _canon_hash(qs[query](spark, DST)) != baseline:
+                violations.append(f"{name}: post-vacuum serve != baseline")
+            print(f"{name}: steady state {rep['steady_state_bytes']:,}B "
+                  f"({rep['steady_vs_first']}x first cycle), reader "
+                  f"{len(results)} its, {len(errors)} errors", flush=True)
+        finally:
+            del os.environ[env]
+        doc[name] = rep
+
+    doc["violations"] = violations
+    if out_path:
+        with open(out_path, "w") as f:
+            json.dump(doc, f, indent=1, sort_keys=True)
+        print(f"banked -> {out_path}", flush=True)
+    else:
+        print(json.dumps(doc, indent=1, sort_keys=True))
+    for v in violations:
+        print(f"VIOLATION {v}", flush=True)
+    return 1 if violations else 0
+
+
 def _finish(
     results: dict,
     failures: int,
@@ -457,9 +612,17 @@ def _cli() -> int:
         return endgame(out_path=opt("--out"))
     if cmd == "ann":
         return ann(out_path=opt("--out"))
+    if cmd == "retention":
+        return retention(
+            out_path=opt("--out"),
+            cycles=int(opt("--cycles") or 3),
+        )
     if cmd != "run":
         # an unknown subcommand used to silently start a full run
-        print(f"unknown command {cmd!r}: use build | run | endgame | ann")
+        print(
+            f"unknown command {cmd!r}: "
+            "use build | run | endgame | ann | retention"
+        )
         return 2
 
     return run(
