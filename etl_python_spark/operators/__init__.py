@@ -22,76 +22,76 @@ from pyspark.sql import DataFrame, SparkSession
 #     their round-1 verdict remains valid evidence).
 # Names absent from this tuple keep module order after the block.
 VERIFY_PRIORITY = (
-    # Round-11 rotation (enforced by tests/test_rotation.py against
-    # tools/queries_at_base.json @ round-10 HEAD, tools/round_base.txt).
-    # Ordering: (a) slot 1 = the inventory's ONLY never-driver-verified
-    # query (ivf_pq_search — r10's red row, fixed this round; the debt
-    # rule says it outranks everything); (b) queries whose VALUES
-    # changed this round — the integer micro-unit Lloyd/moment rewrites
-    # (whole similarity family, outlier_events, embedding_stats) and
-    # the new/rewritten stream_neardup + ivf_pq_recall; (c) the
-    # materialized-endgame + minhash/simhash families (code paths
-    # reworked; values unchanged but re-verified freshest); (d) the
-    # changed ∩ oldest-verdict (round-7 cohort) names for staleness
-    # double duty; (e) the fingerprint-flipped streaming family.  The
-    # remaining 41 fingerprint-only flips (shared dedup.py helpers)
-    # carry offwindow_verified records at their HEAD fingerprint
+    # Round-12 rotation (enforced by tests/test_rotation.py against
+    # tools/queries_at_base.json @ round-11 HEAD, tools/round_base.txt).
+    # Ordering: (a) the two queries with NO driver verdict in any
+    # round — the round-12 incremental-maintenance flagships (the debt
+    # rule: never-verified outranks everything); (b) queries whose
+    # code was directly edited this round — the DECIMAL square-before-
+    # multiply hardening (outlier_events, embedding_stats), the
+    # media_features integer-micro-mean rewrite, and stream_neardup's
+    # bounded-state compaction policy; (c) the ENTIRE round-7
+    # driver-verdict cohort (32 queries — round-11 verdict item 1:
+    # drain the staleness tail; zero new-query debt leaves the slots
+    # free); (d) changed-fingerprint ∩ round-8-verdict names for
+    # staleness double duty.  Every remaining fingerprint-flipped
+    # query (shared-helper edits in dedup.py/txn.py/similarity.py)
+    # carries an offwindow_verified record at its HEAD fingerprint
     # (tools/check_correctness.py --record, full sf0.01 re-runs).
-    # (a) never-driver-verified debt:
-    "ivf_pq_search",
-    # (b) value-changed this round:
-    "ivf_pq_recall",
-    "stream_neardup",
-    "ann_bruteforce",
-    "ann_bruteforce_pandas",
-    "ann_ivf",
-    "ann_ivf_fitted",
-    "ann_lsh",
-    "ann_pq_adc",
-    "ann_probe_recall",
-    "cluster_label_nmi",
-    "embedding_covariance",
-    "embedding_neardup",
-    "embedding_stats",
-    "kmeans_assign",
-    "kmeans_embeddings",
-    "kmeans_silhouette",
-    "pca_project",
-    "pq_codes",
-    "pq_distortion",
-    "semantic_dedup",
+    # (a) never-driver-verified:
+    "ann_index_incremental",
+    "dedup_pairs_incremental",
+    # (b) directly edited this round:
+    "media_features",
     "outlier_events",
-    # (c) endgame + pair-generator families:
-    "dedup_components",
-    "dedup_keep_best",
-    "dedup_keep_canonical",
-    "leakage_safe_split",
-    "dedup_source_matrix",
-    "minhash_lsh_pairs",
-    "minhash_recall_audit",
-    "ngram_jaccard_pairs",
-    "simhash",
-    "simhash_neardup",
-    "simhash_recall_audit",
-    # (d) changed ∩ round-7-verdict cohort (oldest driver evidence):
-    "hourly_event_counts",
-    "props_extract",
-    "sessionize",
-    # (e) fingerprint-flipped streaming family + remaining dedup core:
-    "stream_cms_heavy_hitters",
-    "stream_dedup_exact",
-    "stream_histogram_quantiles",
-    "stream_hll_users",
-    "stream_hourly_counts",
-    "stream_incremental_dedup",
-    "stream_psi_drift",
-    "stream_sessionize",
-    "stream_static_enriched",
-    "stream_stream_join",
-    "stream_user_totals",
-    "dedup_exact",
-    "incremental_dedup",
-    "lm_perplexity",
+    "embedding_stats",
+    "stream_neardup",
+    # (c) the round-7 driver-verdict cohort, drained in full:
+    "catalog_integrity",
+    "churn_kpi",
+    "cnpj_validate",
+    "custom_sort_field",
+    "customer_quartiles",
+    "depara_standardize",
+    "formatted_report",
+    "full_outer_coalesce",
+    "geo_spine_zerofill",
+    "global_topn",
+    "grouping_sets_report",
+    "last_quarter_revenue",
+    "latest_order_per_customer",
+    "lead_scoring",
+    "left_enrichment",
+    "mom_growth",
+    "ordinal_alignment",
+    "payroll_report",
+    "preagg_join",
+    "profile_customer",
+    "recency_buckets",
+    "reincidence",
+    "rolling_metrics",
+    "semi_join",
+    "set_ops",
+    "share_of_priority",
+    "sla_leadtime",
+    "top_customers_per_nation",
+    "union_detail_total",
+    "union_distinct_dims",
+    "year_pivot",
+    "yoy_same_month",
+    # (d) changed ∩ round-8-verdict cohort (staleness double duty):
+    "bloom_semi_filter",
+    "cms_heavy_hitters",
+    "dsir_scores",
+    "fuzzy_components",
+    "fuzzy_match",
+    "gap_fill_interpolate",
+    "histogram_quantiles",
+    "hll_users",
+    "km_survival",
+    "kmv_overlap",
+    "nb_quality_scores",
+    "scd2_intervals",
 )
 
 
