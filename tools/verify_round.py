@@ -77,7 +77,7 @@ def main() -> int:
     except Exception as ex:  # report-only — never blocks the gates
         print(f"window-debt: unavailable ({ex})", flush=True)
     gates = [
-        ("pytest", [py, "-m", "pytest", "tests/", "-q"], 1200),
+        ("pytest", [py, "-m", "pytest", "tests/", "-q"], 2400),
         (
             "oracle sf0.01",
             [py, "tools/check_correctness.py", "/root/testdata/sf0.01"],
