@@ -167,3 +167,72 @@ def test_hot_bucket_state_is_bounded_and_compaction_restores_pairs(
     )
     got = {(r.doc_a, r.doc_b, r.jaccard) for r in full.collect()}
     assert got == {(a, b, 1.0) for a, b in expected}
+
+
+def test_capped_stream_equals_unbounded_on_random_corpus(spark, tmp_path):
+    """Property: for ANY corpus and ANY cap, capped-stream pairs ∪
+    overflow compaction == the unbounded stream's pairs (the policy's
+    correctness is by construction — this pins it against a corpus
+    with mixed exact copies, perturbed near-dups, and unique docs,
+    where buckets overflow at different depths per band)."""
+    import random
+    import uuid as _uuid
+
+    from etl_python_spark.operators.dedup import minhash_band_stream
+    from etl_python_spark.streaming.file_stream import (
+        finish_neardup,
+        neardup_overflow_compaction,
+        neardup_pairs_stream,
+    )
+
+    rng = random.Random(1207)
+    words = [f"w{i}" for i in range(60)]
+    rows, doc_id = [], 0
+    for g in range(6):
+        base = " ".join(rng.choices(words, k=25))
+        copies = rng.randint(1, 8)
+        for c in range(copies):
+            doc_id += 1
+            text = base if c == 0 or rng.random() < 0.5 else (
+                base + " " + rng.choice(words)
+            )
+            rows.append((doc_id, text))
+    for _ in range(5):  # unique decoys
+        doc_id += 1
+        rows.append((doc_id, " ".join(rng.choices(words, k=25))))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    src = tmp_path / "rand_src"
+    docs.coalesce(2).write.mode("overwrite").parquet(str(src))
+
+    def pairs_with_cap(cap):
+        stream = spark.readStream.schema("doc_id long, text string").parquet(
+            str(src)
+        )
+        out = neardup_pairs_stream(minhash_band_stream(stream), max_members=cap)
+        name = f"rand_{cap}_{_uuid.uuid4().hex[:8]}"
+        q = (
+            out.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("update")
+            .option("checkpointLocation", str(tmp_path / f"ckpt_{name}"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        assert q.awaitTermination(300)
+        drained = spark.table(name)
+        stream_pairs = drained.filter(F.col("inter") >= 0).select(
+            "doc_a", "doc_b", "inter", "size_a", "size_b"
+        )
+        merged = stream_pairs.unionByName(
+            neardup_overflow_compaction(drained, docs)
+        )
+        rows_ = finish_neardup(merged).collect()
+        n_overflow = drained.filter(F.col("inter") < 0).count()
+        return {(r.doc_a, r.doc_b, r.jaccard) for r in rows_}, n_overflow
+
+    truth, ov0 = pairs_with_cap(0)  # 0 disables the cap
+    assert ov0 == 0 and truth, "ground-truth run must be uncapped, non-empty"
+    for cap in (1, 3):
+        got, n_overflow = pairs_with_cap(cap)
+        assert n_overflow > 0, f"cap {cap} never engaged — vacuous"
+        assert got == truth, f"cap {cap}: capped∪compaction != unbounded"
