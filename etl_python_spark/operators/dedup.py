@@ -825,6 +825,259 @@ def q_dedup_pairs_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _jaccard_from_counts(counts_new)
 
 
+# The "taken down" slice for the on-delete identity query: 10% of the
+# corpus (doc_id % 10 == 3), disjoint from the growth delta's % 10 == 9.
+DOC_DEL_MOD, DOC_DEL_REM = 10, 3
+
+
+def _decremental_pair_counts(
+    surv_sh: DataFrame,
+    base_df: DataFrame,
+    base_counts: DataFrame,
+    removed_ids: DataFrame,
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """The delete-side pair-graph update — the mirror of
+    :func:`_incremental_pair_counts`.  Inputs: the SURVIVING corpus's
+    shingle rows, the banked (pre-delete) df relation and pre-threshold
+    pair counts, and the removed doc ids.  Returns ``(counts_new,
+    changed, df_changed)``:
+
+    * ``counts_new`` — exact pre-threshold counts of the SHRUNK corpus;
+    * ``changed`` — rows to MERGE-publish: inter = 0 tombstones for
+      every pair touching a removed doc, plus every survivor pair a
+      cap-RECROSS changed (including brand-new pairs that previously
+      shared only over-cap shingles);
+    * ``df_changed`` — (h, df) rows whose document frequency moved
+      (vanished shingles carry df = 0 — inert under the range filters
+      every consumer applies).
+
+    Why this is exact: a survivor pair's banked inter counts shared
+    shingles with base df ∈ [2, MAX_DF]; deletion only LOWERS df, and
+    a shared shingle's df cannot drop below 2 while both sharers
+    survive — so every banked contribution stands, and the only new
+    contributions come from shingles that fall back INSIDE the cap
+    (base df > MAX_DF, new df ≤ MAX_DF): the cap-recross set, whose
+    survivor co-occurrences are recomputed directly (bounded by the
+    new df ≤ MAX_DF).  Pairs touching a removed doc drop whole.
+
+    Cost shape at 100 TB: the df recount and recross filter need ONE
+    pass over the surviving corpus's shingles (a takedown is a
+    corpus-scan-class operation in any engine that must prove removal)
+    — but the quadratic-ish pair work stays bounded: dropped pairs are
+    an anti-join on the banked pair graph, and recross additions touch
+    ≤ MAX_DF postings per recrossing shingle.  Keeping UNCAPPED
+    postings in the snapshot would make even the df recount
+    delta-sized at the price of storing the full (doc, shingle)
+    stream; the one-pass design was chosen to keep snapshot storage
+    proportional to the capped posting lists."""
+    df_new = surv_sh.groupBy("h").agg(F.count("*").alias("df"))
+    # every shingle whose df moved (vanished -> 0); publication rows
+    df_changed = (
+        base_df.withColumnRenamed("df", "df_old")
+        .join(df_new, "h", "left")
+        .select("h", F.coalesce("df", F.lit(0)).alias("df"), "df_old")
+        .filter(F.col("df") != F.col("df_old"))
+        .select("h", "df")
+    )
+    # cap recross: outside the window before, inside it now
+    recross = (
+        base_df.filter(F.col("df") > MAX_DF)
+        .select("h")
+        .join(df_new.filter(F.col("df") <= MAX_DF), "h", "left_semi")
+    )
+    rem_a = removed_ids.select(F.col("doc_id").alias("doc_a"))
+    rem_b = removed_ids.select(F.col("doc_id").alias("doc_b"))
+    dropped = base_counts.join(rem_a, "doc_a", "left_semi").unionByName(
+        base_counts.join(rem_b, "doc_b", "left_semi").join(
+            rem_a, "doc_a", "left_anti"
+        )
+    )
+    surv = base_counts.join(rem_a, "doc_a", "left_anti").join(
+        rem_b, "doc_b", "left_anti"
+    )
+    add = _pair_counts(surv_sh.join(recross, "h", "left_semi"))
+    s = surv.select(
+        "doc_a",
+        "doc_b",
+        F.col("size_a").alias("sa_s"),
+        F.col("size_b").alias("sb_s"),
+        F.col("inter").alias("i_s"),
+    )
+    a = add.select(
+        "doc_a",
+        "doc_b",
+        F.col("size_a").alias("sa_a"),
+        F.col("size_b").alias("sb_a"),
+        F.col("inter").alias("i_a"),
+    )
+    merged = s.join(a, ["doc_a", "doc_b"], "full_outer").select(
+        "doc_a",
+        "doc_b",
+        F.coalesce("sa_s", "sa_a").alias("size_a"),
+        F.coalesce("sb_s", "sb_a").alias("size_b"),
+        (
+            F.coalesce("i_s", F.lit(0)) + F.coalesce("i_a", F.lit(0))
+        ).alias("inter"),
+    )
+    counts_new = merged.filter(F.col("inter") > 0)
+    tombstones = dropped.select(
+        "doc_a", "doc_b", "size_a", "size_b", F.lit(0).alias("inter")
+    )
+    changed = tombstones.unionByName(
+        merged.join(a.select("doc_a", "doc_b"), ["doc_a", "doc_b"], "left_semi")
+    )
+    return counts_new, changed, df_changed
+
+
+def q_dedup_pairs_on_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Takedown-side near-dup pair maintenance, stated as a relation:
+    the FULL corpus's inverted index, df table, and pre-threshold pair
+    counts stand in for the banked state, a 10% slice
+    (doc_id % 10 == 3) is deleted, and the pair graph is updated with
+    :func:`_decremental_pair_counts` — dropped pairs by anti-join,
+    cap-RECROSS additions recomputed exactly, one survivor shingle
+    pass, never a from-scratch pair regeneration.  Output = (doc_a,
+    doc_b, jaccard) of the shrunk corpus; the oracle is the direct
+    pair SQL over the SURVIVORS, so a hash match proves the
+    decremental update reproduces the from-scratch result
+    value-for-value — including pairs that exist only because a shared
+    shingle fell back under MAX_DF when its other holders were purged.
+    See :func:`refresh_dedup_endgame_on_delete` for the txn form."""
+    docs = load_table(spark, sf_dir, "documents")
+    is_removed = (F.col("doc_id") % DOC_DEL_MOD) == DOC_DEL_REM
+    base_sh = _materialize(hashed_shingle_stream(docs), "checkpoint")
+    base_df = base_sh.groupBy("h").agg(F.count("*").alias("df"))
+    base_kept = base_sh.join(
+        base_df.filter((F.col("df") >= 2) & (F.col("df") <= MAX_DF)),
+        "h",
+        "left_semi",
+    )
+    removed_ids = docs.filter(is_removed).select("doc_id")
+    surv_sh = base_sh.join(removed_ids, "doc_id", "left_anti")
+    counts_new, _, _ = _decremental_pair_counts(
+        surv_sh, base_df, _pair_counts(base_kept), removed_ids
+    )
+    return _jaccard_from_counts(counts_new)
+
+
+def refresh_dedup_endgame_on_delete(
+    spark: SparkSession, sf_dir: str, root: str
+) -> dict[str, int]:
+    """Takedown refresh after docs were PURGED from the corpus: detect
+    the removed ids (banked ``sizes`` anti-join the corpus), re-count
+    shingle dfs with one pass over the surviving corpus (the removed
+    docs' text is gone, so their df contributions can only be inferred
+    from what remains — see the cost note on
+    :func:`_decremental_pair_counts`), update the pair graph with
+    delta-sized drop/recross work, relabel only touched components,
+    and republish with the shrunk corpus's fingerprint.  Returns
+    {table: new version}.  Byte-identity with a from-scratch rebuild
+    on the shrunk corpus is pinned by
+    tests/test_incremental_maintenance.py."""
+    from ..sources.fingerprint import META_KEY, corpus_fingerprint
+    from ..sources.txn import (
+        txn_delete_where,
+        txn_merge_upsert,
+        txn_read,
+        txn_write,
+    )
+
+    meta = {
+        META_KEY: corpus_fingerprint(sf_dir, "documents"),
+        "source_table": "documents",
+        "sf_dir": sf_dir,
+        "op": "delete_refresh",
+    }
+
+    docs = load_table(spark, sf_dir, "documents")
+    sizes = txn_read(spark, f"{root}/{_CACHE_SIZES}")
+    removed_ids = sizes.select("doc_id").distinct().join(
+        docs.select("doc_id"), "doc_id", "left_anti"
+    )
+    # a takedown batch is bounded; the id list is driver-safe metadata
+    removed_list = [r.doc_id for r in removed_ids.collect()]
+
+    base_df = txn_read(spark, f"{root}/{_CACHE_DF}")
+    base_counts = txn_read(spark, f"{root}/{_CACHE_COUNTS}").filter(
+        F.col("inter") > 0
+    )
+    base_pairs = txn_read(spark, f"{root}/{_CACHE_PAIRS}").select(
+        "doc_a", "doc_b"
+    )
+    base_labels = txn_read(spark, f"{root}/{_CACHE_COMPONENTS}").select(
+        "doc_id", "component_id"
+    )
+
+    surv_sh = _materialize(hashed_shingle_stream(docs), "checkpoint")
+    counts_new, changed, df_changed = _decremental_pair_counts(
+        surv_sh, base_df, base_counts, removed_ids
+    )
+    counts_new = _materialize(counts_new, "checkpoint")
+    pairs_new = _jaccard_from_counts(counts_new).select("doc_a", "doc_b")
+    pairs_new = pairs_new.localCheckpoint(eager=True)
+    labels_new = _incremental_components(base_labels, base_pairs, pairs_new)
+
+    # postings: removed docs' rows go; recross shingles' surviving
+    # rows (now inside the cap) come in
+    recross_postings = surv_sh.join(
+        base_df.filter(F.col("df") > MAX_DF).select("h"), "h", "left_semi"
+    ).join(
+        df_changed.filter(F.col("df") <= MAX_DF).select("h"), "h", "left_semi"
+    )
+    in_removed = F.col("doc_id").isin(removed_list) if removed_list else F.lit(False)
+    versions = {}
+    if removed_list:
+        versions[_CACHE_SIZES] = txn_delete_where(
+            spark, f"{root}/{_CACHE_SIZES}", in_removed, app_meta=meta
+        )
+        versions[_CACHE_POSTINGS] = txn_delete_where(
+            spark, f"{root}/{_CACHE_POSTINGS}", in_removed, app_meta=meta
+        )
+    else:  # nothing to purge: re-bank the fingerprint only
+        for name in (_CACHE_SIZES, _CACHE_POSTINGS):
+            versions[name] = txn_write(
+                spark,
+                txn_read(spark, f"{root}/{name}"),
+                f"{root}/{name}",
+                app_meta=meta,
+            )
+    versions[_CACHE_POSTINGS] = txn_merge_upsert(
+        spark,
+        recross_postings,
+        f"{root}/{_CACHE_POSTINGS}",
+        keys=["doc_id", "h"],
+        app_meta=meta,
+    )
+    versions[_CACHE_DF] = txn_merge_upsert(
+        spark, df_changed, f"{root}/{_CACHE_DF}", keys=["h"], app_meta=meta
+    )
+    versions[_CACHE_COUNTS] = txn_merge_upsert(
+        spark,
+        changed,
+        f"{root}/{_CACHE_COUNTS}",
+        keys=["doc_a", "doc_b"],
+        app_meta=meta,
+    )
+    versions[_CACHE_PAIRS] = txn_write(
+        spark, pairs_new, f"{root}/{_CACHE_PAIRS}", app_meta=meta
+    )
+    versions[_CACHE_COMPONENTS] = txn_write(
+        spark, labels_new, f"{root}/{_CACHE_COMPONENTS}", app_meta=meta
+    )
+    return versions
+
+
+ORACLE_DEDUP_PAIRS_ON_DELETE = (
+    "WITH "
+    + _SQL_PAIRS_BODY.replace(
+        "FROM documents",
+        f"FROM documents WHERE doc_id % {DOC_DEL_MOD} <> {DOC_DEL_REM}",
+        1,
+    )
+    + "SELECT doc_a, doc_b, jaccard FROM pairs"
+)
+
+
 def _incremental_components(
     base_labels: DataFrame, base_pairs: DataFrame, new_pairs: DataFrame
 ) -> DataFrame:
@@ -1654,6 +1907,7 @@ QUERIES = {
     "dedup_exact": q_dedup_exact,
     "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
     "dedup_pairs_incremental": q_dedup_pairs_incremental,
+    "dedup_pairs_on_delete": q_dedup_pairs_on_delete,
     "dedup_components": q_dedup_components,
     "dedup_keep_canonical": q_dedup_keep_canonical,
     "leakage_safe_split": q_leakage_safe_split,
@@ -1769,6 +2023,7 @@ ORACLES = {
     # the incremental update must reproduce the FULL-corpus pair graph
     # value-for-value — same oracle text as ngram_jaccard_pairs
     "dedup_pairs_incremental": ORACLE_NGRAM_JACCARD,
+    "dedup_pairs_on_delete": ORACLE_DEDUP_PAIRS_ON_DELETE,
     "dedup_components": ORACLE_DEDUP_COMPONENTS,
     "dedup_keep_canonical": ORACLE_DEDUP_KEEP,
     "leakage_safe_split": ORACLE_LEAKAGE_SPLIT,

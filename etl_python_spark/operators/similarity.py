@@ -1693,6 +1693,123 @@ def q_ann_index_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# The "taken down" slice for the on-delete identity: 1% of the corpus
+# (vec_id % 100 == 3), disjoint from the growth delta's % 100 == 97.
+# vec_id 3 is one of the k-means init samples — deliberately: the
+# model is FROZEN at its pre-delete fit, so purging a sample vector
+# removes its index rows without disturbing the model.
+ANN_DEL_MOD, ANN_DEL_REM = 100, 3
+
+
+def q_ann_index_on_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Takedown-side IVF×PQ index maintenance, stated as a relation:
+    the model (coarse centroids + PQ codebook) is fitted on the FULL
+    corpus and FROZEN, then a 1% slice (vec_id % 100 == 3) is purged —
+    and because coding is a pure per-row function of the model, the
+    shrunk index is EXACTLY the full index minus the purged rows; no
+    recode, no refit, no neighbor adjustment of any kind.  Output =
+    (n_id, c_id, m, code) of the surviving index in long form; the
+    oracle fits on the full corpus and codes only survivors, so a hash
+    match proves delete ≡ row removal under a frozen model.  This is
+    the invariant that makes takedown O(|removed|) on a 100 TB index
+    (:func:`refresh_ann_index_on_delete` is the txn DELETE that
+    executes it); re-FITTING without the purged vectors is the
+    separate nightly decision, never a correctness requirement."""
+    emb = _kmeans_emb(spark, sf_dir)
+    centroids = _kmeans_fit(emb)  # frozen pre-delete model
+    uemb = _unit_emb(emb).localCheckpoint(eager=True)
+    cb = _pq_fit(uemb)
+    surviving = _ivf_pq_index(uemb, centroids, cb).filter(
+        (F.col("n_id") % ANN_DEL_MOD) != ANN_DEL_REM
+    )
+    return surviving.select(
+        "n_id", "c_id", F.posexplode("codes").alias("m", "code")
+    )
+
+
+def refresh_ann_index_on_delete(
+    spark: SparkSession, sf_dir: str, root: str
+) -> dict[str, int]:
+    """Takedown refresh after vectors were PURGED from the corpus:
+    detect the removed ids (published index anti-join the corpus),
+    txn-DELETE exactly their rows (copy-on-write, restaging only the
+    partitions that contain matches), and re-bank the shrunk corpus's
+    fingerprint on both tables.  The model stays byte-frozen — coding
+    is per-row, so no surviving row changes (pinned no-Lloyd +
+    byte-identity in tests/test_incremental_maintenance.py).  Work is
+    one id anti-join plus a delete bounded by the takedown batch; the
+    purged rows stop being readable once :func:`~..sources.txn.vacuum`
+    reclaims the old version's dirs — the two-step every table format
+    documents for right-to-be-forgotten."""
+    from ..sources.fingerprint import META_KEY, corpus_fingerprint
+    from ..sources.txn import txn_delete_where, txn_read, txn_write
+
+    meta = {
+        META_KEY: corpus_fingerprint(sf_dir, "embeddings"),
+        "source_table": "embeddings",
+        "sf_dir": sf_dir,
+        "op": "delete_refresh",
+    }
+    corpus_ids = spread(load_table(spark, sf_dir, "embeddings"), "vec_id").select(
+        F.col("vec_id").alias("n_id")
+    )
+    removed = [
+        r.n_id
+        for r in txn_read(spark, f"{root}/index")
+        .select("n_id")
+        .distinct()
+        .join(corpus_ids, "n_id", "left_anti")
+        .collect()
+    ]  # a takedown batch is bounded; the id list is driver-safe metadata
+    if removed:
+        index_v = txn_delete_where(
+            spark,
+            f"{root}/index",
+            F.col("n_id").isin(removed),
+            app_meta=meta,
+        )
+    else:  # nothing to purge: re-bank the fingerprint only
+        index_v = txn_write(
+            spark,
+            txn_read(spark, f"{root}/index"),
+            f"{root}/index",
+            app_meta=meta,
+        )
+    return {
+        "index": index_v,
+        # model data is frozen; rewrite only to re-bank the fingerprint
+        "model": txn_write(
+            spark, txn_read(spark, f"{root}/model"), f"{root}/model", app_meta=meta
+        ),
+    }
+
+
+# Restates q_ann_index_on_delete: the fit CTEs see the FULL corpus
+# (the frozen pre-delete model), the final coding selection only the
+# survivors — so the oracle IS the from-scratch recode of the shrunk
+# corpus under the same model and a hash match proves delete ≡ row
+# removal.
+def _oracle_ann_index_on_delete() -> str:
+    return (
+        _kmeans_fit_ctes()
+        + _pq_fit_ctes()
+        + f"""
+, cells AS (
+  SELECT vec_id AS n_id, k AS c_id FROM (
+    SELECT e.vec_id, c.k,
+           ROW_NUMBER() OVER (PARTITION BY e.vec_id
+             ORDER BY {_sql_d2('e.v', 'c.c')} ASC, c.k ASC) AS rnk
+    FROM emb e CROSS JOIN {_CENT_FINAL} c
+  ) WHERE rnk = 1
+)
+SELECT cc.n_id, CAST(cc.c_id AS INT) AS c_id,
+       CAST(pc.m AS INT) AS m, CAST(pc.code AS INT) AS code
+FROM cells cc JOIN pqcodes pc ON pc.vec_id = cc.n_id
+WHERE cc.n_id % {ANN_DEL_MOD} <> {ANN_DEL_REM}
+"""
+    )
+
+
 def q_ivf_pq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The composed index a 100 TB embedding store actually serves
     from — IVF routing × PQ-ADC scoring × exact top-R re-rank:
@@ -2851,6 +2968,7 @@ QUERIES = {
     "ivf_pq_search": q_ivf_pq_search,
     "ivf_pq_recall": q_ivf_pq_recall,
     "ann_index_incremental": q_ann_index_incremental,
+    "ann_index_on_delete": q_ann_index_on_delete,
     "embedding_stats": q_embedding_stats,
     "pca_project": q_pca_project,
     "kmeans_silhouette": q_kmeans_silhouette,
@@ -2875,6 +2993,7 @@ ORACLES = {
     "ivf_pq_search": ORACLE_IVF_PQ_SEARCH,
     "ivf_pq_recall": ORACLE_IVF_PQ_RECALL,
     "ann_index_incremental": ORACLE_ANN_INDEX_INCREMENTAL,
+    "ann_index_on_delete": _oracle_ann_index_on_delete(),
     "embedding_stats": ORACLE_EMBEDDING_STATS,
     "pca_project": _pca_oracle(),
     "kmeans_silhouette": ORACLE_KMEANS_SILHOUETTE,

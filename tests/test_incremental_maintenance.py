@@ -220,3 +220,174 @@ def test_cap_crossing_adjustment_is_exact(spark, tmp_path):
         "left_semi",
     )
     assert _jaccard_from_counts(_pair_counts(grown_kept)).count() == 0
+
+
+class TestAnnOnDelete:
+    """Round-12 late addition: the takedown mirror of growth — purge a
+    slice, delete exactly its index rows under the byte-frozen model,
+    byte-identical to a from-scratch recode of the survivors."""
+
+    @pytest.fixture(scope="class")
+    def dirs(self, spark, tmp_path_factory):
+        tmp = tmp_path_factory.mktemp("ann_del")
+        shrunk, full = _split_corpus(
+            spark, tmp, "embeddings", "vec_id", 100, 3
+        )
+        root = str(tmp / "root")
+        from etl_python_spark.operators.similarity import materialize_ann_index
+
+        materialize_ann_index(spark, full, root)
+        return shrunk, full, root
+
+    def test_delete_refresh_is_byte_identical_and_runs_no_fit(
+        self, spark, dirs, monkeypatch
+    ):
+        from etl_python_spark.operators import similarity as S
+        from etl_python_spark.sources.txn import txn_read
+
+        shrunk, full, root = dirs
+
+        def boom(*a, **k):
+            raise AssertionError("Lloyd fit ran during delete refresh")
+
+        monkeypatch.setattr(S, "_kmeans_fit", boom)
+        monkeypatch.setattr(S, "_pq_fit", boom)
+        versions = S.refresh_ann_index_on_delete(spark, shrunk, root)
+        assert versions == {"index": 2, "model": 2}
+
+        centroids, cb = S._snapshot_model(spark, root)
+        rebuilt = S._ivf_pq_index(
+            S._unit_emb(S._kmeans_emb(spark, shrunk)), centroids, cb
+        )
+        assert _canon(txn_read(spark, f"{root}/index")) == _canon(rebuilt)
+
+        # purged ids are gone and the shrunk corpus now serves
+        gone = (
+            txn_read(spark, f"{root}/index")
+            .filter("n_id % 100 = 3")
+            .count()
+        )
+        assert gone == 0
+        monkeypatch.setenv("SPARK_GRAFT_ANN_CACHE", root)
+        from etl_python_spark import operators
+
+        # the guard accepts the shrunk corpus and the query serves
+        # (row count < the full corpus's 50: vec_id 3 was BOTH a query
+        # vector and a corpus member, and it is gone — purging shrinks
+        # the query batch too, which is exactly right for a takedown)
+        assert operators.all_queries()["ivf_pq_search"](spark, shrunk).count() > 0
+
+    def test_delete_refresh_is_idempotent(self, spark, dirs):
+        from etl_python_spark.operators import similarity as S
+        from etl_python_spark.sources.txn import txn_read
+
+        shrunk, full, root = dirs
+        before = _canon(txn_read(spark, f"{root}/index"))
+        S.refresh_ann_index_on_delete(spark, shrunk, root)
+        assert _canon(txn_read(spark, f"{root}/index")) == before
+
+
+class TestDedupOnDelete:
+    @pytest.fixture(scope="class")
+    def dirs(self, spark, tmp_path_factory):
+        tmp = tmp_path_factory.mktemp("dedup_del")
+        shrunk, full = _split_corpus(spark, tmp, "documents", "doc_id", 10, 3)
+        root = str(tmp / "root")
+        from etl_python_spark.operators.dedup import materialize_dedup_endgame
+
+        materialize_dedup_endgame(spark, full, root)
+        return shrunk, full, root
+
+    def test_delete_refresh_matches_from_scratch_rebuild(
+        self, spark, dirs, tmp_path
+    ):
+        import pyspark.sql.functions as F
+
+        from etl_python_spark.operators.dedup import (
+            materialize_dedup_endgame,
+            refresh_dedup_endgame_on_delete,
+        )
+        from etl_python_spark.sources.txn import txn_read
+
+        shrunk, full, root = dirs
+        refresh_dedup_endgame_on_delete(spark, shrunk, root)
+
+        scratch = str(tmp_path / "scratch")
+        materialize_dedup_endgame(spark, shrunk, scratch)
+        for table in ("pairs", "components"):
+            got = _canon(txn_read(spark, f"{root}/{table}"))
+            want = _canon(txn_read(spark, f"{scratch}/{table}"))
+            assert got == want, f"{table}: delete refresh != rebuild"
+        got = _canon(
+            txn_read(spark, f"{root}/counts").filter(F.col("inter") > 0)
+        )
+        want = _canon(txn_read(spark, f"{scratch}/counts"))
+        assert got == want, "counts: delete refresh != rebuild"
+        # purged docs left every per-doc table
+        for table in ("sizes", "postings"):
+            n = (
+                txn_read(spark, f"{root}/{table}")
+                .filter("doc_id % 10 = 3")
+                .count()
+            )
+            assert n == 0, f"{table} still holds purged docs"
+
+    def test_refreshed_cache_serves_shrunk_corpus(
+        self, spark, dirs, monkeypatch
+    ):
+        from etl_python_spark import operators
+
+        shrunk, full, root = dirs
+        qs = operators.all_queries()
+        inline = _canon(qs["dedup_components"](spark, shrunk))
+        monkeypatch.setenv("SPARK_GRAFT_DEDUP_CACHE", root)
+        assert _canon(qs["dedup_components"](spark, shrunk)) == inline
+
+
+def test_cap_recross_addition_is_exact(spark):
+    """The delete-side mirror of the cap-crossing test: a hot shingle
+    sits just OVER the cap (df = MAX_DF + 2, no pairs through it);
+    purging two holders brings it back to df = MAX_DF, so every
+    survivor pair through it must APPEAR in the decremental result
+    exactly as in a full recompute of the survivors."""
+    import pyspark.sql.functions as F
+
+    from etl_python_spark.operators.dedup import (
+        MAX_DF,
+        _decremental_pair_counts,
+        _jaccard_from_counts,
+        _pair_counts,
+        hashed_shingle_stream,
+    )
+
+    hot = "alpha beta gamma delta epsilon"
+    rows = [(i, hot) for i in range(MAX_DF + 2)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    base_sh = hashed_shingle_stream(docs).localCheckpoint(eager=True)
+    base_df = base_sh.groupBy("h").agg(F.count("*").alias("df"))
+    base_kept = base_sh.join(
+        base_df.filter((F.col("df") >= 2) & (F.col("df") <= MAX_DF)),
+        "h",
+        "left_semi",
+    )
+    base_counts = _pair_counts(base_kept)
+    assert base_counts.count() == 0  # over the cap: no pairs banked
+
+    removed = spark.createDataFrame(
+        [(MAX_DF,), (MAX_DF + 1,)], "doc_id long"
+    )
+    surv_sh = base_sh.join(removed, "doc_id", "left_anti")
+    counts_new, changed, df_changed = _decremental_pair_counts(
+        surv_sh, base_df, base_counts, removed
+    )
+    expect = MAX_DF * (MAX_DF - 1) // 2
+    assert _jaccard_from_counts(counts_new).count() == expect
+    assert changed.filter(F.col("inter") > 0).count() == expect
+    # full recompute of the survivors agrees
+    surv_df = surv_sh.groupBy("h").agg(F.count("*").alias("df"))
+    surv_kept = surv_sh.join(
+        surv_df.filter((F.col("df") >= 2) & (F.col("df") <= MAX_DF)),
+        "h",
+        "left_semi",
+    )
+    assert _jaccard_from_counts(_pair_counts(surv_kept)).count() == expect
