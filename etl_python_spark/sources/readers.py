@@ -448,15 +448,22 @@ def read_text_corpus(
     """Raw text files → documents-shaped table: one doc per non-empty
     line, columns (doc_id, text, source, file, n_chars).
 
-    doc_id is the global line ordinal via ``zipWithIndex`` — stable
-    across runs because file-source input splits are enumerated in
-    (file path, offset) order, so the same input always yields the
-    same ids (``monotonically_increasing_id`` would not: its values
-    shift whenever partitioning changes).  This is one of the rare
-    per-partition imperative needs the DataFrame API cannot express;
-    zipWithIndex runs one lightweight count-per-partition job and no
-    data moves.  ``source`` tags the corpus (defaults to the path's
-    basename); per-file lineage rides in ``file``.
+    doc_id is the global line ordinal in input-split order — the
+    exact ids ``zipWithIndex`` used to assign, now computed entirely
+    JVM-side (round-12 verdict item 3: the old ``rdd.zipWithIndex``
+    pickled every line into Python and back, a per-row cost on
+    precisely the 100-TB ingest path).  The two-phase decomposition
+    is ``training_shuffle``'s global ROW_NUMBER shape with the
+    shuffle dropped: ``monotonically_increasing_id`` already encodes
+    (partition id << 33) + record-within-partition, so phase 1 is a
+    count-per-partition job (the same lightweight job zipWithIndex
+    ran) whose cumulative counts become a broadcast offset table,
+    and phase 2 is ``offset[pid] + record`` — no shuffle, no window,
+    no Python serialization.  Ids are stable across runs because the
+    file-source split layout is a pure function of the input listing,
+    the same property zipWithIndex relied on.  ``source`` tags the
+    corpus (defaults to the path's basename); per-file lineage rides
+    in ``file``.
     """
     import os as _os
 
@@ -464,13 +471,24 @@ def read_text_corpus(
     lines = spark.read.text(path).select(
         F.col("value").alias("text"),
         F.col("_metadata.file_path").alias("file"),
+        F.monotonically_increasing_id().alias("mid"),
     )
-    indexed = lines.rdd.zipWithIndex().map(
-        lambda pair: (pair[1], pair[0]["text"], pair[0]["file"])
+    pid = F.shiftright(F.col("mid"), 33)
+    counts = sorted(
+        lines.groupBy(pid.alias("pid"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect(),
+        key=lambda r: r.pid,
     )
-    df = spark.createDataFrame(indexed, "doc_id long, text string, file string")
+    offsets, acc = [], 0
+    for r in counts:  # one row per input split — driver-safe metadata
+        offsets.append((r.pid, acc))
+        acc += r.n
+    off_df = spark.createDataFrame(offsets, "pid long, offset long")
+    record = F.col("mid").bitwiseAND(F.lit((1 << 33) - 1))
+    df = lines.withColumn("pid", pid).join(F.broadcast(off_df), "pid")
     return df.filter(F.length(F.trim(F.col("text"))) > 0).select(
-        "doc_id",
+        (F.col("offset") + record).alias("doc_id"),
         "text",
         F.lit(tag).alias("source"),
         "file",

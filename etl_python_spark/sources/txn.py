@@ -681,21 +681,71 @@ def txn_delete_where(
     current one) — safe to run on a schedule."""
     if isinstance(condition, str):
         condition = F.expr(condition)
+    # delete exactly the rows where the condition is TRUE: a NULL
+    # predicate result keeps the row (plain ~condition is three-valued
+    # and would silently drop NULL-result rows from BOTH sides)
+    keep_pred = ~F.coalesce(condition, F.lit(False))
+    return _txn_delete(
+        spark,
+        path,
+        matched=lambda df: df.filter(condition),
+        kept=lambda df: df.filter(keep_pred),
+        app_meta=app_meta,
+    )
+
+
+def txn_delete_keys(
+    spark: SparkSession,
+    path: str,
+    keys: DataFrame,
+    on: list[str],
+    app_meta: dict | None = None,
+) -> int:
+    """Copy-on-write DELETE of every row whose ``on`` key tuple
+    appears in the ``keys`` DataFrame — the bulk-takedown form of
+    :func:`txn_delete_where` (round-12 verdict item 2).
+
+    The key set stays a DataFrame end-to-end: matching is a left-semi
+    join and the kept rows a left-anti join, so a purge of millions of
+    ids (a whole source or license class at 100 TB) never materializes
+    an ``isin`` literal in the plan or an id list on the driver.  The
+    only driver-side collect is the distinct PARTITION values the
+    matches touch — bounded by the table's partition count, never by
+    the takedown batch.  Same atomic publish, reader isolation, and
+    no-match fast path (returns the current version) as
+    ``txn_delete_where``."""
+    keyed = keys.select(*on).distinct()
+    return _txn_delete(
+        spark,
+        path,
+        matched=lambda df: df.join(keyed, list(on), "left_semi"),
+        kept=lambda df: df.join(keyed, list(on), "left_anti"),
+        app_meta=app_meta,
+    )
+
+
+def _txn_delete(
+    spark: SparkSession,
+    path: str,
+    matched,
+    kept,
+    app_meta: dict | None = None,
+) -> int:
+    """Shared copy-on-write DELETE core: ``matched(df)`` selects the
+    rows to remove, ``kept(df)`` the rows to keep (both lazy
+    DataFrame transforms, so the predicate/keys form never changes
+    the restage mechanics)."""
     prev = read_commit(spark, path)
     if prev is None:
         raise FileNotFoundError(f"no committed version at {path}")
     version = _next_version(spark, path)
     pc = _norm_pc(prev["partition_col"])
     target = txn_read(spark, path)
-    # delete exactly the rows where the condition is TRUE: a NULL
-    # predicate result keeps the row (plain ~condition is three-valued
-    # and would silently drop NULL-result rows from BOTH sides)
-    keep_pred = ~F.coalesce(condition, F.lit(False))
 
     if pc:
         touched = [
             _encode_row(r, pc)
-            for r in target.filter(condition).select(*pc).distinct().collect()
+            for r in matched(target).select(*pc).distinct().collect()
         ]
         if not touched:
             return prev["version"]
@@ -706,18 +756,18 @@ def txn_delete_where(
         pruned = txn_read(
             spark, path, partition_filter=_pf_from_touched(pc, touched)
         )
-        kept = pruned.filter(_owned_pred(pc, touched)).filter(keep_pred)
+        kept_df = kept(pruned.filter(_owned_pred(pc, touched)))
         surviving = {
             json.dumps(_encode_row(r, pc), sort_keys=True)
-            for r in kept.select(*pc).distinct().collect()
+            for r in kept_df.select(*pc).distinct().collect()
         }
     else:
-        if target.filter(condition).limit(1).count() == 0:
+        if matched(target).limit(1).count() == 0:
             return prev["version"]
-        kept = target.filter(keep_pred)
+        kept_df = kept(target)
 
     dirname = _stage_dir(path, version).rsplit("/", 1)[-1]
-    writer = kept.write.mode("errorifexists")
+    writer = kept_df.write.mode("errorifexists")
     if pc:
         writer = writer.partitionBy(*pc)
     writer.parquet(f"{path}/{dirname}")

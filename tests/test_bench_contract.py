@@ -10,8 +10,11 @@ def test_bench_emits_one_json_line(spark, capsys, monkeypatch):
     monkeypatch.setenv("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001")
     monkeypatch.setenv("SPARK_GRAFT_BENCH_RUNS", "1")
     # in-process run: the test session's own JVM would read as a
-    # "stray", so don't wait for a clean host here
+    # "stray", so don't wait for a clean host here; and the standalone
+    # A/B child must stay off — it stops the caller's SparkSession,
+    # which in-process is the shared test fixture session
     monkeypatch.setenv("SPARK_GRAFT_BENCH_WAIT", "0")
+    monkeypatch.setenv("SPARK_GRAFT_BENCH_AB", "0")
     import bench
 
     bench.main()
@@ -32,6 +35,7 @@ def test_bench_extended_group(spark, capsys, monkeypatch):
     monkeypatch.setenv("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001")
     monkeypatch.setenv("SPARK_GRAFT_BENCH_RUNS", "1")
     monkeypatch.setenv("SPARK_GRAFT_BENCH_WAIT", "0")
+    monkeypatch.setenv("SPARK_GRAFT_BENCH_AB", "0")
     import bench
 
     bench.main()

@@ -791,7 +791,10 @@ def test_read_text_corpus_stable_ids_and_lineage(spark, tmp_path):
     (d / "a.txt").write_text("alpha one\nbeta two\n")
     from etl_python_spark.sources.readers import read_text_corpus
 
-    first = read_text_corpus(spark, str(d)).collect()
+    out = read_text_corpus(spark, str(d))
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "PythonRDD" not in plan and "EvalPython" not in plan  # JVM-side
+    first = out.collect()
     again = read_text_corpus(spark, str(d)).collect()
     assert sorted(map(tuple, first)) == sorted(map(tuple, again))  # stable ids
     by_text = {r.text: r for r in first}
@@ -801,6 +804,41 @@ def test_read_text_corpus_stable_ids_and_lineage(spark, tmp_path):
     assert by_text["alpha one"].source == "corpus"
     assert by_text["beta two"].doc_id == by_text["alpha one"].doc_id + 1
     assert by_text["alpha one"].n_chars == 9
+
+
+def test_read_text_corpus_ids_match_zip_with_index(spark, tmp_path):
+    """The two-phase offset ids must be EXACTLY the ids the old
+    rdd.zipWithIndex path assigned (round-12 verdict item 3 'identical
+    doc_ids'), on a fixture wide enough to span several input splits
+    and files — including blank lines, which consume an id before the
+    non-empty filter, exactly as before."""
+    from pyspark.sql import functions as F
+
+    from etl_python_spark.sources.readers import read_text_corpus
+
+    d = tmp_path / "corpus"
+    d.mkdir()
+    for i in range(5):
+        body = "\n".join(
+            f"file{i} line{j}" if j % 7 else "" for j in range(200)
+        )
+        (d / f"f{i}.txt").write_text(body + "\n")
+
+    got = {
+        (r.text, r.file.rsplit("/", 1)[-1]): r.doc_id
+        for r in read_text_corpus(spark, str(d)).collect()
+    }
+
+    lines = spark.read.text(str(d)).select(
+        F.col("value").alias("text"),
+        F.col("_metadata.file_path").alias("file"),
+    )
+    want = {
+        (row["text"], row["file"].rsplit("/", 1)[-1]): idx
+        for row, idx in lines.rdd.zipWithIndex().collect()
+        if row["text"].strip()
+    }
+    assert got == want
 
 
 def test_read_jsonl_corpus_id_modes(spark, tmp_path):

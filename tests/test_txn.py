@@ -1040,3 +1040,57 @@ def test_txn_maintain_agg_unpartitioned_multi_measure(spark, tmp_path):
     txn.txn_delete_where(spark, base, F.col("g") == "b")
     check()
     assert {r.g for r in txn.txn_read(spark, view).collect()} == {"a", "c"}
+
+
+def test_delete_keys_bulk_takedown_stays_dataframe_native(spark, tmp_path):
+    """txn_delete_keys: a 100k-id takedown batch (round-12 verdict
+    item 2's bulk-purge scale) is executed as semi/anti joins with the
+    key set a DataFrame end-to-end — correct survivors on a
+    partitioned table, partition-scoped restage, no-match fast path,
+    and a source-level pin that neither the keys primitive nor the
+    on-delete cache refreshes ever collect ids into an ``isin``
+    literal (the id list must never enter the plan or the driver)."""
+    import inspect
+
+    path = str(tmp_path / "bulk")
+    df = spark.range(0, 200_000).select(
+        F.col("id"),
+        (F.col("id") % 7).alias("v"),
+        F.when(F.col("id") % 2 == 0, "even").otherwise("odd").alias("y"),
+    )
+    txn.txn_write(spark, df, path, partition_by="y")
+
+    keys = spark.range(0, 200_000, 2).select("id")  # 100k even ids
+    v = txn.txn_delete_keys(spark, path, keys, on=["id"], app_meta={"op": "t"})
+    assert v == 2
+    out = txn.txn_read(spark, path)
+    assert out.count() == 100_000
+    assert out.filter(F.col("id") % 2 == 0).count() == 0
+    # the matched partition vanished; the odd partition kept its dir
+    rec = txn.read_commit(spark, path)
+    assert all(vals != ["even"] for vals in rec["dirs"].values())
+    (old_dir,) = [d for d in rec["dirs"] if d.startswith("v-00000001")]
+    assert rec["dirs"][old_dir] == ["odd"]
+
+    # no-match fast path: version unchanged, nothing staged
+    miss = spark.range(1_000_000, 1_000_100).select("id")
+    assert txn.txn_delete_keys(spark, path, miss, on=["id"]) == 2
+
+    # duplicate keys in the batch are deduped, not double-deleted
+    dup = spark.range(1, 9, 2).union(spark.range(1, 9, 2)).select("id")
+    assert txn.txn_delete_keys(spark, path, dup, on=["id"]) == 3
+    assert txn.txn_read(spark, path).count() == 100_000 - 4
+
+    # the id list never becomes a plan literal or a driver list: the
+    # keys primitive and both on-delete refreshes are collect/isin-free
+    from etl_python_spark.operators.dedup import refresh_dedup_endgame_on_delete
+    from etl_python_spark.operators.similarity import refresh_ann_index_on_delete
+
+    for fn in (
+        txn.txn_delete_keys,
+        refresh_dedup_endgame_on_delete,
+        refresh_ann_index_on_delete,
+    ):
+        src = inspect.getsource(fn)
+        assert ".isin(" not in src, fn.__name__
+        assert ".collect()" not in src, fn.__name__

@@ -14,6 +14,12 @@ Usage:
         --out       bank per-query times as JSON (SOAK_r{N}.json)
         --baseline  previous round's soak file; warm times that regress
                     past 2x AND +2s absolute raise the alarm (exit 1)
+    python tools/soak_sf1.py endgame [--out FILE]
+    python tools/soak_sf1.py ann [--out FILE]
+    python tools/soak_sf1.py retention [--with-deletes] [--cycles N] [--out FILE]
+        --with-deletes  run the right-to-be-forgotten loop (purge ->
+                    delete-refresh -> vacuum -> restore) per cycle
+                    under a flip-following concurrent reader
 """
 
 from __future__ import annotations
@@ -495,7 +501,24 @@ def retention(out_path: str | None = None, cycles: int = 3) -> int:
                 for c in range(2, cycles + 1):
                     t1 = time.time()
                     build(spark, DST, root)
+                    # snapshot every version dir's mtime BEFORE the
+                    # vacuum: a reclaimed dir older than the window is
+                    # a LEGITIMATE age-out (a slow sf1 cycle can exceed
+                    # 600s), only a younger one is a retention
+                    # violation (round-12 ADVICE)
+                    mtimes = {
+                        (t.name, v.name): v.stat().st_mtime
+                        for t in Path(root).iterdir() if t.is_dir()
+                        for v in t.iterdir() if v.name.startswith("v-")
+                    }
+                    now = time.time()
                     removed = vacuum_root(spark, root, min_age_seconds=600)
+                    young = [
+                        f"{t}/{d}"
+                        for t, ds in removed.items()
+                        for d in ds
+                        if now - mtimes.get((t, d), now) < 600
+                    ]
                     cyc = {
                         "build_s": round(time.time() - t1, 2),
                         "bytes": du(root),
@@ -504,10 +527,10 @@ def retention(out_path: str | None = None, cycles: int = 3) -> int:
                     rep["cycles"].append(cyc)
                     print(f"{name}: cycle {c} build {cyc['build_s']}s "
                           f"{cyc['bytes']:,}B removed={removed}", flush=True)
-                    if removed:
+                    if young:
                         violations.append(
                             f"{name}: windowed vacuum reclaimed young "
-                            f"versions: {removed}"
+                            f"versions: {young}"
                         )
             finally:
                 stop.set()
@@ -564,6 +587,272 @@ def retention(out_path: str | None = None, cycles: int = 3) -> int:
     return 1 if violations else 0
 
 
+def retention_deletes(out_path: str | None = None, cycles: int = 3) -> int:
+    """Delete-cycle retention soak (round-12 verdict item 4 — the
+    takedown path the growth-only ``retention`` soak never drove at
+    scale): run the full right-to-be-forgotten loop ``cycles`` times
+    at sf1 for both cache families — purge (shrunk corpus) →
+    ``refresh_*_on_delete`` → windowed vacuum → restore (full-corpus
+    rebuild, the growth refresh) → windowed vacuum — under a
+    CONCURRENT reader that follows the corpus flips.  Requires (exit
+    1 otherwise):
+
+    - the reader NEVER sees a wrong result: every read issued and
+      finished outside a flip window is byte-identical to the INLINE
+      (cache-free) baseline of the corpus it queried;
+    - the only tolerated reader exception is ``StaleSnapshotError``
+      overlapping a flip window — the guard refusing a mixed-version
+      serve is the designed behavior; a stale refusal with no flip in
+      flight is a violation;
+    - the windowed vacuum reclaims nothing YOUNGER than the window
+      (legitimate age-outs of slow cycles are fine — mtime-checked);
+    - after aging every version past the window, vacuum reclaims to
+      exactly the live snapshot and steady-state disk stays at
+      ~single-version size (the delete loop must not leak disk)."""
+    import shutil
+    import threading
+    from pathlib import Path
+
+    import __spark_entry__ as entrymod
+
+    from etl_python_spark.operators.dedup import (
+        DEDUP_CACHE_ENV,
+        materialize_dedup_endgame,
+        refresh_dedup_endgame_on_delete,
+    )
+    from etl_python_spark.operators.similarity import (
+        ANN_CACHE_ENV,
+        materialize_ann_index,
+        refresh_ann_index_on_delete,
+    )
+    from etl_python_spark.sources.fingerprint import StaleSnapshotError
+    from etl_python_spark.sources.txn import read_commit, vacuum_root
+
+    spark = _session(warm=True)
+    qs = entrymod.queries()
+
+    def du(root):
+        return sum(
+            f.stat().st_size for f in Path(root).rglob("*") if f.is_file()
+        )
+
+    def backdate(root, seconds=7200.0):
+        past = time.time() - seconds
+        for table in Path(root).iterdir():
+            if table.is_dir():
+                for v in table.iterdir():
+                    if v.name.startswith("v-"):
+                        os.utime(v, (past, past))
+
+    def vdirs(table):
+        return {
+            p.name for p in Path(table).iterdir() if p.name.startswith("v-")
+        }
+
+    def windowed_vacuum(root):
+        """vacuum_root with the retention window; returns (removed,
+        young) where young = reclaimed dirs whose pre-vacuum mtime was
+        inside the window — the only real retention violation."""
+        mtimes = {
+            (t.name, v.name): v.stat().st_mtime
+            for t in Path(root).iterdir() if t.is_dir()
+            for v in t.iterdir() if v.name.startswith("v-")
+        }
+        now = time.time()
+        removed = vacuum_root(spark, root, min_age_seconds=600)
+        young = [
+            f"{t}/{d}"
+            for t, ds in removed.items()
+            for d in ds
+            if now - mtimes.get((t, d), now) < 600
+        ]
+        return removed, young
+
+    # the purge: documents lose doc_id % 10 == 3, embeddings lose
+    # vec_id % 100 == 3 (the unit-scale takedown slices, at sf1)
+    shrunk = os.environ.get("SOAK_SHRUNK_DST", "/tmp/sf1_shrunk")
+    if not os.path.exists(f"{shrunk}/embeddings.parquet"):
+        os.makedirs(shrunk, exist_ok=True)
+        spark.read.parquet(f"{DST}/documents.parquet").filter(
+            "doc_id % 10 <> 3"
+        ).write.mode("overwrite").parquet(f"{shrunk}/documents.parquet")
+        spark.read.parquet(f"{DST}/embeddings.parquet").filter(
+            "vec_id % 100 <> 3"
+        ).write.mode("overwrite").parquet(f"{shrunk}/embeddings.parquet")
+        print(f"shrunk corpus -> {shrunk}", flush=True)
+
+    families = [
+        ("ann", "/tmp/sf1_ann_ret_del", materialize_ann_index,
+         refresh_ann_index_on_delete, ANN_CACHE_ENV, "ivf_pq_search"),
+        ("dedup", "/tmp/sf1_dedup_ret_del", materialize_dedup_endgame,
+         refresh_dedup_endgame_on_delete, DEDUP_CACHE_ENV,
+         "dedup_components"),
+    ]
+    doc = {"sf": "~1 (10x sf0.1)", "cycles": cycles, "mode": "with-deletes"}
+    violations = []
+    for name, root, build_fn, refresh_del, env, query in families:
+        # inline (cache-free) baselines for BOTH corpora, before the
+        # cache env exists — the ground truth every clean read must hit
+        t0 = time.time()
+        h_full = _canon_hash(qs[query](spark, DST))
+        h_shrunk = _canon_hash(qs[query](spark, shrunk))
+        baselines = {DST: h_full, shrunk: h_shrunk}
+        inline_s = round(time.time() - t0, 2)
+
+        shutil.rmtree(root, ignore_errors=True)
+        t0 = time.time()
+        build_fn(spark, DST, root)
+        first = {"build_s": round(time.time() - t0, 2), "bytes": du(root),
+                 "inline_baselines_s": inline_s}
+        print(f"{name}: initial build {first['build_s']}s "
+              f"{first['bytes']:,}B", flush=True)
+
+        os.environ[env] = root
+        rep = {"first_cycle": first, "cycles": [], "reader": {}}
+        lock = threading.Lock()
+        state = {"corpus": DST, "gen": 0, "in_flip": False}
+        stop = threading.Event()
+        counters = {"clean_ok": 0, "flip_window": 0}
+        errors, divergent, stale_outside = [], [], []
+
+        def begin_flip():
+            with lock:
+                state["in_flip"] = True
+                state["gen"] += 1
+
+        def end_flip(corpus):
+            with lock:
+                state["corpus"] = corpus
+                state["in_flip"] = False
+
+        def reader():
+            while not stop.is_set():
+                with lock:
+                    g0, f0, corpus = (
+                        state["gen"], state["in_flip"], state["corpus"]
+                    )
+                try:
+                    got = _canon_hash(qs[query](spark, corpus))
+                    stale = False
+                except StaleSnapshotError:
+                    got, stale = None, True
+                except Exception as e:  # noqa: BLE001 — the gate
+                    errors.append(repr(e))
+                    return
+                with lock:
+                    clean = (
+                        not f0 and not state["in_flip"]
+                        and state["gen"] == g0
+                    )
+                if not clean:
+                    counters["flip_window"] += 1
+                elif stale:
+                    stale_outside.append(corpus)
+                elif got != baselines[corpus]:
+                    divergent.append(corpus)
+                else:
+                    counters["clean_ok"] += 1
+
+        t = threading.Thread(target=reader, daemon=True)
+        t.start()
+        try:
+            for c in range(1, cycles + 1):
+                # purge phase: takedown refresh, cache now serves shrunk
+                begin_flip()
+                t1 = time.time()
+                refresh_del(spark, shrunk, root)
+                end_flip(shrunk)
+                del_s = round(time.time() - t1, 2)
+                removed1, young1 = windowed_vacuum(root)
+                # restore phase: full-corpus rebuild (growth refresh)
+                begin_flip()
+                t1 = time.time()
+                build_fn(spark, DST, root)
+                end_flip(DST)
+                grow_s = round(time.time() - t1, 2)
+                removed2, young2 = windowed_vacuum(root)
+                cyc = {
+                    "delete_refresh_s": del_s,
+                    "restore_build_s": grow_s,
+                    "bytes": du(root),
+                    "windowed_vacuum_removed": [removed1, removed2],
+                }
+                rep["cycles"].append(cyc)
+                print(f"{name}: cycle {c} delete {del_s}s restore "
+                      f"{grow_s}s {cyc['bytes']:,}B", flush=True)
+                for young in (young1, young2):
+                    if young:
+                        violations.append(
+                            f"{name}: windowed vacuum reclaimed young "
+                            f"versions: {young}"
+                        )
+        finally:
+            stop.set()
+            t.join(timeout=600)
+        rep["reader"] = {
+            "clean_ok": counters["clean_ok"],
+            "flip_window_reads": counters["flip_window"],
+            "errors": errors,
+            "divergent": divergent,
+            "stale_outside_flip": stale_outside,
+        }
+        if errors:
+            violations.append(f"{name}: reader errored: {errors[:1]}")
+        if divergent:
+            violations.append(
+                f"{name}: reader saw a divergent result OUTSIDE any "
+                f"flip window: {divergent[:3]}"
+            )
+        if stale_outside:
+            violations.append(
+                f"{name}: stale refusal with no flip in flight: "
+                f"{stale_outside[:3]}"
+            )
+        if not counters["clean_ok"]:
+            violations.append(f"{name}: reader finished 0 clean reads")
+
+        backdate(root)
+        rep["aged_vacuum_removed"] = vacuum_root(
+            spark, root, min_age_seconds=3600
+        )
+        for table in (p.name for p in Path(root).iterdir() if p.is_dir()):
+            live = set(read_commit(spark, f"{root}/{table}")["dirs"])
+            if vdirs(f"{root}/{table}") != live:
+                violations.append(
+                    f"{name}/{table}: leftover dirs != live snapshot"
+                )
+        rep["steady_state_bytes"] = du(root)
+        rep["steady_vs_first"] = round(
+            rep["steady_state_bytes"] / first["bytes"], 3
+        )
+        if rep["steady_state_bytes"] > 1.2 * first["bytes"]:
+            violations.append(
+                f"{name}: steady-state disk {rep['steady_state_bytes']:,}B"
+                f" > 1.2x first-cycle {first['bytes']:,}B"
+            )
+        # the loop ends restored to the FULL corpus: final serve check
+        if _canon_hash(qs[query](spark, DST)) != h_full:
+            violations.append(f"{name}: post-vacuum serve != baseline")
+        del os.environ[env]
+        print(f"{name}: steady state {rep['steady_state_bytes']:,}B "
+              f"({rep['steady_vs_first']}x first), reader "
+              f"{counters['clean_ok']} clean / "
+              f"{counters['flip_window']} in-flip, {len(errors)} errors",
+              flush=True)
+        doc[name] = rep
+
+    doc["violations"] = violations
+    if out_path:
+        with open(out_path, "w") as f:
+            json.dump(doc, f, indent=1, sort_keys=True)
+        print(f"banked -> {out_path}", flush=True)
+    else:
+        print(json.dumps(doc, indent=1, sort_keys=True))
+    for v in violations:
+        print(f"VIOLATION {v}", flush=True)
+    return 1 if violations else 0
+
+
 def _adjudicate(name: str) -> float | None:
     """Standalone same-host A/B (the round-11 drift rule, mechanized):
     re-measure one query's warm time in a FRESH warmed JVM, away from
@@ -571,24 +860,29 @@ def _adjudicate(name: str) -> float | None:
     whenever the inventory or window order moves, so sharing a JVM
     with different neighbors is the most common false-alarm source).
     Returns the re-measured warm seconds, or None if the child
-    failed."""
+    failed or hung (30-minute hard timeout: a wedged child JVM must
+    not stall the whole soak — round-12 ADVICE)."""
     import subprocess
     import tempfile
 
-    sub_out = tempfile.mktemp(prefix="soak_adj_", suffix=".json")
-    subprocess.run(
-        [
-            sys.executable, os.path.abspath(__file__), "run",
-            "--names", name, "--out", sub_out,
-        ],
-        text=True,
-        capture_output=True,
-    )
-    if not os.path.exists(sub_out):
-        return None
-    r = json.load(open(sub_out)).get("results", {}).get(name, {})
-    os.unlink(sub_out)
-    return r.get("warm_s")
+    with tempfile.TemporaryDirectory(prefix="soak_adj_") as td:
+        sub_out = os.path.join(td, "adj.json")
+        try:
+            subprocess.run(
+                [
+                    sys.executable, os.path.abspath(__file__), "run",
+                    "--names", name, "--out", sub_out,
+                ],
+                text=True,
+                capture_output=True,
+                timeout=1800,
+            )
+        except subprocess.TimeoutExpired:
+            return None
+        if not os.path.exists(sub_out):
+            return None
+        r = json.load(open(sub_out)).get("results", {}).get(name, {})
+        return r.get("warm_s")
 
 
 def _finish(
@@ -627,11 +921,16 @@ def _finish(
                             flush=True,
                         )
                         continue
-                    shown = r["warm_s"] if rerun is None else rerun
-                    alarms.append(
-                        f"{name}: warm {b['warm_s']}s -> {shown}s "
-                        f"(confirmed standalone)"
-                    )
+                    if rerun is None:
+                        alarms.append(
+                            f"{name}: warm {b['warm_s']}s -> {r['warm_s']}s "
+                            f"(standalone re-measure failed — unadjudicated)"
+                        )
+                    else:
+                        alarms.append(
+                            f"{name}: warm {b['warm_s']}s -> {rerun}s "
+                            f"(confirmed standalone)"
+                        )
         for a in alarms:
             print(f"ALARM {a}", flush=True)
 
@@ -661,6 +960,11 @@ def _cli() -> int:
     if cmd == "ann":
         return ann(out_path=opt("--out"))
     if cmd == "retention":
+        if "--with-deletes" in args:
+            return retention_deletes(
+                out_path=opt("--out"),
+                cycles=int(opt("--cycles") or 3),
+            )
         return retention(
             out_path=opt("--out"),
             cycles=int(opt("--cycles") or 3),
