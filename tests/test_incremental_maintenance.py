@@ -466,6 +466,7 @@ class TestRightToBeForgotten:
         return {
             "doc_shrunk": doc_shrunk,
             "emb_shrunk": emb_shrunk,
+            "emb_full": emb_full,
             "master": master,
             "shards": shards,
             "dedup_root": dedup_root,
@@ -561,10 +562,22 @@ class TestRightToBeForgotten:
             == inline
         )
 
-    def test_ann_serve_is_inline_identical_and_purged_free(
+    def test_ann_serve_is_frozen_model_identical_and_purged_free(
         self, spark, world, monkeypatch
     ):
+        """The ANN serve ground truth after a takedown is NOT an
+        inline re-fit on the shrunk corpus — the model is FROZEN at
+        its pre-delete fit (an inline fit would even fail here: the
+        purge removed init-sample vector vec_id=3).  Truth = an
+        INDEPENDENTLY built cache that runs the same lifecycle
+        (full-corpus fit, then the takedown refresh): the composed
+        flow must serve byte-identically to it, return results, and
+        never surface a purged neighbor."""
         from etl_python_spark import operators
+        from etl_python_spark.operators.similarity import (
+            materialize_ann_index,
+            refresh_ann_index_on_delete,
+        )
         from etl_python_spark.sources.txn import txn_read
 
         root = world["ann_root"]
@@ -573,10 +586,14 @@ class TestRightToBeForgotten:
             == 0
         )
         qs = operators.all_queries()
-        inline = qs["ivf_pq_search"](spark, world["emb_shrunk"])
+        scratch = str(world["tmp"] / "ann_scratch")
+        materialize_ann_index(spark, world["emb_full"], scratch)
+        refresh_ann_index_on_delete(spark, world["emb_shrunk"], scratch)
+        monkeypatch.setenv("SPARK_GRAFT_ANN_CACHE", scratch)
+        want = _canon(qs["ivf_pq_search"](spark, world["emb_shrunk"]))
         monkeypatch.setenv("SPARK_GRAFT_ANN_CACHE", root)
         served = qs["ivf_pq_search"](spark, world["emb_shrunk"])
         rows = served.collect()
         assert rows, "served search returned nothing"
         assert all(r.n_id % 100 != 3 for r in rows)  # no purged neighbor
-        assert _canon(served) == _canon(inline)
+        assert _canon(served) == want

@@ -691,11 +691,30 @@ def retention_deletes(out_path: str | None = None, cycles: int = 3) -> int:
     doc = {"sf": "~1 (10x sf0.1)", "cycles": cycles, "mode": "with-deletes"}
     violations = []
     for name, root, build_fn, refresh_del, env, query in families:
-        # inline (cache-free) baselines for BOTH corpora, before the
-        # cache env exists — the ground truth every clean read must hit
+        # baselines per corpus — the ground truth every clean read
+        # must hit.  dedup: inline (cache-free) on each corpus (the
+        # pair graph is a pure function of the corpus; refresh ≡
+        # rebuild is byte-identity-pinned).  ANN: the shrunk baseline
+        # CANNOT be an inline re-fit — the takedown contract freezes
+        # the model at its pre-delete fit (and the purge slice removes
+        # init-sample vec_id=3, so a shrunk re-fit is not even
+        # defined); build an independent lifecycle cache (full fit →
+        # takedown refresh) and take ITS serve hash.
         t0 = time.time()
         h_full = _canon_hash(qs[query](spark, DST))
-        h_shrunk = _canon_hash(qs[query](spark, shrunk))
+        if name == "ann":
+            scratch = root + "_baseline"
+            shutil.rmtree(scratch, ignore_errors=True)
+            build_fn(spark, DST, scratch)
+            refresh_del(spark, shrunk, scratch)
+            os.environ[env] = scratch
+            try:
+                h_shrunk = _canon_hash(qs[query](spark, shrunk))
+            finally:
+                del os.environ[env]
+            shutil.rmtree(scratch, ignore_errors=True)
+        else:
+            h_shrunk = _canon_hash(qs[query](spark, shrunk))
         baselines = {DST: h_full, shrunk: h_shrunk}
         inline_s = round(time.time() - t0, 2)
 
