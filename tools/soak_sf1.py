@@ -774,6 +774,22 @@ def retention_deletes(out_path: str | None = None, cycles: int = 3) -> int:
 
         t = threading.Thread(target=reader, daemon=True)
         t.start()
+
+        def dwell(min_new=1, timeout_s=300):
+            """Hold the corpus state until the reader banks at least
+            ``min_new`` CLEAN reads of it — every cycle must prove a
+            successful post-flip serve, not just tolerated in-flip
+            reads."""
+            start = counters["clean_ok"]
+            t_end = time.time() + timeout_s
+            while (
+                counters["clean_ok"] < start + min_new
+                and time.time() < t_end
+                and not errors
+            ):
+                time.sleep(1)
+            return counters["clean_ok"] - start
+
         try:
             for c in range(1, cycles + 1):
                 # purge phase: takedown refresh, cache now serves shrunk
@@ -783,6 +799,7 @@ def retention_deletes(out_path: str | None = None, cycles: int = 3) -> int:
                 end_flip(shrunk)
                 del_s = round(time.time() - t1, 2)
                 removed1, young1 = windowed_vacuum(root)
+                clean_shrunk = dwell()
                 # restore phase: full-corpus rebuild (growth refresh)
                 begin_flip()
                 t1 = time.time()
@@ -790,15 +807,25 @@ def retention_deletes(out_path: str | None = None, cycles: int = 3) -> int:
                 end_flip(DST)
                 grow_s = round(time.time() - t1, 2)
                 removed2, young2 = windowed_vacuum(root)
+                clean_full = dwell()
                 cyc = {
                     "delete_refresh_s": del_s,
                     "restore_build_s": grow_s,
                     "bytes": du(root),
                     "windowed_vacuum_removed": [removed1, removed2],
+                    "clean_reads": {"shrunk": clean_shrunk,
+                                    "full": clean_full},
                 }
                 rep["cycles"].append(cyc)
                 print(f"{name}: cycle {c} delete {del_s}s restore "
-                      f"{grow_s}s {cyc['bytes']:,}B", flush=True)
+                      f"{grow_s}s {cyc['bytes']:,}B clean "
+                      f"shrunk={clean_shrunk} full={clean_full}",
+                      flush=True)
+                if not (clean_shrunk and clean_full):
+                    violations.append(
+                        f"{name}: cycle {c} banked no clean post-flip "
+                        f"read (shrunk={clean_shrunk}, full={clean_full})"
+                    )
                 for young in (young1, young2):
                     if young:
                         violations.append(
@@ -827,8 +854,12 @@ def retention_deletes(out_path: str | None = None, cycles: int = 3) -> int:
                 f"{name}: stale refusal with no flip in flight: "
                 f"{stale_outside[:3]}"
             )
-        if not counters["clean_ok"]:
-            violations.append(f"{name}: reader finished 0 clean reads")
+        if counters["clean_ok"] < 2 * cycles:
+            violations.append(
+                f"{name}: only {counters['clean_ok']} clean reads — "
+                f"every cycle must prove both post-flip serves "
+                f"(need >= {2 * cycles})"
+            )
 
         backdate(root)
         rep["aged_vacuum_removed"] = vacuum_root(
