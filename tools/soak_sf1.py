@@ -231,6 +231,18 @@ def run(
             spark.catalog.clearCache()
         except Exception:
             pass
+        # clearCache only empties the SQL cache manager; the
+        # localCheckpoint blocks live as PERSISTENT RDDS and waiting
+        # on gc + ContextCleaner is best-effort — round 13's window
+        # rotation reshuffled the chunk composition and one chunk's
+        # accumulated blocks OOMed the 8g heap on dedup_components
+        # (which runs clean standalone).  Drop them deterministically:
+        # no query depends on another query's checkpointed blocks.
+        try:
+            for rdd in spark.sparkContext._jsc.getPersistentRDDs().values():
+                rdd.unpersist()
+        except Exception:
+            pass
 
     return _finish(results, failures, full, out_path, baseline_path)
 
