@@ -215,6 +215,29 @@ def main() -> None:
         import subprocess
 
         spark.stop()
+        # spark.stop() ends the SparkContext but the py4j-launched
+        # driver JVM lives until this Python process exits — the child
+        # would count it as a stray, wait the full clean-host budget,
+        # and bank contaminated=true on an actually-idle host (seen in
+        # the first r13 A/B).  Shut the gateway down so the JVM dies
+        # before the child looks.
+        from pyspark import SparkContext
+
+        gw = SparkContext._gateway
+        if gw is not None:
+            gw.shutdown()
+            # py4j's shutdown only closes the client sockets — the JVM
+            # waits for THIS python process to exit.  Terminate it
+            # directly so the child's stray scan starts from zero.
+            proc = getattr(gw, "proc", None)
+            if proc is not None:
+                try:
+                    proc.terminate()
+                    proc.wait(timeout=30)
+                except Exception:
+                    pass
+            SparkContext._gateway = None
+            SparkContext._jvm = None
         child_env = dict(
             os.environ,
             SPARK_GRAFT_BENCH_AB="0",
