@@ -713,7 +713,13 @@ def txn_delete_keys(
     matches touch — bounded by the table's partition count, never by
     the takedown batch.  Same atomic publish, reader isolation, and
     no-match fast path (returns the current version) as
-    ``txn_delete_where``."""
+    ``txn_delete_where``.
+
+    ``keys`` is evaluated lazily in up to three jobs (match probe,
+    restage, surviving-partition scan) — if it is an expensive
+    derived frame (an anti-join against a snapshot, say), pin it
+    first (``localCheckpoint``), as the on-delete cache refreshes
+    do; a plain id list read from parquet needs nothing."""
     keyed = keys.select(*on).distinct()
     return _txn_delete(
         spark,

@@ -181,21 +181,23 @@ def run(
         failures = 0
         for i in range(0, len(names), CHUNK):
             chunk = names[i : i + CHUNK]
-            sub_out = tempfile.mktemp(prefix="soak_chunk_", suffix=".json")
-            proc = subprocess.run(
-                [
-                    sys.executable, os.path.abspath(__file__), "run",
-                    "--names", ",".join(chunk), "--out", sub_out,
-                ],
-                text=True,
-            )
-            if os.path.exists(sub_out):
-                merged.update(json.load(open(sub_out)).get("results", {}))
-                os.unlink(sub_out)
-            else:  # child died before writing: record the whole chunk
-                failures += len(chunk)
-                for n in chunk:
-                    merged[n] = {"error": f"chunk crashed (rc={proc.returncode})"}
+            with tempfile.TemporaryDirectory(prefix="soak_chunk_") as td:
+                sub_out = os.path.join(td, "chunk.json")
+                proc = subprocess.run(
+                    [
+                        sys.executable, os.path.abspath(__file__), "run",
+                        "--names", ",".join(chunk), "--out", sub_out,
+                    ],
+                    text=True,
+                )
+                if os.path.exists(sub_out):
+                    merged.update(json.load(open(sub_out)).get("results", {}))
+                else:  # child died before writing: record the whole chunk
+                    failures += len(chunk)
+                    for n in chunk:
+                        merged[n] = {
+                            "error": f"chunk crashed (rc={proc.returncode})"
+                        }
         failures += sum(1 for r in merged.values() if "error" in r)
         return _finish(merged, failures, full, out_path, baseline_path)
 
