@@ -310,9 +310,13 @@ def forecast_changepoints_per_group(
     default z=1.2816 is the 80% central interval, Prophet's default
     ``interval_width``.
 
-    Library-level surface (unit-tested): a piecewise OLS solve is not
-    reasonably restatable as oracle SQL, so this deliberately stays
-    out of ``queries()`` rather than shipping a rows-only check."""
+    Verification split: the piecewise OLS solve itself is driver-
+    oracled by :func:`q_changepoint_fit` (``ml_changepoint_fit`` —
+    exact integer Cramer solve with a HUGEINT-CTE DuckDB restatement),
+    the knot grid by ``ml_changepoint_spine``; this composition (fit +
+    seasonal residual + widening bands) stays unit-tested because the
+    band arithmetic is float-path numpy, not SQL-restatable — but
+    every model parameter feeding it now carries a value oracle."""
     import numpy as np
 
     schema = (
@@ -457,6 +461,281 @@ SELECT g.n_name,
        CAST(g.n AS INT) AS n_obs
 FROM grid g CROSS JOIN (VALUES (1), (2), (3)) AS gs(i)
 WHERE gs.i <= g.k
+"""
+
+
+# ---------------------------------------------------------------------------
+# Exact piecewise-OLS changepoint fit (round-13 verdict item 3): the full
+# hinge-design normal-equations solve in integer arithmetic, so the one
+# capability previously verified only by pytest (the piecewise OLS inside
+# fit_changepoint_trend / forecast_changepoints_per_group; ref Modelo de
+# Previsão de Vendas.py:69-83) carries a DuckDB value oracle.
+# ---------------------------------------------------------------------------
+
+_CP_COEFS = ("icept", "slope", "d1", "d2", "d3")
+
+
+def _perm_sign(p: tuple[int, ...]) -> int:
+    sign = 1
+    for i in range(len(p)):
+        for j in range(i + 1, len(p)):
+            if p[i] > p[j]:
+                sign = -sign
+    return sign
+
+
+def _perms5() -> list[tuple[int, tuple[int, ...]]]:
+    from itertools import permutations
+
+    return [(_perm_sign(p), p) for p in permutations(range(5))]
+
+
+_PERMS5 = _perms5()
+
+
+def _det5(entry) -> int:
+    """5x5 determinant by the Leibniz expansion over ``entry(row, col)``
+    — 120 exact integer terms.  Shared (via the same ``_PERMS5`` term
+    list) with the SQL generator :func:`_cp_det_sql`, so the Python and
+    DuckDB evaluations are identical by construction."""
+    tot = 0
+    for sign, p in _PERMS5:
+        prod = 1
+        for a in range(5):
+            prod *= entry(a, p[a])
+        tot += sign * prod
+    return tot
+
+
+def _micro_ratio(num: int, den: int) -> int:
+    """Round-half-AWAY-from-zero of ``1_000_000 * num / den`` in pure
+    integer arithmetic, ``den > 0``.  The sign split keeps every
+    division on non-negative operands, so Python's floor ``//`` and
+    DuckDB's truncating ``//`` agree bit-for-bit (they differ on
+    negatives: ``-7 // 2`` is -4 in Python, -3 in DuckDB).  Two-stage
+    (integer part, then the scaled remainder) so the 1e6 scale never
+    multiplies the full numerator — the remainder is < den, bounding
+    the largest intermediate at ``2 * den * 1e6``."""
+    s, a = (1, num) if num >= 0 else (-1, -num)
+    q, r = divmod(a, den)
+    return s * (q * 1_000_000 + (2 * r * 1_000_000 + den) // (2 * den))
+
+
+def _cp_det_sql(i: int | None) -> str:
+    """Leibniz expansion of the changepoint Gram determinant as a SQL
+    expression over per-group aggregate names ``g{a}{b}`` (symmetric,
+    a<=b) and ``m{a}``; column ``i`` (Cramer numerator) reads the
+    moment vector instead.  Generated from the same ``_PERMS5`` list
+    :func:`_det5` evaluates."""
+    terms = []
+    for sign, p in _PERMS5:
+        facs = [
+            (f"m{a}" if p[a] == i else f"g{min(a, p[a])}{max(a, p[a])}")
+            for a in range(5)
+        ]
+        terms.append(("+ " if sign > 0 else "- ") + "*".join(facs))
+    return "(0 " + " ".join(terms) + ")"
+
+
+def _cp_exact_betas(y_ints: list[int]) -> list[int] | None:
+    """Exact piecewise-OLS betas in micro-units for one quantized
+    series — the driver-side reference implementation of the solve
+    :func:`q_changepoint_fit` performs on Spark-aggregated sums.  The
+    design is ``fit_changepoint_trend``'s EXACT k=3 hinge grid
+    (knots ``i*(n-1)/5`` = linspace(0, 0.8*(n-1), 5) interior points)
+    held in exact fifths: every column scaled by 5 is integer
+    (``[5, 5t, max(0, 5t - i*(n-1))]``), and the unscaled coefficient
+    is recovered exactly as ``5 * cramer_num / gram_det`` (scaling
+    every column by 5 divides every coefficient by 5).  Unit tests pin
+    these betas to ``numpy.linalg.lstsq`` on the float design, so the
+    oracle transitively checks the library's real solve."""
+    n = len(y_ints)
+    if n < MIN_OBS:
+        return None
+    zrows = [
+        [5, 5 * t] + [max(0, 5 * t - i * (n - 1)) for i in (1, 2, 3)]
+        for t in range(n)
+    ]
+    G = [
+        [sum(zr[a] * zr[b] for zr in zrows) for b in range(5)]
+        for a in range(5)
+    ]
+    m = [sum(zrows[t][a] * y_ints[t] for t in range(n)) for a in range(5)]
+    den = _det5(lambda a, c: G[a][c])
+    if den <= 0:
+        return None
+    return [
+        _micro_ratio(
+            5 * _det5(lambda a, c, i=i: m[a] if c == i else G[a][c]), den
+        )
+        for i in range(5)
+    ]
+
+
+_CP_FIT_SCHEMA = "n_name string, coef string, beta_micro long, n_obs int"
+
+
+def q_changepoint_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-nation piecewise-linear trend fit — the FULL changepoint OLS
+    (not just the knot spine), exact to the bit (round-13 verdict item
+    3; ref Modelo de Previsão de Vendas.py:69-83).
+
+    Semantics: for each nation's monthly revenue series, solve ordinary
+    least squares on ``fit_changepoint_trend``'s k=3 hinge design
+    ``[1, t, max(0, t - i*(n-1)/5)]`` and report the five coefficients
+    (intercept, base slope, three slope deltas) in micro-units.
+    Exactness contract: monthly revenue quantizes to integer thousands
+    (round-half-up on the exact DECIMAL sum — resolution chosen so the
+    DuckDB oracle's Leibniz determinant terms stay under HUGEINT's
+    1.7e38 through sf0.1 with ~25x headroom; measured: max partial sum
+    ~6.8e36 at n=84), the Gram/moment sums are integer aggregates, and
+    the normal equations solve by Cramer determinants in unbounded
+    Python ints with the shared round-half-away micro quantization —
+    no floats anywhere, so the oracle reproduces every bit.
+
+    Scale shape: ONE shuffle on the group key (window ordinal + count,
+    then the 20-sum aggregate reuses the partitioning); the collected
+    state is one 21-long row per nation — bounded METADATA (the
+    ``markov_attribution`` K²-cell device, affinity.py), constant in
+    data size because the month count is calendar-bounded.  The solve
+    is O(groups * 120 * 5) driver-side and the result re-enters Spark
+    as a ≤(5*groups)-row DataFrame."""
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    monthly = (
+        orders.join(customer, orders.o_custkey == customer.c_custkey)
+        .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
+        .groupBy(
+            "n_name",
+            F.date_trunc("month", "o_orderdate").cast("date").alias("mes"),
+        )
+        .agg(
+            (F.sum(F.col("o_totalprice").cast("decimal(18,2)")) * 100)
+            .cast("decimal(38,0)")
+            .cast("long")
+            .alias("cents")
+        )
+    )
+    # y in integer thousands, round-half-up: (2c + 1e5) // 2e5.  The
+    # double division is exact (2c + 1e5 < 2^53 through ~sf30k).
+    yq = monthly.select(
+        "n_name",
+        "mes",
+        F.floor((F.col("cents") * 2 + 100000) / F.lit(200000))
+        .cast("long")
+        .alias("y"),
+    )
+    w = Window.partitionBy("n_name").orderBy("mes")
+    wn = Window.partitionBy("n_name")
+    t5 = ((F.row_number().over(w) - F.lit(1)) * 5).cast("long")
+    n = F.count(F.lit(1)).over(wn).cast("long")
+    zero = F.lit(0).cast("long")
+    z = yq.select(
+        "n_name",
+        "y",
+        n.alias("n"),
+        F.lit(5).cast("long").alias("z0"),
+        t5.alias("z1"),
+        F.greatest(zero, t5 - (n - F.lit(1))).alias("z2"),
+        F.greatest(zero, t5 - (n - F.lit(1)) * 2).alias("z3"),
+        F.greatest(zero, t5 - (n - F.lit(1)) * 3).alias("z4"),
+    )
+    aggs = [F.max("n").alias("n")]
+    for a in range(5):
+        for b in range(a, 5):
+            aggs.append(
+                F.sum(F.col(f"z{a}") * F.col(f"z{b}")).alias(f"g{a}{b}")
+            )
+        aggs.append(F.sum(F.col(f"z{a}") * F.col("y")).alias(f"m{a}"))
+    stats = (
+        z.groupBy("n_name").agg(*aggs).filter(F.col("n") >= MIN_OBS)
+    )
+    rows = stats.collect()  # bounded: one 21-long row per nation
+    out = []
+    for r in sorted(rows, key=lambda r: r["n_name"]):
+        G = [
+            [int(r[f"g{min(a, b)}{max(a, b)}"]) for b in range(5)]
+            for a in range(5)
+        ]
+        m = [int(r[f"m{a}"]) for a in range(5)]
+        den = _det5(lambda a, c: G[a][c])
+        if den <= 0:  # rank-deficient guard; oracle mirrors: den > 0
+            continue
+        for i, coef in enumerate(_CP_COEFS):
+            num = _det5(lambda a, c, i=i: m[a] if c == i else G[a][c])
+            out.append(
+                (r["n_name"], coef, _micro_ratio(5 * num, den), int(r["n"]))
+            )
+    return spark.createDataFrame(out, _CP_FIT_SCHEMA)
+
+
+def _changepoint_fit_oracle() -> str:
+    """DuckDB restatement of :func:`q_changepoint_fit`: identical
+    quantization, HUGEINT Gram/moment sums, the SAME 120-term Leibniz
+    expansions (generated from ``_PERMS5``), and the sign-split
+    round-half-away micro division (DuckDB ``//`` truncates toward
+    zero on negatives where Python floors — the split keeps every
+    operand non-negative so both agree)."""
+    gcols = ",\n         ".join(
+        f"SUM(z{a}*z{b}) AS g{a}{b}" for a in range(5) for b in range(a, 5)
+    )
+    mcols = ",\n         ".join(f"SUM(z{a}*y) AS m{a}" for a in range(5))
+    nums = ",\n         ".join(
+        f"{_cp_det_sql(i)} AS num{i}" for i in range(5)
+    )
+    coefs = ", ".join(f"({i}, '{c}')" for i, c in enumerate(_CP_COEFS))
+    pick = " ".join(f"WHEN {i} THEN num{i}" for i in range(5))
+    return f"""
+WITH monthly AS (
+  SELECT n.n_name, CAST(date_trunc('month', o.o_orderdate) AS DATE) AS mes,
+         CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) * 100 AS HUGEINT)
+           AS cents
+  FROM orders o
+  JOIN customer c ON o.o_custkey = c.c_custkey
+  JOIN nation n ON c.c_nationkey = n.n_nationkey
+  GROUP BY 1, 2
+), yq AS (
+  SELECT n_name, mes, (2 * cents + 100000) // 200000 AS y FROM monthly
+), idx AS (
+  SELECT n_name, CAST(y AS HUGEINT) AS y,
+         CAST(5 * (ROW_NUMBER() OVER (PARTITION BY n_name ORDER BY mes) - 1)
+              AS HUGEINT) AS t5,
+         COUNT(*) OVER (PARTITION BY n_name) AS n
+  FROM yq
+), zz AS (
+  SELECT n_name, n, y,
+         CAST(5 AS HUGEINT) AS z0, t5 AS z1,
+         GREATEST(CAST(0 AS HUGEINT), t5 - (n - 1)) AS z2,
+         GREATEST(CAST(0 AS HUGEINT), t5 - 2 * (n - 1)) AS z3,
+         GREATEST(CAST(0 AS HUGEINT), t5 - 3 * (n - 1)) AS z4
+  FROM idx
+), g AS (
+  SELECT n_name, MAX(n) AS n,
+         {gcols},
+         {mcols}
+  FROM zz GROUP BY 1 HAVING MAX(n) >= {MIN_OBS}
+), d AS (
+  SELECT n_name, n,
+         {_cp_det_sql(None)} AS den,
+         {nums}
+  FROM g
+), s AS (
+  SELECT n_name, n, den, c.coef,
+         5 * (CASE c.i {pick} END) AS num
+  FROM d CROSS JOIN (VALUES {coefs}) AS c(i, coef)
+  WHERE den > 0
+)
+SELECT n_name, coef,
+       CAST(CASE WHEN num >= 0 THEN
+              (num // den) * 1000000
+              + (2 * (num % den) * 1000000 + den) // (2 * den)
+            ELSE
+              -(((-num) // den) * 1000000
+                + (2 * ((-num) % den) * 1000000 + den) // (2 * den))
+       END AS BIGINT) AS beta_micro,
+       CAST(n AS INT) AS n_obs
+FROM s
 """
 
 
@@ -853,11 +1132,13 @@ QUERIES = {
     "ml_forecast_horizon": q_forecast_horizon,
     "ml_horizon_spine": q_horizon_spine,
     "ml_changepoint_spine": q_changepoint_spine,
+    "ml_changepoint_fit": q_changepoint_fit,
     "ts_autocorr": q_ts_autocorr,
 }
 
 ORACLES = {
     "ml_changepoint_spine": ORACLE_CHANGEPOINT_SPINE,
+    "ml_changepoint_fit": _changepoint_fit_oracle(),
     "ml_lag_features": ORACLE_FEATURES,
     "ml_proxy_features": ORACLE_PROXY,
     "ml_horizon_spine": ORACLE_HORIZON_SPINE,

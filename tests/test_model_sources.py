@@ -1144,6 +1144,174 @@ def test_fit_changepoint_trend_recovers_two_slope_series():
     assert np.array_equal(params, p2)
 
 
+def test_changepoint_exact_betas_match_lstsq():
+    """Ties the ml_changepoint_fit oracle to the real code path: the
+    exact integer Cramer solve (_cp_exact_betas) must reproduce
+    fit_changepoint_trend's numpy lstsq solution on the same quantized
+    series — identical design (the k=3 hinge grid IS linspace(0,
+    0.8(n-1), 5) interior = i(n-1)/5), so for a full-rank Gram the
+    normal-equations and lstsq solutions coincide up to float error +
+    the 1e-6 micro quantization."""
+    import random
+
+    import numpy as np
+
+    from etl_python_spark.ml.forecast import (
+        _cp_exact_betas,
+        fit_changepoint_trend,
+    )
+
+    rng = random.Random(7)
+    series = [
+        [rng.randint(8_000, 15_000) for _ in range(n)] for n in (6, 23, 80)
+    ]
+    # a kinked trend like the real revenue series
+    series.append(
+        [2_000 + 120 * t if t < 40 else 6_800 - 40 * (t - 40) for t in range(77)]
+    )
+    for y in series:
+        exact = _cp_exact_betas(y)
+        assert exact is not None
+        params, cps, _ = fit_changepoint_trend(
+            np.asarray(y, dtype="float64"), n_changepoints=3
+        )
+        assert len(params) == 5 and len(cps) == 3
+        got = np.array(exact, dtype="float64") / 1e6
+        assert np.allclose(got, params, rtol=1e-6, atol=2e-5), (
+            y[:5],
+            got,
+            params,
+        )
+
+
+def test_changepoint_micro_ratio_half_away_matches_duckdb():
+    """Pins the sign-split round-half-away device AND its DuckDB
+    restatement: Python // floors on negatives, DuckDB // truncates,
+    so the shared formula must keep every division non-negative."""
+    import duckdb
+
+    from etl_python_spark.ml.forecast import _micro_ratio
+
+    cases = [
+        (1, 3),
+        (-1, 3),
+        (3, 2),
+        (-3, 2),  # halves round AWAY: ±1.5e6 → ±1500000? (1.5 exact)
+        (1, 2_000_000),  # 0.5 micro → rounds up to 1
+        (-1, 2_000_000),  # -0.5 micro → rounds away to -1
+        (7, 2_000_000),
+        (10**30 + 7, 10**24 + 3),
+        (-(10**30) - 7, 10**24 + 3),
+        (0, 5),
+    ]
+    sql = """
+    SELECT CASE WHEN num >= 0 THEN
+             (num // den) * 1000000
+             + (2 * (num % den) * 1000000 + den) // (2 * den)
+           ELSE
+             -(((-num) // den) * 1000000
+               + (2 * ((-num) % den) * 1000000 + den) // (2 * den))
+           END
+    FROM (SELECT CAST(? AS HUGEINT) AS num, CAST(? AS HUGEINT) AS den)
+    """
+    for num, den in cases:
+        py = _micro_ratio(num, den)
+        (db,) = duckdb.execute(sql, [str(num), str(den)]).fetchone()
+        assert py == int(db), (num, den, py, db)
+    assert _micro_ratio(1, 2_000_000) == 1  # half rounds up
+    assert _micro_ratio(-1, 2_000_000) == -1  # half rounds away
+    assert _micro_ratio(1, 3_000_000) == 0  # below half rounds down
+
+
+def test_changepoint_det_sql_matches_python_det():
+    """The SQL Leibniz expansion (symmetric gAB naming) evaluates to
+    the same integer as _det5 on the same entries — random integer
+    Gram-shaped (symmetric) matrices + moment vectors, via DuckDB."""
+    import random
+
+    import duckdb
+
+    from etl_python_spark.ml.forecast import _cp_det_sql, _det5
+
+    rng = random.Random(13)
+    for _ in range(5):
+        G = [[0] * 5 for _ in range(5)]
+        for a in range(5):
+            for b in range(a, 5):
+                G[a][b] = G[b][a] = rng.randint(-(10**6), 10**6)
+        m = [rng.randint(-(10**9), 10**9) for _ in range(5)]
+        binds = ", ".join(
+            f"CAST({G[a][b]} AS HUGEINT) AS g{a}{b}"
+            for a in range(5)
+            for b in range(a, 5)
+        )
+        binds += ", " + ", ".join(
+            f"CAST({m[a]} AS HUGEINT) AS m{a}" for a in range(5)
+        )
+        exprs = ", ".join(
+            _cp_det_sql(i) for i in [None, 0, 1, 2, 3, 4]
+        )
+        row = duckdb.sql(f"SELECT {exprs} FROM (SELECT {binds})").fetchone()
+        want = [_det5(lambda a, c: G[a][c])] + [
+            _det5(lambda a, c, i=i: m[a] if c == i else G[a][c])
+            for i in range(5)
+        ]
+        assert [int(v) for v in row] == want
+
+
+def test_changepoint_fit_spark_matches_exact_betas(spark):
+    """q_changepoint_fit's Spark-aggregated solve equals the pure-
+    Python reference on the reconstructed quantized series — verifies
+    the window/aggregate plumbing, not just the driver math."""
+    from tests.conftest import SF_SMOKE
+
+    from etl_python_spark.ml.forecast import (
+        _CP_COEFS,
+        _cp_exact_betas,
+        q_changepoint_fit,
+    )
+    from etl_python_spark.sources.tables import load_table
+    from pyspark.sql import functions as F
+
+    out = {
+        (r.n_name, r.coef): (r.beta_micro, r.n_obs)
+        for r in q_changepoint_fit(spark, SF_SMOKE).collect()
+    }
+    assert out, "no groups met MIN_OBS"
+    orders = load_table(spark, SF_SMOKE, "orders")
+    customer = load_table(spark, SF_SMOKE, "customer")
+    nation = load_table(spark, SF_SMOKE, "nation")
+    monthly = (
+        orders.join(customer, orders.o_custkey == customer.c_custkey)
+        .join(nation, customer.c_nationkey == nation.n_nationkey)
+        .groupBy(
+            "n_name",
+            F.date_trunc("month", "o_orderdate").cast("date").alias("mes"),
+        )
+        .agg(
+            (F.sum(F.col("o_totalprice").cast("decimal(18,2)")) * 100)
+            .cast("decimal(38,0)")
+            .cast("long")
+            .alias("cents")
+        )
+        .collect()
+    )
+    by_nation: dict[str, list] = {}
+    for r in monthly:
+        by_nation.setdefault(r.n_name, []).append((r.mes, r.cents))
+    checked = 0
+    for n_name, rows in by_nation.items():
+        y = [(2 * c + 100000) // 200000 for _, c in sorted(rows)]
+        exact = _cp_exact_betas(y)
+        if exact is None:
+            assert not any(k[0] == n_name for k in out)
+            continue
+        for i, coef in enumerate(_CP_COEFS):
+            assert out[(n_name, coef)] == (exact[i], len(y))
+            checked += 1
+    assert checked >= 5
+
+
 def test_forecast_changepoints_per_group(spark):
     """The grouped Prophet-parity surface: per-nation forecasts with
     intervals that (a) bracket the point forecast, (b) widen with
