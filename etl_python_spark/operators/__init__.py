@@ -22,76 +22,71 @@ from pyspark.sql import DataFrame, SparkSession
 #     their round-1 verdict remains valid evidence).
 # Names absent from this tuple keep module order after the block.
 VERIFY_PRIORITY = (
-    # Round-13 rotation (enforced by tests/test_rotation.py against
-    # tools/queries_at_base.json @ round-12 HEAD, tools/round_base.txt).
-    # Ordering: (a) the ONLY two queries with no driver verdict in any
-    # round — the round-12 takedown identities (round-12 verdict item
-    # 1: they must lead the window); (b) the ENTIRE round-8
-    # driver-verdict cohort, drained oldest-first (32 names — includes
-    # substring_spans / temperature_mix / weighted_sample, which also
-    # changed this round: staleness double duty); (c) every
-    # fingerprint-flipped query still carrying a round-9 verdict (13
-    # names — the txn.py keys-frame delete and readers.py Arrow-side
-    # corpus ingest sit in their module closures); (d) three direct
-    # dependents of the round-13 _micro_mean DECIMAL(38,0) rewrite
-    # spanning Lloyd fit, IVF×PQ serve, and semantic dedup.  Every
-    # remaining fingerprint-flipped query carries an
-    # offwindow_verified record at its HEAD fingerprint
-    # (tools/check_correctness.py --record, full sf0.01 re-runs).
-    # (a) never-driver-verified (slots 1-2):
-    "ann_index_on_delete",
-    "dedup_pairs_on_delete",
-    # (b) the round-8 driver-verdict cohort, drained in full:
-    "attribution_last_touch",
-    "benford_audit",
-    "chi_square_independence",
-    "cohort_ltv",
-    "corr_matrix",
-    "duplicate_payments",
-    "event_transitions",
-    "ewma_revenue",
-    "gini_concentration",
-    "graph_triangles",
-    "heaps_vocab_growth",
-    "hhi_concentration",
-    "item_similarity",
-    "ks_segments",
-    "mad_outliers",
-    "mann_whitney",
-    "market_basket",
-    "markov_attribution",
-    "pagerank_copurchase",
-    "pareto_abc",
-    "priority_entropy",
-    "proration",
-    "psi_drift",
-    "rfm_segments",
-    "seasonal_decompose",
-    "spearman_corr",
-    "substring_spans",
-    "temperature_mix",
-    "theil_sen_trend",
-    "walk_forward_split",
-    "weighted_sample",
-    "zipf_vocab_stats",
-    # (c) changed this round AND oldest-remaining (round-9) verdicts:
-    "corpus_mix",
-    "doc_fingerprint",
-    "lang_id",
-    "pack_sequences",
-    "quality_filter",
-    "repetition_metrics",
-    "rolling_chunks",
-    "sample_stratified",
-    "sliding_event_counts",
-    "text_quality",
-    "tfidf_top_terms",
-    "token_count",
-    "training_shuffle",
-    # (d) _micro_mean DECIMAL(38,0) direct dependents:
-    "kmeans_embeddings",
-    "ivf_pq_search",
-    "semantic_dedup",
+    # Round-14 rotation (enforced by tests/test_rotation.py against
+    # tools/queries_at_base.json @ round-13 HEAD, tools/round_base.txt).
+    # Ordering (round-13 verdict item 2: drain the r9+r10 cohorts in
+    # one window): (a) the new exact changepoint-OLS query — created
+    # this round, no driver verdict exists; (b) the ENTIRE round-9
+    # driver-verdict cohort (18 names, oldest verdicts in the repo);
+    # (c) the ENTIRE round-10 cohort (29 names — includes all seven
+    # ml/forecast.py queries whose fingerprints flip with this round's
+    # changepoint work: staleness double duty); (d) the two oldest
+    # round-11 names fill the remaining slots.  After this window the
+    # oldest driver verdict in the inventory is round 11.
+    # (a) created this round, never driver-verified:
+    "ml_changepoint_fit",
+    # (b) the round-9 driver-verdict cohort, drained in full:
+    "auc_roc",
+    "cube_report",
+    "faturamento_proc",
+    "forecast_revenue_change",
+    "frame_sample",
+    "json_export",
+    "late_supplier_blame",
+    "media_resize",
+    "mix_monthly_pivot",
+    "ml_changepoint_spine",
+    "pk_audit",
+    "pricing_summary",
+    "range_condition_join",
+    "shipping_priority",
+    "skew_report",
+    "small_quantity_revenue",
+    "supplier_region_share",
+    "value_counts",
+    # (c) the round-10 driver-verdict cohort, drained in full:
+    "anti_join",
+    "asof_rate_enrichment",
+    "balance_integrity",
+    "blacklist_filter",
+    "bpe_encode",
+    "bpe_token_count",
+    "bpe_train",
+    "calendar_dim",
+    "cohort_retention",
+    "curation_pipeline",
+    "decontaminate",
+    "dq_report",
+    "faturamento_rollup",
+    "funnel_conversion",
+    "ml_forecast_horizon",
+    "ml_forecast_per_group",
+    "ml_horizon_spine",
+    "ml_lag_features",
+    "ml_proxy_features",
+    "multimodal_metadata",
+    "pack_manifest",
+    "passage_dedup",
+    "passage_scrub",
+    "pii_mask",
+    "revenue_percentiles",
+    "shard_balance",
+    "snapshot_diff",
+    "token_budget_mix",
+    "ts_autocorr",
+    # (d) oldest round-11 names (slots 49-50):
+    "ann_bruteforce",
+    "ann_bruteforce_pandas",
 )
 
 
