@@ -76,6 +76,11 @@ EXTENDED = [
     # shares the fit and adds the brute-force ground truth
     "ivf_pq_search",
     "ivf_pq_recall",
+    # round 14 (r13 verdict item 7): the takedown compositions
+    # (fit + delete + serve) — first driver-verified in r13, now
+    # cost-tracked like the other lifecycle heavies
+    "ann_index_on_delete",
+    "dedup_pairs_on_delete",
 ]
 
 
@@ -106,6 +111,7 @@ def _env_conditions() -> dict:
 
 
 MAX_BANKABLE_LOAD1 = 2.0
+MAX_BANKABLE_LOAD5 = 2.0
 
 
 def _await_clean_host(max_wait_s: float) -> dict:
@@ -113,15 +119,20 @@ def _await_clean_host(max_wait_s: float) -> dict:
     and then bank regardless (BENCH_r11 shipped with 1 stray JVM and
     load1 10.47).  Now it actively waits (up to
     $SPARK_GRAFT_BENCH_WAIT seconds, default 180, polled every 5 s)
-    for zero stray JVMs and load1 <= 2, and stamps the banked artifact
-    ``env.contaminated`` when the host never settled — so a loaded-host
-    number can never masquerade as a clean banking again.  Unknown
-    readings (-1) don't block: they mean "can't measure", not "dirty"."""
+    for zero stray JVMs, load1 <= 2 AND load5 <= 2, and stamps the
+    banked artifact ``env.contaminated`` when the host never settled —
+    so a loaded-host number can never masquerade as a clean banking
+    again.  The load5 condition is round-13's lesson: r13's standalone
+    A/B passed a load1-only gate with load5 4.23 (host still cooling
+    from the in-chain run) and banked numbers ~1.65x an idle host.
+    Unknown readings (-1) don't block: "can't measure" is not "dirty"."""
     deadline = time.time() + max_wait_s
     while True:
         env = _env_conditions()
-        dirty = env["stray_jvms_at_start"] > 0 or (
-            env["load1_at_start"] > MAX_BANKABLE_LOAD1
+        dirty = (
+            env["stray_jvms_at_start"] > 0
+            or env["load1_at_start"] > MAX_BANKABLE_LOAD1
+            or env["load5_at_start"] > MAX_BANKABLE_LOAD5
         )
         if not dirty or time.time() >= deadline:
             env["contaminated"] = dirty
@@ -233,7 +244,15 @@ def main() -> None:
             if proc is not None:
                 try:
                     proc.terminate()
-                    proc.wait(timeout=30)
+                    try:
+                        proc.wait(timeout=30)
+                    except Exception:
+                        # SIGTERM ignored → force-kill, else the
+                        # child's stray scan sees this JVM, waits the
+                        # full clean-host budget, and banks
+                        # contaminated=true on an idle host
+                        proc.kill()
+                        proc.wait(timeout=10)
                 except Exception:
                     pass
             SparkContext._gateway = None
@@ -242,6 +261,14 @@ def main() -> None:
             os.environ,
             SPARK_GRAFT_BENCH_AB="0",
             SPARK_GRAFT_BENCH_EXTENDED="0",
+            # the child's clean-host wait must outlast load5 decay
+            # after the parent's own 32-thread run (~5-8 min from a
+            # long chain) — give it its own budget unless the caller
+            # already raised the default
+            SPARK_GRAFT_BENCH_WAIT=max(
+                float(os.environ.get("SPARK_GRAFT_BENCH_WAIT", "180")),
+                600.0,
+            ).__str__(),
         )
         try:
             proc = subprocess.run(
@@ -249,7 +276,10 @@ def main() -> None:
                 env=child_env,
                 capture_output=True,
                 text=True,
-                timeout=2400,
+                # must stay under the outer gate budget
+                # (verify_round bench_gate wraps parent+child): wait
+                # cap 600 s + headline bench ~300-400 s + startup
+                timeout=1200,
             )
             sub = json.loads(proc.stdout.strip().splitlines()[-1])
             doc["standalone"] = {

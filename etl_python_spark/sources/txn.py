@@ -719,8 +719,12 @@ def txn_delete_keys(
     restage, surviving-partition scan) — if it is an expensive
     derived frame (an anti-join against a snapshot, say), pin it
     first (``localCheckpoint``), as the on-delete cache refreshes
-    do; a plain id list read from parquet needs nothing."""
-    keyed = keys.select(*on).distinct()
+    do; a plain id list read from parquet needs nothing.  A keys plan
+    that can yield DIFFERENT rows per evaluation is pinned
+    defensively here (see :func:`_pin_unstable_keys`) — without that,
+    matched and kept would disagree between jobs and silently corrupt
+    the restaged table."""
+    keyed = _pin_unstable_keys(keys.select(*on).distinct())
     return _txn_delete(
         spark,
         path,
@@ -728,6 +732,38 @@ def txn_delete_keys(
         kept=lambda df: df.join(keyed, list(on), "left_anti"),
         app_meta=app_meta,
     )
+
+
+def _keys_plan_unstable(keys: DataFrame) -> bool:
+    """True when the keys plan can produce a different row-set on
+    re-evaluation: nondeterministic expressions (rand/uuid/...,
+    caught by the JVM ``deterministic`` flag on the analyzed plan) or
+    operators whose output is scheduling-dependent even though the
+    flag says deterministic — Sample re-draws per evaluation when
+    upstream partitioning shifts, and a LIMIT without a total order
+    keeps whichever rows finish first."""
+    try:
+        jplan = keys._jdf.queryExecution().analyzed()
+        if not jplan.deterministic():
+            return True
+        head = jplan.toString()
+    except Exception:
+        return True  # can't inspect → assume unstable, pin
+    return any(
+        marker in head
+        for marker in ("Sample ", "GlobalLimit ", "LocalLimit ")
+    )
+
+
+def _pin_unstable_keys(keys: DataFrame) -> DataFrame:
+    """Defensive pin (round-13 ADVICE): ``_txn_delete`` evaluates the
+    keys frame in up to three separate jobs, so a rand/sample/limit
+    derivation must be materialized ONCE — ``localCheckpoint`` eagerly
+    so every job reads the same pinned row-set.  Stable plans pass
+    through untouched (no extra job, no storage)."""
+    if _keys_plan_unstable(keys):
+        return keys.localCheckpoint(eager=True)
+    return keys
 
 
 def _txn_delete(

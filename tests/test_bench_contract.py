@@ -152,9 +152,12 @@ def test_extended_overrides_require_plan_audit_citation(tmp_path, capsys):
     )
     assert load_extended_overrides(str(p3)) == {"x": 2.5}
 
-    # the LIVE repo file must be fully cited
+    # the LIVE repo file must parse clean (fully cited when non-empty;
+    # since round 14 the r9-era CC overrides are retired, so empty is
+    # the expected steady state — an override present without a valid
+    # citation would raise here)
     live = load_extended_overrides()
-    assert live, "repo extended_baseline.json should carry overrides"
+    assert isinstance(live, dict)
 
     # an invalid live-style load inside check_extended -> alarm, not crash
     import verify_round as vr

@@ -1094,3 +1094,54 @@ def test_delete_keys_bulk_takedown_stays_dataframe_native(spark, tmp_path):
         src = inspect.getsource(fn)
         assert ".isin(" not in src, fn.__name__
         assert ".collect()" not in src, fn.__name__
+
+
+def test_delete_keys_pins_unstable_key_plans(spark, tmp_path):
+    """Round-13 ADVICE: txn_delete_keys evaluates the keys frame in up
+    to three jobs — a rand/sample/limit-derived keys plan must be
+    pinned (localCheckpoint) so matched and kept can never disagree.
+    Stable plans pass through unpinned (no extra job)."""
+    from etl_python_spark.sources.txn import (
+        _keys_plan_unstable,
+        _pin_unstable_keys,
+    )
+
+    ids = spark.range(1_000).select("id")
+    # stable plans: untouched (same object back)
+    for stable in (ids, ids.filter(F.col("id") % 3 == 0), ids.distinct()):
+        assert not _keys_plan_unstable(stable)
+        assert _pin_unstable_keys(stable) is stable
+    # unstable plans: detected and pinned to a checkpointed frame
+    unstable = [
+        ids.sample(0.5, seed=7),
+        ids.orderBy(F.rand(7)).limit(100),
+        ids.limit(100),
+        ids.withColumn("r", F.rand(1)).filter("r < 0.5").select("id"),
+    ]
+    for u in unstable:
+        assert _keys_plan_unstable(u), u._jdf.queryExecution().analyzed()
+        pinned = _pin_unstable_keys(u)
+        assert pinned is not u
+        # the pinned frame is stable across evaluations
+        a = {r.id for r in pinned.collect()}
+        b = {r.id for r in pinned.collect()}
+        assert a == b
+
+    # end-to-end: a sample-derived takedown keeps matched/kept
+    # consistent — survivors ∪ deleted == original, disjoint
+    path = str(tmp_path / "pin")
+    df = spark.range(0, 5_000).select(
+        F.col("id"),
+        F.when(F.col("id") % 2 == 0, "even").otherwise("odd").alias("y"),
+    )
+    txn.txn_write(spark, df, path, partition_by="y")
+    keys = spark.range(0, 5_000).sample(0.3, seed=11).select("id")
+    txn.txn_delete_keys(spark, path, keys, on=["id"])
+    kept = {r.id for r in txn.txn_read(spark, path).select("id").collect()}
+    assert len(kept) < 5_000  # something was deleted
+    # every surviving id is from the original universe and the delete
+    # removed a single consistent key-set (no id both kept and gone →
+    # counts reconcile exactly)
+    assert kept <= set(range(5_000))
+    deleted = set(range(5_000)) - kept
+    assert deleted and kept and deleted.isdisjoint(kept)

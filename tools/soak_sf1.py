@@ -92,6 +92,25 @@ def _session(warm: bool = False):
                 % 1_000_000_007
             )
         ).count()
+        # round-14 (r13 verdict item 5): warm the regex/substring/
+        # try_cast codegen family the cnpj/mod-11 validators compile —
+        # three consecutive rounds burned the soak adjudication path on
+        # cnpj_validate's first-in-chunk JIT (r13: 5.87 s in-sweep vs
+        # 0.92 s standalone).  Run the REAL expression once so the
+        # regex engine, UTF8String substring paths and the unrolled
+        # weighted-sum ladder are C2-compiled before any timed query.
+        from etl_python_spark.functions.cleaning import cnpj_check_digit_ok
+
+        spark.range(50_000).repartition(sc.defaultParallelism).select(
+            F.sum(
+                cnpj_check_digit_ok(
+                    F.concat(
+                        F.lit("11.222.333/0001-"),
+                        F.lpad((F.col("id") % 100).cast("string"), 2, "0"),
+                    )
+                ).cast("int")
+            )
+        ).count()
     return spark
 
 

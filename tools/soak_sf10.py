@@ -1,0 +1,158 @@
+"""sf10 spot-soak for the two scale flagships (round-13 verdict item
+6): one more order of magnitude of evidence for the Σdf²-bounded dedup
+claim (``minhash_lsh_pairs``) and the posting-list-routed ANN claim
+(``ivf_pq_search``).
+
+Corpus model: /tmp/sf10 is 10x /tmp/sf1 documents+embeddings (500k
+docs / 200k vectors = 100x bench scale), built so the CORPUS grows
+while the duplication rate stays constant — each replica interleaves
+a replica-specific marker token every three words, which breaks
+cross-replica shingle similarity (otherwise near-dup clusters would
+grow 10x in SIZE and pair count would grow quadratically by
+construction, measuring the corpus generator, not the operator).
+Within-replica near-dup structure from sf1 is preserved, so the
+expected pair count and the expected runtime are both ~linear in the
+corpus.  Embedding replicas keep the vectors verbatim under remapped
+ids: posting lists grow 10x, probe pruning still visits a constant
+fraction.
+
+Usage:
+    python tools/soak_sf10.py build          # /tmp/sf1 -> /tmp/sf10
+    python tools/soak_sf10.py run [--out FILE]
+
+``run`` times each flagship warm (1 untimed warm pass + min of 2) at
+sf1 and sf10 in one JVM and banks {query: {sf1_s, sf10_s, ratio,
+sf1_rows, sf10_rows}}.  Gate: ratio <= RATIO_MAX (linear 10x + JVM/
+setup slack) — a super-linear blow-up exits 1.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+SF1 = os.environ.get("SOAK_SF10_SRC", "/tmp/sf1")
+SF10 = os.environ.get("SOAK_SF10_DST", "/tmp/sf10")
+REPLICAS = 10
+RATIO_MAX = float(os.environ.get("SOAK_SF10_RATIO_MAX", "15"))
+
+FLAGSHIPS = ["minhash_lsh_pairs", "ivf_pq_search"]
+
+
+def build() -> None:
+    from pyspark.sql import functions as F
+
+    from tools.soak_sf1 import _session
+
+    spark = _session()
+    os.makedirs(SF10, exist_ok=True)
+
+    docs = spark.read.parquet(f"{SF1}/documents.parquet")
+    max_doc = docs.agg(F.max("doc_id")).collect()[0][0] + 1
+    reps = []
+    for r in range(REPLICAS):
+        rep = docs.withColumn(
+            "doc_id", (F.col("doc_id") + F.lit(r * max_doc)).cast("long")
+        )
+        if r > 0:
+            # break cross-replica shingle similarity: a replica-specific
+            # marker every 3 words rewrites most shingles, so replicas
+            # of the same sf1 doc are NOT near-dups of each other and
+            # cluster size stays at sf1's — pair count model: ~linear
+            rep = rep.withColumn(
+                "text",
+                F.concat(
+                    F.lit(f"z{r}q "),
+                    F.regexp_replace(
+                        F.col("text"), r"(\S+ \S+ \S+)", f"$1 z{r}q"
+                    ),
+                ),
+            ).withColumn("n_chars", F.length("text").cast("long"))
+        reps.append(rep)
+    out = reps[0]
+    for rep in reps[1:]:
+        out = out.unionByName(rep)
+    out.write.mode("overwrite").parquet(f"{SF10}/documents.parquet")
+    print(
+        "documents:",
+        spark.read.parquet(f"{SF10}/documents.parquet").count(),
+        flush=True,
+    )
+
+    emb = spark.read.parquet(f"{SF1}/embeddings.parquet")
+    max_vec = emb.agg(F.max("vec_id")).collect()[0][0] + 1
+    out = emb
+    for r in range(1, REPLICAS):
+        out = out.unionByName(
+            emb.withColumn(
+                "vec_id", (F.col("vec_id") + F.lit(r * max_vec)).cast("long")
+            )
+        )
+    out.write.mode("overwrite").parquet(f"{SF10}/embeddings.parquet")
+    print(
+        "embeddings:",
+        spark.read.parquet(f"{SF10}/embeddings.parquet").count(),
+        flush=True,
+    )
+
+
+def run(out_path: str | None) -> int:
+    import __spark_entry__ as entrymod
+
+    from tools.soak_sf1 import _session
+
+    qs = entrymod.queries()
+    spark = _session(warm=True)
+    doc: dict = {"replicas": REPLICAS, "ratio_max": RATIO_MAX, "queries": {}}
+    failures = []
+    for name in FLAGSHIPS:
+        fn = qs[name]
+        rec: dict = {}
+        for label, sf_dir in (("sf1", SF1), ("sf10", SF10)):
+
+            def once() -> tuple[float, int]:
+                t0 = time.time()
+                n = fn(spark, sf_dir).count()
+                return time.time() - t0, n
+
+            once()  # warm: codegen/JIT for this query's plan shape
+            (t1, n1), (t2, n2) = once(), once()
+            assert n1 == n2, (name, label, n1, n2)
+            rec[f"{label}_s"] = round(min(t1, t2), 2)
+            rec[f"{label}_rows"] = n1
+        rec["ratio"] = round(rec["sf10_s"] / max(rec["sf1_s"], 1e-9), 2)
+        rec["rows_ratio"] = round(
+            rec["sf10_rows"] / max(rec["sf1_rows"], 1), 2
+        )
+        doc["queries"][name] = rec
+        print(f"{name}: {rec}", flush=True)
+        if rec["ratio"] > RATIO_MAX:
+            failures.append(
+                f"{name}: sf10/sf1 time ratio {rec['ratio']} > {RATIO_MAX} "
+                f"(super-linear at 10x corpus)"
+            )
+    doc["failures"] = failures
+    if out_path:
+        with open(out_path, "w", encoding="utf-8") as fh:
+            json.dump(doc, fh, indent=1)
+        print(f"banked -> {out_path}", flush=True)
+    for f in failures:
+        print(f"FAIL {f}", flush=True)
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    cmd = sys.argv[1] if len(sys.argv) > 1 else "run"
+    if cmd == "build":
+        build()
+    elif cmd == "run":
+        out = None
+        if "--out" in sys.argv:
+            out = sys.argv[sys.argv.index("--out") + 1]
+        sys.exit(run(out))
+    else:
+        raise SystemExit(f"unknown command {cmd!r}")

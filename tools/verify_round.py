@@ -255,12 +255,15 @@ def bench_gate(py: str) -> bool:
     t0 = time.time()
     print("==> bench: python bench.py", flush=True)
     try:
+        # budget covers parent (wait<=180 + headline+extended) AND
+        # the standalone A/B child (its own wait<=600 + headline run,
+        # child subprocess capped at 1200s inside bench.py)
         proc = subprocess.run(
-            [py, "bench.py"], cwd=REPO, timeout=1800,
+            [py, "bench.py"], cwd=REPO, timeout=3600,
             capture_output=True, text=True,
         )
     except subprocess.TimeoutExpired:
-        print("FAIL bench: timeout after 1800s")
+        print("FAIL bench: timeout after 3600s")
         return False
     if proc.returncode != 0:
         tail = "\n".join((proc.stdout + proc.stderr).splitlines()[-3:])
