@@ -1478,3 +1478,81 @@ def test_orc_roundtrip_with_pushdown(spark, tmp_path):
     # column pruning: untouched columns absent from the read schema
     scan = next(s for s in plan.split("(") if "ReadSchema" in s)
     assert "o_orderpriority" not in scan
+
+
+def test_changepoint_micro_ratio_property_matches_fraction():
+    """Property: _micro_ratio is round-half-away-from-zero of the
+    exact rational 1e6·num/den — checked against fractions.Fraction,
+    an independent exact-arithmetic path, across sign/magnitude/tie
+    structure."""
+    import math
+    from fractions import Fraction
+
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from etl_python_spark.ml.forecast import _micro_ratio
+
+    @settings(max_examples=300, deadline=None)
+    @given(
+        num=st.integers(min_value=-(10**30), max_value=10**30),
+        den=st.integers(min_value=1, max_value=10**25),
+    )
+    def check(num: int, den: int) -> None:
+        mag = math.floor(Fraction(abs(num) * 1_000_000, den) + Fraction(1, 2))
+        want = mag if num >= 0 else -mag
+        assert _micro_ratio(num, den) == want
+
+    check()
+
+
+def test_changepoint_cramer_matches_fraction_gaussian_solve():
+    """Independent-solver cross-check: _cp_exact_betas (Cramer over
+    Leibniz determinants) must agree with exact Gaussian elimination
+    over fractions.Fraction on the same normal equations — a wholly
+    different algorithm on the same integers, so a bug in either the
+    permutation signs, the symmetric-entry indexing, or the micro
+    rounding cannot cancel out."""
+    import math
+    import random
+    from fractions import Fraction
+
+    from etl_python_spark.ml.forecast import MIN_OBS, _cp_exact_betas
+
+    def fraction_solve(y):
+        n = len(y)
+        if n < MIN_OBS:
+            return None
+        z = [
+            [5, 5 * t] + [max(0, 5 * t - i * (n - 1)) for i in (1, 2, 3)]
+            for t in range(n)
+        ]
+        A = [
+            [Fraction(sum(r[a] * r[b] for r in z)) for b in range(5)]
+            + [Fraction(sum(z[t][a] * y[t] for t in range(n)))]
+            for a in range(5)
+        ]
+        for col in range(5):  # partial-pivot Gaussian elimination
+            piv = max(range(col, 5), key=lambda r: abs(A[r][col]))
+            if A[piv][col] == 0:
+                return None
+            A[col], A[piv] = A[piv], A[col]
+            for r in range(5):
+                if r != col and A[r][col]:
+                    f = A[r][col] / A[col][col]
+                    A[r] = [a - f * b for a, b in zip(A[r], A[col])]
+        betas = [A[i][5] / A[i][i] for i in range(5)]
+        out = []
+        for b in betas:
+            v = 5 * b * 1_000_000  # unscale the 5x design, micro-quantize
+            mag = math.floor(abs(v) + Fraction(1, 2))
+            out.append(mag if v >= 0 else -mag)
+        return out
+
+    rng = random.Random(99)
+    series = [
+        [rng.randint(1, 20_000) for _ in range(n)] for n in (6, 7, 19, 80)
+    ]
+    series.append([100 + 7 * t for t in range(25)])  # exactly linear
+    for y in series:
+        assert _cp_exact_betas(y) == fraction_solve(y), y[:6]
