@@ -1312,6 +1312,165 @@ def test_changepoint_fit_spark_matches_exact_betas(spark):
     assert checked >= 5
 
 
+def test_div_half_away_matches_duckdb():
+    """Pins the bands ladder's sign-split round-half-away division and
+    its SQL restatement (DuckDB // truncates on negatives, Python
+    floors — the split keeps operands non-negative)."""
+    import duckdb
+
+    from etl_python_spark.ml.forecast import (
+        _div_half_away,
+        _div_half_away_sql,
+    )
+
+    cases = [
+        (7, 2), (-7, 2), (1, 2), (-1, 2), (3, 2), (-3, 2), (0, 9),
+        (10**25 + 3, 10**7 + 1), (-(10**25) - 3, 10**7 + 1),
+        (4999, 10_000), (5000, 10_000), (-5000, 10_000), (5001, 10_000),
+    ]
+    expr = _div_half_away_sql("num", "den")
+    for num, den in cases:
+        py = _div_half_away(num, den)
+        (db,) = duckdb.execute(
+            f"SELECT {expr} FROM (SELECT CAST(? AS HUGEINT) AS num, "
+            f"CAST(? AS HUGEINT) AS den)",
+            [str(num), str(den)],
+        ).fetchone()
+        assert py == int(db), (num, den, py, db)
+    assert _div_half_away(5000, 10_000) == 1   # half rounds away
+    assert _div_half_away(-5000, 10_000) == -1
+    assert _div_half_away(4999, 10_000) == 0
+
+
+def test_changepoint_hugeint_headroom_guard():
+    """Round-14 ADVICE: the fit/bands oracles' HUGEINT headroom is
+    data-dependent — a series large enough to overflow the DuckDB
+    Leibniz partials must fail the SPARK side first with an
+    actionable message, never a mid-oracle HUGEINT hard error."""
+    import pytest
+
+    from etl_python_spark.ml.forecast import (
+        _assert_hugeint_headroom,
+        _cp_exact_betas,
+        _det5_checked,
+    )
+
+    # direct: the checked det tracks left-assoc partials in SQL order
+    val, mx = _det5_checked(lambda a, c: 10**8)
+    assert val == 0 and mx >= 10**40  # prefix products dominate
+    with pytest.raises(ValueError, match="HUGEINT headroom"):
+        _assert_hugeint_headroom(mx, "test")
+    # integration: a series ~1e7x the sf0.1 revenue scale trips the
+    # guard inside the exact solve (empirically DuckDB overflows at
+    # exactly this magnitude — predicted partial 2.7e38); the real
+    # scales stay clear with ~8600x headroom (sf0.1 measured max
+    # partial 1.85e31, scaling linearly in y)
+    big = [(10**4 + 137 * t) * 10**7 for t in range(84)]
+    with pytest.raises(ValueError, match="oarsen the y quantization"):
+        _cp_exact_betas(big)
+    ok = [10**4 + 7 * t for t in range(84)]  # ~sf0.1 magnitudes
+    assert _cp_exact_betas(ok) is not None
+
+
+def test_changepoint_bands_match_float_composition(spark):
+    """Ties ml_changepoint_bands to the real float code path (the
+    forecast_changepoints_per_group composition): on the SAME
+    quantized series, the exact-integer ladder must reproduce the
+    numpy trend + seasonal-residual + z·σ·sqrt(1+h/n) band up to the
+    micro/centi quantization — the transitive pin that makes the
+    DuckDB oracle evidence about the library composition, not just
+    about the integer restatement."""
+    import math
+
+    import numpy as np
+
+    from tests.conftest import SF_SMOKE
+
+    from etl_python_spark.ml.forecast import (
+        CP_BANDS_HORIZON,
+        CP_BANDS_Z,
+        MIN_OBS,
+        _add_months,
+        fit_changepoint_trend,
+        q_changepoint_bands,
+    )
+    from etl_python_spark.sources.tables import load_table
+    from pyspark.sql import functions as F
+
+    out = {
+        (r.n_name, r.h): r
+        for r in q_changepoint_bands(spark, SF_SMOKE).collect()
+    }
+    assert out, "no groups met MIN_OBS"
+
+    orders = load_table(spark, SF_SMOKE, "orders")
+    customer = load_table(spark, SF_SMOKE, "customer")
+    nation = load_table(spark, SF_SMOKE, "nation")
+    monthly = (
+        orders.join(customer, orders.o_custkey == customer.c_custkey)
+        .join(nation, customer.c_nationkey == nation.n_nationkey)
+        .groupBy(
+            "n_name",
+            F.date_trunc("month", "o_orderdate").cast("date").alias("mes"),
+        )
+        .agg(
+            (F.sum(F.col("o_totalprice").cast("decimal(18,2)")) * 100)
+            .cast("decimal(38,0)")
+            .cast("long")
+            .alias("cents")
+        )
+        .collect()
+    )
+    by_nation: dict[str, list] = {}
+    for r in monthly:
+        by_nation.setdefault(r.n_name, []).append((r.mes, r.cents))
+    checked = 0
+    for name, rows in sorted(by_nation.items()):
+        pts = sorted(rows)
+        y = [(2 * c + 100000) // 200000 for _, c in pts]
+        n = len(y)
+        if n < MIN_OBS:
+            assert not any(k[0] == name for k in out)
+            continue
+        months = np.array([d.month for d, _ in pts])
+        _, _, trend_fn = fit_changepoint_trend(
+            np.asarray(y, dtype="float64"), n_changepoints=3
+        )
+        resid = np.asarray(y, dtype="float64") - trend_fn(np.arange(n))
+        seas = {
+            int(m): float(resid[months == m].mean()) for m in set(months)
+        }
+        s_in = np.array([seas[int(m)] for m in months])
+        sigma = float((resid - s_in).std())
+        last = pts[-1][0]
+        for h in range(1, CP_BANDS_HORIZON + 1):
+            row = out[(name, h)]
+            mes_f = _add_months(last, h)
+            assert row.mes == mes_f and row.n_obs == n
+            yhat = float(trend_fn(np.array([n - 1.0 + h]))[0]) + seas.get(
+                mes_f.month, 0.0
+            )
+            widen = sigma * CP_BANDS_Z * math.sqrt(1.0 + h / n)
+            # micro-beta rounding propagates ≤ ~5e-7·Σ|z| ≈ 2e-4; the
+            # centi band carries σ's centi² quantization + its own
+            # half-centi rounding
+            assert abs(row.previsao_micro / 1e6 - yhat) < max(
+                1e-2, 1e-5 * abs(yhat)
+            ), (name, h, row.previsao_micro / 1e6, yhat)
+            assert abs(row.band_centi / 100 - widen) < max(
+                5e-2, 1e-3 * widen
+            ), (name, h, row.band_centi / 100, widen)
+            # min/max bracket the (centi-rounded) point forecast
+            assert row.previsao_min_centi <= round(
+                row.previsao_micro / 1e4
+            ) + 1
+            assert row.previsao_max_centi >= round(
+                row.previsao_micro / 1e4
+            ) - 1
+            checked += 1
+    assert checked >= 6 * 5
+
+
 def test_forecast_changepoints_per_group(spark):
     """The grouped Prophet-parity surface: per-nation forecasts with
     intervals that (a) bracket the point forecast, (b) widen with
