@@ -383,6 +383,12 @@ FROM documents d LEFT JOIN comp c USING (doc_id)
 # pair graphs and deep chains.
 CC_ALGORITHM = "star"
 
+# Rounds the most recent connected_components() call took to converge
+# — observability for the O(log diameter) claim (round-14 verdict item
+# 3: the sf10 soak asserts the star kernel's round count stays flat at
+# 10x corpus).  Set by both kernels on successful convergence.
+LAST_CC_ROUNDS: int = 0
+
 
 def connected_components(
     edges: DataFrame, max_iter: int = 50, algorithm: str | None = None
@@ -429,7 +435,9 @@ def connected_components(
         adj.select(F.col("u").alias("v")).distinct().withColumn("lbl", F.col("v"))
     )
     changed = None
+    rounds = 0
     for _ in range(max_iter):
+        rounds += 1
         neighbor_min = (
             adj.join(labels, adj.u == labels.v)
             .groupBy("w")
@@ -455,6 +463,8 @@ def connected_components(
             f"connected_components did not converge in {max_iter} rounds "
             "(pair-graph diameter exceeds the iteration budget); raise max_iter"
         )
+    global LAST_CC_ROUNDS
+    LAST_CC_ROUNDS = rounds
     return labels.select(F.col("v").alias("doc_id"), F.col("lbl").alias("component_id"))
 
 
@@ -490,7 +500,9 @@ def _cc_star(edges: DataFrame, max_iter: int = 50) -> DataFrame:
         .localCheckpoint(eager=True)
     )
     converged = False
+    rounds = 0
     for _ in range(max_iter):
+        rounds += 1
         # large-star: attach strictly larger neighbors to the minimum
         sym = e.union(e.select(F.col("w").alias("u"), F.col("u").alias("w")))
         mins = (
@@ -529,6 +541,8 @@ def _cc_star(edges: DataFrame, max_iter: int = 50) -> DataFrame:
             f"connected_components(star) did not converge in {max_iter} "
             "rounds; raise max_iter"
         )
+    global LAST_CC_ROUNDS
+    LAST_CC_ROUNDS = rounds
     # star form: every non-root appears exactly once as u; roots only as w
     non_roots = e.select(
         F.col("u").alias("doc_id"), F.col("w").alias("component_id")

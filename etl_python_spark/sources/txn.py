@@ -734,25 +734,50 @@ def txn_delete_keys(
     )
 
 
+# Logical operators whose output is scheduling-dependent even though
+# the plan's deterministic flag says otherwise: Sample re-draws per
+# evaluation when upstream partitioning shifts, and a LIMIT without a
+# total order keeps whichever rows finish first.
+_UNSTABLE_NODE_NAMES = frozenset({"Sample", "GlobalLimit", "LocalLimit"})
+
+
+def _plan_has_node(jplan, names: frozenset[str]) -> bool:
+    """Walk the analyzed logical plan TREE (children plus
+    subquery-expression plans) and match node CLASS names exactly —
+    round-14 ADVICE: substring-matching ``toString()`` false-positives
+    on a string literal containing ``'Sample '`` and couples the check
+    to the pretty-printer's formatting."""
+    stack = [jplan]
+    while stack:
+        node = stack.pop()
+        if node.getClass().getSimpleName() in names:
+            return True
+        kids = node.children()
+        for i in range(kids.length()):
+            stack.append(kids.apply(i))
+        subs = node.subqueries()
+        for i in range(subs.length()):
+            stack.append(subs.apply(i))
+    return False
+
+
 def _keys_plan_unstable(keys: DataFrame) -> bool:
     """True when the keys plan can produce a different row-set on
     re-evaluation: nondeterministic expressions (rand/uuid/...,
     caught by the JVM ``deterministic`` flag on the analyzed plan) or
-    operators whose output is scheduling-dependent even though the
-    flag says deterministic — Sample re-draws per evaluation when
-    upstream partitioning shifts, and a LIMIT without a total order
-    keeps whichever rows finish first."""
+    the scheduling-dependent operators in ``_UNSTABLE_NODE_NAMES``,
+    matched by node class while walking the plan tree.  Caller
+    contract: ORDER-dependent derivations the flag cannot see —
+    ``row_number`` over a non-total order, ``first``/``any_value``
+    aggregates — remain the caller's responsibility to pin (they are
+    deterministic PLANS whose semantics depend on input order)."""
     try:
         jplan = keys._jdf.queryExecution().analyzed()
         if not jplan.deterministic():
             return True
-        head = jplan.toString()
+        return _plan_has_node(jplan, _UNSTABLE_NODE_NAMES)
     except Exception:
         return True  # can't inspect → assume unstable, pin
-    return any(
-        marker in head
-        for marker in ("Sample ", "GlobalLimit ", "LocalLimit ")
-    )
 
 
 def _pin_unstable_keys(keys: DataFrame) -> DataFrame:

@@ -143,6 +143,24 @@ def test_cc_star_converges_logarithmically_on_deep_chain(spark):
     out = connected_components(chain, max_iter=20, algorithm="star").collect()
     assert len(out) == n
     assert all(r.component_id == 0 for r in out)
+    # round observability (round-14 verdict item 3: the sf10 soak
+    # asserts this counter stays flat at 10x corpus): the star kernel
+    # reports its convergence rounds, and a 199-diameter chain needs
+    # more than the 1-2 a shallow star graph takes but far under 20
+    from etl_python_spark.operators import dedup as dedup_mod
+
+    star_rounds = dedup_mod.LAST_CC_ROUNDS
+    assert 2 <= star_rounds <= 20, star_rounds
+    # a shallow graph (one star) converges in fewer rounds than the
+    # deep chain — the counter measures depth, not size
+    shallow = spark.createDataFrame(
+        [(0, i) for i in range(1, 50)], "doc_a long, doc_b long"
+    )
+    connected_components(shallow, max_iter=20, algorithm="star").collect()
+    assert dedup_mod.LAST_CC_ROUNDS <= star_rounds
+    # min_label sets it too (its rounds ≈ diameter)
+    connected_components(shallow, max_iter=20, algorithm="min_label").collect()
+    assert 1 <= dedup_mod.LAST_CC_ROUNDS <= 3
     with pytest.raises(RuntimeError, match="did not converge"):
         connected_components(chain, max_iter=20, algorithm="min_label")
 

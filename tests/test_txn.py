@@ -1107,8 +1107,22 @@ def test_delete_keys_pins_unstable_key_plans(spark, tmp_path):
     )
 
     ids = spark.range(1_000).select("id")
-    # stable plans: untouched (same object back)
-    for stable in (ids, ids.filter(F.col("id") % 3 == 0), ids.distinct()):
+    # stable plans: untouched (same object back) — including the
+    # round-14 ADVICE false-positive: a string LITERAL containing
+    # 'Sample ' / 'GlobalLimit ' must not trigger a pin now that the
+    # check walks node classes instead of grepping toString()
+    literal_trap = ids.withColumn(
+        "note", F.lit("Sample GlobalLimit LocalLimit ")
+    ).select("id")
+    for stable in (
+        ids,
+        ids.filter(F.col("id") % 3 == 0),
+        ids.distinct(),
+        literal_trap,
+        ids.withColumn("s", F.lit("Sample ")).filter(
+            F.col("s") != "GlobalLimit "
+        ).select("id"),
+    ):
         assert not _keys_plan_unstable(stable)
         assert _pin_unstable_keys(stable) is stable
     # unstable plans: detected and pinned to a checkpointed frame
@@ -1118,6 +1132,12 @@ def test_delete_keys_pins_unstable_key_plans(spark, tmp_path):
         ids.limit(100),
         ids.withColumn("r", F.rand(1)).filter("r < 0.5").select("id"),
     ]
+    # an unstable operator buried in a subquery expression is still
+    # caught (the tree walk descends into plan subqueries)
+    ids.sample(0.5, seed=3).createOrReplaceTempView("_pin_sub_sample")
+    unstable.append(
+        ids.filter("id IN (SELECT id FROM _pin_sub_sample)")
+    )
     for u in unstable:
         assert _keys_plan_unstable(u), u._jdf.queryExecution().analyzed()
         pinned = _pin_unstable_keys(u)
