@@ -22,71 +22,74 @@ from pyspark.sql import DataFrame, SparkSession
 #     their round-1 verdict remains valid evidence).
 # Names absent from this tuple keep module order after the block.
 VERIFY_PRIORITY = (
-    # Round-14 rotation (enforced by tests/test_rotation.py against
-    # tools/queries_at_base.json @ round-13 HEAD, tools/round_base.txt).
-    # Ordering (round-13 verdict item 2: drain the r9+r10 cohorts in
-    # one window): (a) the new exact changepoint-OLS query — created
-    # this round, no driver verdict exists; (b) the ENTIRE round-9
-    # driver-verdict cohort (18 names, oldest verdicts in the repo);
-    # (c) the ENTIRE round-10 cohort (29 names — includes all seven
-    # ml/forecast.py queries whose fingerprints flip with this round's
-    # changepoint work: staleness double duty); (d) the two oldest
-    # round-11 names fill the remaining slots.  After this window the
-    # oldest driver verdict in the inventory is round 11.
+    # Round-15 rotation (enforced by tests/test_rotation.py against
+    # tools/queries_at_base.json @ round-14 HEAD, tools/round_base.txt).
+    # Ordering (round-14 verdict item 1: drain the ENTIRE round-11
+    # driver-verdict cohort — the whole remaining verification debt —
+    # in one window): (a) the new exact changepoint-BANDS query —
+    # created this round, no driver verdict exists; (b) all 42 names
+    # whose latest driver verdict is round 11 (every other name is
+    # r12+); (c) the seven remaining ml/forecast.py queries whose
+    # fingerprints flip with this round's bands/headroom work fill the
+    # last slots.  After this window the oldest driver verdict in the
+    # inventory is round 12.  The other changed-this-round names
+    # (txn.py keys-plan walker + dedup.py round counter flips, ~54)
+    # carry check_correctness --record evidence at their HEAD
+    # fingerprints (tools/offwindow_verified.json).
     # (a) created this round, never driver-verified:
+    "ml_changepoint_bands",
+    # (b) the round-11 driver-verdict cohort, drained in full:
+    "ann_ivf",
+    "ann_ivf_fitted",
+    "ann_lsh",
+    "ann_pq_adc",
+    "ann_probe_recall",
+    "cluster_label_nmi",
+    "dedup_components",
+    "dedup_exact",
+    "dedup_keep_best",
+    "dedup_keep_canonical",
+    "dedup_source_matrix",
+    "embedding_covariance",
+    "embedding_neardup",
+    "hourly_event_counts",
+    "incremental_dedup",
+    "ivf_pq_recall",
+    "kmeans_assign",
+    "kmeans_silhouette",
+    "leakage_safe_split",
+    "lm_perplexity",
+    "minhash_lsh_pairs",
+    "minhash_recall_audit",
+    "ngram_jaccard_pairs",
+    "pca_project",
+    "pq_codes",
+    "pq_distortion",
+    "props_extract",
+    "sessionize",
+    "simhash",
+    "simhash_neardup",
+    "simhash_recall_audit",
+    "stream_cms_heavy_hitters",
+    "stream_dedup_exact",
+    "stream_histogram_quantiles",
+    "stream_hll_users",
+    "stream_hourly_counts",
+    "stream_incremental_dedup",
+    "stream_psi_drift",
+    "stream_sessionize",
+    "stream_static_enriched",
+    "stream_stream_join",
+    "stream_user_totals",
+    # (c) changed-this-round forecast queries (slots 44-50;
+    # ml_lag_features is the one forecast name left to --record):
     "ml_changepoint_fit",
-    # (b) the round-9 driver-verdict cohort, drained in full:
-    "auc_roc",
-    "cube_report",
-    "faturamento_proc",
-    "forecast_revenue_change",
-    "frame_sample",
-    "json_export",
-    "late_supplier_blame",
-    "media_resize",
-    "mix_monthly_pivot",
     "ml_changepoint_spine",
-    "pk_audit",
-    "pricing_summary",
-    "range_condition_join",
-    "shipping_priority",
-    "skew_report",
-    "small_quantity_revenue",
-    "supplier_region_share",
-    "value_counts",
-    # (c) the round-10 driver-verdict cohort, drained in full:
-    "anti_join",
-    "asof_rate_enrichment",
-    "balance_integrity",
-    "blacklist_filter",
-    "bpe_encode",
-    "bpe_token_count",
-    "bpe_train",
-    "calendar_dim",
-    "cohort_retention",
-    "curation_pipeline",
-    "decontaminate",
-    "dq_report",
-    "faturamento_rollup",
-    "funnel_conversion",
     "ml_forecast_horizon",
     "ml_forecast_per_group",
     "ml_horizon_spine",
-    "ml_lag_features",
     "ml_proxy_features",
-    "multimodal_metadata",
-    "pack_manifest",
-    "passage_dedup",
-    "passage_scrub",
-    "pii_mask",
-    "revenue_percentiles",
-    "shard_balance",
-    "snapshot_diff",
-    "token_budget_mix",
     "ts_autocorr",
-    # (d) oldest round-11 names (slots 49-50):
-    "ann_bruteforce",
-    "ann_bruteforce_pandas",
 )
 
 

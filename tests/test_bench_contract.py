@@ -1,25 +1,26 @@
-"""Driver-contract pin for bench.py: ONE parseable JSON line with the
-documented keys, every headline query present with a positive timing.
-Runs in-process at sf0.001 with a single timed run so it stays cheap;
-the driver runs the same entry point at sf0.1."""
+"""Driver-contract pin for bench.py: the full result doc as a JSON
+line plus a compact contract-shaped summary as the FINAL line (inside
+the driver's ~2 KB tail), every headline query present with a positive
+timing.  Runs in-process at sf0.001 with a single timed run so it
+stays cheap; the driver runs the same entry point at sf0.1."""
 
 import json
 
 
-def test_bench_emits_one_json_line(spark, capsys, monkeypatch):
+def test_bench_emits_full_doc_plus_compact_tail(spark, capsys, monkeypatch):
     monkeypatch.setenv("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001")
     monkeypatch.setenv("SPARK_GRAFT_BENCH_RUNS", "1")
     # in-process run: the test session's own JVM would read as a
     # "stray", so don't wait for a clean host here; and the standalone
-    # A/B child must stay off — it stops the caller's SparkSession,
-    # which in-process is the shared test fixture session
+    # A/B child must stay off — it spawns a second full bench process,
+    # far too heavy for a unit test
     monkeypatch.setenv("SPARK_GRAFT_BENCH_WAIT", "0")
     monkeypatch.setenv("SPARK_GRAFT_BENCH_AB", "0")
     import bench
 
     bench.main()
     out = [l for l in capsys.readouterr().out.strip().splitlines() if l.strip()]
-    assert len(out) == 1, "bench must print exactly one line"
+    assert len(out) == 2, "bench must print the full doc + compact tail"
     doc = json.loads(out[0])
     assert doc["metric"] == "headline_queries_total"
     assert doc["unit"] == "sec" and doc["value"] > 0
@@ -27,11 +28,21 @@ def test_bench_emits_one_json_line(spark, capsys, monkeypatch):
     assert set(doc["queries"]) == set(bench.HEADLINE)
     assert all(t >= 0 for t in doc["queries"].values())
     assert set(doc["spread"]) == set(bench.HEADLINE)
+    # the FINAL line is the compact summary: self-contained totals,
+    # small enough for the driver's ~2 KB output tail (round-14
+    # verdict item 4)
+    compact = json.loads(out[-1])
+    assert len(out[-1]) <= 2000
+    assert compact["metric"] == "headline_queries_total"
+    assert compact["value"] == doc["value"]
+    assert compact["extended_total"] == doc["extended_total"]
+    assert "standalone_value" in compact
+    assert compact["env"] == doc["env"]
 
 
 def test_bench_extended_group(spark, capsys, monkeypatch):
-    """The heavy-family group rides in the same single JSON line,
-    separate from the headline total (baseline continuity)."""
+    """The heavy-family group rides in the full doc line, separate
+    from the headline total (baseline continuity)."""
     monkeypatch.setenv("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001")
     monkeypatch.setenv("SPARK_GRAFT_BENCH_RUNS", "1")
     monkeypatch.setenv("SPARK_GRAFT_BENCH_WAIT", "0")
@@ -40,11 +51,46 @@ def test_bench_extended_group(spark, capsys, monkeypatch):
 
     bench.main()
     out = [l for l in capsys.readouterr().out.strip().splitlines() if l.strip()]
-    doc = json.loads(out[-1])
+    docs = [json.loads(l) for l in out]
+    doc = next(d for d in docs if "extended_spread" in d)  # the full doc
     assert set(doc["extended"]) == set(bench.EXTENDED)
     assert doc["extended_total"] > 0
     assert abs(doc["value"] - sum(doc["queries"].values())) < 1e-6
     assert not set(bench.EXTENDED) & set(doc["queries"])
+
+
+def test_compact_summary_trims_to_tail_budget():
+    """The compact line drops its per-query maps (largest members)
+    until it fits the ~2 KB driver tail, but never the three totals."""
+    import bench
+
+    fat = {
+        "metric": "headline_queries_total",
+        "value": 12.345,
+        "unit": "sec",
+        "sf": 0.1,
+        "queries": {f"query_with_a_long_name_{i:03d}": 1.234 for i in range(60)},
+        "extended": {f"extended_query_name_{i:03d}": 9.876 for i in range(40)},
+        "extended_total": 98.765,
+        "env": {"stray_jvms_at_start": 0, "load1_at_start": 0.1,
+                "load5_at_start": 0.2, "contaminated": False, "waited_s": 3},
+        "standalone": {
+            "value": 11.111,
+            "queries": {f"q{i}": 1.0 for i in range(60)},
+            "env": {"contaminated": False, "waited_s": 1.0,
+                    "load5_at_start": 0.5},
+        },
+    }
+    compact = bench._compact_summary(fat)
+    line = json.dumps(compact)
+    assert len(line) <= 2000
+    assert compact["value"] == 12.345
+    assert compact["extended_total"] == 98.765
+    assert compact["standalone_value"] == 11.111
+    # a small doc keeps its maps
+    small = dict(fat, queries={"a": 1.0}, extended={"b": 2.0})
+    c2 = bench._compact_summary(small)
+    assert c2["queries"] == {"a": 1.0} and c2["extended"] == {"b": 2.0}
 
 
 def test_extended_gate_flags_injected_regression():
@@ -206,6 +252,44 @@ def test_extended_overrides_require_plan_audit_citation(tmp_path, capsys):
     )
     out = capsys.readouterr().out
     assert "forgiving" in out and "+1.17s" in out
+
+
+def test_extended_baseline_is_per_query_min_and_skips_contaminated():
+    """Round-14 ADVICE: the gate baseline is the per-query MIN of the
+    newest banked BENCH and the last-green snapshot (no mtime race, no
+    geometric compounding), and a contaminated run — parent OR
+    standalone child — must never refresh the snapshot."""
+    import sys
+    from pathlib import Path
+
+    sys.path.insert(0, str(Path(__file__).resolve().parent.parent / "tools"))
+    import verify_round as vr
+
+    # per-query min across sources
+    base = vr._extended_baseline()
+    assert isinstance(base, dict)
+    if base:  # repo carries banked/snapshot docs
+        assert all(v > 0 for v in base["extended"].values())
+
+    # contamination detection: parent env, standalone env, clean
+    assert vr._bench_contaminated({"env": {"contaminated": True}})
+    assert vr._bench_contaminated(
+        {
+            "env": {"contaminated": False},
+            "standalone": {"env": {"contaminated": True}},
+        }
+    )
+    assert not vr._bench_contaminated(
+        {
+            "env": {"contaminated": False},
+            "standalone": {"env": {"contaminated": False}},
+        }
+    )
+    assert not vr._bench_contaminated({})
+    # a failed standalone child (error, no env) does not read as dirty
+    assert not vr._bench_contaminated(
+        {"env": {"contaminated": False}, "standalone": {"error": "boom"}}
+    )
 
 
 def test_await_clean_host_gates_on_env(monkeypatch):

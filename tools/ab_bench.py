@@ -66,24 +66,43 @@ def run_tree(tree: str, rep: int) -> dict:
     )
     pre = await_idle()
     t0 = time.time()
-    proc = subprocess.run(
-        [sys.executable, "bench.py"],
-        cwd=tree,
-        env=env,
-        capture_output=True,
-        text=True,
-        timeout=3600,
-    )
+    try:
+        proc = subprocess.run(
+            [sys.executable, "bench.py"],
+            cwd=tree,
+            env=env,
+            capture_output=True,
+            text=True,
+            timeout=3600,
+        )
+    except subprocess.TimeoutExpired as exc:
+        # round-14 ADVICE: one hung rep must not discard every
+        # completed run's results — bank an error record like the
+        # returncode!=0 path and keep going
+        return {
+            "tree": tree,
+            "rep": rep,
+            "error": f"timeout after {exc.timeout}s",
+            "host_before": pre,
+            "wall_s": round(time.time() - t0, 1),
+        }
     wall = round(time.time() - t0, 1)
-    lines = [l for l in proc.stdout.splitlines() if l.startswith("{")]
-    if proc.returncode != 0 or not lines:
+    docs = []
+    for l in proc.stdout.splitlines():
+        if l.startswith("{"):
+            try:
+                docs.append(json.loads(l))
+            except ValueError:
+                pass
+    if proc.returncode != 0 or not docs:
         return {
             "tree": tree,
             "rep": rep,
             "error": (proc.stdout + proc.stderr)[-500:],
             "host_before": pre,
         }
-    doc = json.loads(lines[-1])
+    # newer trees print full doc + compact tail; prefer the full one
+    doc = next((d for d in reversed(docs) if "spread" in d), docs[-1])
     return {
         "tree": tree,
         "rep": rep,

@@ -1,7 +1,10 @@
-"""sf10 spot-soak for the two scale flagships (round-13 verdict item
-6): one more order of magnitude of evidence for the Σdf²-bounded dedup
-claim (``minhash_lsh_pairs``) and the posting-list-routed ANN claim
-(``ivf_pq_search``).
+"""sf10 spot-soak for the scale flagships (round-13 verdict item 6 +
+round-14 item 3): one more order of magnitude of evidence for the
+Σdf²-bounded dedup claim (``minhash_lsh_pairs``), the
+posting-list-routed ANN claim (``ivf_pq_search``), and the star CC
+kernel's O(log diameter) claim (``dedup_components`` — its convergence
+ROUND COUNT must stay flat at 10x corpus, because the replica corpus
+preserves within-replica cluster depth while growing the graph 10x).
 
 Corpus model: /tmp/sf10 is 10x /tmp/sf1 documents+embeddings (500k
 docs / 200k vectors = 100x bench scale), built so the CORPUS grows
@@ -40,7 +43,11 @@ SF10 = os.environ.get("SOAK_SF10_DST", "/tmp/sf10")
 REPLICAS = 10
 RATIO_MAX = float(os.environ.get("SOAK_SF10_RATIO_MAX", "15"))
 
-FLAGSHIPS = ["minhash_lsh_pairs", "ivf_pq_search"]
+FLAGSHIPS = ["minhash_lsh_pairs", "ivf_pq_search", "dedup_components"]
+# the CC kernel halves component depth per round: at 10x corpus built
+# from depth-preserving replicas the round count must stay flat (+1
+# slack for a boundary edge-ordering difference)
+CC_ROUNDS_SLACK = 1
 
 
 def build() -> None:
@@ -107,6 +114,8 @@ def run(out_path: str | None) -> int:
 
     qs = entrymod.queries()
     spark = _session(warm=True)
+    from etl_python_spark.operators import dedup as dedup_mod
+
     doc: dict = {"replicas": REPLICAS, "ratio_max": RATIO_MAX, "queries": {}}
     failures = []
     for name in FLAGSHIPS:
@@ -124,6 +133,8 @@ def run(out_path: str | None) -> int:
             assert n1 == n2, (name, label, n1, n2)
             rec[f"{label}_s"] = round(min(t1, t2), 2)
             rec[f"{label}_rows"] = n1
+            if name == "dedup_components":
+                rec[f"{label}_cc_rounds"] = dedup_mod.LAST_CC_ROUNDS
         rec["ratio"] = round(rec["sf10_s"] / max(rec["sf1_s"], 1e-9), 2)
         rec["rows_ratio"] = round(
             rec["sf10_rows"] / max(rec["sf1_rows"], 1), 2
@@ -134,6 +145,15 @@ def run(out_path: str | None) -> int:
             failures.append(
                 f"{name}: sf10/sf1 time ratio {rec['ratio']} > {RATIO_MAX} "
                 f"(super-linear at 10x corpus)"
+            )
+        if name == "dedup_components" and rec["sf10_cc_rounds"] > rec[
+            "sf1_cc_rounds"
+        ] + CC_ROUNDS_SLACK:
+            failures.append(
+                f"{name}: star CC took {rec['sf10_cc_rounds']} rounds at "
+                f"sf10 vs {rec['sf1_cc_rounds']} at sf1 (> +"
+                f"{CC_ROUNDS_SLACK} slack) — component depth grew with "
+                "corpus size, violating the O(log diameter) claim"
             )
     doc["failures"] = failures
     if out_path:

@@ -216,19 +216,21 @@ def check_extended(
 LAST_GREEN_BENCH = os.path.join(REPO, "tools", "bench_last_green.json")
 
 
-def _latest_banked_bench() -> dict | None:
-    """Newest bench doc carrying an ``extended`` map: the gate-run
-    snapshot ``tools/bench_last_green.json`` (written by
-    ``bench_gate`` whenever the gate passes — round 14: the
-    driver-banked BENCH_r12/r13.json truncate their payload to a tail
-    fragment with ``parsed: None``, which silently aged the extended
-    baseline back to r11) or, when that is older or absent, the
-    newest parseable ``BENCH_r*.json``."""
+def _extended_baseline() -> dict:
+    """Per-query extended-group reference: the MIN of the newest
+    parseable driver-banked ``BENCH_r*.json`` and the local last-green
+    snapshot (round-14 ADVICE: the old mtime-newest selection let a
+    ~2x-slower-but-passing run become the sole reference, so
+    regressions could compound geometrically across gate runs; after a
+    fresh clone both mtimes are checkout time and the choice was
+    arbitrary).  min() makes the reference monotone-conservative: a
+    slow-host banking can only LOOSEN it back to the best known
+    number, never tighten past real performance."""
     import glob
     import json
     import re
 
-    candidates: list[tuple[float, dict]] = []
+    docs: list[dict] = []
     banked = sorted(
         glob.glob(os.path.join(REPO, "BENCH_r*.json")),
         key=lambda p: int(re.search(r"r(\d+)", os.path.basename(p)).group(1)),
@@ -242,18 +244,30 @@ def _latest_banked_bench() -> dict | None:
         # driver-banked files nest the bench payload under "parsed"
         doc = doc.get("parsed", doc)
         if isinstance(doc, dict) and doc.get("extended"):
-            candidates.append((os.path.getmtime(path), doc))
+            docs.append(doc)
             break
     try:
         with open(LAST_GREEN_BENCH, encoding="utf-8") as fh:
             doc = json.load(fh)
         if isinstance(doc, dict) and doc.get("extended"):
-            candidates.append((os.path.getmtime(LAST_GREEN_BENCH), doc))
+            docs.append(doc)
     except (OSError, ValueError):
         pass
-    if not candidates:
-        return None
-    return max(candidates, key=lambda t: t[0])[1]
+    merged: dict[str, float] = {}
+    for doc in docs:
+        for name, sec in doc["extended"].items():
+            merged[name] = min(sec, merged.get(name, float("inf")))
+    return {"extended": merged} if merged else {}
+
+
+def _bench_contaminated(doc: dict) -> bool:
+    """True when the parent run OR the standalone child banked under a
+    dirty host (round-14 ADVICE: a contaminated-but-passing run must
+    not become the next gate baseline)."""
+    if (doc.get("env") or {}).get("contaminated"):
+        return True
+    standalone = doc.get("standalone") or {}
+    return bool((standalone.get("env") or {}).get("contaminated"))
 
 
 def bench_gate(py: str) -> bool:
@@ -289,29 +303,47 @@ def bench_gate(py: str) -> bool:
         tail = "\n".join((proc.stdout + proc.stderr).splitlines()[-3:])
         print(f"FAIL bench ({time.time()-t0:.0f}s)\n{tail}\n")
         return False
-    try:
-        line = [l for l in proc.stdout.splitlines() if l.startswith("{")][-1]
-        doc = json.loads(line)
-    except (IndexError, ValueError):
+    docs = []
+    for line in proc.stdout.splitlines():
+        if line.startswith("{"):
+            try:
+                docs.append(json.loads(line))
+            except ValueError:
+                pass
+    if not docs:
         tail = "\n".join(proc.stdout.splitlines()[-3:])
         print(f"FAIL bench: no parseable JSON line in output\n{tail}\n")
         return False
+    # bench prints the full doc then the compact tail summary — gate
+    # on the full one (it carries the per-query extended map + spread)
+    doc = next((d for d in reversed(docs) if "spread" in d), docs[-1])
     print(
         f"ok   bench ({time.time()-t0:.0f}s) headline={doc['value']}s "
-        f"extended={doc.get('extended_total', 'n/a')}s\n{line}\n"
+        f"extended={doc.get('extended_total', 'n/a')}s "
+        f"standalone={(doc.get('standalone') or {}).get('value', 'n/a')}s\n"
+        f"{json.dumps(doc)}\n"
     )
-    alarms = check_extended(doc, _latest_banked_bench() or {})
+    alarms = check_extended(doc, _extended_baseline())
     for a in alarms:
         print(f"FAIL {a}")
     if not alarms:
         # snapshot the passing doc so the NEXT gate run diffs against
         # a fresh baseline even when the driver-banked BENCH_r*.json
-        # payloads truncate (round 14: r12/r13 shipped parsed=None)
-        try:
-            with open(LAST_GREEN_BENCH, "w", encoding="utf-8") as fh:
-                json.dump(doc, fh)
-        except OSError as ex:
-            print(f"WARN bench: could not snapshot last-green ({ex})")
+        # payloads truncate (round 14: r12/r13 shipped parsed=None) —
+        # but never a contaminated one (round-14 ADVICE: an inflated
+        # baseline masks real slowdowns)
+        if _bench_contaminated(doc):
+            print(
+                "note bench: run passed but env is contaminated — "
+                "last-green snapshot NOT updated",
+                flush=True,
+            )
+        else:
+            try:
+                with open(LAST_GREEN_BENCH, "w", encoding="utf-8") as fh:
+                    json.dump(doc, fh)
+            except OSError as ex:
+                print(f"WARN bench: could not snapshot last-green ({ex})")
     return not alarms
 
 
