@@ -8,15 +8,25 @@ preserves within-replica cluster depth while growing the graph 10x).
 
 Corpus model: /tmp/sf10 is 10x /tmp/sf1 documents+embeddings (500k
 docs / 200k vectors = 100x bench scale), built so the CORPUS grows
-while the duplication rate stays constant — each replica interleaves
-a replica-specific marker token every three words, which breaks
-cross-replica shingle similarity (otherwise near-dup clusters would
-grow 10x in SIZE and pair count would grow quadratically by
-construction, measuring the corpus generator, not the operator).
-Within-replica near-dup structure from sf1 is preserved, so the
-expected pair count and the expected runtime are both ~linear in the
-corpus.  Embedding replicas keep the vectors verbatim under remapped
-ids: posting lists grow 10x, probe pruning still visits a constant
+while the duplication rate stays constant — every word in replica r>0
+gets a replica-specific PREFIX, a token-level bijection per replica:
+within-replica Jaccard and every shingle's document frequency stay
+EXACTLY equal to sf1's, while replicas are fully disjoint in shingle
+space (cross-replica J = 0, so clusters cannot chain and pair count is
+exactly 10x by construction).
+
+The round-14 scheme (a marker token every three words) FAILED this
+model for the exact-Jaccard ladder: with SHINGLE_K=3, every third
+trigram survives VERBATIM in all replicas, its df inflates 10x past
+MAX_DF=100, the stop-shingle cap drops it from the inverted index,
+and within-replica intersections collapse — dedup_components read an
+EMPTY sf10 pair graph (caught by this soak's rows-ratio gate, now
+mandatory).  minhash_lsh_pairs was unaffected (its exact-verify stage
+is capless; the LSH banding bounds candidates instead) — which is the
+design point: the absolute df cap is what makes ngram_jaccard's
+fan-out Sigma-df^2-bounded, and minhash/LSH is the scale path.
+Embedding replicas keep the vectors verbatim under remapped ids:
+posting lists grow 10x, probe pruning still visits a constant
 fraction.
 
 Usage:
@@ -48,6 +58,17 @@ FLAGSHIPS = ["minhash_lsh_pairs", "ivf_pq_search", "dedup_components"]
 # from depth-preserving replicas the round count must stay flat (+1
 # slack for a boundary edge-ordering difference)
 CC_ROUNDS_SLACK = 1
+# output-size model per query: 10 disjoint structure-preserving
+# replicas make pair/component counts EXACTLY 10x and top-k outputs
+# exactly 1x.  A rows ratio outside these bounds means the corpus (or
+# the operator) violated the model — the r14 marker corpus produced an
+# EMPTY sf10 exact-Jaccard pair graph and the time-ratio gate alone
+# happily passed it.
+EXPECTED_ROWS_RATIO = {
+    "minhash_lsh_pairs": (9.99, 10.01),
+    "dedup_components": (9.99, 10.01),
+    "ivf_pq_search": (0.99, 1.01),
+}
 
 
 def build() -> None:
@@ -66,18 +87,15 @@ def build() -> None:
             "doc_id", (F.col("doc_id") + F.lit(r * max_doc)).cast("long")
         )
         if r > 0:
-            # break cross-replica shingle similarity: a replica-specific
-            # marker every 3 words rewrites most shingles, so replicas
-            # of the same sf1 doc are NOT near-dups of each other and
-            # cluster size stays at sf1's — pair count model: ~linear
+            # per-word replica prefix: a token-level bijection, so
+            # within-replica Jaccard and per-shingle dfs are EXACTLY
+            # sf1's while every cross-replica shingle pair is distinct
+            # (the r14 every-3-words marker left 1/3 of trigrams shared
+            # verbatim across replicas — their dfs inflated 10x past
+            # MAX_DF and the cap emptied the exact-Jaccard pair graph)
             rep = rep.withColumn(
                 "text",
-                F.concat(
-                    F.lit(f"z{r}q "),
-                    F.regexp_replace(
-                        F.col("text"), r"(\S+ \S+ \S+)", f"$1 z{r}q"
-                    ),
-                ),
+                F.regexp_replace(F.col("text"), r"(\S+)", f"z{r}q$1"),
             ).withColumn("n_chars", F.length("text").cast("long"))
         reps.append(rep)
     out = reps[0]
@@ -108,6 +126,12 @@ def build() -> None:
 
 
 def run(out_path: str | None) -> int:
+    # the exact-Jaccard ladder at the 10x corpus (500k docs, 2.5M-pair
+    # graph) OOMs the default 8g single-JVM heap in the shingle-pair
+    # stage (driver + 32 executor threads share it in local mode — a
+    # real cluster gives executors their own heaps); 16g measured fine
+    os.environ.setdefault("SPARK_DRIVER_MEMORY", "16g")
+
     import __spark_entry__ as entrymod
 
     from tools.soak_sf1 import _session
@@ -154,6 +178,13 @@ def run(out_path: str | None) -> int:
                 f"sf10 vs {rec['sf1_cc_rounds']} at sf1 (> +"
                 f"{CC_ROUNDS_SLACK} slack) — component depth grew with "
                 "corpus size, violating the O(log diameter) claim"
+            )
+        lo, hi = EXPECTED_ROWS_RATIO[name]
+        if not lo <= rec["rows_ratio"] <= hi:
+            failures.append(
+                f"{name}: sf10/sf1 rows ratio {rec['rows_ratio']} outside "
+                f"[{lo}, {hi}] — the corpus or the operator violated the "
+                "10-disjoint-replicas output model"
             )
     doc["failures"] = failures
     if out_path:
