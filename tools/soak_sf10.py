@@ -53,7 +53,20 @@ SF10 = os.environ.get("SOAK_SF10_DST", "/tmp/sf10")
 REPLICAS = 10
 RATIO_MAX = float(os.environ.get("SOAK_SF10_RATIO_MAX", "15"))
 
-FLAGSHIPS = ["minhash_lsh_pairs", "ivf_pq_search", "dedup_components"]
+FLAGSHIPS = [
+    "minhash_lsh_pairs",
+    "ivf_pq_search",
+    "dedup_components",
+    # round-15 additions: one representative per remaining LLM-ops
+    # family — serving shuffle (two-phase distributed ROW_NUMBER),
+    # exact dedup (one shuffle on the content hash), per-doc scoring
+    # (broadcast LM), and corpus-wide text stats (df + per-doc top-k).
+    # Each has an EXACT x10 output model under disjoint replicas.
+    "training_shuffle",
+    "dedup_exact",
+    "lm_perplexity",
+    "tfidf_top_terms",
+]
 # the CC kernel halves component depth per round: at 10x corpus built
 # from depth-preserving replicas the round count must stay flat (+1
 # slack for a boundary edge-ordering difference)
@@ -68,6 +81,12 @@ EXPECTED_ROWS_RATIO = {
     "minhash_lsh_pairs": (9.99, 10.01),
     "dedup_components": (9.99, 10.01),
     "ivf_pq_search": (0.99, 1.01),
+    # per-doc outputs: the replica bijection preserves every per-doc
+    # decision, so counts are exactly 10x
+    "training_shuffle": (9.99, 10.01),
+    "dedup_exact": (9.99, 10.01),
+    "lm_perplexity": (9.99, 10.01),
+    "tfidf_top_terms": (9.99, 10.01),
 }
 
 
