@@ -22,74 +22,68 @@ from pyspark.sql import DataFrame, SparkSession
 #     their round-1 verdict remains valid evidence).
 # Names absent from this tuple keep module order after the block.
 VERIFY_PRIORITY = (
-    # Round-15 rotation (enforced by tests/test_rotation.py against
-    # tools/queries_at_base.json @ round-14 HEAD, tools/round_base.txt).
-    # Ordering (round-14 verdict item 1: drain the ENTIRE round-11
-    # driver-verdict cohort — the whole remaining verification debt —
-    # in one window): (a) the new exact changepoint-BANDS query —
-    # created this round, no driver verdict exists; (b) all 42 names
-    # whose latest driver verdict is round 11 (every other name is
-    # r12+); (c) the seven remaining ml/forecast.py queries whose
-    # fingerprints flip with this round's bands/headroom work fill the
-    # last slots.  After this window the oldest driver verdict in the
-    # inventory is round 12.  The other changed-this-round names
-    # (txn.py keys-plan walker + dedup.py round counter flips, ~54)
-    # carry check_correctness --record evidence at their HEAD
-    # fingerprints (tools/offwindow_verified.json).
-    # (a) created this round, never driver-verified:
-    "ml_changepoint_bands",
-    # (b) the round-11 driver-verdict cohort, drained in full:
-    "ann_ivf",
-    "ann_ivf_fitted",
-    "ann_lsh",
-    "ann_pq_adc",
-    "ann_probe_recall",
-    "cluster_label_nmi",
-    "dedup_components",
-    "dedup_exact",
-    "dedup_keep_best",
-    "dedup_keep_canonical",
-    "dedup_source_matrix",
-    "embedding_covariance",
-    "embedding_neardup",
-    "hourly_event_counts",
-    "incremental_dedup",
-    "ivf_pq_recall",
-    "kmeans_assign",
-    "kmeans_silhouette",
-    "leakage_safe_split",
-    "lm_perplexity",
-    "minhash_lsh_pairs",
-    "minhash_recall_audit",
-    "ngram_jaccard_pairs",
-    "pca_project",
-    "pq_codes",
-    "pq_distortion",
-    "props_extract",
-    "sessionize",
-    "simhash",
-    "simhash_neardup",
-    "simhash_recall_audit",
-    "stream_cms_heavy_hitters",
-    "stream_dedup_exact",
-    "stream_histogram_quantiles",
-    "stream_hll_users",
-    "stream_hourly_counts",
-    "stream_incremental_dedup",
-    "stream_psi_drift",
-    "stream_sessionize",
-    "stream_static_enriched",
-    "stream_stream_join",
-    "stream_user_totals",
-    # (c) changed-this-round forecast queries (slots 44-50;
-    # ml_lag_features is the one forecast name left to --record):
-    "ml_changepoint_fit",
-    "ml_changepoint_spine",
-    "ml_forecast_horizon",
-    "ml_forecast_per_group",
-    "ml_horizon_spine",
-    "ml_proxy_features",
-    "ts_autocorr",
+    # Round-16 rotation (enforced by tests/test_rotation.py against
+    # tools/queries_at_base.json @ round-15 HEAD, tools/round_base.txt).
+    # Round-15 verdict item 1: drain the ENTIRE round-12 driver-verdict
+    # cohort — after round 15 it is the whole remaining verification-
+    # freshness debt (histogram r12:50 r13:50 r14:43 r15:50) and it
+    # exactly fills the 50-slot window.  `stream_neardup` is also this
+    # round's only in-window touched query (verdict item 4 adds its
+    # bounded-state scale soak).  Queries changed this round OUTSIDE
+    # the cohort (the ml/forecast.py band-rounding oracle fix, ADVICE
+    # item 2) carry check_correctness --record evidence at their HEAD
+    # fingerprints (tools/offwindow_verified.json).  After this window
+    # the oldest driver verdict in the inventory is round 13.
+    "ann_index_incremental",
+    "bloom_semi_filter",
+    "catalog_integrity",
+    "churn_kpi",
+    "cms_heavy_hitters",
+    "cnpj_validate",
+    "custom_sort_field",
+    "customer_quartiles",
+    "dedup_pairs_incremental",
+    "depara_standardize",
+    "dsir_scores",
+    "embedding_stats",
+    "formatted_report",
+    "full_outer_coalesce",
+    "fuzzy_components",
+    "fuzzy_match",
+    "gap_fill_interpolate",
+    "geo_spine_zerofill",
+    "global_topn",
+    "grouping_sets_report",
+    "histogram_quantiles",
+    "hll_users",
+    "km_survival",
+    "kmv_overlap",
+    "last_quarter_revenue",
+    "latest_order_per_customer",
+    "lead_scoring",
+    "left_enrichment",
+    "media_features",
+    "mom_growth",
+    "nb_quality_scores",
+    "ordinal_alignment",
+    "outlier_events",
+    "payroll_report",
+    "preagg_join",
+    "profile_customer",
+    "recency_buckets",
+    "reincidence",
+    "rolling_metrics",
+    "scd2_intervals",
+    "semi_join",
+    "set_ops",
+    "share_of_priority",
+    "sla_leadtime",
+    "stream_neardup",
+    "top_customers_per_nation",
+    "union_detail_total",
+    "union_distinct_dims",
+    "year_pivot",
+    "yoy_same_month",
 )
 
 
