@@ -991,7 +991,15 @@ def _changepoint_bands_oracle() -> str:
     """DuckDB restatement of :func:`q_changepoint_bands`: the same
     Leibniz beta solve as ``ml_changepoint_fit``'s oracle, then the
     residual/seasonal/variance ladder in HUGEINT with sign-split
-    divisions, and the one guarded float expression for the band."""
+    divisions, and the one guarded float expression for the band.
+
+    The band rounding is ``FLOOR(x + 0.5)``, not ``ROUND(x)``: the
+    Python side computes ``int(x + 0.5)`` (IEEE add, then truncate —
+    floor for the non-negative half-width), and on identical doubles
+    DuckDB's ROUND diverges from that at binary-rounding edges (e.g.
+    x = 0.49999999999999994: int(x + 0.5) = 1, ROUND(x) = 0), so only
+    the add-then-floor form is bit-identical on both engines
+    (round-15 ADVICE item 2)."""
     gcols = ",\n         ".join(
         f"SUM(z{a}*z{b}) AS g{a}{b}" for a in range(5) for b in range(a, 5)
     )
@@ -1083,7 +1091,8 @@ WITH monthly AS (
 ), q2 AS (
   SELECT n_name, n, h, mes, previsao_micro,
          {_div_half_away_sql('previsao_micro', '10000')} AS previsao_centi,
-         CAST(ROUND({CP_BANDS_Z} * sqrt(CAST(var_c2 * (n + h) AS DOUBLE) / n))
+         CAST(FLOOR({CP_BANDS_Z} * sqrt(CAST(var_c2 * (n + h) AS DOUBLE) / n)
+                    + 0.5)
               AS BIGINT) AS band_centi
   FROM q
 )

@@ -72,12 +72,19 @@ def main() -> int:
 
     spark = get_spark("check_correctness")
     con = duckdb.connect()
+    import os
+
     for t in (
         "region nation customer supplier part orders lineitem events "
         "documents embeddings".split()
     ):
+        # /root/testdata tables are single files; soak dirs (/tmp/sf1)
+        # are Spark-written DIRECTORIES of part files — glob those
+        src = f"{sf_dir}/{t}.parquet"
+        if os.path.isdir(src):
+            src = f"{src}/*.parquet"
         con.execute(
-            f"CREATE OR REPLACE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'"
+            f"CREATE OR REPLACE VIEW {t} AS SELECT * FROM '{src}'"
         )
 
     qs, oracles = e.queries(), e.oracle_sql()
