@@ -119,7 +119,11 @@ MAX_BANKABLE_LOAD1 = 2.0
 MAX_BANKABLE_LOAD5 = 2.0
 
 
-def _await_clean_host(max_wait_s: float) -> dict:
+def _await_clean_host(
+    max_wait_s: float,
+    allow_self_load5: bool = False,
+    pre_child_env: dict | None = None,
+) -> dict:
     """Round-11 verdict item 6: bench.py used to CAPTURE the host env
     and then bank regardless (BENCH_r11 shipped with 1 stray JVM and
     load1 10.47).  Now it actively waits (up to
@@ -130,18 +134,37 @@ def _await_clean_host(max_wait_s: float) -> dict:
     again.  The load5 condition is round-13's lesson: r13's standalone
     A/B passed a load1-only gate with load5 4.23 (host still cooling
     from the in-chain run) and banked numbers ~1.65x an idle host.
-    Unknown readings (-1) don't block: "can't measure" is not "dirty"."""
+    Unknown readings (-1) don't block: "can't measure" is not "dirty".
+
+    ``allow_self_load5`` (round-15 ADVICE item 1): when the standalone
+    A/B child just ran IN-PROCESS on a host that was clean BEFORE the
+    child started, the child's own 32-thread run is the only workload
+    in the trailing 5-minute load window — its residual load5 is
+    self-inflicted measurement exhaust, not external contamination,
+    and load5 mathematically cannot decay below 2.0 within the
+    parent's wait budget.  With the flag set, a high load5 alone does
+    not mark the parent contaminated (strays and load1 still gate —
+    load1 decays fast enough to catch any ONGOING external workload);
+    the banked env records the discount and the pre-child readings so
+    a drift adjudication has the full picture."""
     deadline = time.time() + max_wait_s
     while True:
         env = _env_conditions()
+        load5_dirty = env["load5_at_start"] > MAX_BANKABLE_LOAD5
+        discounted = bool(load5_dirty and allow_self_load5)
+        if discounted:
+            load5_dirty = False
         dirty = (
             env["stray_jvms_at_start"] > 0
             or env["load1_at_start"] > MAX_BANKABLE_LOAD1
-            or env["load5_at_start"] > MAX_BANKABLE_LOAD5
+            or load5_dirty
         )
         if not dirty or time.time() >= deadline:
             env["contaminated"] = dirty
             env["waited_s"] = round(max(0.0, max_wait_s - (deadline - time.time())), 1)
+            if discounted and not dirty:
+                env["load5_self_discounted"] = True
+                env["pre_child_env"] = pre_child_env
             return env
         time.sleep(5)
 
@@ -205,6 +228,11 @@ def _compact_summary(doc: dict) -> dict:
     artifact is always self-contained: the three totals first, then
     env + per-query maps trimmed to fit the tail."""
     standalone = doc.get("standalone") or {}
+    env = doc.get("env")
+    if isinstance(env, dict) and "pre_child_env" in env:
+        # the pre-child snapshot is adjudication detail — keep the
+        # compact tail line lean (the full doc line carries it)
+        env = {k: v for k, v in env.items() if k != "pre_child_env"}
     compact = {
         "metric": doc["metric"],
         "value": doc["value"],
@@ -212,7 +240,7 @@ def _compact_summary(doc: dict) -> dict:
         "standalone_value": standalone.get("value"),
         "unit": doc["unit"],
         "sf": doc["sf"],
-        "env": doc.get("env"),
+        "env": env,
         "standalone_env": standalone.get("env"),
         "queries": doc.get("queries"),
         "extended": doc.get("extended"),
@@ -236,10 +264,35 @@ def main() -> None:
     # high, so the cross-round comparator is a fresh child process
     # measured BEFORE this process heats the host.
     standalone = None
+    pre_child_env = None
     if os.environ.get("SPARK_GRAFT_BENCH_AB", "1") != "0":
+        pre_child_env = _env_conditions()
         standalone = _run_standalone_child()
 
-    env_conditions = _await_clean_host(max_wait)
+    # Round-15 ADVICE item 1: with the child running first, the
+    # parent's wait starts right after a multi-minute 32-thread run —
+    # load5 cannot decay below 2.0 inside the default 180 s, so the
+    # parent banked contaminated=true on essentially every gate run
+    # and the last-green snapshot mechanism was effectively dead.
+    # Two-part fix: (a) when the host was CLEAN before the child
+    # started, the child's trailing load5 is self-inflicted — discount
+    # it from the parent's contamination verdict (strays + load1 still
+    # gate); (b) give the parent the same 600 s wait floor the child
+    # gets, so even without the discount it has a real decay budget.
+    discount_self_load5 = False
+    if standalone is not None and pre_child_env is not None:
+        discount_self_load5 = (
+            pre_child_env["stray_jvms_at_start"] <= 0
+            and pre_child_env["load1_at_start"] <= MAX_BANKABLE_LOAD1
+            and pre_child_env["load5_at_start"] <= MAX_BANKABLE_LOAD5
+        )
+        max_wait = max(max_wait, 600.0)
+
+    env_conditions = _await_clean_host(
+        max_wait,
+        allow_self_load5=discount_self_load5,
+        pre_child_env=pre_child_env,
+    )
 
     from etl_python_spark.session import get_spark
     from etl_python_spark.operators import all_queries

@@ -322,3 +322,70 @@ def test_await_clean_host_gates_on_env(monkeypatch):
     monkeypatch.setattr(bench, "_env_conditions", fake_env(0, 2.5))
     env = bench._await_clean_host(0)
     assert env["contaminated"] is True
+
+
+def test_await_clean_host_discounts_self_inflicted_load5(monkeypatch):
+    """Round-15 ADVICE item 1: after the in-process standalone child
+    runs first, its trailing load5 is self-inflicted — the parent's
+    verdict discounts it WHEN the pre-child host was clean, records
+    the discount + the pre-child snapshot, and still gates hard on
+    strays and load1 (they catch any ongoing external workload)."""
+    import bench
+
+    def fake_env(strays, load1, load5):
+        return lambda: {
+            "stray_jvms_at_start": strays,
+            "load1_at_start": load1,
+            "load5_at_start": load5,
+        }
+
+    pre = {
+        "stray_jvms_at_start": 0,
+        "load1_at_start": 0.3,
+        "load5_at_start": 0.4,
+    }
+    # child exhaust: load5 high, load1/strays clean -> clean, recorded
+    monkeypatch.setattr(bench, "_env_conditions", fake_env(0, 0.5, 8.0))
+    env = bench._await_clean_host(0, allow_self_load5=True, pre_child_env=pre)
+    assert env["contaminated"] is False
+    assert env["load5_self_discounted"] is True
+    assert env["pre_child_env"] == pre
+    # identical readings WITHOUT the discount -> contaminated
+    env = bench._await_clean_host(0)
+    assert env["contaminated"] is True
+    # the discount never forgives load1 (an ongoing external workload)
+    monkeypatch.setattr(bench, "_env_conditions", fake_env(0, 5.0, 8.0))
+    env = bench._await_clean_host(0, allow_self_load5=True, pre_child_env=pre)
+    assert env["contaminated"] is True
+    assert "load5_self_discounted" not in env
+    # ...or stray JVMs
+    monkeypatch.setattr(bench, "_env_conditions", fake_env(2, 0.5, 8.0))
+    env = bench._await_clean_host(0, allow_self_load5=True, pre_child_env=pre)
+    assert env["contaminated"] is True
+    # a genuinely settled host banks clean without stamping a discount
+    monkeypatch.setattr(bench, "_env_conditions", fake_env(0, 0.2, 0.2))
+    env = bench._await_clean_host(0, allow_self_load5=True, pre_child_env=pre)
+    assert env["contaminated"] is False
+    assert "load5_self_discounted" not in env
+
+
+def test_compact_summary_strips_pre_child_env():
+    """The pre-child snapshot rides only in the full doc line; the
+    compact tail keeps the verdict fields."""
+    import bench
+
+    doc = {
+        "metric": "headline_queries_total",
+        "value": 1.0,
+        "unit": "sec",
+        "sf": 0.1,
+        "env": {
+            "contaminated": False,
+            "load5_self_discounted": True,
+            "pre_child_env": {"load1_at_start": 0.1},
+        },
+    }
+    compact = bench._compact_summary(doc)
+    assert "pre_child_env" not in compact["env"]
+    assert compact["env"]["load5_self_discounted"] is True
+    assert compact["env"]["contaminated"] is False
