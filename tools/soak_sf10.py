@@ -285,6 +285,27 @@ def run(out_path: str | None) -> int:
 #     dedup pairs(sf10) == 9 * pairs_full(sf1) + pairs_del(sf1)
 # ---------------------------------------------------------------------------
 
+def _release_blocks(spark) -> None:
+    """Drop accumulated localCheckpoint / cache blocks between
+    independent lifecycle steps (the soak_sf1.run() lesson: the
+    materialize/refresh paths each checkpoint corpus-sized shingle
+    streams, and letting them pile up across steps in one session
+    OOMs the heap — each step re-reads published txn tables, so
+    nothing depends on a previous step's blocks)."""
+    import gc
+
+    gc.collect()
+    try:
+        spark.catalog.clearCache()
+    except Exception:
+        pass
+    try:
+        for rdd in spark.sparkContext._jsc.getPersistentRDDs().values():
+            rdd.unpersist()
+    except Exception:
+        pass
+
+
 MAINT_DELTA_MOD, MAINT_DELTA_REM = 100, 97  # growth slice (sf1 id range)
 MAINT_DEL_MOD, MAINT_DEL_REM = 100, 3       # takedown slice (disjoint)
 MAINT_RATIO_GATES = {
@@ -399,13 +420,16 @@ def maint(out_path: str | None) -> int:
             t0 = time.time()
             cfg["materialize"](spark, base_dir, root)
             out["materialize_s"] = round(time.time() - t0, 2)
+            _release_blocks(spark)
             t0 = time.time()
             cfg["incremental"](spark, src, root)
             out["incremental_s"] = round(time.time() - t0, 2)
+            _release_blocks(spark)
             out["after_incremental"] = cfg["counts"](root)
             t0 = time.time()
             cfg["on_delete"](spark, shrunk_dir, root)
             out["on_delete_s"] = round(time.time() - t0, 2)
+            _release_blocks(spark)
             out["after_on_delete"] = cfg["counts"](root)
             if timed:
                 print(f"{fam}/{scale}: {out}", flush=True)
@@ -517,14 +541,159 @@ def maint(out_path: str | None) -> int:
     return 1 if failures else 0
 
 
+# ---------------------------------------------------------------------------
+# stream_neardup bounded-state soak (round-15 verdict item 4): the
+# NEARDUP_MAX_BUCKET freeze + exact overflow compaction (union ==
+# unbounded) was pinned by unit tests on a synthetic hot bucket only.
+# ``neardup`` drives the REAL capped stream over the sf1 and sf10
+# corpora, records max bucket occupancy and overflow-marker counts
+# from the drained state output, and gates the stream ∪ compaction
+# result VALUE-equal (exceptAll both ways) against the batch
+# ``minhash_lsh_pairs`` engine at the same scale.
+#
+# Two cap configs per scale: the production default (64 — the replica
+# corpora's real buckets are cluster-sized ~10-20, so the cap rarely
+# binds and the run shows steady-state marker-free behavior) and a
+# TIGHT cap (8 — below the corpus's cluster size, so real buckets
+# freeze and the overflow → compaction path carries real load; the
+# union-equality gate then proves the capped stream loses nothing).
+# ---------------------------------------------------------------------------
+
+NEARDUP_TIGHT_CAP = 8
+
+
+def neardup(out_path: str | None) -> int:
+    os.environ.setdefault("SPARK_DRIVER_MEMORY", "16g")
+
+    from pyspark.sql import functions as F
+
+    import __spark_entry__ as entrymod
+
+    from tools.soak_sf1 import _session
+
+    spark = _session(warm=True)
+
+    from etl_python_spark.operators.dedup import minhash_band_stream
+    from etl_python_spark.sources.tables import load_table
+    from etl_python_spark.streaming.file_stream import (
+        NEARDUP_MAX_BUCKET,
+        _drain_to_memory,
+        _table_stream,
+        finish_neardup,
+        neardup_overflow_compaction,
+        neardup_pairs_stream,
+    )
+
+    qs = entrymod.queries()
+    doc: dict = {"caps": [NEARDUP_MAX_BUCKET, NEARDUP_TIGHT_CAP],
+                 "scales": {}}
+    failures: list[str] = []
+
+    for label, src in (("sf1", SF1), ("sf10", SF10)):
+        docs_batch = load_table(spark, src, "documents")
+        # input bucket-size distribution (batch-side: the banding is a
+        # pure per-row projection) — shows whether each cap binds
+        bucket_sizes = (
+            minhash_band_stream(docs_batch)
+            .groupBy("band", "key")
+            .count()
+        )
+        dist = bucket_sizes.agg(
+            F.max("count").alias("max"),
+            F.count("*").alias("buckets"),
+        ).collect()[0]
+        rec: dict = {
+            "input_buckets": dist["buckets"],
+            "largest_input_bucket": dist["max"],
+            "caps": {},
+        }
+        for cap in (NEARDUP_MAX_BUCKET, NEARDUP_TIGHT_CAP):
+            # batch comparator re-checkpointed per config so the
+            # end-of-config block release can be blanket (a released
+            # localCheckpoint is unusable — its lineage is truncated)
+            batch = qs["minhash_lsh_pairs"](spark, src).localCheckpoint(
+                eager=True
+            )
+            rec["batch_pairs"] = batch.count()
+            t0 = time.time()
+            out = neardup_pairs_stream(
+                minhash_band_stream(_table_stream(spark, src, "documents")),
+                max_members=cap,
+            )
+            drained = _drain_to_memory(
+                out, f"neardup_soak_{label}_{cap}", "update", timeout_s=1800
+            ).localCheckpoint(eager=True)
+            markers = drained.filter(F.col("inter") < 0)
+            m = markers.agg(
+                F.count("*").alias("n"),
+                F.min("doc_b").alias("min_stored"),
+                F.max("doc_b").alias("max_stored"),
+                F.countDistinct("band", "key").alias("frozen_buckets"),
+            ).collect()[0]
+            stream_pairs = drained.filter(F.col("inter") >= 0).select(
+                "doc_a", "doc_b", "inter", "size_a", "size_b"
+            )
+            compacted = neardup_overflow_compaction(drained, docs_batch)
+            result = finish_neardup(
+                stream_pairs.unionByName(compacted)
+            ).localCheckpoint(eager=True)
+            only_stream = result.exceptAll(batch).count()
+            only_batch = batch.exceptAll(result).count()
+            crec = {
+                "elapsed_s": round(time.time() - t0, 2),
+                "overflow_markers": m["n"],
+                "frozen_buckets": m["frozen_buckets"],
+                "stored_at_overflow": [m["min_stored"], m["max_stored"]],
+                "compaction_pairs": compacted.count(),
+                "union_rows": result.count(),
+                "rows_only_in_stream_union": only_stream,
+                "rows_only_in_batch": only_batch,
+            }
+            rec["caps"][str(cap)] = crec
+            print(f"{label} cap={cap}: {crec}", flush=True)
+            if only_stream or only_batch:
+                failures.append(
+                    f"{label} cap={cap}: stream ∪ compaction != batch "
+                    f"minhash_lsh_pairs (only_stream={only_stream}, "
+                    f"only_batch={only_batch})"
+                )
+            if m["n"] and (m["min_stored"] != cap or m["max_stored"] != cap):
+                failures.append(
+                    f"{label} cap={cap}: a bucket froze at "
+                    f"{[m['min_stored'], m['max_stored']]} stored members "
+                    f"instead of exactly the cap — state is not bounded "
+                    "the way the policy claims"
+                )
+            if cap == NEARDUP_TIGHT_CAP and m["n"] == 0:
+                failures.append(
+                    f"{label} cap={cap}: ZERO overflow markers — the "
+                    "tight-cap run failed to exercise the freeze/"
+                    "compaction path (cap not below cluster size?)"
+                )
+            _release_blocks(spark)
+        doc["scales"][label] = rec
+
+    doc["failures"] = failures
+    if out_path:
+        with open(out_path, "w", encoding="utf-8") as fh:
+            json.dump(doc, fh, indent=1)
+        print(f"banked -> {out_path}", flush=True)
+    else:
+        print(json.dumps(doc, indent=1))
+    for f in failures:
+        print(f"FAIL {f}", flush=True)
+    return 1 if failures else 0
+
+
 if __name__ == "__main__":
     cmd = sys.argv[1] if len(sys.argv) > 1 else "run"
     if cmd == "build":
         build()
-    elif cmd in ("run", "maint"):
+    elif cmd in ("run", "maint", "neardup"):
         out = None
         if "--out" in sys.argv:
             out = sys.argv[sys.argv.index("--out") + 1]
-        sys.exit(run(out) if cmd == "run" else maint(out))
+        fn = {"run": run, "maint": maint, "neardup": neardup}[cmd]
+        sys.exit(fn(out))
     else:
         raise SystemExit(f"unknown command {cmd!r}")
