@@ -281,11 +281,19 @@ def main() -> None:
     # gets, so even without the discount it has a real decay budget.
     discount_self_load5 = False
     if standalone is not None and pre_child_env is not None:
-        discount_self_load5 = (
+        pre_clean = (
             pre_child_env["stray_jvms_at_start"] <= 0
             and pre_child_env["load1_at_start"] <= MAX_BANKABLE_LOAD1
             and pre_child_env["load5_at_start"] <= MAX_BANKABLE_LOAD5
         )
+        # the child banking clean is equally good evidence: it verified
+        # a settled host immediately before ITS run (possibly after
+        # waiting out earlier chain exhaust), so everything in the
+        # trailing load window since then is the child itself
+        child_clean = (
+            (standalone.get("env") or {}).get("contaminated") is False
+        )
+        discount_self_load5 = pre_clean or child_clean
         max_wait = max(max_wait, 600.0)
 
     env_conditions = _await_clean_host(
