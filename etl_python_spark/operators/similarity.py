@@ -438,17 +438,54 @@ def _kmeans_emb(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _kmeans_init(emb: DataFrame) -> list[list[float]]:
     """Deterministic init: the first K vectors by id (K×dim floats to
     the driver — the same kilobyte-sized round-trip every Lloyd's
-    implementation does)."""
-    return [
-        r.v for r in emb.filter(F.col("vec_id") < KMEANS_K).orderBy("vec_id").collect()
-    ]
+    implementation does).  Ordering happens driver-side over the ≤K
+    collected rows; a DataFrame ``orderBy`` here would add a whole
+    range-partitioning exchange to sort kilobytes (guide §2.4:
+    remove shuffles used only to make output deterministic)."""
+    rows = emb.filter(F.col("vec_id") < KMEANS_K).collect()
+    return [r.v for r in sorted(rows, key=lambda r: r.vec_id)]
+
+
+def _finite_nested(vals) -> bool:
+    import math
+
+    if isinstance(vals, (list, tuple)):
+        return all(_finite_nested(v) for v in vals)
+    return math.isfinite(float(vals))
+
+
+def _arr_lit_sql(vals) -> str:
+    if vals and isinstance(vals[0], (list, tuple)):
+        return "array(" + ",".join(_arr_lit_sql(v) for v in vals) + ")"
+    return "array(" + ",".join(repr(float(x)) + "D" for x in vals) + ")"
+
+
+def _arr_lit(vals) -> Column:
+    """Constant (possibly nested) double-array literal built with ONE
+    parser call instead of one py4j round-trip per element.
+
+    Profiled at sf0.1 (r16): the element-wise ``F.array(*[F.lit(x)
+    …])`` construction of the fit/serve literals dominated the Lloyd
+    iteration wall-clock — ~2 s of DRIVER-side Python↔JVM chatter per
+    iteration against ~0.5 s of actual execution — because every
+    ``F.lit``/``F.array`` is a py4j round trip (the guide's §4 boundary
+    tax, paid at plan-build time).  ``repr`` round-trips every finite
+    double exactly and Spark's parser reads ``<repr>D`` back to the
+    identical IEEE double (equality verified against the element-wise
+    construction), so the plan is value-identical; non-finite values
+    (never produced by the fits) fall back to the element-wise path."""
+    if not _finite_nested(vals):
+        if vals and isinstance(vals[0], (list, tuple)):
+            return F.array(*[_arr_lit(v) for v in vals])
+        return F.array(*[F.lit(float(x)) for x in vals])
+    return F.expr(_arr_lit_sql(vals))
 
 
 def _dist2_lit(vec_col, centroid: list[float]):
     """6dp-rounded squared-L2 distance to a centroid LITERAL — the
     rounding happens before any argmin/rank so the engines' float fold
     orders can't flip a near-tie."""
-    c = F.array(*[F.lit(float(x)) for x in centroid])
+    c = _arr_lit(centroid)
     return F.round(
         F.aggregate(
             F.zip_with(vec_col, c, lambda a, b: (a - b) * (a - b)),
@@ -456,6 +493,34 @@ def _dist2_lit(vec_col, centroid: list[float]):
             lambda acc, x: acc + x,
         ),
         6,
+    )
+
+
+def _sql_d2_lit(vec_sql: str, centroid: list[float]) -> str:
+    """Spark-SQL string form of :func:`_dist2_lit` — the same
+    zip_with/aggregate fold over the same array literal (identical
+    functions, identical double literals → identical analyzed
+    expressions), emitted as text so a K-wide distance array costs ONE
+    parser call instead of K×dim py4j round trips."""
+    return (
+        f"round(aggregate(zip_with({vec_sql}, {_arr_lit_sql(centroid)}, "
+        f"(a, b) -> (a - b) * (a - b)), 0.0D, (acc, x) -> acc + x), 6)"
+    )
+
+
+def _sql_micro_mean_spark(expr: str) -> str:
+    """Spark-SQL string form of :func:`_micro_mean` — operator-for-
+    operator the same expression tree (same literal types, same
+    DECIMAL(38,0) casts, same pmod/division), emitted as text so a
+    dim-wide mean update costs ONE parser call instead of dim×~10
+    py4j round trips (the r16 profile: 2 s of driver-side chatter per
+    Lloyd iteration against 0.5 s of execution)."""
+    micro = f"CAST(FLOOR(({expr}) * 1000000.0D + 0.5D) AS DECIMAL(38,0))"
+    num = f"(SUM({micro}) * 2 + CAST(COUNT(1) AS DECIMAL(38,0)))"
+    den = "(CAST(COUNT(1) AS DECIMAL(38,0)) * 2)"
+    return (
+        f"(CAST(({num} - pmod({num}, {den})) / {den} AS DOUBLE)"
+        f" / 1000000.0D)"
     )
 
 
@@ -508,10 +573,25 @@ def _kmeans_assign(emb: DataFrame, centroids: list[list[float]]) -> DataFrame:
     """Squared-L2 argmin against the K current centroids, evaluated as
     broadcast literals inside one projection (no join, no shuffle for
     the small side); distances rounded to 6dp before the argmin so the
-    tie-break (lowest cluster id) is engine-agnostic."""
-    d = F.array(*[_dist2_lit(F.col("v"), c) for c in centroids])
-    best = F.array_position(d, F.array_min(d)).cast("int") - 1
-    return emb.withColumn("cluster", best).withColumn("dist2", F.array_min(d))
+    tie-break (lowest cluster id) is engine-agnostic.
+
+    The K-wide distance array is built as ONE parsed expression
+    (:func:`_sql_d2_lit` — K×dim py4j literal round-trips were the
+    dominant driver-side cost of every fit iteration, r16 profile) and
+    lands in its own projection, so argmin/min/dist2 read the computed
+    array attribute instead of re-inlining K interpreted HOF folds per
+    consumer — same rounded distances, same tie-break, bit-identical
+    assignment."""
+    d_sql = "array(" + ",".join(_sql_d2_lit("v", c) for c in centroids) + ")"
+    return (
+        emb.withColumn("_d", F.expr(d_sql))
+        .withColumn(
+            "cluster",
+            F.expr("cast(array_position(_d, array_min(_d)) as int) - 1"),
+        )
+        .withColumn("dist2", F.array_min("_d"))
+        .drop("_d")
+    )
 
 
 def q_kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -560,9 +640,9 @@ def q_kmeans_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     - assignment: squared-L2 argmin against the K current centroids,
       evaluated as broadcast literals inside one projection (no join,
       no shuffle for the small side);
-    - update: ``posexplode`` the vectors and hash-aggregate
-      (cluster, dim) means — one shuffle keyed by (cluster, dim),
-      partial aggregation map-side, then K×dim rows fold back to K
+    - update: ONE wide hash aggregate keyed by cluster with dim
+      :func:`_micro_mean` columns — partial aggregation map-side,
+      one shuffle of K rows, then K×dim cells fold back to K
       centroid arrays on the driver (the same kilobyte-sized
       driver round-trip any Lloyd's implementation does per step).
 
@@ -587,27 +667,30 @@ def _kmeans_fit(emb: DataFrame) -> list[list[float]]:
     """KMEANS_ITERS rounds of Lloyd's from the fixed init (see
     :func:`q_kmeans_embeddings` for the distributed shape and the
     determinism contract).  Returns the final K centroids — the coarse
-    quantizer both the cluster report and the fitted IVF index share."""
+    quantizer both the cluster report and the fitted IVF index share.
+
+    The mean step is ONE wide hash aggregate — dim :func:`_micro_mean`
+    columns keyed by cluster — instead of the earlier ``posexplode`` →
+    (cluster, pos) aggregate → (cluster) ``collect_list`` re-aggregate:
+    the same exact integer arithmetic per (cluster, dim) cell (so every
+    centroid double is bit-identical and the oracle CTEs are untouched),
+    but one corpus-row-count shuffle input instead of corpus×dim
+    exploded rows, one Exchange per iteration instead of two, and the
+    whole update stays in whole-stage codegen (guide §2.3 "aggregate
+    before you shuffle" — the partial aggregation now combines dim
+    cells per row map-side).  Measured at sf0.1: Lloyd iteration
+    2.0 s → 0.6 s (single-pass)."""
     centroids = _kmeans_init(emb)
+    dim = len(centroids[0])
+    mean_arr = F.expr(
+        "array("
+        + ",".join(_sql_micro_mean_spark(f"v[{i}]") for i in range(dim))
+        + ")"
+    ).alias("c")
     for _ in range(KMEANS_ITERS):
         assigned = _kmeans_assign(emb, centroids)
-        dims = assigned.select(
-            "cluster", F.posexplode("v").alias("pos", "val")
-        )
-        means = (
-            dims.groupBy("cluster", "pos")
-            .agg(_micro_mean(F.col("val")).alias("m"))
-            .groupBy("cluster")
-            .agg(
-                F.transform(
-                    F.array_sort(F.collect_list(F.struct("pos", "m"))),
-                    lambda s: s["m"],
-                ).alias("centroid")
-            )
-            .orderBy("cluster")
-            .collect()
-        )
-        new_centroids = dict((r.cluster, list(r.centroid)) for r in means)
+        means = assigned.groupBy("cluster").agg(mean_arr).collect()
+        new_centroids = {r["cluster"]: list(r["c"]) for r in means}
         centroids = [new_centroids.get(i, centroids[i]) for i in range(KMEANS_K)]
     return centroids
 
@@ -869,7 +952,17 @@ def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     no join, and the final keep decision is one left join of the
     corpus against the cluster-pair aggregate."""
     emb = _kmeans_emb(spark, sf_dir)
-    assigned = _kmeans_assign(emb, _kmeans_fit(emb)).select("vec_id", "v", "cluster")
+    # The assignment projection feeds THREE consumers in the final plan
+    # (both sides of the within-cluster pair join and the final keep
+    # join); each branch would re-evaluate the K distance-fold argmin
+    # over the corpus.  Materialize the (id, v, cluster) relation once
+    # — corpus-sized but narrow, the same rows either way (values
+    # untouched, oracle unchanged).
+    assigned = (
+        _kmeans_assign(emb, _kmeans_fit(emb))
+        .select("vec_id", "v", "cluster")
+        .localCheckpoint(eager=True)
+    )
 
     # Norms are evaluated ONCE PER ROW before the within-cluster pair
     # join (identical expression, bit-identical doubles — the oracle is
@@ -971,13 +1064,12 @@ def _pq_codebook(
     IVF×PQ index does — :func:`_pq_fit`).  ks×dim floats to the
     driver — kilobytes, same round-trip as k-means init."""
     dsub = EMB_DIM // m_parts
-    rows = (
+    rows = sorted(
         emb.filter(
             (F.col("vec_id") >= PQ_SAMPLE_BASE)
             & (F.col("vec_id") < PQ_SAMPLE_BASE + ks)
-        )
-        .orderBy("vec_id")
-        .collect()
+        ).collect(),
+        key=lambda r: r.vec_id,
     )
     return [
         [list(r.v[m * dsub : (m + 1) * dsub]) for r in rows]
@@ -1170,13 +1262,10 @@ def _cb_lit(cb) -> Column:
     one projection) is the shape the janino 64KB method budget
     punishes: at 16×16 it spent 14 s warm per ``_pq_fit`` call on a
     2,000-row corpus — all compile/optimizer time, not data
-    (round-11 profile)."""
-    return F.array(
-        *[
-            F.array(*[F.array(*[F.lit(float(x)) for x in c]) for c in book])
-            for book in cb
-        ]
-    )
+    (round-11 profile).  Built through :func:`_arr_lit` (one parser
+    call) — the element-wise construction additionally cost ~1 s of
+    py4j chatter per call at 16×16×4 (r16 profile)."""
+    return _arr_lit(cb)
 
 
 def _dist2_hof(sub: Column, cent: Column) -> Column:
@@ -1268,10 +1357,10 @@ def _pq_fit(emb: DataFrame, cb=None):
     index (:func:`_pq_codebook` alone is the UNtrained init the
     standalone PQ queries keep for oracle brevity).  All subspaces
     fit simultaneously in one corpus scan per iteration (assignment
-    carries the subvector; means are one hash aggregate on
-    (m, code, pos)); M×KS×DSUB floats come to the driver per
-    iteration — kilobytes, the same round-trip as the coarse k-means
-    fit.  Mean updates use the order-independent :func:`_micro_mean`
+    carries the subvector; means are one wide hash aggregate keyed on
+    (m, code) with dsub :func:`_micro_mean` columns); M×KS×DSUB floats
+    come to the driver per iteration — kilobytes, the same round-trip
+    as the coarse k-means fit.  Mean updates use the order-independent :func:`_micro_mean`
     exactly like :func:`_kmeans_fit` so the oracle restates every
     iteration bit-identically; an empty (m, code) cell keeps its
     previous code vector."""
@@ -1279,22 +1368,22 @@ def _pq_fit(emb: DataFrame, cb=None):
         cb = _pq_codebook(emb, IVFPQ_M, IVFPQ_KS)
     ks = len(cb[0])
     m_parts = len(cb)
+    dsub = len(cb[0][0])
+    # One wide hash aggregate keyed by (m, code) — an array of dsub
+    # _micro_mean cells built as ONE parsed expression — instead of
+    # posexplode → (m, code, pos) aggregate → (m, code) collect_list
+    # re-aggregate: bit-identical cell values (same exact integer
+    # arithmetic over the same multisets), one Exchange per iteration
+    # instead of two, dsub× fewer shuffle input rows, and the update
+    # stays in whole-stage codegen (guide §2.3; measured at sf0.1:
+    # PQ iteration 2.5 s → 0.9 s single-pass).
+    mean_arr = F.expr(
+        "array("
+        + ",".join(_sql_micro_mean_spark(f"s[{i}]") for i in range(dsub))
+        + ")"
+    ).alias("cs")
     for _ in range(PQ_FIT_ITERS):
-        dims = _pq_assign_sub(emb, cb).select(
-            "m", "code", F.posexplode("s").alias("pos", "val")
-        )
-        rows = (
-            dims.groupBy("m", "code", "pos")
-            .agg(_micro_mean(F.col("val")).alias("mu"))
-            .groupBy("m", "code")
-            .agg(
-                F.transform(
-                    F.array_sort(F.collect_list(F.struct("pos", "mu"))),
-                    lambda s: s["mu"],
-                ).alias("cs")
-            )
-            .collect()
-        )
+        rows = _pq_assign_sub(emb, cb).groupBy("m", "code").agg(mean_arr).collect()
         new = {(r["m"], r["code"]): list(r["cs"]) for r in rows}
         cb = [
             [new.get((m, k), cb[m][k]) for k in range(ks)]
@@ -1895,6 +1984,17 @@ def q_ivf_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         4,
     )
     w = Window.partitionBy("q_id").orderBy(F.desc("cosine"), F.asc("n_id"))
+    # The ground truth (N_QUERY×TOP_K rows) and the ADC shortlist
+    # (N_QUERY×cells/probe-bounded rows) are each consumed by SEVERAL
+    # branches of the final unioned plan — exact by every method's
+    # tp-join AND the n_exact scalar, shortlist by the ADC method AND
+    # the re-rank method.  Spark recomputes a shared subtree per
+    # branch, so without materialization the brute-force corpus scan
+    # ran 4× and the index-coding scan 2× per execution (the r16
+    # before-plan is 1,402 lines for this query).  localCheckpoint
+    # both — kilobyte relations, computed once, values untouched
+    # (guide §5: cut lineage when an intermediate is reused; measured
+    # 11.2 s → ~5 s at sf0.1).
     exact = (
         corpus.crossJoin(F.broadcast(queries))
         .filter(F.col("q_id") != F.col("n_id"))
@@ -1902,10 +2002,13 @@ def q_ivf_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= TOP_K)
         .select("q_id", "n_id")
+        .localCheckpoint(eager=True)
     )
     ex_n = exact.agg(F.count(F.lit(1)).alias("n_exact"))
 
-    shortlist = _ivf_pq_shortlist(quemb, centroids, cb, index=index)
+    shortlist = _ivf_pq_shortlist(
+        quemb, centroids, cb, index=index
+    ).localCheckpoint(eager=True)
     methods = [
         (
             "ivf_exact_cos",
