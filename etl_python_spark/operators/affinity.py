@@ -628,17 +628,23 @@ def q_pagerank_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("long")
             .alias("c"),
         )
+        # The contribution sums already cover EVERY node: the edge set
+        # is the symmetric union, so each node appears as some edge's
+        # dst, and ranks covers all nodes by induction — the former
+        # nodes-left-join existed only to re-attach zero-in-degree
+        # nodes that cannot exist here.  Dropping it removes one join
+        # (and its broadcast build) per iteration; the damping
+        # arithmetic is unchanged and s is never NULL, so every rank
+        # value is bit-identical (guide §2.4: remove shuffles/joins
+        # outright when a key invariant makes them no-ops).
         sums = contribs.groupBy("dst").agg(F.sum("c").alias("s"))
         ranks = (
-            nodes.join(sums, nodes["pk"] == sums["dst"], "left")
-            .select(
-                "pk",
+            sums.select(
+                F.col("dst").alias("pk"),
                 (
                     F.lit(teleport)
                     + F.floor(
-                        F.lit(0.85)
-                        * F.coalesce(F.col("s"), F.lit(0)).cast("double")
-                        + F.lit(0.5)
+                        F.lit(0.85) * F.col("s").cast("double") + F.lit(0.5)
                     ).cast("long")
                 )
                 .cast("long")
