@@ -100,10 +100,15 @@ def q_market_basket(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("cnt_ab") >= MIN_PAIR_COUNT)
     )
 
+    # item_cnt sits on BOTH support joins (cnt_a and cnt_b sides);
+    # without a checkpoint each broadcast build re-runs the explode +
+    # count aggregate over the basket relation.  Dim-sized rows
+    # (|parts|), values untouched (guide §5: reuse → materialize).
     item_cnt = (
         baskets.select(F.explode("items").alias("pk"))
         .groupBy("pk")
         .agg(F.count(F.lit(1)).alias("cnt"))
+        .localCheckpoint(eager=True)
     )
 
     joined = (
@@ -475,16 +480,22 @@ def q_item_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
     the ITEM (never data-wide); the neighbor list per item is bounded
     by the pair graph, and SIM_TOP_N caps the output."""
     baskets = _baskets(spark, sf_dir)
+    # pair_cnt feeds both halves of the mirror union and item_cnt both
+    # neighbor-count joins — checkpoint each once instead of paying
+    # the explode + aggregate per consumer (pair-graph- / dim-sized
+    # relations, values untouched; guide §5).
     pair_cnt = (
         _basket_pairs(baskets)
         .groupBy("p1", "p2")
         .agg(F.count(F.lit(1)).alias("cnt_ab"))
         .filter(F.col("cnt_ab") >= MIN_PAIR_COUNT)
+        .localCheckpoint(eager=True)
     )
     item_cnt = (
         baskets.select(F.explode("items").alias("pk"))
         .groupBy("pk")
         .agg(F.count(F.lit(1)).alias("cnt"))
+        .localCheckpoint(eager=True)
     )
     mirrored = pair_cnt.select(
         F.col("p1").alias("item"), F.col("p2").alias("neighbor"), "cnt_ab"
@@ -594,11 +605,19 @@ def q_pagerank_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     bounded shuffles, no data-wide windows, no driver-side graph.
     """
     baskets = _baskets(spark, sf_dir)
+    # pair_cnt feeds BOTH sides of the edges⋈deg join below (deg's
+    # aggregate build and the probe side) — without a checkpoint Spark
+    # re-executes the whole pair-generation pipeline (explode + count
+    # aggregate over the basket relation) once per consumer.
+    # Materialize the filtered pair counts once: edge-sized rows, the
+    # same values either way (guide §5: cut lineage when an
+    # intermediate is reused).
     pair_cnt = (
         _basket_pairs(baskets)
         .groupBy("p1", "p2")
         .agg(F.count(F.lit(1)).alias("cnt_ab"))
         .filter(F.col("cnt_ab") >= MIN_PAIR_COUNT)
+        .localCheckpoint(eager=True)
     )
     edges = pair_cnt.select(
         F.col("p1").alias("src"), F.col("p2").alias("dst")

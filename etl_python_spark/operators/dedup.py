@@ -493,11 +493,14 @@ def _cc_star(edges: DataFrame, max_iter: int = 50) -> DataFrame:
         .distinct()
         .localCheckpoint(eager=True)
     )
+    # verts is consumed ONLY by the final roots anti-join — keep it a
+    # lazy plan over the initial edge checkpoint instead of paying an
+    # eager materialization job for a relation the loop never reads
+    # (guide §1.2: don't compute ahead of need).
     verts = (
         e.select(F.col("u").alias("v"))
         .union(e.select(F.col("w").alias("v")))
         .distinct()
-        .localCheckpoint(eager=True)
     )
     converged = False
     rounds = 0
@@ -510,11 +513,14 @@ def _cc_star(edges: DataFrame, max_iter: int = 50) -> DataFrame:
             .agg(F.min("w").alias("mn"))
             .select("u", F.least(F.col("u"), F.col("mn")).alias("m"))
         )
+        # no intermediate distinct: the small-star min-aggregate is
+        # duplicate-insensitive and the round's final distinct dedups
+        # the output, so the exchange the distinct cost bought nothing
+        # (guide §2.4: remove shuffles outright)
         large = (
             sym.join(mins, "u")
             .filter(F.col("w") > F.col("u"))
             .select(F.col("w").alias("u"), F.col("m").alias("w"))
-            .distinct()
         )
         # small-star: key on the larger endpoint, contract onto the min
         se = large.select(
@@ -530,8 +536,21 @@ def _cc_star(edges: DataFrame, max_iter: int = 50) -> DataFrame:
             .localCheckpoint(eager=True)
         )
         # exact fixed-point check (no hash shortcut: an early stop on a
-        # collision would silently split components)
-        if small.exceptAll(e).count() == 0 and e.exceptAll(small).count() == 0:
+        # collision would silently split components).  Both sides are
+        # distinct by construction, so symmetric-difference emptiness
+        # is ONE aggregate — every (u, w) group must hold exactly one
+        # row from each side — instead of the former two exceptAll
+        # jobs (guide §1.2: the check was two of the three jobs each
+        # round pays; same exactness, one shuffle).
+        n_diff = (
+            small.select("u", "w").unionAll(e.select("u", "w"))
+            .groupBy("u", "w")
+            .agg(F.count(F.lit(1)).alias("c"))
+            .filter(F.col("c") != 2)
+            .limit(1)
+            .count()
+        )
+        if n_diff == 0:
             e = small
             converged = True
             break

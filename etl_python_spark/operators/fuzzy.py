@@ -113,6 +113,37 @@ def fuzzy_match(probes: DataFrame, names: DataFrame) -> DataFrame:
     )
 
 
+def fuzzy_self_pairs(strings: DataFrame) -> DataFrame:
+    """All unordered pairs (a < b) with ed <= K within ONE string set
+    — exactly ``fuzzy_match(strings, strings)`` filtered to
+    ``probe < name``, but the gram explode, the frequency table and
+    the PREFIX-rarest window run ONCE over the set instead of twice
+    over two copies of the identical relation (the self-match case;
+    guide §1.2 "don't compute things you throw away").  The shared
+    prefix-gram relation is checkpointed because both join sides
+    consume it; the candidate set and the exact verify are unchanged,
+    so the output rows are identical."""
+    grams = gram_explode(strings, ["s"], "s")
+    freq = grams.groupBy("gram").agg(F.count(F.lit(1)).alias("gfreq"))
+    pref = prefix_grams(grams, freq, "s").localCheckpoint(eager=True)
+    cand = (
+        pref.select(F.col("s").alias("a"), "gram")
+        .join(
+            pref.select(F.col("s").alias("b"), F.col("gram").alias("gram_b")),
+            F.col("gram") == F.col("gram_b"),
+        )
+        .filter(F.col("a") < F.col("b"))
+        .select("a", "b")
+        .dropDuplicates(["a", "b"])
+    )
+    return cand.filter(
+        (F.abs(F.length("a") - F.length("b")) <= F.lit(K))
+        & (F.levenshtein("a", "b") <= F.lit(K))
+    ).select(
+        "a", "b", F.levenshtein("a", "b").cast("int").alias("dist")
+    )
+
+
 def q_fuzzy_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Typo-tolerant match of perturbed part names back to the clean
     part-name dimension.
@@ -184,15 +215,10 @@ def q_fuzzy_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     strings = strings.localCheckpoint(eager=True)
 
-    pairs = fuzzy_match(
-        strings.select(F.col("s").alias("probe_id"), F.col("s").alias("dirty")),
-        strings.select(F.col("s").alias("name")),
-    ).filter(F.col("probe_id") < F.col("name"))
+    pairs = fuzzy_self_pairs(strings)
 
     comp = connected_components(
-        pairs.select(
-            F.col("probe_id").alias("doc_a"), F.col("name").alias("doc_b")
-        )
+        pairs.select(F.col("a").alias("doc_a"), F.col("b").alias("doc_b"))
     )
     out = strings.join(
         comp, strings["s"] == comp["doc_id"], "left"

@@ -80,6 +80,42 @@ def test_fuzzy_match_equals_brute_force(spark):
     assert not any(pid == 4 for pid, _ in got)
 
 
+def test_fuzzy_self_pairs_equals_self_match(spark):
+    """The single-pass self-match path (r16 optimization: grams, freq
+    and the prefix window computed once, not twice) must produce
+    exactly fuzzy_match(S, S) filtered to a < b."""
+    from etl_python_spark.operators.fuzzy import (
+        fuzzy_match,
+        fuzzy_self_pairs,
+    )
+
+    strings = [
+        "lavender lace shirt",
+        "lavender lace skirt",
+        "xavender lace shirt",
+        "goldenrod chocolate",
+        "goldenrod chocolat",
+        "golden rod chocolate",
+        "spring green bolt",
+        "zzz unrelated zzz",
+    ]
+    s_df = spark.createDataFrame([(s,) for s in strings], "s string")
+
+    got = {
+        (r.a, r.b, r.dist)
+        for r in fuzzy_self_pairs(s_df).collect()
+    }
+    want = {
+        (r.probe_id, r.name, r.dist)
+        for r in fuzzy_match(
+            s_df.selectExpr("s as probe_id", "s as dirty"),
+            s_df.selectExpr("s as name"),
+        ).collect()
+        if r.probe_id < r.name
+    }
+    assert got == want and got  # non-trivial: at least one pair
+
+
 def test_fuzzy_match_distance_values(spark):
     from etl_python_spark.operators.fuzzy import fuzzy_match
 

@@ -29,6 +29,15 @@ def main() -> None:
         else:
             names.append(a)
 
+    # bench.py's lesson (round 11/13): timings on a host still cooling
+    # from a previous 32-thread run read uniformly high — wait for
+    # load1 to decay before starting the JVM (load5 discounted: probes
+    # run back-to-back in-round and only care about ONGOING load).
+    deadline = time.time() + float(os.environ.get("SPARK_GRAFT_BENCH_WAIT", "240"))
+    while os.getloadavg()[0] > 1.5 and time.time() < deadline:
+        time.sleep(5)
+    print(f"load at start: {os.getloadavg()}", file=sys.stderr)
+
     from etl_python_spark.session import get_spark
     from etl_python_spark.operators import all_queries
 
