@@ -916,7 +916,15 @@ def _decremental_pair_counts(
     delta-sized at the price of storing the full (doc, shingle)
     stream; the one-pass design was chosen to keep snapshot storage
     proportional to the capped posting lists."""
-    df_new = surv_sh.groupBy("h").agg(F.count("*").alias("df"))
+    # df_new feeds both the df_changed diff and the cap-recross filter
+    # — one survivor-shingle aggregation, not one per consumer (the
+    # takedown's one corpus-scan-class pass; guide §5).  df-table-
+    # sized rows, the same relation the refresh path publishes anyway.
+    df_new = (
+        surv_sh.groupBy("h")
+        .agg(F.count("*").alias("df"))
+        .localCheckpoint(eager=True)
+    )
     # every shingle whose df moved (vanished -> 0); publication rows
     df_changed = (
         base_df.withColumnRenamed("df", "df_old")
@@ -992,7 +1000,17 @@ def q_dedup_pairs_on_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     is_removed = (F.col("doc_id") % DOC_DEL_MOD) == DOC_DEL_REM
     base_sh = _materialize(hashed_shingle_stream(docs), "checkpoint")
-    base_df = base_sh.groupBy("h").agg(F.count("*").alias("df"))
+    # base_df and the banked pair counts stand in for the txn-read
+    # snapshot of the refresh path — there they are disk-backed
+    # tables; inline they fed 3 consumers each (kept-filter build +
+    # df_changed + recross; dropped×2 + surv) and the df aggregate /
+    # the FULL pair join re-executed once per consumer.  Materialize
+    # once, exactly like the state they model (guide §5).
+    base_df = (
+        base_sh.groupBy("h")
+        .agg(F.count("*").alias("df"))
+        .localCheckpoint(eager=True)
+    )
     base_kept = base_sh.join(
         base_df.filter((F.col("df") >= 2) & (F.col("df") <= MAX_DF)),
         "h",
@@ -1001,7 +1019,10 @@ def q_dedup_pairs_on_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
     removed_ids = docs.filter(is_removed).select("doc_id")
     surv_sh = base_sh.join(removed_ids, "doc_id", "left_anti")
     counts_new, _, _ = _decremental_pair_counts(
-        surv_sh, base_df, _pair_counts(base_kept), removed_ids
+        surv_sh,
+        base_df,
+        _pair_counts(base_kept).localCheckpoint(eager=True),
+        removed_ids,
     )
     return _jaccard_from_counts(counts_new)
 
@@ -1334,8 +1355,14 @@ def q_dedup_keep_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders of magnitude below the corpus, so AQE broadcasts it and the
     corpus is never shuffled."""
     docs = load_table(spark, sf_dir, "documents").select("doc_id")
-    comp = q_dedup_components(spark, sf_dir).select(
-        "doc_id", "component_id", "canonical"
+    # canonical is a pure projection of the label table (doc_id ==
+    # component_id) — going through q_dedup_components dragged the
+    # cluster_size window (+ its exchange) into the plan only to drop
+    # the column (guide §1.2: don't compute things you throw away)
+    comp = dedup_component_labels(spark, sf_dir).select(
+        "doc_id",
+        "component_id",
+        (F.col("doc_id") == F.col("component_id")).alias("canonical"),
     )
     return docs.join(comp, "doc_id", "left").select(
         "doc_id",
@@ -1366,9 +1393,9 @@ def q_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     pure per-row hash projection.
     """
     docs = load_table(spark, sf_dir, "documents").select("doc_id")
-    comp = q_dedup_components(spark, sf_dir).select(
-        "doc_id", "component_id"
-    )
+    # the cluster_size window of q_dedup_components was dead weight
+    # here — only the labels are consumed (guide §1.2)
+    comp = dedup_component_labels(spark, sf_dir)
     group = F.coalesce("component_id", "doc_id")
     fold = (
         hash60(F.concat(F.lit("split:"), group.cast("string")))
@@ -1843,7 +1870,8 @@ def q_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.size(F.split(_norm_text(F.col("text")), " ")).alias("n_tokens"),
     )
-    comp = q_dedup_components(spark, sf_dir).select("doc_id", "component_id")
+    # labels only — q_dedup_components' cluster_size window is unused
+    comp = dedup_component_labels(spark, sf_dir)
     members = comp.join(docs, "doc_id")
     w = Window.partitionBy("component_id").orderBy(
         F.desc("n_tokens"), F.asc("doc_id")
