@@ -639,7 +639,14 @@ def q_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).filter(F.length("w") > 0)
 
     train = words.filter(F.col("doc_id") % LM_HOLDIN_MOD != 0)
-    vocab = train.groupBy("w").agg(F.count("*").alias("n"))
+    # the LM itself (vocabulary-sized); totals and the scoring join
+    # both read it — checkpoint so the held-in token-stream aggregate
+    # runs once, exactly the "fit once, serve many" shape.
+    vocab = (
+        train.groupBy("w")
+        .agg(F.count("*").alias("n"))
+        .localCheckpoint(eager=True)
+    )
     # distinct names: Spark resolves case-insensitively by default, so
     # totals' N would collide with vocab's n
     totals = vocab.agg(
@@ -736,10 +743,12 @@ def q_dsir_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     # distributions (conditional count for the target slice); the
     # second and last pass over the stream is the scoring join below
     is_tgt = (F.col("lang") == "en") & (F.col("doc_id") % DSIR_TARGET_MOD == 0)
+    # DSIR_BUCKETS rows; totals + lam both read it — one checkpoint,
+    # one token-stream aggregate instead of two.
     counts = feats.groupBy("b").agg(
         F.count("*").alias("src_n"),
         F.count(F.when(is_tgt, 1)).alias("tgt_n"),
-    )
+    ).localCheckpoint(eager=True)
     totals = counts.agg(
         F.sum("src_n").alias("src_total"), F.sum("tgt_n").alias("tgt_total")
     )

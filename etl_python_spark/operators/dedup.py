@@ -759,6 +759,10 @@ def _incremental_pair_counts(
             "h",
             (F.coalesce(F.col("df"), F.lit(0)) + F.col("d_df")).alias("df"),
         )
+        # delta-touched shingles only; consumed by df_new AND the
+        # cap-crossing probe — checkpoint or the base_df⋈delta_df join
+        # (and delta_df's aggregate) re-executes per consumer.
+        .localCheckpoint(eager=True)
     )
     # full new df relation (only needed as a membership filter below;
     # shingles the delta never touched keep their banked df)
@@ -776,8 +780,12 @@ def _incremental_pair_counts(
         .join(df_changed.filter(F.col("df") > MAX_DF), "h", "left_semi")
         .select("h")
     )
-    sub = _pair_counts(base_sh.join(dropped, "h", "left_semi")).select(
-        "doc_a", "doc_b", F.col("inter").alias("minus")
+    # ≤ MAX_DF² rows per cap-crossing shingle; feeds the adjustment
+    # join AND its anti-join complement — one checkpoint, two reads.
+    sub = (
+        _pair_counts(base_sh.join(dropped, "h", "left_semi"))
+        .select("doc_a", "doc_b", F.col("inter").alias("minus"))
+        .localCheckpoint(eager=True)
     )
     adjusted_delta = base_counts.join(sub, ["doc_a", "doc_b"]).select(
         "doc_a",
@@ -859,14 +867,25 @@ def q_dedup_pairs_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     delta_sh = _materialize(
         hashed_shingle_stream(docs.filter(is_delta)), "checkpoint"
     )
-    base_df = base_sh.groupBy("h").agg(F.count("*").alias("df"))
+    # The two banked-state stand-ins each feed 2-3 joins inside
+    # _incremental_pair_counts; materialized once, exactly like the
+    # txn-published tables they model (refresh_dedup_endgame_
+    # incremental reads the real banked copies).
+    base_df = (
+        base_sh.groupBy("h")
+        .agg(F.count("*").alias("df"))
+        .localCheckpoint(eager=True)
+    )
     base_kept = base_sh.join(
         base_df.filter((F.col("df") >= 2) & (F.col("df") <= MAX_DF)),
         "h",
         "left_semi",
     )
     counts_new, _, _ = _incremental_pair_counts(
-        base_sh, base_df, _pair_counts(base_kept), delta_sh
+        base_sh,
+        base_df,
+        _pair_counts(base_kept).localCheckpoint(eager=True),
+        delta_sh,
     )
     return _jaccard_from_counts(counts_new)
 

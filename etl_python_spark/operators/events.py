@@ -643,19 +643,21 @@ def q_kmv_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .dedup import hash60
 
     events = load_table(spark, sf_dir, "events")
-    hashed = events.select(
-        "event_type",
-        "user_id",
-        hash60(F.col("user_id").cast("string")).alias("h"),
-    ).distinct()
+    # The sketch side needs distinct (type, h) and the exact-audit side
+    # distinct (type, user_id); h is a pure function of user_id, so
+    # each is ONE distinct straight off the scan — the earlier shared
+    # (type, user_id, h) distinct was a second corpus-wide exchange
+    # that, consumed by both sides uncheckpointed, executed twice.
+    w1 = Window.partitionBy("event_type", "salt").orderBy("h")
     # two-stage bottom-K so no single task ever sorts a type's full
     # distinct-hash set: per-(type, salt) partial bottom-K first
     # (64 parallel tasks per type), then the final bottom-K over the
     # <= 64*K surviving candidates — identical result, because the K
     # global minima are each the minimum of their salt bucket's K
-    w1 = Window.partitionBy("event_type", "salt").orderBy("h")
     partial = (
-        hashed.select("event_type", "h")
+        events.select(
+            "event_type", hash60(F.col("user_id").cast("string")).alias("h")
+        )
         .distinct()
         .withColumn("salt", (F.col("h") % 64).cast("int"))
         .withColumn("rn", F.row_number().over(w1))
@@ -667,6 +669,7 @@ def q_kmv_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= KMV_K)
         .drop("rn")
+        .localCheckpoint(eager=True)  # n_types*K rows; 2 consumers
     )
     types = sketch.select("event_type").distinct()
     pairs = (
@@ -704,7 +707,7 @@ def q_kmv_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     jacc = F.col("n_both").cast("double") / F.col("n_vals").cast("double")
     # exact audit: true distinct-user intersection per pair
-    du = hashed.select("event_type", "user_id").distinct()
+    du = events.select("event_type", "user_id").distinct()
     exact = (
         pairs.join(
             du.alias("x"), F.col("x.event_type") == F.col("t1")

@@ -716,21 +716,33 @@ def q_ann_ivf_fitted(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _ivf_fitted_topk(emb, centroids, N_PROBE)
 
 
-def _ivf_fitted_topk(
-    emb: DataFrame, centroids: list[list[float]], n_probe: int
-) -> DataFrame:
-    """The probe/score/rank half of fitted IVF, parameterized on the
-    probe count so :func:`q_ann_probe_recall` can sweep it against
-    exact ground truth with ONE shared fit."""
+def _posting_assign(emb: DataFrame, centroids: list[list[float]]) -> DataFrame:
+    """The fitted posting-list relation (corpus argmin over the
+    centroid literals + per-row norm) — split out so sweep callers can
+    compute it once and share it across probe counts."""
     # Norms evaluated once per row here, not per candidate pair in the
     # final scoring join (identical expression → bit-identical doubles;
     # oracle untouched).
-    posting = _kmeans_assign(emb, centroids).select(
+    return _kmeans_assign(emb, centroids).select(
         F.col("vec_id").alias("n_id"),
         F.col("v").alias("n_emb"),
         F.col("cluster").alias("c_id"),
         _norm(F.col("v")).alias("n_nrm"),
     )
+
+
+def _ivf_fitted_topk(
+    emb: DataFrame,
+    centroids: list[list[float]],
+    n_probe: int,
+    posting: DataFrame | None = None,
+) -> DataFrame:
+    """The probe/score/rank half of fitted IVF, parameterized on the
+    probe count so :func:`q_ann_probe_recall` can sweep it against
+    exact ground truth with ONE shared fit (and, optionally, one
+    shared posting-list relation)."""
+    if posting is None:
+        posting = _posting_assign(emb, centroids)
 
     cells = F.array(
         *[
@@ -2717,9 +2729,18 @@ def q_ann_probe_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     top-k (brute force — affordable ONLY as an audit over the
     N_QUERY-row query set, the same boundedness argument as
     ann_bruteforce).  tp joins are on (q_id, n_id) over
-    N_QUERY·TOP_K-row relations."""
+    N_QUERY·TOP_K-row relations.
+
+    The ground-truth relation and the posting-list assignment are each
+    localCheckpointed ONCE and shared by every sweep point: without
+    that, `exact` is inlined into all three tp joins plus ex_n (six
+    brute-force subtrees in the before-plan) and the corpus argmin
+    projection re-runs per probe count.  Checkpointing the posting
+    list is exactly what a deployment does — the fitted assignment IS
+    the banked index (see materialize_ann_index)."""
     emb = _kmeans_emb(spark, sf_dir)
     centroids = _kmeans_fit(emb)
+    posting = _posting_assign(emb, centroids).localCheckpoint(eager=True)
 
     queries = emb.filter(F.col("vec_id") < N_QUERY).select(
         F.col("vec_id").alias("q_id"),
@@ -2744,12 +2765,15 @@ def q_ann_probe_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= TOP_K)
         .select("q_id", "n_id")
+        .localCheckpoint(eager=True)  # N_QUERY*TOP_K rows, 4 consumers
     )
     ex_n = exact.agg(F.count(F.lit(1)).alias("n_exact"))
 
     parts = []
     for p in PROBE_SWEEP:
-        approx = _ivf_fitted_topk(emb, centroids, p).select("q_id", "n_id")
+        approx = _ivf_fitted_topk(emb, centroids, p, posting=posting).select(
+            "q_id", "n_id"
+        )
         tp = approx.join(exact, ["q_id", "n_id"]).agg(
             F.count(F.lit(1)).alias("tp")
         )
@@ -2898,9 +2922,12 @@ def q_cluster_label_nmi(spark: SparkSession, sf_dir: str) -> DataFrame:
     assigned = base.select(
         F.array_min(cells_arr)["k"].alias("cluster"), "label"
     )
+    # K×L rows; five consumers (nk, nl, nn, joint, purity) — without
+    # the checkpoint each one re-runs the corpus argmin projection +
+    # cell aggregate (the before-plan held five scan subtrees).
     cells = assigned.groupBy("cluster", "label").agg(
         F.count(F.lit(1)).alias("n_kl")
-    )
+    ).localCheckpoint(eager=True)
     nk = cells.groupBy("cluster").agg(F.sum("n_kl").alias("n_k"))
     nl = cells.groupBy("label").agg(F.sum("n_kl").alias("n_l"))
     # n is summed over `cells` BEFORE the nk/nl joins — mirroring the

@@ -494,7 +494,15 @@ def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     toked = docs.select(
         "doc_id", F.explode_outer(_tokens(F.col("text"))).alias("term")
     ).filter(F.col("term").isNotNull() & (F.col("term") != ""))
-    tf = toked.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    # the TF matrix feeds BOTH the df aggregate and the scoring join;
+    # checkpoint so the token explode + (doc, term) aggregate runs
+    # once (localCheckpoint spills via the block manager, so this is
+    # the classic materialize-TF step, not a driver collect).
+    tf = (
+        toked.groupBy("doc_id", "term")
+        .agg(F.count("*").alias("tf"))
+        .localCheckpoint(eager=True)
+    )
     ndocs = docs.agg(F.count("*").alias("n_docs"))
     idf = (
         tf.groupBy("term")
@@ -570,7 +578,14 @@ def q_nb_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     (log-odds > 0, prior included)."""
     from .dedup import _norm_text, hash60
 
-    labels = q_quality_filter(spark, sf_dir).select("doc_id", "manter")
+    # (doc_id, bool) — three consumers (train join, prior, agreement
+    # audit); uncheckpointed, each re-ran the whole heuristic-gate
+    # pipeline it wraps.
+    labels = (
+        q_quality_filter(spark, sf_dir)
+        .select("doc_id", "manter")
+        .localCheckpoint(eager=True)
+    )
     docs = spread(load_table(spark, sf_dir, "documents"), "doc_id")
     feats = (
         docs.select(
@@ -588,10 +603,12 @@ def q_nb_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     train = feats.join(lab, "doc_id").filter(
         F.col("doc_id") % NB_TRAIN_MOD != 0
     )
+    # NB_BUCKETS rows; totals + llr both read it — checkpoint so the
+    # training-stream aggregate (a full token-explode pass) runs once.
     counts = train.groupBy("b").agg(
         F.count(F.when(F.col("manter"), 1)).alias("pos_n"),
         F.count(F.when(~F.col("manter"), 1)).alias("neg_n"),
-    )
+    ).localCheckpoint(eager=True)
     totals = counts.agg(
         F.sum("pos_n").alias("pos_tok"), F.sum("neg_n").alias("neg_tok")
     )
