@@ -1363,7 +1363,10 @@ def proxy_features(spark: SparkSession, sf_dir: str) -> DataFrame:
       groups whose median revenue sits under a threshold get a ×1000
       factor.  Exact ``median`` per group, broadcast-joined back.
     """
-    feats = monthly_features(spark, sf_dir)
+    # calendar-sized (nation × month); the median aggregate and the
+    # proxy projection both read it — checkpoint so the orders
+    # join+aggregate+lag pipeline runs once.
+    feats = monthly_features(spark, sf_dir).localCheckpoint(eager=True)
     w_mes = Window.partitionBy("mes")
     med = feats.groupBy("n_name").agg(
         F.round(F.median("faturamento"), 2).alias("mediana")

@@ -760,11 +760,19 @@ def q_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("cnt_ab"))
         .filter(F.col("cnt_ab") >= MIN_PAIR_COUNT)
     )
-    und = pair_cnt.select("p1", "p2")
+    # the undirected edge list feeds the mirror union (twice), the
+    # degree joins and the closure join — checkpoint once or the
+    # basket-pair explode + count aggregate re-executes per consumer
+    und = pair_cnt.select("p1", "p2").localCheckpoint(eager=True)
     mirrored = und.unionAll(
         und.select(F.col("p2").alias("p1"), F.col("p1").alias("p2"))
     )
-    deg = mirrored.groupBy("p1").agg(F.count(F.lit(1)).alias("deg"))
+    # vertex-sized; read by both endpoint joins and the final report
+    deg = (
+        mirrored.groupBy("p1")
+        .agg(F.count(F.lit(1)).alias("deg"))
+        .localCheckpoint(eager=True)
+    )
 
     with_deg = (
         und.join(

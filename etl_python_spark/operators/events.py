@@ -273,12 +273,20 @@ def q_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.min("t").alias(out))
         )
 
+    # views feeds the click step AND the final funnel join, clicks the
+    # purchase step AND the funnel — checkpoint each (one row per
+    # user) so the funnel costs exactly the documented three passes
+    # over the event stream instead of re-running earlier steps per
+    # consumer.
     views = (
         events.filter(F.col("event_type") == "view")
         .groupBy("user_id")
         .agg(F.min("ts").alias("first_view"))
+        .localCheckpoint(eager=True)
     )
-    clicks = first_at_or_after(views, "click", "first_view", "first_click")
+    clicks = first_at_or_after(
+        views, "click", "first_view", "first_click"
+    ).localCheckpoint(eager=True)
     purchases = first_at_or_after(clicks, "purchase", "first_click", "first_purchase")
 
     funnel = (

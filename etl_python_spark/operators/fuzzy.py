@@ -85,10 +85,18 @@ def fuzzy_match(probes: DataFrame, names: DataFrame) -> DataFrame:
 
     Candidate-complete prefix-filtered join + exact verify; the output
     equals brute force (the oracle computes exactly that)."""
+    # the clean-dimension gram relation feeds BOTH the frequency
+    # aggregate and the prefix ranking, and freq feeds both sides'
+    # rankings — checkpoint each once (dimension-sized) or the clean
+    # explode subtree re-executes per consumer.
     clean_grams = gram_explode(
         names.select(F.col("name"), F.col("name").alias("s")), ["name"], "s"
+    ).localCheckpoint(eager=True)
+    freq = (
+        clean_grams.groupBy("gram")
+        .agg(F.count(F.lit(1)).alias("gfreq"))
+        .localCheckpoint(eager=True)
     )
-    freq = clean_grams.groupBy("gram").agg(F.count(F.lit(1)).alias("gfreq"))
     clean_pref = prefix_grams(clean_grams, freq, "name")
 
     probe_grams = gram_explode(probes, ["probe_id", "dirty"], "dirty")

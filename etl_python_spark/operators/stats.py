@@ -573,6 +573,9 @@ def q_theil_sen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("t"),
         )
         .agg(F.sum(cents(F.col("o_totalprice"))).alias("rev_c"))
+        # calendar-sized (K nations × M months); both self-join sides
+        # read it — checkpoint so the orders join+aggregate runs once
+        .localCheckpoint(eager=True)
     )
     a = monthly.select(
         "n_name", F.col("t").alias("t1"), F.col("rev_c").alias("r1")
@@ -740,11 +743,13 @@ def q_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
     sums, cohort sizes integers, one division at the end floor-
     quantized to 4dp (cents-per-customer precision)."""
     o = load_table(spark, sf_dir, "orders")
+    # customer-dim-sized; the sizes aggregate and the cells join both
+    # read it — checkpoint so the first-order scan runs once.
     first = o.groupBy("o_custkey").agg(
         F.min(
             F.year("o_orderdate") * 12 + F.month("o_orderdate") - 1
         ).alias("cohort_m")
-    )
+    ).localCheckpoint(eager=True)
     sizes = first.groupBy("cohort_m").agg(
         F.count(F.lit(1)).alias("cohort_size")
     )

@@ -44,9 +44,12 @@ def q_zipf_vocab_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs.select("source", F.explode(toks).alias("tok"))
         .filter(F.col("tok") != "")
     )
+    # vocabulary-sized; the totals aggregate and the rank window both
+    # read it — checkpoint so the explode + (source, tok) aggregate
+    # runs once.
     counts = tok.groupBy("source", "tok").agg(
         F.count(F.lit(1)).alias("cnt")
-    )
+    ).localCheckpoint(eager=True)
     totals = counts.groupBy("source").agg(
         F.sum("cnt").alias("total_tokens"),
         F.count(F.lit(1)).alias("distinct_tokens"),
