@@ -1032,9 +1032,11 @@ def q_chi_square_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
     data-sized.
     """
     o = load_table(spark, sf_dir, "orders")
+    # R*C domain-bounded rows; the dof aggregate and the final select
+    # both sit downstream — checkpoint so the orders scan runs once.
     cells = o.groupBy("o_orderpriority", "o_orderstatus").agg(
         F.count(F.lit(1)).alias("obs")
-    )
+    ).localCheckpoint(eager=True)
     w_row = Window.partitionBy("o_orderpriority")
     w_col = Window.partitionBy("o_orderstatus")
     w_all = Window.partitionBy()
@@ -1289,6 +1291,9 @@ def q_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("t"),
         )
         .agg(F.sum(cents(F.col("o_totalprice"))).alias("rev_c"))
+        # calendar-sized; the span aggregate and the spine join both
+        # read it — checkpoint so the orders join+aggregate runs once
+        .localCheckpoint(eager=True)
     )
     span = monthly.agg(
         F.min("t").alias("t_min"), F.max("t").alias("t_max")
