@@ -1885,10 +1885,13 @@ def q_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     window runs only over cluster MEMBERS (pair-graph-sized), never
     the corpus; the corpus contributes one projected column and one
     left join that AQE broadcasts."""
+    # narrow (doc_id, n_tokens) label table; the member join and the
+    # final left join both read it — checkpoint so the corpus is
+    # tokenized once, not once per consumer.
     docs = spread(load_table(spark, sf_dir, "documents"), "doc_id").select(
         "doc_id",
         F.size(F.split(_norm_text(F.col("text")), " ")).alias("n_tokens"),
-    )
+    ).localCheckpoint(eager=True)
     # labels only — q_dedup_components' cluster_size window is unused
     comp = dedup_component_labels(spark, sf_dir)
     members = comp.join(docs, "doc_id")

@@ -176,14 +176,24 @@ def q_heaps_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs.select("source", "doc_id", F.explode(toks).alias("tok"))
         .filter(F.col("tok") != "")
     )
-    first = tok.groupBy("source", "tok").agg(
+    # ONE explode + (source, doc, tok) aggregate serves both downstream
+    # aggregates (first-occurrence and per-doc token counts) — the
+    # previous shape exploded the token stream twice.  min(doc_id) over
+    # per-doc groups == min over raw rows, and sum(cnt) == count(*),
+    # so both results are identical.
+    g = (
+        tok.groupBy("source", "doc_id", "tok")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .localCheckpoint(eager=True)
+    )
+    first = g.groupBy("source", "tok").agg(
         F.min("doc_id").alias("first_doc")
     )
     new_types = first.groupBy(
         "source", F.col("first_doc").alias("doc_id")
     ).agg(F.count(F.lit(1)).alias("new_types"))
-    per_doc = tok.groupBy("source", "doc_id").agg(
-        F.count(F.lit(1)).alias("n_toks")
+    per_doc = g.groupBy("source", "doc_id").agg(
+        F.sum("cnt").alias("n_toks")
     )
     curve_in = per_doc.join(new_types, ["source", "doc_id"], "left").select(
         "source",
