@@ -627,26 +627,43 @@ def q_pagerank_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
     edges = edges.join(deg, "src").localCheckpoint(eager=True)
 
-    nodes = edges.select(F.col("src").alias("pk")).distinct()
-    nodes = nodes.localCheckpoint(eager=True)
-    n = nodes.count()
+    # n is the only thing the node relation is needed for: iteration 1
+    # reads the uniform rank u0 straight off the edge checkpoint (every
+    # src holds exactly u0, so the rank join is an identity there), and
+    # later iterations cover all nodes because every node appears as a
+    # dst of the symmetric edge set.  One count job off the checkpoint,
+    # no separate node materialization.
+    n = edges.select("src").distinct().count()
 
     import math
 
     u0 = math.floor(PR_SCALE / n + 0.5)
     teleport = math.floor(0.15 * PR_SCALE / n + 0.5)
 
-    ranks = nodes.select("pk", F.lit(u0).cast("long").alias("u"))
+    ranks = None
     for _ in range(PR_ITERS):
-        contribs = edges.join(ranks, edges["src"] == ranks["pk"]).select(
-            F.col("dst"),
-            F.floor(
-                F.col("u").cast("double") / F.col("outdeg").cast("double")
-                + F.lit(0.5)
+        if ranks is None:
+            # iteration 1: rank(src) == u0 for every src — same values
+            # as joining the uniform rank relation, minus the join
+            contribs = edges.select(
+                F.col("dst"),
+                F.floor(
+                    F.lit(u0).cast("double") / F.col("outdeg").cast("double")
+                    + F.lit(0.5)
+                )
+                .cast("long")
+                .alias("c"),
             )
-            .cast("long")
-            .alias("c"),
-        )
+        else:
+            contribs = edges.join(ranks, edges["src"] == ranks["pk"]).select(
+                F.col("dst"),
+                F.floor(
+                    F.col("u").cast("double") / F.col("outdeg").cast("double")
+                    + F.lit(0.5)
+                )
+                .cast("long")
+                .alias("c"),
+            )
         # The contribution sums already cover EVERY node: the edge set
         # is the symmetric union, so each node appears as some edge's
         # dst, and ranks covers all nodes by induction — the former
