@@ -251,7 +251,11 @@ def q_ordinal_alignment(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("qtd"))
     )
     w = Window.partitionBy("event_type").orderBy("dia")
-    ranked = daily.withColumn("ordinal", F.row_number().over(w))
+    # calendar-sized; both full-outer sides read it — checkpoint so
+    # the event aggregate + rank window run once.
+    ranked = daily.withColumn(
+        "ordinal", F.row_number().over(w)
+    ).localCheckpoint(eager=True)
     a = ranked.filter(F.col("event_type") == "purchase").select(
         "ordinal",
         F.col("dia").alias("dia_purchase"),
