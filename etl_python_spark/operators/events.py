@@ -642,26 +642,22 @@ GROUP BY pc.user_id, pc.exact_count
 KMV_K = 256
 
 
-def q_kmv_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Pairwise distinct-user overlap between event types via merged
-    bottom-K sketches: estimated union, Jaccard, and intersection,
-    with the exact intersection as the audit column.  Pairs whose
-    merged sketch holds fewer than K values use the exact-count path
-    (the sketch IS the distinct set there — standard KMV practice)."""
+def _kmv_sketch(events: DataFrame) -> DataFrame:
+    """The bottom-K sketch build, pre-materialization.  The sketch
+    side needs distinct (type, h) — and h is a pure function of
+    user_id, so that is ONE distinct straight off the scan (the
+    earlier shared (type, user_id, h) distinct was a second
+    corpus-wide exchange that, consumed by both the sketch and the
+    exact-audit sides uncheckpointed, executed twice).
+
+    Two-stage bottom-K so no single task ever sorts a type's full
+    distinct-hash set: per-(type, salt) partial bottom-K first (64
+    parallel tasks per type), then the final bottom-K over the
+    <= 64*K surviving candidates — identical result, because the K
+    global minima are each the minimum of their salt bucket's K."""
     from .dedup import hash60
 
-    events = load_table(spark, sf_dir, "events")
-    # The sketch side needs distinct (type, h) and the exact-audit side
-    # distinct (type, user_id); h is a pure function of user_id, so
-    # each is ONE distinct straight off the scan — the earlier shared
-    # (type, user_id, h) distinct was a second corpus-wide exchange
-    # that, consumed by both sides uncheckpointed, executed twice.
     w1 = Window.partitionBy("event_type", "salt").orderBy("h")
-    # two-stage bottom-K so no single task ever sorts a type's full
-    # distinct-hash set: per-(type, salt) partial bottom-K first
-    # (64 parallel tasks per type), then the final bottom-K over the
-    # <= 64*K surviving candidates — identical result, because the K
-    # global minima are each the minimum of their salt bucket's K
     partial = (
         events.select(
             "event_type", hash60(F.col("user_id").cast("string")).alias("h")
@@ -672,13 +668,26 @@ def q_kmv_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= KMV_K)
     )
     w = Window.partitionBy("event_type").orderBy("h")
-    sketch = (
+    return (
         partial.select("event_type", "h")
         .withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= KMV_K)
         .drop("rn")
-        .localCheckpoint(eager=True)  # n_types*K rows; 2 consumers
     )
+
+
+def q_kmv_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise distinct-user overlap between event types via merged
+    bottom-K sketches: estimated union, Jaccard, and intersection,
+    with the exact intersection as the audit column.  Pairs whose
+    merged sketch holds fewer than K values use the exact-count path
+    (the sketch IS the distinct set there — standard KMV practice)."""
+    events = load_table(spark, sf_dir, "events")
+    # n_types*K rows; 2 consumers (pair broadcast + type list) — the
+    # build stage's shape is pinned by test_sketch_family_plan_shapes
+    # against _kmv_sketch directly, since the checkpoint hides it from
+    # this query's final plan.
+    sketch = _kmv_sketch(events).localCheckpoint(eager=True)
     types = sketch.select("event_type").distinct()
     pairs = (
         types.alias("a")

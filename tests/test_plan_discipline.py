@@ -188,8 +188,16 @@ def test_sketch_family_plan_shapes(spark):
     assert "CartesianProduct" not in plan
     # two-stage bottom-K: the first row_number window over the data
     # partitions by (event_type, salt); only the <=64K-candidate
-    # second stage may partition by event_type alone
-    specs = re.findall(r"row_number\(\) windowspecdefinition\(([^,]+, [^,]+),", plan)
+    # second stage may partition by event_type alone.  The sketch is
+    # localCheckpointed in the serving query (it feeds two consumers),
+    # so the build-stage shape is pinned on _kmv_sketch's own plan.
+    from etl_python_spark.operators.events import _kmv_sketch
+    from etl_python_spark.sources.tables import load_table
+
+    sk_plan = _plan(_kmv_sketch(load_table(spark, SF_SMOKE, "events")))
+    specs = re.findall(
+        r"row_number\(\) windowspecdefinition\(([^,]+, [^,]+),", sk_plan
+    )
     assert any("salt" in s for s in specs), specs
 
 
