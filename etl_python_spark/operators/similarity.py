@@ -344,7 +344,43 @@ def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("embedding").alias("n_emb"),
         _norm(F.col("embedding")).alias("n_nrm"),
     )
-    posting = cell_assign(corpus, "n_id", "n_emb", "n_nrm", keep=1)
+    # Corpus-side cell assignment is an ARGMAX PROJECTION over the
+    # collected centroid sample (16 rows of driver-side model state —
+    # the kmeans-fit collect class), NOT a crossJoin + window: the
+    # former window shuffled corpus×N_CENTROIDS rows through an
+    # exchange keyed on n_id, a data-sized shuffle a 100 TB corpus
+    # cannot pay (guide §2.4: remove shuffles outright).  Value
+    # parity: _dot casts every element to double before multiplying,
+    # so double literals of the collected float values produce the
+    # bit-identical cosine; min over (−cos6, c_id) == the window's
+    # (cos6 DESC, c_id ASC) first row, with NULL cosines (zero norms)
+    # coalesced to +inf == the window's NULLS LAST.  The query side
+    # keeps the windowed form — it is N_QUERY-bounded by contract.
+    cent_rows = sorted(
+        centroids.collect(), key=lambda r: r["c_id"]
+    )
+    neg_cells = F.array(
+        *[
+            F.struct(
+                F.coalesce(
+                    -F.round(
+                        _dot(F.col("n_emb"), _arr_lit([float(x) for x in r["c_emb"]]))
+                        / F.nullif(
+                            F.col("n_nrm") * F.lit(float(r["c_nrm"])),
+                            F.lit(0.0),
+                        ),
+                        6,
+                    ),
+                    F.lit(float("inf")),
+                ).alias("nc"),
+                F.lit(int(r["c_id"])).cast("long").alias("c_id"),
+            )
+            for r in cent_rows
+        ]
+    )
+    posting = corpus.select(
+        "n_id", "n_emb", "n_nrm", F.array_min(neg_cells)["c_id"].alias("c_id")
+    )
     queries = emb.filter(F.col("vec_id") < N_QUERY).select(
         F.col("vec_id").alias("q_id"),
         F.col("embedding").alias("q_emb"),
