@@ -228,6 +228,48 @@ FROM cells
 # RFM segmentation (recency / frequency / monetary quintiles)
 # ---------------------------------------------------------------------------
 
+N_RFM_PARTS = 16  # range partitions for the two-phase global NTILE
+
+
+def _ntile5_two_phase(df: DataFrame, order_cols, out_name: str) -> DataFrame:
+    """Exact global NTILE(5) over a fully tie-broken order without a
+    single-task sort (the pareto_abc / training_shuffle two-phase
+    pattern): range-repartition on the order key (pinned with
+    localCheckpoint so the count job and the consume job see ONE
+    consistent partitioning), per-partition row_number in parallel,
+    per-partition counts (an N_RFM_PARTS-row driver list) become
+    broadcast offsets, and NTILE's bucket is the closed form of the
+    global position and n — the first n%5 buckets hold ceil(n/5)
+    rows, the rest floor(n/5), exactly the engines' NTILE semantics.
+    """
+    ranged = (
+        df.repartitionByRange(N_RFM_PARTS, *order_cols)
+        .withColumn("_pid", F.spark_partition_id())
+        .localCheckpoint(eager=True)
+    )
+    w_local = Window.partitionBy("_pid").orderBy(*order_cols)
+    local = ranged.withColumn("_rn", F.row_number().over(w_local))
+    counts = ranged.groupBy("_pid").agg(F.count(F.lit(1)).alias("n")).collect()
+    counts.sort(key=lambda r: r["_pid"])
+    offsets, acc = [], 0
+    for r in counts:
+        offsets.append((r["_pid"], acc))
+        acc += r["n"]
+    off_df = df.sparkSession.createDataFrame(offsets, "_pid int, _offset long")
+    q, rem = divmod(acc, 5)
+    thresh = rem * (q + 1)
+    bucket = (
+        f"CAST(IF(_pos <= {thresh}, (_pos - 1) DIV {q + 1}, "
+        f"{rem} + (_pos - 1 - {thresh}) DIV {max(q, 1)}) + 1 AS INT)"
+    )
+    return (
+        local.join(F.broadcast(off_df), "_pid")
+        .withColumn("_pos", F.col("_offset") + F.col("_rn"))
+        .withColumn(out_name, F.expr(bucket))
+        .drop("_pid", "_rn", "_offset", "_pos")
+    )
+
+
 def q_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Classic RFM: per customer the days since last order (anchored
     at the dataset's max order date, the reference's date-window
@@ -237,11 +279,12 @@ def q_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     assignment is deterministic and engine-identical).
 
     Scale shape: one shuffle for the per-customer aggregate, then
-    three NTILE windows.  A global un-partitioned NTILE serializes
-    through one task; customer-grain output is dim-sized (|customers|
-    ≪ |orders|) so this is the metadata-scale exception the repo's
-    plan conventions allow — the event-grain work (the aggregate) is
-    fully parallel.  R scores 5=most recent, F/M score 5=highest.
+    three exact two-phase global NTILEs (`_ntile5_two_phase`) — no
+    task ever sorts the whole customer-grain relation; each dimension
+    is a range shuffle + parallel local window + broadcast offset
+    join.  The oracle restates the plain global NTILE, proving the
+    decomposition assigns the identical quintiles.  R scores 5=most
+    recent, F/M score 5=highest.
     """
     o = load_table(spark, sf_dir, "orders")
     anchor = o.agg(F.max("o_orderdate").alias("mx")).collect()[0]["mx"]
@@ -253,17 +296,29 @@ def q_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("frequency"),
         F.sum(cents(F.col("o_totalprice"))).alias("monetary_c"),
     )
-    w_r = Window.orderBy(F.asc("recency_days"), F.asc("o_custkey"))
-    w_f = Window.orderBy(F.desc("frequency"), F.asc("o_custkey"))
-    w_m = Window.orderBy(F.desc("monetary_c"), F.asc("o_custkey"))
-    scored = per_cust.select(
+    scored = _ntile5_two_phase(
+        per_cust,
+        [F.asc("recency_days"), F.asc("o_custkey")],
+        "_nt_r",
+    )
+    scored = _ntile5_two_phase(
+        scored,
+        [F.desc("frequency"), F.asc("o_custkey")],
+        "_nt_f",
+    )
+    scored = _ntile5_two_phase(
+        scored,
+        [F.desc("monetary_c"), F.asc("o_custkey")],
+        "_nt_m",
+    )
+    scored = scored.select(
         "o_custkey",
         "recency_days",
         "frequency",
         "monetary_c",
-        (F.lit(6) - F.ntile(5).over(w_r)).alias("r_score"),
-        (F.lit(6) - F.ntile(5).over(w_f)).alias("f_score"),
-        (F.lit(6) - F.ntile(5).over(w_m)).alias("m_score"),
+        (F.lit(6) - F.col("_nt_r")).cast("int").alias("r_score"),
+        (F.lit(6) - F.col("_nt_f")).cast("int").alias("f_score"),
+        (F.lit(6) - F.col("_nt_m")).cast("int").alias("m_score"),
     )
     return scored.withColumn(
         "rfm",

@@ -357,3 +357,34 @@ def test_markov_attribution_hand_computed(spark, tmp_path):
     assert out["signup"].removal_effect_micro == 0
     assert out["error"].removal_effect_micro == 0
     assert out["error"].p_removed_micro == 500_000  # chain untouched
+
+
+# ---------------------------------------------------------------------------
+# rfm: two-phase global NTILE equals the single-window NTILE
+# ---------------------------------------------------------------------------
+
+@pytest.mark.parametrize("n", [1, 4, 5, 23, 100, 101])
+def test_ntile_two_phase_matches_window_ntile(spark, n):
+    """The closed-form bucket of (global position, n) must reproduce
+    NTILE(5) exactly for every n mod 5 shape — including n < 5 (every
+    row its own bucket) and the padded/unpadded boundary rows."""
+    from pyspark.sql import Window
+
+    from etl_python_spark.operators.affinity import _ntile5_two_phase
+
+    # keys chosen so the range order differs from insertion order and
+    # ties on the metric are broken by the id column
+    rows = [(i, (i * 7) % 13) for i in range(n)]
+    df = spark.createDataFrame(rows, "id long, metric long")
+    order = [F.desc("metric"), F.asc("id")]
+    got = {
+        r.id: r.nt
+        for r in _ntile5_two_phase(df, order, "nt").collect()
+    }
+    want = {
+        r.id: r.nt
+        for r in df.select(
+            "id", F.ntile(5).over(Window.orderBy(*order)).alias("nt")
+        ).collect()
+    }
+    assert got == want
