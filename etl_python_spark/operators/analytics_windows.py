@@ -476,12 +476,27 @@ FROM built
 """
 
 
+N_QUARTILE_PARTS = 16  # range partitions for the two-phase per-nation NTILE
+
+
 def q_customer_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """NTILE quartiles + exact median — window capabilities the
     reference's MySQL layer never had (SURVEY §2.5 note): customers
     ranked into revenue quartiles within their nation, with the
-    nation's median revenue alongside.  One aggregate shuffle then one
-    window exchange on the (small) per-customer rollup."""
+    nation's median revenue alongside.
+
+    Scale shape: a per-nation window would sort each nation's whole
+    customer-grain rollup in ONE task (25 nations = 25 reducers at
+    any scale), so the NTILE is two-phase — range-repartition on
+    (nation, fat DESC, custkey), per-(nation, partition) row_number
+    in parallel, a (nations x partitions)-row count collect becomes
+    broadcast per-nation offsets + totals, and NTILE's bucket is the
+    closed form of the in-nation position and n (the first n%4
+    buckets hold ceil(n/4) rows, exactly the engines' semantics).
+    The nation median is the same Percentile aggregate the window
+    used (order-insensitive: it sorts its buffer at eval), grouped
+    and broadcast back.  The oracle keeps the plain windowed NTILE +
+    median, proving the decomposition is identical."""
     orders = load_table(spark, sf_dir, "orders")
     customer = load_table(spark, sf_dir, "customer")
     nation = load_table(spark, sf_dir, "nation")
@@ -495,14 +510,56 @@ def q_customer_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("fat")
         )
     )
-    w = Window.partitionBy("n_name").orderBy(F.desc("fat"), F.asc("c_custkey"))
-    w_n = Window.partitionBy("n_name")
-    return per_cust.select(
-        "n_name",
-        "c_custkey",
-        "fat",
-        F.ntile(4).over(w).alias("quartil"),
-        F.round(F.median("fat").over(w_n), 2).alias("mediana_nacao"),
+    # pin the range partitioning so the count job and the consume job
+    # see one consistent layout (boundaries are sampled per job)
+    ranged = (
+        per_cust.repartitionByRange(
+            N_QUARTILE_PARTS,
+            F.asc("n_name"),
+            F.desc("fat"),
+            F.asc("c_custkey"),
+        )
+        .withColumn("_pid", F.spark_partition_id())
+        .localCheckpoint(eager=True)
+    )
+    w_local = Window.partitionBy("n_name", "_pid").orderBy(
+        F.desc("fat"), F.asc("c_custkey")
+    )
+    local = ranged.withColumn("_rn", F.row_number().over(w_local))
+    counts = (
+        ranged.groupBy("n_name", "_pid")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    )
+    by_nation: dict[str, list] = {}
+    for r in sorted(counts, key=lambda r: (r["n_name"], r["_pid"])):
+        by_nation.setdefault(r["n_name"], []).append((r["_pid"], r["n"]))
+    rows = []
+    for nname, lst in by_nation.items():
+        tot, acc = sum(n for _, n in lst), 0
+        for pid, n in lst:
+            rows.append((nname, pid, acc, tot))
+            acc += n
+    off_df = spark.createDataFrame(
+        rows, "n_name string, _pid int, _offset long, _n long"
+    )
+    # NTILE(4) from the in-nation position and n: q = n DIV 4 rows per
+    # unpadded bucket, the first n%4 buckets take one row more
+    ntile4 = F.expr(
+        "CAST(IF(_pos <= (_n % 4) * ((_n DIV 4) + 1), "
+        "(_pos - 1) DIV ((_n DIV 4) + 1), "
+        "(_n % 4) + (_pos - 1 - (_n % 4) * ((_n DIV 4) + 1))"
+        " DIV GREATEST(_n DIV 4, 1)) + 1 AS INT)"
+    )
+    med = ranged.groupBy("n_name").agg(
+        F.round(F.median("fat"), 2).alias("mediana_nacao")
+    )
+    return (
+        local.join(F.broadcast(off_df), ["n_name", "_pid"])
+        .withColumn("_pos", F.col("_offset") + F.col("_rn"))
+        .withColumn("quartil", ntile4)
+        .join(F.broadcast(med), "n_name")
+        .select("n_name", "c_custkey", "fat", "quartil", "mediana_nacao")
     )
 
 

@@ -264,3 +264,82 @@ def test_ann_probe_recall_is_monotone(spark):
     recalls = [r.recall for r in rows]
     assert recalls == sorted(recalls)
     assert all(r.n_exact > 0 and 0 <= r.tp <= r.n_exact for r in rows)
+
+
+def test_customer_quartiles_two_phase_matches_window_ntile(spark, tmp_path):
+    """The two-phase per-nation NTILE(4) + grouped median must equal
+    the plain windowed formulation on group sizes covering every
+    n mod 4 shape, including n < 4 (each row its own bucket)."""
+    import pyspark.sql.functions as F
+    from pyspark.sql import Window
+
+    from etl_python_spark.operators.analytics_windows import (
+        q_customer_quartiles,
+    )
+
+    # nation sizes 3, 4, 5, 6, 9 -> n % 4 in {3, 0, 1, 2, 1}
+    sizes = {"A": 3, "B": 4, "C": 5, "D": 6, "E": 9}
+    nations, custs, orders = [], [], []
+    ck, ok = 1, 1
+    for i, (nname, n) in enumerate(sorted(sizes.items())):
+        nations.append((i, nname, 0, ""))
+        for j in range(n):
+            custs.append((ck, f"c{ck}", i))
+            # repeated totals within a nation exercise the custkey
+            # tie-break of the quartile order
+            orders.append(
+                (ok, ck, float(100 + (j % 3) * 50), "2024-01-01", "P")
+            )
+            ck, ok = ck + 1, ok + 1
+    spark.createDataFrame(
+        nations, "n_nationkey long, n_name string, n_regionkey long,"
+        " n_comment string"
+    ).write.parquet(str(tmp_path / "nation.parquet"))
+    spark.createDataFrame(
+        custs, "c_custkey long, c_name string, c_nationkey long"
+    ).write.parquet(str(tmp_path / "customer.parquet"))
+    spark.createDataFrame(
+        orders,
+        "o_orderkey long, o_custkey long, o_totalprice double,"
+        " o_orderdate string, o_orderpriority string",
+    ).write.parquet(str(tmp_path / "orders.parquet"))
+
+    got = {
+        (r.n_name, r.c_custkey): (r.quartil, r.mediana_nacao)
+        for r in q_customer_quartiles(spark, str(tmp_path)).collect()
+    }
+
+    per_cust = (
+        spark.read.parquet(str(tmp_path / "orders.parquet"))
+        .join(
+            spark.read.parquet(str(tmp_path / "customer.parquet")),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .join(
+            spark.read.parquet(str(tmp_path / "nation.parquet")),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        )
+        .groupBy("n_name", "c_custkey")
+        .agg(
+            F.round(
+                F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast(
+                    "double"
+                ),
+                2,
+            ).alias("fat")
+        )
+    )
+    w = Window.partitionBy("n_name").orderBy(
+        F.desc("fat"), F.asc("c_custkey")
+    )
+    w_n = Window.partitionBy("n_name")
+    want = {
+        (r.n_name, r.c_custkey): (r.quartil, r.mediana_nacao)
+        for r in per_cust.select(
+            "n_name",
+            "c_custkey",
+            F.ntile(4).over(w).alias("quartil"),
+            F.round(F.median("fat").over(w_n), 2).alias("mediana_nacao"),
+        ).collect()
+    }
+    assert got == want
