@@ -1151,11 +1151,14 @@ def q_spearman_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
     num / (sqrt(denx) * sqrt(deny)) in double — the same expression
     shape in both engines — floor-quantized to micro-units.
 
-    Scale shape: the spend aggregate and the customer join are the
-    only data-sized shuffles; ranking runs per nation (bounded
-    partitions), and the moment aggregate reduces each nation to one
-    row before the driver-free final projection.  denx/deny = 0
-    (constant column) yields NULL via nullif, not a crash.
+    Scale shape: the spend aggregate, the customer join, and the two
+    rank join-backs are the only data-sized shuffles; ranks come from
+    per-(nation, value) COUNTS via a grouped two-phase cumulative
+    pass (the mann_whitney/_segment_cdf idea — a per-nation rank
+    window would sort a whole nation's customers in ONE task), and
+    the moment aggregate reduces each nation to one row before the
+    driver-free final projection.  denx/deny = 0 (constant column)
+    yields NULL via nullif, not a crash.
     """
     o = load_table(spark, sf_dir, "orders")
     c = load_table(spark, sf_dir, "customer")
@@ -1163,6 +1166,8 @@ def q_spearman_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
     spend = o.groupBy("o_custkey").agg(
         F.sum(cents(F.col("o_totalprice"))).alias("spend_c")
     )
+    # fed by two per-value count aggregates and the final rank
+    # join-back — pin it so the join pipeline runs once
     base = (
         c.join(spend, c["c_custkey"] == spend["o_custkey"])
         .join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
@@ -1171,19 +1176,60 @@ def q_spearman_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
             cents(F.col("c_acctbal")).alias("bal_c"),
             "spend_c",
         )
-    )
+    ).localCheckpoint(eager=True)
 
-    def doubled_rank(col: str) -> F.Column:
-        r = F.rank().over(Window.partitionBy("n_name").orderBy(col))
-        ties = F.count(F.lit(1)).over(
-            Window.partitionBy("n_name", col)
+    def doubled_ranks(col: str, out: str) -> DataFrame:
+        """Per-(nation, value) DOUBLED average rank from counts alone:
+        with less = #rows strictly below v and eq = #rows at v inside
+        the nation, 2*rank_min + ties - 1 == 2*less + eq + 1.  The
+        cumulative `less` is a grouped two-phase pass — range
+        partition on (nation, value), parallel local cumsum,
+        per-(nation, partition) sums (a bounded driver list) become
+        broadcast offsets — so no task ever sorts a whole nation."""
+        cnt = base.groupBy("n_name", col).agg(
+            F.count(F.lit(1)).alias("_c")
         )
-        return (F.lit(2) * r + ties - F.lit(1)).cast("long")
+        ranged = (
+            cnt.repartitionByRange(N_KS_PARTS, F.asc("n_name"), F.asc(col))
+            .withColumn("_pid", F.spark_partition_id())
+            .localCheckpoint(eager=True)
+        )
+        w_cum = (
+            Window.partitionBy("n_name", "_pid")
+            .orderBy(col)
+            .rowsBetween(Window.unboundedPreceding, 0)
+        )
+        local = ranged.withColumn("_cum", F.sum("_c").over(w_cum))
+        sums = (
+            ranged.groupBy("n_name", "_pid")
+            .agg(F.sum("_c").alias("_s"))
+            .collect()
+        )
+        by_nat: dict[str, list] = {}
+        for r in sorted(sums, key=lambda r: (r["n_name"], r["_pid"])):
+            by_nat.setdefault(r["n_name"], []).append((r["_pid"], r["_s"]))
+        offs = []
+        for nname, lst in by_nat.items():
+            acc = 0
+            for pid, s in lst:
+                offs.append((nname, pid, acc))
+                acc += s
+        off_df = spark.createDataFrame(
+            offs, "n_name string, _pid int, _offset long"
+        )
+        less = F.col("_offset") + F.col("_cum") - F.col("_c")
+        return local.join(F.broadcast(off_df), ["n_name", "_pid"]).select(
+            "n_name",
+            col,
+            (F.lit(2) * less + F.col("_c") + F.lit(1))
+            .cast("long")
+            .alias(out),
+        )
 
-    ranked = base.select(
-        "n_name",
-        doubled_rank("bal_c").alias("dx"),
-        doubled_rank("spend_c").alias("dy"),
+    ranked = (
+        base.join(doubled_ranks("bal_c", "dx"), ["n_name", "bal_c"])
+        .join(doubled_ranks("spend_c", "dy"), ["n_name", "spend_c"])
+        .select("n_name", "dx", "dy")
     )
     agg = ranked.groupBy("n_name").agg(
         F.count(F.lit(1)).alias("n"),
@@ -1475,9 +1521,14 @@ def q_gini_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
     sum exceeds — and the single final division is quantized to
     integer micro-units.
 
-    Scale shape: one data-sized aggregate to per-customer spend, one
-    rank window per segment (bounded partitions), one moment aggregate
-    per segment.  No joins, no driver state.
+    Scale shape: one data-sized aggregate to per-customer spend, then
+    a two-phase per-segment rank (range-repartition on
+    (segment, spend), parallel local row_number, broadcast
+    per-segment offsets — a per-segment window would sort a whole
+    segment's customers in ONE task), one moment aggregate per
+    segment.  The two-phase positions are a valid ascending
+    enumeration (tied blocks still occupy consecutive positions, and
+    W is tie-order invariant), so the statistic is bit-identical.
     """
     o = load_table(spark, sf_dir, "orders")
     c = load_table(spark, sf_dir, "customer")
@@ -1487,10 +1538,33 @@ def q_gini_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
     base = c.join(spend, c["c_custkey"] == spend["o_custkey"]).select(
         "c_mktsegment", "spend_c"
     )
-    i = F.row_number().over(
-        Window.partitionBy("c_mktsegment").orderBy("spend_c")
+    ranged = (
+        base.repartitionByRange(
+            N_KS_PARTS, F.asc("c_mktsegment"), F.asc("spend_c")
+        )
+        .withColumn("_pid", F.spark_partition_id())
+        .localCheckpoint(eager=True)
     )
-    ranked = base.select(
+    w_local = Window.partitionBy("c_mktsegment", "_pid").orderBy("spend_c")
+    counts = (
+        ranged.groupBy("c_mktsegment", "_pid")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .collect()
+    )
+    by_seg: dict[str, list] = {}
+    for r in sorted(counts, key=lambda r: (r["c_mktsegment"], r["_pid"])):
+        by_seg.setdefault(r["c_mktsegment"], []).append((r["_pid"], r["cnt"]))
+    offs = []
+    for seg, lst in by_seg.items():
+        acc = 0
+        for pid, cnt in lst:
+            offs.append((seg, pid, acc))
+            acc += cnt
+    off_df = spark.createDataFrame(
+        offs, "c_mktsegment string, _pid int, _offset long"
+    )
+    i = F.col("_offset") + F.row_number().over(w_local)
+    ranked = ranged.join(F.broadcast(off_df), ["c_mktsegment", "_pid"]).select(
         "c_mktsegment",
         "spend_c",
         (i.cast("decimal(38,0)") * F.col("spend_c").cast("decimal(38,0)"))
