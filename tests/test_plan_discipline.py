@@ -34,9 +34,17 @@ def test_top_customers_single_window_after_aggregate(spark):
     import re
 
     plan = _plan(q_top_customers_per_nation(spark, SF_SMOKE))
-    # aggregate shrinks input BEFORE the window: exactly one Window op,
-    # no sort-merge join (count operator headers, not detail mentions)
-    assert len(re.findall(r"\(\d+\) Window\b", plan)) == 1
+    # aggregate shrinks input BEFORE the windows (r16: two-phase top-5
+    # — a salted partial rank in 64 parallel tasks per nation, then a
+    # final rank over the <= 64*5 survivors; no single task ever sorts
+    # a whole nation), no sort-merge join (count operator headers, not
+    # detail mentions)
+    assert len(re.findall(r"\(\d+\) Window\b", plan)) == 2
+    # both ranks are rank-limit windows Spark can prune with a group
+    # limit before the full sort (partial + final per window)
+    assert len(re.findall(r"\(\d+\) WindowGroupLimit\b", plan)) >= 2
+    # the salted partial stage must key on (n_name, salt), not n_name
+    assert re.search(r"hashpartitioning\(n_name[^)]*salt", plan)
     assert "SortMergeJoin" not in plan
 
 
