@@ -316,7 +316,13 @@ def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     # per centroid) below the pair joins, not per candidate pair — the
     # identical expression over the same values, so the doubles are
     # bit-identical and the oracle is untouched.
-    centroids = emb.filter(
+    #
+    # The centroid sample (16 rows of model state) reads the UN-spread
+    # scan: routing 16 rows through the CPU-spreading exchange only
+    # added a shuffle stage to the model collect below and to the
+    # broadcast build (same rows, same per-row expressions → the same
+    # doubles either way).
+    centroids = load_table(spark, sf_dir, "embeddings").filter(
         (F.col("vec_id") >= 100) & (F.col("vec_id") < 100 + N_CENTROIDS)
     ).select(
         F.col("vec_id").alias("c_id"),
@@ -344,43 +350,24 @@ def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("embedding").alias("n_emb"),
         _norm(F.col("embedding")).alias("n_nrm"),
     )
-    # Corpus-side cell assignment is an ARGMAX PROJECTION over the
-    # collected centroid sample (16 rows of driver-side model state —
-    # the kmeans-fit collect class), NOT a crossJoin + window: the
-    # former window shuffled corpus×N_CENTROIDS rows through an
-    # exchange keyed on n_id, a data-sized shuffle a 100 TB corpus
-    # cannot pay (guide §2.4: remove shuffles outright).  Value
-    # parity: _dot casts every element to double before multiplying,
-    # so double literals of the collected float values produce the
-    # bit-identical cosine; min over (−cos6, c_id) == the window's
-    # (cos6 DESC, c_id ASC) first row, with NULL cosines (zero norms)
-    # coalesced to +inf == the window's NULLS LAST.  The query side
-    # keeps the windowed form — it is N_QUERY-bounded by contract.
-    cent_rows = sorted(
-        centroids.collect(), key=lambda r: r["c_id"]
-    )
-    neg_cells = F.array(
-        *[
-            F.struct(
-                F.coalesce(
-                    -F.round(
-                        _dot(F.col("n_emb"), _arr_lit([float(x) for x in r["c_emb"]]))
-                        / F.nullif(
-                            F.col("n_nrm") * F.lit(float(r["c_nrm"])),
-                            F.lit(0.0),
-                        ),
-                        6,
-                    ),
-                    F.lit(float("inf")),
-                ).alias("nc"),
-                F.lit(int(r["c_id"])).cast("long").alias("c_id"),
-            )
-            for r in cent_rows
-        ]
-    )
-    posting = corpus.select(
-        "n_id", "n_emb", "n_nrm", F.array_min(neg_cells)["c_id"].alias("c_id")
-    )
+    # Corpus-side cell assignment KEEPS the crossJoin + rank-window
+    # form.  An argmax PROJECTION over collected centroid literals
+    # (the _kmeans_assign pattern) was landed mid-r16 to drop the
+    # window's n_id exchange, then REVERTED after clean interleaved
+    # A/B (guide §1.1's "the ideal plan is usually slower at first"):
+    # with build costs equalized (one-parse SQL argmin, unspread
+    # 16-row collect) the projection's EXECUTION still ran ~2.6× the
+    # window form (min 1.27 s vs 0.48 s at sf0.1) — the K inlined
+    # interpreted HOF folds per row cost more than the 16×-row
+    # broadcast join + WindowGroupLimit-pruned rank they replace, at
+    # every probe.  Values were bit-identical both ways (oracle
+    # green at 3 SFs for both forms).  The 100 TB serve path does NOT
+    # inline-assign the corpus per query either way — it reads the
+    # materialized posting lists (materialize_ann_index /
+    # _ivf_pq_index, which assign via the projection kernel exactly
+    # once at build time); this inline assignment is the
+    # oracle-restatable single-query form.
+    posting = cell_assign(corpus, "n_id", "n_emb", "n_nrm", keep=1)
     queries = emb.filter(F.col("vec_id") < N_QUERY).select(
         F.col("vec_id").alias("q_id"),
         F.col("embedding").alias("q_emb"),
