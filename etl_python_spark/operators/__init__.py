@@ -22,68 +22,74 @@ from pyspark.sql import DataFrame, SparkSession
 #     their round-1 verdict remains valid evidence).
 # Names absent from this tuple keep module order after the block.
 VERIFY_PRIORITY = (
-    # Round-16 rotation (enforced by tests/test_rotation.py against
-    # tools/queries_at_base.json @ round-15 HEAD, tools/round_base.txt).
-    # Round-15 verdict item 1: drain the ENTIRE round-12 driver-verdict
-    # cohort — after round 15 it is the whole remaining verification-
-    # freshness debt (histogram r12:50 r13:50 r14:43 r15:50) and it
-    # exactly fills the 50-slot window.  `stream_neardup` is also this
-    # round's only in-window touched query (verdict item 4 adds its
-    # bounded-state scale soak).  Queries changed this round OUTSIDE
-    # the cohort (the ml/forecast.py band-rounding oracle fix, ADVICE
-    # item 2) carry check_correctness --record evidence at their HEAD
-    # fingerprints (tools/offwindow_verified.json).  After this window
-    # the oldest driver verdict in the inventory is round 13.
-    "ann_index_incremental",
-    "bloom_semi_filter",
-    "catalog_integrity",
-    "churn_kpi",
-    "cms_heavy_hitters",
-    "cnpj_validate",
-    "custom_sort_field",
+    # Round-17 rotation (enforced by tests/test_rotation.py against
+    # tools/queries_at_base.json @ round-16 HEAD, tools/round_base.txt).
+    # Round-16 verdict item 2 ("changed-first" rule): most of round 16's
+    # RESTRUCTURED queries were edited AFTER the r16 window was
+    # committed, so the driver oracle has never seen their new forms —
+    # the two-phase NTILE/rank kernels (rfm_segments, spearman_corr,
+    # gini_concentration, customer_quartiles), the rewritten CC/pagerank
+    # /checkpoint paths (pagerank_copurchase, dedup_*, fuzzy_components,
+    # kmv_overlap), the salted top-K trio (top_customers_per_nation,
+    # mad_outliers, zipf_vocab_stats) and the one-exchange-per-iteration
+    # ANN/kmeans family.  This window leads with exactly that cohort,
+    # which is also round 17's optimization target list (checkpoint
+    # A/Bs, salt removal, scale-adaptive partition counts), then fills
+    # with the remaining r16 fan-out-sweep restructures and the headline
+    # workhorses.  Queries edited this round OUTSIDE the window carry
+    # check_correctness --record evidence at their HEAD fingerprints
+    # (tools/offwindow_verified.json, stale records pruned per r16
+    # ADVICE item 1).
+    "rfm_segments",
+    "spearman_corr",
+    "gini_concentration",
     "customer_quartiles",
+    "pagerank_copurchase",
     "dedup_pairs_incremental",
-    "depara_standardize",
-    "dsir_scores",
-    "embedding_stats",
-    "formatted_report",
-    "full_outer_coalesce",
-    "fuzzy_components",
-    "fuzzy_match",
-    "gap_fill_interpolate",
-    "geo_spine_zerofill",
-    "global_topn",
-    "grouping_sets_report",
-    "histogram_quantiles",
-    "hll_users",
-    "km_survival",
+    "dedup_pairs_on_delete",
     "kmv_overlap",
-    "last_quarter_revenue",
-    "latest_order_per_customer",
-    "lead_scoring",
-    "left_enrichment",
-    "media_features",
-    "mom_growth",
-    "nb_quality_scores",
-    "ordinal_alignment",
-    "outlier_events",
-    "payroll_report",
-    "preagg_join",
-    "profile_customer",
-    "recency_buckets",
-    "reincidence",
-    "rolling_metrics",
-    "scd2_intervals",
-    "semi_join",
-    "set_ops",
-    "share_of_priority",
-    "sla_leadtime",
-    "stream_neardup",
+    "fuzzy_components",
     "top_customers_per_nation",
-    "union_detail_total",
-    "union_distinct_dims",
-    "year_pivot",
-    "yoy_same_month",
+    "mad_outliers",
+    "zipf_vocab_stats",
+    "ann_ivf",
+    "dedup_components",
+    "dedup_exact",
+    "dedup_keep_best",
+    "dedup_keep_canonical",
+    "incremental_dedup",
+    "leakage_safe_split",
+    "semantic_dedup",
+    "ann_ivf_fitted",
+    "kmeans_embeddings",
+    "kmeans_assign",
+    "kmeans_silhouette",
+    "ivf_pq_search",
+    "ivf_pq_recall",
+    "ann_index_on_delete",
+    "ann_probe_recall",
+    "pq_codes",
+    "pq_distortion",
+    "market_basket",
+    "item_similarity",
+    "cluster_label_nmi",
+    "funnel_conversion",
+    "graph_triangles",
+    "tfidf_top_terms",
+    "lm_perplexity",
+    "heaps_vocab_growth",
+    "ml_proxy_features",
+    "cohort_ltv",
+    "chi_square_independence",
+    "theil_sen_trend",
+    "seasonal_decompose",
+    "pareto_abc",
+    "ngram_jaccard_pairs",
+    "minhash_lsh_pairs",
+    "simhash",
+    "pricing_summary",
+    "faturamento_rollup",
+    "sessionize",
 )
 
 
