@@ -11,6 +11,13 @@ total out of the tail).
 Execution is measured with the noop sink (full pipeline runs, nothing
 collected to the driver).
 
+Banking (round-16 verdict item 1): when the standalone A/B child ran,
+its headline total/per-query map IS the banked ``value``/``queries``
+(the clean-by-construction run); the in-process parent's numbers ride
+under ``value_inchain``/``queries_inchain`` for continuity with the
+in-chain series of rounds <= 16.  Methodology, query set and the
+one-line JSON contract are unchanged.
+
 Methodology (round-4 re-baseline for Spark 4.1.2): each query runs one
 UNTIMED warm pass, then $SPARK_GRAFT_BENCH_RUNS (default 3) timed runs;
 the reported time is the minimum.  Under Spark 4.1.2 the first
@@ -219,6 +226,36 @@ def _run_standalone_child() -> dict:
         return {"error": repr(exc)}
 
 
+def _bank_standalone_primary(doc: dict, standalone: dict | None) -> dict:
+    """Round-16 verdict item 1: the banked headline map must be the
+    clean run.  The in-process parent measures AFTER the standalone
+    A/B child has heated the host, so its per-query map reads
+    uniformly high (r16: parent 24.2 s vs child 20.1 s on identical
+    code, and PERF_r16 compared warm-host maps across rounds into 21
+    phantom regressions).  The standalone child is the clean run by
+    construction — a fresh process that runs FIRST and does its own
+    clean-host wait — so when it produced a map, bank ITS total/map/
+    env as the primary ``value``/``queries``/``env`` and keep the
+    parent's in-chain numbers under ``*_inchain`` (informational,
+    like-for-like with the in-chain series of earlier rounds).  The
+    extended group still measures in the parent (the child is
+    headline-only)."""
+    if not standalone or not standalone.get("queries"):
+        return doc
+    doc["value_inchain"] = doc["value"]
+    doc["queries_inchain"] = doc["queries"]
+    doc["spread_inchain"] = doc.get("spread")
+    doc["env_inchain"] = doc.get("env")
+    doc["value"] = standalone["value"]
+    doc["queries"] = standalone["queries"]
+    if standalone.get("spread") is not None:
+        doc["spread"] = standalone["spread"]
+    if standalone.get("env") is not None:
+        doc["env"] = standalone["env"]
+    doc["banked_map"] = "standalone_ab_child"
+    return doc
+
+
 def _compact_summary(doc: dict) -> dict:
     """Round-14 verdict item 4: the driver keeps only a ~2 KB tail of
     bench output, and by r14 the full doc had grown past it — the
@@ -369,6 +406,7 @@ def main() -> None:
         doc["extended_spread"] = ext_spread
     if standalone is not None:
         doc["standalone"] = standalone
+        _bank_standalone_primary(doc, standalone)
     print(json.dumps(doc))
     # the compact summary MUST be the final line (driver tail contract)
     print(json.dumps(_compact_summary(doc)))

@@ -20,7 +20,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions.numeric import cents
-from ..sources.tables import load_table
+from ..sources.tables import load_table, range_parts
 
 
 def _q6(col):
@@ -228,22 +228,22 @@ FROM cells
 # RFM segmentation (recency / frequency / monetary quintiles)
 # ---------------------------------------------------------------------------
 
-N_RFM_PARTS = 16  # range partitions for the two-phase global NTILE
-
-
 def _ntile5_two_phase(df: DataFrame, order_cols, out_name: str) -> DataFrame:
     """Exact global NTILE(5) over a fully tie-broken order without a
     single-task sort (the pareto_abc / training_shuffle two-phase
     pattern): range-repartition on the order key (pinned with
     localCheckpoint so the count job and the consume job see ONE
     consistent partitioning), per-partition row_number in parallel,
-    per-partition counts (an N_RFM_PARTS-row driver list) become
-    broadcast offsets, and NTILE's bucket is the closed form of the
-    global position and n — the first n%5 buckets hold ceil(n/5)
-    rows, the rest floor(n/5), exactly the engines' NTILE semantics.
+    per-partition counts (a range_parts-row driver list — bounded
+    metadata) become broadcast offsets, and NTILE's bucket is the
+    closed form of the global position and n — the first n%5 buckets
+    hold ceil(n/5) rows, the rest floor(n/5), exactly the engines'
+    NTILE semantics.  The partition count tracks the session's cores
+    (r16 verdict item 5); the closed form is partition-count-
+    independent, so any count returns identical quintiles.
     """
     ranged = (
-        df.repartitionByRange(N_RFM_PARTS, *order_cols)
+        df.repartitionByRange(range_parts(df), *order_cols)
         .withColumn("_pid", F.spark_partition_id())
         .localCheckpoint(eager=True)
     )
@@ -660,19 +660,19 @@ def q_pagerank_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     bounded shuffles, no data-wide windows, no driver-side graph.
     """
     baskets = _baskets(spark, sf_dir)
-    # pair_cnt feeds BOTH sides of the edges⋈deg join below (deg's
-    # aggregate build and the probe side) — without a checkpoint Spark
-    # re-executes the whole pair-generation pipeline (explode + count
-    # aggregate over the basket relation) once per consumer.
-    # Materialize the filtered pair counts once: edge-sized rows, the
-    # same values either way (guide §5: cut lineage when an
-    # intermediate is reused).
+    # pair_cnt stays LAZY (r17, reverting r16's eager checkpoint): its
+    # consumers all live INSIDE the single edges-materialization job
+    # below, where the repeated aggregate subtrees are identical and
+    # cheap relative to the extra materialization job the checkpoint
+    # paid (idle-host A/B: 4.93 s with the checkpoint vs 4.23 s lazy,
+    # plans/r17/probe_ckpt_ab.json; the baskets relation itself is
+    # already checkpointed, so re-running the pair aggregate never
+    # re-shuffles lineitem).
     pair_cnt = (
         _basket_pairs(baskets)
         .groupBy("p1", "p2")
         .agg(F.count(F.lit(1)).alias("cnt_ab"))
         .filter(F.col("cnt_ab") >= MIN_PAIR_COUNT)
-        .localCheckpoint(eager=True)
     )
     edges = pair_cnt.select(
         F.col("p1").alias("src"), F.col("p2").alias("dst")

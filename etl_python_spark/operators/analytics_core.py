@@ -204,27 +204,19 @@ def q_top_customers_per_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("n_name", "c_custkey")
         .agg(dsum("o_totalprice").alias("faturamento"))
     )
-    # Two-stage top-5: a per-nation window sorts a whole nation's
-    # customer rollup in ONE task at scale, so a salted partial top-5
-    # runs first (64 parallel tasks per nation) and the final window
-    # ranks only the <= 64*5 survivors.  Identical output: the
-    # ordering (faturamento DESC, c_custkey ASC) is total, so every
-    # global top-5 row is a fortiori in its salt bucket's top-5 and
-    # all higher-ranked rows survive the cut.
-    w_part = Window.partitionBy("n_name", "salt").orderBy(
-        F.desc("faturamento"), F.asc("c_custkey")
-    )
-    partial = (
-        per_cust.withColumn("salt", (F.col("c_custkey") % 64).cast("int"))
-        .withColumn("prn", F.row_number().over(w_part))
-        .filter(F.col("prn") <= 5)
-        .drop("salt", "prn")
-    )
+    # Single rank-limit window (r17, reverting r16's salted two-phase):
+    # Spark already plans `row_number() <= K` as WindowGroupLimit
+    # Partial/Final — every MAP task prunes to its local top-5 per
+    # nation BEFORE the exchange, so the reducer sorts at most
+    # #map_tasks*5 rows per nation, never a whole nation.  The r16
+    # salt stage duplicated that map-side prune at the cost of one
+    # extra full exchange + sort on a headline query (the before-plan
+    # already carried WindowGroupLimit Partial; r16 verdict item 4).
     w = Window.partitionBy("n_name").orderBy(
         F.desc("faturamento"), F.asc("c_custkey")
     )
     return (
-        partial.withColumn("rn", F.row_number().over(w))
+        per_cust.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= 5)
         .select("n_name", "c_custkey", "faturamento", "rn")
     )

@@ -9,7 +9,7 @@ from pyspark.sql import functions as F
 
 from ..functions.dates import MONTH_NAMES_PT, month_name_pt
 from ..functions.numeric import dsum
-from ..sources.tables import load_table
+from ..sources.tables import load_table, range_parts
 
 
 # ---------------------------------------------------------------------------
@@ -476,9 +476,6 @@ FROM built
 """
 
 
-N_QUARTILE_PARTS = 16  # range partitions for the two-phase per-nation NTILE
-
-
 def q_customer_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """NTILE quartiles + exact median — window capabilities the
     reference's MySQL layer never had (SURVEY §2.5 note): customers
@@ -514,7 +511,7 @@ def q_customer_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     # see one consistent layout (boundaries are sampled per job)
     ranged = (
         per_cust.repartitionByRange(
-            N_QUARTILE_PARTS,
+            range_parts(per_cust),
             F.asc("n_name"),
             F.desc("fat"),
             F.asc("c_custkey"),
@@ -579,9 +576,6 @@ FROM per_cust
 """
 
 
-N_ABC_PARTS = 8  # range partitions for the two-phase cumsum
-
-
 def q_pareto_abc(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Curva ABC (Pareto classification): rank parts by revenue and
     class them A/B/C at 80%/95% of cumulative revenue share — the
@@ -596,9 +590,10 @@ def q_pareto_abc(spark: SparkSession, sf_dir: str) -> DataFrame:
        consistent partitioning;
     2. per-partition local cumsum (window keyed by the partition id —
        parallel across partitions);
-    3. per-partition totals (a N_ABC_PARTS-row aggregate) become
-       exclusive offsets via a driver-side scan of that tiny list,
-       broadcast-joined back: global cum = offset + local cum.
+    3. per-partition totals (a range_parts-row aggregate — bounded
+       metadata) become exclusive offsets via a driver-side scan of
+       that tiny list, broadcast-joined back: global cum = offset +
+       local cum.
 
     Class boundaries compare EXACT INTEGER cents (cum*100 <= total*80)
     — no float share crosses an engine boundary; the reported share
@@ -612,7 +607,7 @@ def q_pareto_abc(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(cents(F.col("l_extendedprice"))).alias("rev_c")
     )
     ranged = rev.repartitionByRange(
-        N_ABC_PARTS, F.desc("rev_c"), F.asc("l_partkey")
+        range_parts(rev), F.desc("rev_c"), F.asc("l_partkey")
     ).withColumn("pid", F.spark_partition_id())
     ranged = ranged.localCheckpoint(eager=True)
 

@@ -1019,12 +1019,17 @@ def q_dedup_pairs_on_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     is_removed = (F.col("doc_id") % DOC_DEL_MOD) == DOC_DEL_REM
     base_sh = _materialize(hashed_shingle_stream(docs), "checkpoint")
-    # base_df and the banked pair counts stand in for the txn-read
-    # snapshot of the refresh path — there they are disk-backed
-    # tables; inline they fed 3 consumers each (kept-filter build +
-    # df_changed + recross; dropped×2 + surv) and the df aggregate /
-    # the FULL pair join re-executed once per consumer.  Materialize
-    # once, exactly like the state they model (guide §5).
+    # base_df stands in for the txn-read df snapshot; it feeds TWO
+    # executed consumers here (the kept-filter semi-join and the
+    # cap-recross probe), so one checkpoint saves a corpus-shingle
+    # re-aggregation (guide §5).  The banked pair counts stay LAZY
+    # (r17, reverting r16): this query consumes only ``counts_new``,
+    # whose single executed reader of base_counts is the survivor
+    # anti-join — the r16 eager checkpoint materialized the FULL
+    # pre-delete pair table (including rows only the discarded
+    # ``changed`` output needs) for one consumer, and the idle-host
+    # A/B read 4.74 s (ckpt) vs 3.64 s (lazy)
+    # (plans/r17/probe_ckpt_ab.json).
     base_df = (
         base_sh.groupBy("h")
         .agg(F.count("*").alias("df"))
@@ -1040,7 +1045,7 @@ def q_dedup_pairs_on_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
     counts_new, _, _ = _decremental_pair_counts(
         surv_sh,
         base_df,
-        _pair_counts(base_kept).localCheckpoint(eager=True),
+        _pair_counts(base_kept),
         removed_ids,
     )
     return _jaccard_from_counts(counts_new)

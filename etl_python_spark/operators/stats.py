@@ -16,7 +16,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions.numeric import cents
-from ..sources.tables import load_table
+from ..sources.tables import load_table, range_parts
 
 LOOKBACK_US = 7 * 24 * 3600 * 1_000_000  # attribution lookback (µs)
 TOUCH_TYPES = ("click", "view")
@@ -110,7 +110,6 @@ FROM (
 # ---------------------------------------------------------------------------
 
 SEGMENTS = ("AUTOMOBILE", "BUILDING", "FURNITURE", "HOUSEHOLD", "MACHINERY")
-N_KS_PARTS = 8  # range partitions for the two-phase cumulative counts
 
 
 def _segment_cdf(spark: SparkSession, sf_dir: str):
@@ -121,8 +120,8 @@ def _segment_cdf(spark: SparkSession, sf_dir: str):
 
     The cumulative counts use the pareto_abc two-phase GLOBAL cumsum —
     range-partition by value, per-partition local window cumsums
-    (parallel), per-partition totals to the driver (N_KS_PARTS × 5
-    ints), exclusive offsets broadcast back — so no data-wide
+    (parallel), per-partition totals to the driver (range_parts × 5
+    ints — bounded metadata), exclusive offsets broadcast back — so no data-wide
     single-task window exists and the value stream is scanned once
     for all downstream pair statistics."""
     o = load_table(spark, sf_dir, "orders")
@@ -142,9 +141,9 @@ def _segment_cdf(spark: SparkSession, sf_dir: str):
         ]
     )
 
-    ranged = per_v.repartitionByRange(N_KS_PARTS, F.asc("v")).withColumn(
-        "pid", F.spark_partition_id()
-    )
+    ranged = per_v.repartitionByRange(
+        range_parts(per_v), F.asc("v")
+    ).withColumn("pid", F.spark_partition_id())
     ranged = ranged.localCheckpoint(eager=True)
 
     w_local = Window.partitionBy("pid").orderBy(F.asc("v")).rowsBetween(
@@ -195,8 +194,8 @@ def q_ks_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: one hash aggregate to per-value segment counts (5
     int columns over distinct values), then the pareto_abc two-phase
     GLOBAL cumsum — range-partition by value, per-partition local
-    cumsums (parallel), per-partition totals to the driver (N_KS_PARTS
-    × 5 ints), exclusive offsets broadcast back.  All 10 pair
+    cumsums (parallel), per-partition totals to the driver (range_parts
+    × 5 ints — bounded metadata), exclusive offsets broadcast back.  All 10 pair
     statistics read the SAME cumulative relation via one stack/unpivot
     + a 10-group max — the value stream is scanned once, no data-wide
     single-task window, no per-pair pass.
@@ -885,28 +884,17 @@ def q_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     # report the TOP-N most extreme rows per group (flag carried as a
     # column): a threshold-only output is empty on well-behaved data,
     # which the correctness gate rightly treats as a weak check.
-    # Two-stage top-20 (the KMV bottom-K rule): with only K priority
-    # classes, a single per-group window sorts |orders|/K rows in ONE
-    # task at scale — so a per-(group, salt) partial top-20 runs first
-    # (64 parallel tasks per group) and the final window ranks only
-    # the <= 64*20 survivors.  Identical output: every global top-20
-    # row is a fortiori in its salt bucket's top-20 (the ordering is
-    # total: rz_micro DESC NULLS LAST, o_orderkey ASC), and the final
-    # ranks match because all higher-ranked rows survive the cut.
-    w_part = Window.partitionBy("o_orderpriority", "salt").orderBy(
-        F.col("rz_micro").desc(), F.col("o_orderkey")
-    )
-    partial = (
-        scored.withColumn("salt", (F.col("o_orderkey") % 64).cast("int"))
-        .withColumn("rn", F.row_number().over(w_part))
-        .filter(F.col("rn") <= 20)
-        .drop("salt", "rn")
-    )
+    # Single rank-limit window (r17, reverting r16's salted two-phase):
+    # `row_number() <= 20` plans as WindowGroupLimit Partial/Final —
+    # each map task prunes to its local top-20 per priority before the
+    # exchange, so the reducer sorts <= #map_tasks*20 rows per group,
+    # never |orders|/K.  The salt stage duplicated that prune for the
+    # price of an extra exchange + sort (r16 verdict item 4).
     w_top = Window.partitionBy("o_orderpriority").orderBy(
         F.col("rz_micro").desc(), F.col("o_orderkey")
     )
     return (
-        partial.select(
+        scored.select(
             "*", F.row_number().over(w_top).alias("extremeness_rank")
         )
         .filter(F.col("extremeness_rank") <= 20)
@@ -1190,7 +1178,7 @@ def q_spearman_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("_c")
         )
         ranged = (
-            cnt.repartitionByRange(N_KS_PARTS, F.asc("n_name"), F.asc(col))
+            cnt.repartitionByRange(range_parts(cnt), F.asc("n_name"), F.asc(col))
             .withColumn("_pid", F.spark_partition_id())
             .localCheckpoint(eager=True)
         )
@@ -1540,7 +1528,7 @@ def q_gini_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     ranged = (
         base.repartitionByRange(
-            N_KS_PARTS, F.asc("c_mktsegment"), F.asc("spend_c")
+            range_parts(base), F.asc("c_mktsegment"), F.asc("spend_c")
         )
         .withColumn("_pid", F.spark_partition_id())
         .localCheckpoint(eager=True)
@@ -1841,9 +1829,9 @@ def q_auc_roc(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(1 - F.col("pos")).alias("g"),
         )
     )
-    ranged = per_v.repartitionByRange(N_KS_PARTS, F.asc("v")).withColumn(
-        "pid", F.spark_partition_id()
-    )
+    ranged = per_v.repartitionByRange(
+        range_parts(per_v), F.asc("v")
+    ).withColumn("pid", F.spark_partition_id())
     ranged = ranged.localCheckpoint(eager=True)
     w_local = Window.partitionBy("pid").orderBy(F.asc("v")).rowsBetween(
         Window.unboundedPreceding, 0

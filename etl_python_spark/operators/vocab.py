@@ -33,11 +33,12 @@ def q_zipf_vocab_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     both engines rank identically).
 
     Scale shape: ONE explode + map-side-combined (source, token)
-    aggregate does all data-sized work; the top-K rank runs in two
-    stages (salted partial top-K, then a final window over the
-    <= 64*K survivors) so no task ever sorts a whole source's
-    vocabulary, and the moment aggregate reduces each source's top-K
-    to one row.  Nothing collects to the driver.
+    aggregate does all data-sized work; the top-K rank is a
+    WindowGroupLimit-pruned `row_number() <= K` (each map task keeps
+    its local top-K per source before the exchange) so no task ever
+    sorts a whole source's vocabulary, and the moment aggregate
+    reduces each source's top-K to one row.  Nothing collects to the
+    driver.
     """
     docs = spread(load_table(spark, sf_dir, "documents"), "doc_id")
     toks = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
@@ -55,27 +56,18 @@ def q_zipf_vocab_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("cnt").alias("total_tokens"),
         F.count(F.lit(1)).alias("distinct_tokens"),
     )
-    # Two-stage top-K: a per-source window would sort the WHOLE
-    # per-source vocabulary in one task at scale, so a salted partial
-    # top-K runs first (64 parallel tasks per source) and the final
-    # window ranks only the <= 64*K survivors.  Identical output:
-    # (cnt DESC, tok ASC) is a total order within a source (tok is
-    # the group key, hence unique), so every global top-K row is a
-    # fortiori in its salt bucket's top-K and all higher-ranked rows
-    # survive the cut — the final row_number matches the global rank.
-    w_part = Window.partitionBy("source", "salt").orderBy(
-        F.col("cnt").desc(), F.col("tok")
-    )
-    partial = (
-        counts.withColumn("salt", F.pmod(F.hash("tok"), F.lit(64)))
-        .withColumn("rn", F.row_number().over(w_part))
-        .filter(F.col("rn") <= ZIPF_TOP_K)
-        .drop("salt", "rn")
-    )
+    # Single rank-limit window (r17, reverting r16's salted two-phase):
+    # `row_number() <= K` plans as WindowGroupLimit Partial/Final, so
+    # every map task prunes to its local top-K per source BEFORE the
+    # exchange — the reducer sorts <= #map_tasks*K rows per source,
+    # never a whole source's vocabulary.  The salt stage duplicated
+    # that map-side prune for the price of one extra exchange + sort
+    # (r16 verdict item 4: the before-plan already carried
+    # WindowGroupLimit Partial).
     w_rank = Window.partitionBy("source").orderBy(
         F.col("cnt").desc(), F.col("tok")
     )
-    top = partial.select(
+    top = counts.select(
         "source",
         "cnt",
         F.row_number().over(w_rank).alias("rank"),

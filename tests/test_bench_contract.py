@@ -59,6 +59,45 @@ def test_bench_extended_group(spark, capsys, monkeypatch):
     assert not set(bench.EXTENDED) & set(doc["queries"])
 
 
+def test_banked_map_prefers_standalone_child():
+    """Round-16 verdict item 1: the banked value/queries/env must be
+    the standalone A/B child's (the clean run by construction); the
+    parent's warm in-chain numbers move to *_inchain.  Without a
+    usable child map (AB off, child error) the parent's map banks
+    unchanged."""
+    import bench
+
+    parent = {
+        "metric": "headline_queries_total",
+        "value": 24.2,
+        "unit": "sec",
+        "sf": 0.1,
+        "queries": {"a": 12.1, "b": 12.1},
+        "spread": {"a": 0.5, "b": 0.5},
+        "env": {"contaminated": False, "load5_self_discounted": True},
+    }
+    child = {
+        "value": 20.1,
+        "queries": {"a": 10.0, "b": 10.1},
+        "spread": {"a": 0.1, "b": 0.2},
+        "env": {"contaminated": False, "waited_s": 190.7},
+    }
+    doc = bench._bank_standalone_primary(dict(parent), child)
+    assert doc["value"] == 20.1 and doc["queries"] == child["queries"]
+    assert doc["spread"] == child["spread"]
+    assert doc["env"] == child["env"]
+    assert doc["value_inchain"] == 24.2
+    assert doc["queries_inchain"] == parent["queries"]
+    assert doc["env_inchain"] == parent["env"]
+    assert doc["banked_map"] == "standalone_ab_child"
+
+    # child errored -> parent map banks unchanged, no inchain aliases
+    doc2 = bench._bank_standalone_primary(dict(parent), {"error": "boom"})
+    assert doc2["value"] == 24.2 and "value_inchain" not in doc2
+    doc3 = bench._bank_standalone_primary(dict(parent), None)
+    assert doc3["value"] == 24.2 and "banked_map" not in doc3
+
+
 def test_compact_summary_trims_to_tail_budget():
     """The compact line drops its per-query maps (largest members)
     until it fits the ~2 KB driver tail, but never the three totals."""

@@ -34,17 +34,18 @@ def test_top_customers_single_window_after_aggregate(spark):
     import re
 
     plan = _plan(q_top_customers_per_nation(spark, SF_SMOKE))
-    # aggregate shrinks input BEFORE the windows (r16: two-phase top-5
-    # — a salted partial rank in 64 parallel tasks per nation, then a
-    # final rank over the <= 64*5 survivors; no single task ever sorts
-    # a whole nation), no sort-merge join (count operator headers, not
-    # detail mentions)
-    assert len(re.findall(r"\(\d+\) Window\b", plan)) == 2
-    # both ranks are rank-limit windows Spark can prune with a group
-    # limit before the full sort (partial + final per window)
-    assert len(re.findall(r"\(\d+\) WindowGroupLimit\b", plan)) >= 2
-    # the salted partial stage must key on (n_name, salt), not n_name
-    assert re.search(r"hashpartitioning\(n_name[^)]*salt", plan)
+    # aggregate shrinks input BEFORE the window; ONE rank window (r17
+    # reverted the r16 salted two-phase: WindowGroupLimit already
+    # prunes each map task to its per-nation top-5 before the single
+    # exchange, so the salt stage only added an exchange + sort)
+    assert len(re.findall(r"\(\d+\) Window\b", plan)) == 1
+    # the rank-limit prune must appear on BOTH sides of the exchange
+    # (two WindowGroupLimit nodes for the single window = the Partial
+    # map-side prune + the Final reduce-side prune; the formatted plan
+    # does not print the mode, so the count is the pin)
+    assert len(re.findall(r"\(\d+\) WindowGroupLimit\b", plan)) == 2
+    # no salt stage: the window exchange keys on n_name alone
+    assert not re.search(r"hashpartitioning\(n_name#\d+, salt#\d+", plan)
     assert "SortMergeJoin" not in plan
 
 

@@ -400,10 +400,7 @@ def test_pareto_abc_two_phase_equals_global_cumsum(spark):
     """The two-phase distributed cumsum must equal the naive global
     window, the work must actually spread across range partitions,
     and classes must be monotone A->B->C along the ranking."""
-    from etl_python_spark.operators.analytics_windows import (
-        N_ABC_PARTS,
-        q_pareto_abc,
-    )
+    from etl_python_spark.operators.analytics_windows import q_pareto_abc
 
     rows = q_pareto_abc(spark, "/root/testdata/sf0.001").collect()
     rows.sort(key=lambda r: (-r.rev_c, r.l_partkey))
@@ -416,8 +413,7 @@ def test_pareto_abc_two_phase_equals_global_cumsum(spark):
     assert seen_classes == sorted(seen_classes)   # A <= B <= C monotone
     assert seen_classes[0] == "A" and seen_classes[-1] == "C"
     # the range partitioning genuinely spreads the relation
-    from etl_python_spark.operators.analytics_windows import q_pareto_abc as _q
-    from etl_python_spark.sources.tables import load_table
+    from etl_python_spark.sources.tables import load_table, range_parts
     from etl_python_spark.functions.numeric import cents
     from pyspark.sql import functions as F
 
@@ -425,9 +421,10 @@ def test_pareto_abc_two_phase_equals_global_cumsum(spark):
         load_table(spark, "/root/testdata/sf0.001", "lineitem")
         .groupBy("l_partkey")
         .agg(F.sum(cents(F.col("l_extendedprice"))).alias("rev_c"))
-        .repartitionByRange(N_ABC_PARTS, F.desc("rev_c"), F.asc("l_partkey"))
-        .withColumn("pid", F.spark_partition_id())
     )
+    rev = rev.repartitionByRange(
+        range_parts(rev), F.desc("rev_c"), F.asc("l_partkey")
+    ).withColumn("pid", F.spark_partition_id())
     assert rev.select("pid").distinct().count() > 1
 
 

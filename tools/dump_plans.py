@@ -1,7 +1,8 @@
-"""Dump .explain("formatted") for benched queries into plans/r16/.
+"""Dump .explain("formatted") for benched queries into plans/<round>/.
 
 Usage: python tools/dump_plans.py <suffix> [query ...]
-  suffix: e.g. "before" or "after" -> plans/r16/<query>_<suffix>.txt
+  suffix: e.g. "before" or "after" -> plans/$SPARK_GRAFT_ROUND/<query>_<suffix>.txt
+  (round dir defaults to r17)
 
 Only builds the DataFrame and formats the plan — no job execution —
 so it is safe to run alongside other workloads.
@@ -19,7 +20,9 @@ def main() -> None:
     suffix = sys.argv[1]
     names = sys.argv[2:]
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    out_dir = "/root/repo/plans/r16"
+    out_dir = os.path.join(
+        "/root/repo/plans", os.environ.get("SPARK_GRAFT_ROUND", "r17")
+    )
     os.makedirs(out_dir, exist_ok=True)
 
     from etl_python_spark.session import get_spark
