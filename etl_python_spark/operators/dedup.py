@@ -482,9 +482,10 @@ def _cc_star(edges: DataFrame, max_iter: int = 50) -> DataFrame:
 
     Scale shape: both steps are one groupBy + one keyed join on the
     current edge set (which only shrinks toward star form — no
-    vertex-count blowup); the convergence check is two exact
-    set-difference counts per round on the checkpointed edge sets
-    (bounded driver traffic: two scalars).  Skew note: after one
+    vertex-count blowup); each round is ONE job — the exact
+    symmetric-difference aggregate that both materializes the round's
+    lazy-checkpointed edge set and returns the convergence scalar
+    (bounded driver traffic: one long).  Skew note: after one
     round every high-degree hub IS a component minimum, so its edges
     key on distinct smaller vertices, not one hot key."""
     e = (
@@ -528,20 +529,29 @@ def _cc_star(edges: DataFrame, max_iter: int = 50) -> DataFrame:
         )
         mins2 = se.groupBy("u").agg(F.min("w").alias("m"))
         joined = se.join(mins2, "u")
+        # LAZY local checkpoint (r17): the convergence aggregate below
+        # is now the round's ONLY job — its map side computes `small`
+        # (persisting it as the local checkpoint en route) and the
+        # reduce side returns the diff count, fusing what r16 ran as
+        # two jobs per round (eager materialization + separate check;
+        # guide §1.2).  Interleaved idle-host A/B on the two benched
+        # CC consumers: dedup_components 5.77 s (eager) → 4.09 s
+        # (fused), fuzzy_components 4.28 → 4.07
+        # (plans/r17/probe_cc_ab.json; identical rows asserted in the
+        # same probe).
         small = (
             joined.filter(F.col("w") != F.col("m"))
             .select(F.col("w").alias("u"), F.col("m").alias("w"))
             .union(mins2.select("u", F.col("m").alias("w")))
             .distinct()
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
         # exact fixed-point check (no hash shortcut: an early stop on a
         # collision would silently split components).  Both sides are
         # distinct by construction, so symmetric-difference emptiness
         # is ONE aggregate — every (u, w) group must hold exactly one
         # row from each side — instead of the former two exceptAll
-        # jobs (guide §1.2: the check was two of the three jobs each
-        # round pays; same exactness, one shuffle).
+        # jobs (same exactness, one shuffle).
         n_diff = (
             small.select("u", "w").unionAll(e.select("u", "w"))
             .groupBy("u", "w")
