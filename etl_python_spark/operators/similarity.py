@@ -767,24 +767,36 @@ def _ivf_fitted_topk(
     if posting is None:
         posting = _posting_assign(emb, centroids)
 
-    cells = F.array(
-        *[
-            F.struct(F.lit(k).alias("c_id"), _dist2_lit(F.col("v"), c).alias("d2"))
-            for k, c in enumerate(centroids)
-        ]
+    # r17: probe selection via array_sort + slice (structs order by
+    # (d2, c_id) — exactly the former w_probe rank order, so the
+    # selected cells are identical) in ONE narrow projection — no
+    # per-query rank window, no q_id exchange on the broadcast build
+    # side (guide §2.4).  Query side only: the corpus-side posting
+    # assignment keeps its measured window form (r16 §9).
+    cells_sorted = F.slice(
+        F.array_sort(
+            F.array(
+                *[
+                    F.struct(
+                        _dist2_lit(F.col("v"), c).alias("d2"),
+                        F.lit(k).alias("c_id"),
+                    )
+                    for k, c in enumerate(centroids)
+                ]
+            )
+        ),
+        1,
+        n_probe,
     )
-    w_probe = Window.partitionBy("q_id").orderBy(F.asc("d2"), F.asc("c_id"))
     probes = (
         emb.filter(F.col("vec_id") < N_QUERY)
         .select(
             F.col("vec_id").alias("q_id"),
             F.col("v").alias("q_emb"),
-            F.explode(cells).alias("dc"),
+            _norm(F.col("v")).alias("q_nrm"),
+            F.explode(cells_sorted).alias("dc"),
         )
-        .select("q_id", "q_emb", F.col("dc.c_id").alias("c_id"), F.col("dc.d2").alias("d2"))
-        .withColumn("rnk", F.row_number().over(w_probe))
-        .filter(F.col("rnk") <= n_probe)
-        .select("q_id", "q_emb", _norm(F.col("q_emb")).alias("q_nrm"), "c_id")
+        .select("q_id", "q_emb", "q_nrm", F.col("dc.c_id").alias("c_id"))
     )
 
     cand = posting.join(F.broadcast(probes), "c_id").filter(
@@ -1494,23 +1506,31 @@ def _ivf_pq_shortlist(
     # Query side: the N_PROBE nearest cells per query plus a flat
     # M×KS micro-unit LUT (entry [m·KS + code]) — kilobytes per query,
     # broadcast, so probe pruning happens BEFORE any shuffle and the
-    # scoring below never joins a corpus-sized relation.
-    cells = F.array(
-        *[
-            F.struct(F.lit(k).alias("c_id"), _dist2_lit(F.col("rv"), c).alias("d2"))
-            for k, c in enumerate(centroids)
-        ]
+    # scoring below never joins a corpus-sized relation.  r17: the
+    # probe selection is an array_sort + slice over the K-cell struct
+    # array — structs sort by (d2, c_id), the exact w_probe order, so
+    # the selected cells are identical — and the LUT rides the SAME
+    # narrow projection, which removes the per-query rank window (one
+    # q_id exchange + sort) AND the probes⋈luts join from the serve
+    # path's broadcast build (guide §2.4; idle-host A/B in
+    # plans/r17/probe_ivfpq_phases.json: the query side is N_QUERY
+    # rows, where r16's corpus-side window-beats-projection finding
+    # does not apply — there is no corpus-sized rank here to preserve).
+    cells_sorted = F.slice(
+        F.array_sort(
+            F.array(
+                *[
+                    F.struct(
+                        _dist2_lit(F.col("rv"), c).alias("d2"),
+                        F.lit(k).alias("c_id"),
+                    )
+                    for k, c in enumerate(centroids)
+                ]
+            )
+        ),
+        1,
+        N_PROBE,
     )
-    w_probe = Window.partitionBy("q_id").orderBy(F.asc("d2"), F.asc("c_id"))
-    probes = (
-        uemb.filter(F.col("vec_id") < N_QUERY)
-        .select(F.col("vec_id").alias("q_id"), F.explode(cells).alias("dc"))
-        .select("q_id", F.col("dc.c_id").alias("c_id"), F.col("dc.d2").alias("d2"))
-        .withColumn("rnk", F.row_number().over(w_probe))
-        .filter(F.col("rnk") <= N_PROBE)
-        .select("q_id", "c_id")
-    )
-
     lut_arr = F.flatten(
         F.transform(
             _cb_lit(cb),
@@ -1523,10 +1543,15 @@ def _ivf_pq_shortlist(
             ),
         )
     )
-    luts = uemb.filter(F.col("vec_id") < N_QUERY).select(
-        F.col("vec_id").alias("q_id"), lut_arr.alias("lut")
+    qside = (
+        uemb.filter(F.col("vec_id") < N_QUERY)
+        .select(
+            F.col("vec_id").alias("q_id"),
+            lut_arr.alias("lut"),
+            F.explode(cells_sorted).alias("dc"),
+        )
+        .select("q_id", F.col("dc.c_id").alias("c_id"), "lut")
     )
-    qside = probes.join(luts, "q_id")
 
     # Candidate scoring: broadcast-join the (query, probed-cell, LUT)
     # side onto the index rows — each (q, n) pair appears exactly once
