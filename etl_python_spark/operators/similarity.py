@@ -519,6 +519,33 @@ def _dist2_lit(vec_col, centroid: list[float]):
     )
 
 
+def _probe_cells(vec_col, centroids: list[list[float]], n_probe: int):
+    """The ``n_probe`` nearest cells for one query vector as an array
+    of (d2, c_id) structs, via array_sort + slice in ONE narrow
+    projection — structs sort by (d2 asc, c_id asc), exactly the
+    former per-query rank window's orderBy, so the selected cells are
+    identical (including ties: lowest c_id wins, matching
+    row_number's deterministic order).  Query side only — no q_id
+    exchange, no sort, no rank window (guide §2.4); shared by
+    :func:`_ivf_fitted_topk` and :func:`_ivf_pq_shortlist`, pinned by
+    tests/test_probe_selection.py."""
+    return F.slice(
+        F.array_sort(
+            F.array(
+                *[
+                    F.struct(
+                        _dist2_lit(vec_col, c).alias("d2"),
+                        F.lit(k).alias("c_id"),
+                    )
+                    for k, c in enumerate(centroids)
+                ]
+            )
+        ),
+        1,
+        n_probe,
+    )
+
+
 def _sql_d2_lit(vec_sql: str, centroid: list[float]) -> str:
     """Spark-SQL string form of :func:`_dist2_lit` — the same
     zip_with/aggregate fold over the same array literal (identical
@@ -767,27 +794,13 @@ def _ivf_fitted_topk(
     if posting is None:
         posting = _posting_assign(emb, centroids)
 
-    # r17: probe selection via array_sort + slice (structs order by
-    # (d2, c_id) — exactly the former w_probe rank order, so the
-    # selected cells are identical) in ONE narrow projection — no
-    # per-query rank window, no q_id exchange on the broadcast build
-    # side (guide §2.4).  Query side only: the corpus-side posting
-    # assignment keeps its measured window form (r16 §9).
-    cells_sorted = F.slice(
-        F.array_sort(
-            F.array(
-                *[
-                    F.struct(
-                        _dist2_lit(F.col("v"), c).alias("d2"),
-                        F.lit(k).alias("c_id"),
-                    )
-                    for k, c in enumerate(centroids)
-                ]
-            )
-        ),
-        1,
-        n_probe,
-    )
+    # r17: probe selection via _probe_cells (array_sort + slice —
+    # identical cells to the former w_probe rank window, see the
+    # helper) — no per-query rank window, no q_id exchange on the
+    # broadcast build side (guide §2.4).  Query side only: the
+    # corpus-side posting assignment keeps its measured window form
+    # (r16 §9).
+    cells_sorted = _probe_cells(F.col("v"), centroids, n_probe)
     probes = (
         emb.filter(F.col("vec_id") < N_QUERY)
         .select(
@@ -1507,30 +1520,16 @@ def _ivf_pq_shortlist(
     # M×KS micro-unit LUT (entry [m·KS + code]) — kilobytes per query,
     # broadcast, so probe pruning happens BEFORE any shuffle and the
     # scoring below never joins a corpus-sized relation.  r17: the
-    # probe selection is an array_sort + slice over the K-cell struct
-    # array — structs sort by (d2, c_id), the exact w_probe order, so
-    # the selected cells are identical — and the LUT rides the SAME
-    # narrow projection, which removes the per-query rank window (one
-    # q_id exchange + sort) AND the probes⋈luts join from the serve
-    # path's broadcast build (guide §2.4; idle-host A/B in
-    # plans/r17/probe_ivfpq_phases.json: the query side is N_QUERY
-    # rows, where r16's corpus-side window-beats-projection finding
-    # does not apply — there is no corpus-sized rank here to preserve).
-    cells_sorted = F.slice(
-        F.array_sort(
-            F.array(
-                *[
-                    F.struct(
-                        _dist2_lit(F.col("rv"), c).alias("d2"),
-                        F.lit(k).alias("c_id"),
-                    )
-                    for k, c in enumerate(centroids)
-                ]
-            )
-        ),
-        1,
-        N_PROBE,
-    )
+    # probe selection is :func:`_probe_cells` (array_sort + slice —
+    # identical cells to the former w_probe rank window, see the
+    # helper) and the LUT rides the SAME narrow projection, which
+    # removes the per-query rank window (one q_id exchange + sort)
+    # AND the probes⋈luts join from the serve path's broadcast build
+    # (guide §2.4; idle-host A/B in plans/r17/probe_ivfpq_phases.json:
+    # the query side is N_QUERY rows, where r16's corpus-side
+    # window-beats-projection finding does not apply — there is no
+    # corpus-sized rank here to preserve).
+    cells_sorted = _probe_cells(F.col("rv"), centroids, N_PROBE)
     lut_arr = F.flatten(
         F.transform(
             _cb_lit(cb),
